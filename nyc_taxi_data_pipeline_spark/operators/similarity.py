@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (BASELINE.json north star). Two tiers:
+
+  brute_force_topk   exact cosine top-k: broadcast the (small) query set,
+                     one pass over the corpus, per-query heap via window
+                     rank. Scales linearly in corpus size — the correctness
+                     baseline and the right answer when |queries| is small.
+  lsh_topk           random-hyperplane LSH: corpus and queries bucketed by
+                     sign bits; only same-bucket candidates scored. The
+                     100 TB path — the self-join degenerates from O(n·q) to
+                     O(collisions).
+
+All vector math is JVM-side (functions.vector) — zip_with/aggregate inside
+whole-stage codegen, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from nyc_taxi_data_pipeline_spark.functions import vector as vecfn
+
+
+def _deterministic_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Seeded pseudo-random unit hyperplanes, generated deterministically on
+    the driver (tiny: n_planes × dim floats) and inlined as literals —
+    every executor sees identical planes with no broadcast variable."""
+    # xorshift-ish LCG so we don't depend on numpy RNG stability
+    state = 0x9E3779B97F4A7C15
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            row.append((state / float(1 << 64)) * 2.0 - 1.0)
+        nrm = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / nrm for x in row])
+    return planes
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-bit bucket id: bit i = (vec · plane_i) > 0. Pure expression —
+    computed in the scan stage."""
+    planes = _deterministic_planes(dim, n_planes)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = vecfn.dot(vec, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    The query side broadcasts (it must be small — this is 'score a probe
+    set against the corpus', not all-pairs). Rank ties break on neighbor
+    id after rounding cosine, so results are deterministic and match the
+    SQL oracle bit-for-bit."""
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv"))
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        F.round(vecfn.cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: only corpus rows sharing the query's hyperplane
+    bucket are scored. Recall < 1 by construction; raise recall with fewer
+    planes (bigger buckets) or multiple plane tables (union of candidates).
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+        hyperplane_bucket(F.col(corpus_vec), n_planes, dim).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("qv"),
+            hyperplane_bucket(F.col(query_vec), n_planes, dim).alias("bucket"),
+        )
+    )
+    scored = c.join(q, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(vecfn.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,65 @@
+"""Thin catalog over the lake directories.
+
+The reference models its lake as MinIO buckets (raw/processed/sandbox,
+config/datalake.yaml) listed file-by-file (utils/minio_utils.py:30-38) and
+read one file at a time in a driver loop (batch_processing_optimized.py:221).
+Spark-first replacement: a directory *is* a table — `spark.read.parquet`
+takes the glob, plans one distributed scan, and partition pruning/pushdown
+apply across the whole fileset (SURVEY.md §2.1 S1/S5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The driver-provided synthetic tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects. We read them as long (legacy conf) and truncate to
+# microsecond timestamps — the same truncation DuckDB applies, so oracle
+# comparisons agree.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One distributed parquet scan; Catalyst handles pushdown + pruning."""
+    if name in _NANOS_TS_COLS:
+        # runtime-settable SQLConf; set defensively so any caller's session works
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # integer division — double division loses precision at ns scale
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each lake table as a temp view so `spark.sql` works as the
+    engine's interactive entry point (replaces the reference's Trino layer,
+    SURVEY.md §3.3)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

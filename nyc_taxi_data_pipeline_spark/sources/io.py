@@ -1,0 +1,145 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S14).
+
+All readers return lazy DataFrames; all writers take DataFrames — the engine
+never round-trips through pandas the way the reference's cleaning stage does
+(scripts/transform_data.py:159-170). Exotic backends (Delta, JDBC, Kafka) are
+gated behind availability checks so the library imports cleanly in minimal
+environments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+# --------------------------------------------------------------------------
+# batch sources
+# --------------------------------------------------------------------------
+
+def read_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S1/S2/S5: one scan over a file, directory, or glob."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """S3: lookup-dimension CSV scan (reference: scripts/transform_data.py:43).
+
+    Explicit schema preferred at scale — inference costs an extra pass.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def head_n(df: DataFrame, n: int = 10_000) -> DataFrame:
+    """S4/O3: bounded preview scan (reference: utils/streaming_data_db.py:43-45
+    iterates arrow batches; Spark's limit pushes the bound into the scan)."""
+    return df.limit(n)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC source. Partitioned read options matter at scale — without
+    partition_column the whole table funnels through one task."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+# --------------------------------------------------------------------------
+# batch sinks
+# --------------------------------------------------------------------------
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] | list[str] | None = None,
+) -> None:
+    """S8: zone-transition sink. `partition_by` produces the hive layout that
+    downstream partition pruning reads (reference partitions the stream sink
+    by date_partition, streaming_to_minio_fixed.py:75)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int = 4,
+) -> None:
+    """S7: staging-warehouse sink (reference: batch_processing_optimized.py:186-197
+    — coalesce(4) + batchsize 10000). numPartitions bounds concurrent
+    connections; on a big cluster raise it with the DB's write capacity."""
+    (
+        df.coalesce(num_partitions)
+        .write.mode(mode)
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**(properties or {}))
+        .save()
+    )
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """S9 gate: Delta needs its jars on the classpath (not in this image)."""
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S9: Delta sink (reference: scripts/convert_to_delta.py:85-88).
+    Raises a clear error when delta-spark jars are absent."""
+    if not delta_available(df.sparkSession):
+        raise NotImplementedError(
+            "delta-spark jars not on the classpath; install delta-spark and "
+            "configure spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+        )
+    df.write.format("delta").mode(mode).save(path)
+
+
+def create_external_table(spark: SparkSession, name: str, path: str, fmt: str = "parquet") -> None:
+    """S13/S14: catalog DDL over an existing lake location — replaces both the
+    psycopg2 DDL executor (utils/create_table.py) and the Trino external-table
+    generator (utils/trinp_db.py:8-27) with the session catalog."""
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {name} USING {fmt} LOCATION '{path}'")

@@ -1,0 +1,42 @@
+"""Per-query parity against the DuckDB oracle at sf0.01 — a local replica of
+the driver's CORRECTNESS gate (row count + schema + order-insensitive values).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+from tests.oracle_harness import compare_query
+
+ORACLE_QUERIES = [q for q in REGISTRY.values() if q.oracle is not None]
+
+
+@pytest.mark.parametrize("query", ORACLE_QUERIES, ids=lambda q: q.name)
+def test_query_matches_oracle(spark, duck, query):
+    report = compare_query(spark, duck, query)
+    assert report["cols_match"], (
+        f"column mismatch: spark={report['spark_cols']} duck={report['duck_cols']}"
+    )
+    assert report["spark_rows"] == report["duck_rows"], (
+        f"row count: spark={report['spark_rows']} duck={report['duck_rows']}"
+    )
+    assert report["values_match"], f"value mismatch: {report['first_mismatches']}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as ent
+
+    df = ent.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+
+
+def test_registry_contract():
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 15
