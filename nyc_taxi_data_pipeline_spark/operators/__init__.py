@@ -2,9 +2,11 @@ from nyc_taxi_data_pipeline_spark.operators import (  # noqa: F401
     aggregate,
     dedup,
     enrich,
+    multimodal,
     normalize,
     quality,
     similarity,
+    temporal,
     textstats,
     warehouse,
 )
@@ -13,9 +15,11 @@ __all__ = [
     "aggregate",
     "dedup",
     "enrich",
+    "multimodal",
     "normalize",
     "quality",
     "similarity",
+    "temporal",
     "textstats",
     "warehouse",
 ]

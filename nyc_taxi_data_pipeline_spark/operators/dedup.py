@@ -180,36 +180,27 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     """(id, simhash bigint): per-token 64-bit hash votes per bit position;
     the sign of each bit's vote total forms the fingerprint. Computed as a
     per-row fold over the token array — zero shuffle, fully codegen'd."""
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    bit_positions = F.sequence(F.lit(0), F.lit(bits - 1))
-    # votes[i] = Σ_tokens (bit_i(hash(token)) ? 1 : -1)
-    votes = F.aggregate(
-        tokens,
-        F.transform(bit_positions, lambda _: F.lit(0).cast("long")),
-        lambda acc, tok: F.zip_with(
-            acc,
-            F.transform(
-                bit_positions,
-                lambda i: F.when(
-                    F.shiftright(F.xxhash64(tok), i.cast("int")).bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
-            ),
-            lambda a, v: a + v,
-        ),
-    )
-    # assemble: Σ (votes[i] > 0) << i   — via aggregate over positions
-    fingerprint = F.aggregate(
-        F.zip_with(
-            votes,
-            bit_positions,
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
+    # SQL lambdas: the SQL shiftleft/shiftright accept column shift amounts
+    # (the classic-mode Python wrappers only take int literals).
+    # votes[i] = Σ_tokens (bit_i(hash(token)) ? 1 : -1); fingerprint bit i is
+    # set iff votes[i] > 0. One per-row fold — zero shuffle, codegen'd.
+    fingerprint = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              split(lower(trim({text_col})), '\\\\s+'),
+              transform(sequence(0, {bits - 1}), i -> 0L),
+              (acc, tok) -> zip_with(
+                acc,
+                transform(sequence(0, {bits - 1}),
+                          i -> CASE WHEN (shiftright(xxhash64(tok), i) & 1) = 1
+                               THEN 1L ELSE -1L END),
+                (a, v) -> a + v)),
+            sequence(0, {bits - 1}),
+            (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
+          0L, (acc, v) -> acc | v)
+        """
     )
     return df.select(F.col(id_col).alias("id"), fingerprint.alias("simhash"))
 
@@ -224,11 +215,13 @@ def simhash_candidate_pairs(sims: DataFrame, band_bits: int = 16) -> DataFrame:
         "id",
         "simhash",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.shiftright(F.col("simhash"), (b * band_bits).cast("int")).bitwiseAND(
-                    F.lit(mask)
-                ),
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_bands)
+                ]
             )
         ).alias("band", "bucket"),
     )

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata (BASELINE.json north star).
+
+The Spark-side machinery — schemas, partitioning, Arrow-batched UDF
+signatures, batch shapes — is real and tested. The actual media decode is
+STUBBED (this container has no image/audio libraries): `decode_image`
+raises NotImplementedError unless `fake=True`, in which case a
+deterministic fake decoder stands in so the distributed plumbing can be
+exercised end-to-end.
+
+Design for 100 TB of media:
+  * payloads stay `binary` columns in parquet — never hit the Python side
+    until a mapInPandas stage explicitly asks for them;
+  * metadata (byte length, content hash, declared mime) extracts JVM-side;
+  * decode/feature stages are `mapInPandas` so one Arrow batch of payloads
+    crosses into Python at a time (bounded memory, vectorized transfer);
+  * outputs are fixed-size feature arrays — shuffle-friendly, prunable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# canonical multimodal record schema
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-side metadata extraction — no payload bytes cross into Python."""
+    p = F.col(payload_col)
+    return df.withColumn("n_bytes", F.length(p)).withColumn(
+        "content_md5", F.md5(p)
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real image/audio decoder: folds payload
+    bytes into a FEATURE_DIM-float vector. Stable across runs/executors."""
+    acc = [0] * FEATURE_DIM
+    for i, b in enumerate(payload or b""):
+        acc[i % FEATURE_DIM] = (acc[i % FEATURE_DIM] * 31 + b) % 100003
+    return [v / 100003.0 for v in acc]
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime_type",
+    fake: bool = False,
+) -> DataFrame:
+    """mapInPandas decode/feature-extract stage.
+
+    With a real decoder this is where PIL/librosa/ffmpeg would run per
+    Arrow batch; those libraries are absent here, so fake=False raises and
+    fake=True uses the deterministic stand-in. Either way the distributed
+    shape — batch iterator in, batch iterator out, fixed output schema —
+    is the production shape."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "mime_type": pdf[mime_col],
+                    "n_bytes": pdf[payload_col].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                    "feature": pdf[payload_col].map(_fake_decode),
+                }
+            )
+
+    return df.mapInPandas(op, schema=_FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
+    without touching payloads — sequence+explode JVM-side. The downstream
+    decode stage then fetches only the sampled offsets."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(F.col(duration_col) - 1, F.lit(0)).cast("long"),
+                F.lit(every_ms).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )

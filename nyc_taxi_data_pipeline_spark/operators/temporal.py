@@ -1,0 +1,118 @@
+"""Temporal operators Spark lacks as builtins: as-of join, sessionization.
+
+Both are pure compositions of window functions + union — single-shuffle,
+no Python, no driver loops (the scalable forms per the guide's
+'common OLAP patterns').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right_ts <= left_ts for the same key (trade/quote-style as-of join).
+
+    Strategy: tag and union both sides, sort within key by (ts, side) with
+    right rows first at equal ts, then carry right values forward with
+    last(ignorenulls) — ONE shuffle on the key, linear in |left|+|right|.
+    A range-join + per-group max would re-shuffle and blow up on dense
+    right sides; merge_asof-in-pandas would leave the JVM. This stays
+    codegen'd end-to-end.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            l_tagged.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows (side=0) sort before left rows at the same ts → "at or before"
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "__side",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__rv_{c}").alias(c) for c in right_cols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the inter-event
+    gap exceeds `gap_minutes`. Returns the input plus a per-key
+    `session_id` (1-based). Classic lag + cumulative-sum over one window —
+    one shuffle on the key."""
+    w = W.partitionBy(key).orderBy(ts_col)
+    gap_sec = gap_minutes * 60
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_sec),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Sessions rolled up per key: count, span, event count per session →
+    aggregated per-key session metrics."""
+    sess = sessionize(df, key, ts_col, gap_minutes)
+    per_session = sess.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+    return per_session.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.round(
+            F.avg(
+                F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
+            ),
+            4,
+        ).alias("avg_session_seconds"),
+    )

@@ -561,3 +561,889 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             not_null_rule("l_shipdate"),
         ],
     ).orderBy("rule")
+
+
+# ===========================================================================
+# Taxi-parity pipeline (SURVEY.md §3.1) — the reference's raw→staging→star
+# lifecycle exercised end-to-end on the synthetic lake. `lineitem` rows are
+# deterministically mapped into raw trip-record shape (mixed-case yellow
+# variant), then flow through the REAL operator modules:
+# normalize (P1-P6) → derive_time_dims (F1-F3) → staging_aggregate (A1/A2)
+# → star dims/fact (A3/J2/F9/F10).
+# ===========================================================================
+
+def _raw_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → raw yellow-trip records (mixed-case columns exercise P2;
+    RatecodeID spans 1..8 so the dim's <7 domain filter bites; quantities
+    >45 become null passenger_count so dropna (P5) has work to do)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        ((F.col("l_suppkey") % 2) + 1).alias("VendorID"),
+        F.col("l_shipdate").alias("tpep_pickup_datetime"),
+        F.expr(
+            "timestampadd(MINUTE, cast(l_quantity as int) * 3, l_shipdate)"
+        ).alias("tpep_dropoff_datetime"),
+        ((F.col("l_linenumber") % 8) + 1).cast("double").alias("RatecodeID"),
+        ((F.col("l_partkey") % 25) + 1).alias("PULocationID"),
+        ((F.col("l_suppkey") % 25) + 1).alias("DOLocationID"),
+        ((F.col("l_orderkey") % 6) + 1).alias("payment_type"),
+        F.when(F.col("l_quantity") > 45, F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity"))
+        .alias("passenger_count"),
+        (F.col("l_quantity") * F.lit(2.0)).alias("trip_distance"),
+        F.col("l_extendedprice").alias("fare_amount"),
+        F.col("l_discount").alias("extra"),
+        F.col("l_tax").alias("mta_tax"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("tip_amount"),
+        F.lit(0.0).alias("tolls_amount"),
+        F.lit(0.3).alias("improvement_surcharge"),
+        (F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax"))).alias("total_amount"),
+        F.lit(2.5).alias("congestion_surcharge"),
+        F.lit("N").alias("store_and_fwd_flag"),
+    )
+
+
+# The same mapping as ANSI SQL (post-normalize names/types), shared by the
+# pipeline oracles. dropna(passenger_count) ≡ WHERE l_quantity <= 45.
+_TRIPS_CTE = """
+trips AS (
+  SELECT
+    CAST((l_suppkey % 2) + 1 AS INTEGER)        AS vendor_id,
+    l_shipdate                                  AS pickup_datetime,
+    l_shipdate + CAST(l_quantity AS INT) * 3 * INTERVAL '1 minute'
+                                                AS dropoff_datetime,
+    CAST((l_linenumber % 8) + 1 AS INTEGER)     AS rate_code_id,
+    CAST((l_partkey % 25) + 1 AS INTEGER)       AS pickup_location_id,
+    CAST((l_suppkey % 25) + 1 AS INTEGER)       AS dropoff_location_id,
+    CAST((l_orderkey % 6) + 1 AS INTEGER)       AS payment_type_id,
+    l_quantity                                  AS passenger_count,
+    l_quantity * CAST(2.0 AS DOUBLE)            AS trip_distance,
+    l_extendedprice                             AS fare_amount,
+    l_discount                                  AS extra,
+    l_tax                                       AS mta_tax,
+    l_extendedprice * l_discount                AS tip_amount,
+    CAST(0.0 AS DOUBLE)                         AS tolls_amount,
+    CAST(0.3 AS DOUBLE)                         AS improvement_surcharge,
+    l_extendedprice * (CAST(1.0 AS DOUBLE) + l_tax) AS total_amount,
+    CAST(2.5 AS DOUBLE)                         AS congestion_surcharge
+  FROM lineitem
+  WHERE l_quantity <= 45
+)
+"""
+
+_STAGING_CTE = _TRIPS_CTE + """,
+staging AS (
+  SELECT
+    CAST(year(pickup_datetime) AS VARCHAR) AS year,
+    monthname(pickup_datetime)             AS month,
+    dayname(pickup_datetime)               AS dow,
+    vendor_id, rate_code_id, pickup_location_id, dropoff_location_id,
+    payment_type_id, pickup_datetime, dropoff_datetime,
+    sum(passenger_count) AS passenger_count,
+    sum(trip_distance)   AS trip_distance,
+    sum(extra)           AS extra,
+    sum(mta_tax)         AS mta_tax,
+    sum(fare_amount)     AS fare_amount,
+    sum(tip_amount)      AS tip_amount,
+    sum(tolls_amount)    AS tolls_amount,
+    sum(total_amount)    AS total_amount,
+    sum(improvement_surcharge) AS improvement_surcharge,
+    sum(congestion_surcharge)  AS congestion_surcharge,
+    1 AS service_type
+  FROM trips
+  GROUP BY ALL
+)
+"""
+
+
+def _staging_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raw → normalize (P1-P6) → time dims (F1-F3) → staging agg (A1/A2)."""
+    from nyc_taxi_data_pipeline_spark.operators.aggregate import (
+        derive_time_dims,
+        staging_aggregate,
+    )
+    from nyc_taxi_data_pipeline_spark.operators.normalize import normalize
+
+    trips = normalize(_raw_trips(spark, sf_dir))
+    return staging_aggregate(derive_time_dims(trips, "pickup_datetime"))
+
+
+_NORMALIZE_ORACLE = (
+    "WITH " + _TRIPS_CTE + """
+SELECT
+  congestion_surcharge, dropoff_datetime, dropoff_location_id, extra,
+  fare_amount, improvement_surcharge, mta_tax, passenger_count,
+  payment_type_id, pickup_datetime, pickup_location_id, rate_code_id,
+  tip_amount, tolls_amount, total_amount, trip_distance, vendor_id
+FROM trips
+"""
+)
+
+
+@_register("normalize_trip_schema", _NORMALIZE_ORACLE)
+def normalize_trip_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6 end-to-end: mixed-case yellow-variant columns → lowercased,
+    variant-renamed, operational columns dropped, ids int-cast, null rows
+    dropped, columns alphabetized (reference contract:
+    scripts/transform_data.py:76-118)."""
+    from nyc_taxi_data_pipeline_spark.operators.normalize import normalize
+
+    return normalize(_raw_trips(spark, sf_dir))
+
+
+_STAGING_AGG_ORACLE = (
+    "WITH " + _STAGING_CTE + """
+SELECT
+  year, month, dow, vendor_id, rate_code_id, payment_type_id, service_type,
+  count(*) AS n_rows,
+  CAST(round(sum(CAST(passenger_count AS DECIMAL(38,6))), 2) AS DOUBLE)
+    AS passenger_count,
+  CAST(round(sum(CAST(trip_distance AS DECIMAL(38,6))), 2) AS DOUBLE)
+    AS trip_distance,
+  CAST(round(sum(CAST(fare_amount AS DECIMAL(38,6))), 2) AS DOUBLE)
+    AS fare_amount,
+  CAST(round(sum(CAST(tip_amount AS DECIMAL(38,6))), 2) AS DOUBLE)
+    AS tip_amount,
+  CAST(round(sum(CAST(total_amount AS DECIMAL(38,6))), 2) AS DOUBLE)
+    AS total_amount,
+  CAST(round(sum(CAST(congestion_surcharge AS DECIMAL(38,6))), 2) AS DOUBLE)
+    AS congestion_surcharge
+FROM staging
+GROUP BY ALL
+ORDER BY year, month, dow, vendor_id, rate_code_id, payment_type_id
+"""
+)
+
+
+@_register("staging_pipeline_aggregate", _STAGING_AGG_ORACLE)
+def staging_pipeline_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's batch core end-to-end (§3.1): normalize → derive
+    year/month/dow → A1/A2 staging aggregation, rolled up to reporting
+    grain for comparison."""
+    staging = _staging_trips(spark, sf_dir)
+    return (
+        staging.groupBy(
+            "year", "month", "dow", "vendor_id", "rate_code_id",
+            "payment_type_id", "service_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # decimal-sum: order-independent addition so the rolled-up totals
+            # are bit-identical across engines/partitionings
+            *[
+                F.round(F.sum(F.col(c).cast("decimal(38,6)")), 2)
+                .cast("double")
+                .alias(c)
+                for c in (
+                    "passenger_count",
+                    "trip_distance",
+                    "fare_amount",
+                    "tip_amount",
+                    "total_amount",
+                    "congestion_surcharge",
+                )
+            ],
+        )
+        .orderBy("year", "month", "dow", "vendor_id", "rate_code_id", "payment_type_id")
+    )
+
+
+_DIM_RATE_ORACLE = (
+    "WITH " + _STAGING_CTE + """
+SELECT
+  md5(concat_ws('-', coalesce(CAST(rate_code_id AS VARCHAR),
+                              '_dbt_utils_surrogate_key_null_')))  AS rate_code_key,
+  rate_code_id AS rate_code_id,
+  CASE rate_code_id
+    WHEN 1 THEN 'Standard rate' WHEN 2 THEN 'JFK' WHEN 3 THEN 'Newark'
+    WHEN 4 THEN 'Nassau or Westchester' WHEN 5 THEN 'Negotiated fare'
+    WHEN 6 THEN 'Group ride' ELSE 'Unknown' END AS rate_code_description
+FROM (SELECT DISTINCT rate_code_id FROM staging
+      WHERE rate_code_id IS NOT NULL AND CAST(rate_code_id AS INTEGER) < 7)
+ORDER BY rate_code_id
+"""
+)
+
+
+@_register("star_dim_rate_code", _DIM_RATE_ORACLE)
+def star_dim_rate_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+F9+F10+P8+O1: the dbt dim model shape (dim_rate_code.sql:3-23) —
+    distinct, not-null + domain (<7) filters, dbt-parity surrogate key,
+    TLC decode, ordered output."""
+    from nyc_taxi_data_pipeline_spark.operators.warehouse import dim_rate_code
+
+    return dim_rate_code(_staging_trips(spark, sf_dir))
+
+
+_FACT_ORACLE = (
+    "WITH " + _STAGING_CTE + """,
+dim_vendor AS (
+  SELECT md5(concat_ws('-', coalesce(CAST(vendor_id AS VARCHAR),
+             '_dbt_utils_surrogate_key_null_'))) AS vendor_key, vendor_id
+  FROM (SELECT DISTINCT vendor_id FROM staging
+        WHERE vendor_id IS NOT NULL AND CAST(vendor_id AS INTEGER) < 3)),
+dim_rate AS (
+  SELECT md5(concat_ws('-', coalesce(CAST(rate_code_id AS VARCHAR),
+             '_dbt_utils_surrogate_key_null_'))) AS rate_code_key, rate_code_id
+  FROM (SELECT DISTINCT rate_code_id FROM staging
+        WHERE rate_code_id IS NOT NULL AND CAST(rate_code_id AS INTEGER) < 7)),
+dim_payment AS (
+  SELECT md5(concat_ws('-', coalesce(CAST(payment_type_id AS VARCHAR),
+             '_dbt_utils_surrogate_key_null_'))) AS payment_type_key, payment_type_id
+  FROM (SELECT DISTINCT payment_type_id FROM staging
+        WHERE payment_type_id IS NOT NULL)),
+fact AS (
+  SELECT
+    md5(concat_ws('-',
+      coalesce(CAST(s.vendor_id AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      coalesce(CAST(s.rate_code_id AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      coalesce(CAST(s.pickup_location_id AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      coalesce(CAST(s.dropoff_location_id AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      coalesce(CAST(s.payment_type_id AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      coalesce(CAST(s.service_type AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      coalesce(CAST(s.pickup_datetime AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+      coalesce(CAST(s.dropoff_datetime AS VARCHAR), '_dbt_utils_surrogate_key_null_')
+    )) AS trip_id,
+    dv.vendor_key, dr.rate_code_key, dp.payment_type_key, s.fare_amount
+  FROM staging s
+  JOIN dim_vendor dv ON s.vendor_id = dv.vendor_id
+  JOIN dim_rate dr   ON s.rate_code_id = dr.rate_code_id
+  JOIN dim_payment dp ON s.payment_type_id = dp.payment_type_id)
+SELECT
+  vendor_key, rate_code_key, payment_type_key,
+  count(*)                 AS n_trips,
+  count(DISTINCT trip_id)  AS n_trip_ids,
+  round(sum(fare_amount), 2) AS fare_amount
+FROM fact
+GROUP BY ALL
+ORDER BY vendor_key, rate_code_key, payment_type_key
+"""
+)
+
+
+@_register("star_fact_summary", _FACT_ORACLE)
+def star_fact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+F9: fact_trip (fact_trip.sql:6-39) — 8-column surrogate trip_id,
+    three broadcast dim joins whose domain filters act as semi-joins —
+    summarized per dim-key triple."""
+    from nyc_taxi_data_pipeline_spark.operators.warehouse import (
+        dim_payment,
+        dim_rate_code,
+        dim_vendor,
+        fact_trip,
+    )
+
+    staging = _staging_trips(spark, sf_dir)
+    fact = fact_trip(
+        staging, dim_vendor(staging), dim_rate_code(staging), dim_payment(staging)
+    )
+    return (
+        fact.groupBy("vendor_key", "rate_code_key", "payment_type_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.countDistinct("trip_id").alias("n_trip_ids"),
+            F.round(F.sum("fare_amount"), 2).alias("fare_amount"),
+        )
+        .orderBy("vendor_key", "rate_code_key", "payment_type_key")
+    )
+
+
+_ZONE_ORACLE = """
+WITH lookup AS (
+  SELECT n_nationkey + 1                               AS LocationID,
+         round(n_nationkey * CAST(1.7 AS DOUBLE) - 12.0, 4) AS latitude,
+         round(n_regionkey * CAST(15.5 AS DOUBLE) - 30.0, 4) AS longitude
+  FROM nation WHERE n_nationkey + 1 <= 20
+),
+trips AS (
+  SELECT c_custkey, (c_custkey % 25) + 1 AS pickup_location_id,
+         c_nationkey + 1 AS dropoff_location_id
+  FROM customer
+)
+SELECT
+  t.c_custkey             AS c_custkey,
+  pu.latitude             AS pickup_latitude,
+  pu.longitude            AS pickup_longitude,
+  dof.latitude            AS dropoff_latitude,
+  dof.longitude           AS dropoff_longitude
+FROM trips t
+JOIN lookup pu  ON t.pickup_location_id  = pu.LocationID
+JOIN lookup dof ON t.dropoff_location_id = dof.LocationID
+ORDER BY c_custkey
+"""
+
+
+@_register("zone_enrichment_join", _ZONE_ORACLE)
+def zone_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: double broadcast lookup-enrichment with the reference's
+    inner-drop contract (transform_data.py:39-64) — rows whose pickup OR
+    dropoff id misses the (truncated) lookup vanish."""
+    from nyc_taxi_data_pipeline_spark.operators.enrich import enrich_pickup_dropoff
+
+    n = _t(spark, sf_dir, "nation")
+    lookup = n.select(
+        (F.col("n_nationkey") + 1).alias("LocationID"),
+        F.round(F.col("n_nationkey") * F.lit(1.7) - F.lit(12.0), 4).alias("latitude"),
+        F.round(F.col("n_regionkey") * F.lit(15.5) - F.lit(30.0), 4).alias("longitude"),
+    ).filter(F.col("LocationID") <= 20)
+    trips = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 25) + 1).alias("pickup_location_id"),
+        (F.col("c_nationkey") + 1).alias("dropoff_location_id"),
+    )
+    return (
+        enrich_pickup_dropoff(trips, lookup)
+        .select(
+            "c_custkey",
+            "pickup_latitude",
+            "pickup_longitude",
+            "dropoff_latitude",
+            "dropoff_longitude",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ===========================================================================
+# Temporal & streaming surface (operators/temporal.py, streaming/)
+# ===========================================================================
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p0 AS (
+  SELECT user_id, ts AS purchase_ts, value AS purchase_value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+purchases AS (SELECT user_id, purchase_ts, purchase_value FROM p0 WHERE rn = 1)
+SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+       p.purchase_ts AS purchase_ts,
+       round(p.purchase_value, 2) AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+ORDER BY c.event_id
+"""
+
+
+@_register("asof_join_attribution", _ASOF_ORACLE)
+def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): each click is
+    attributed to the user's most recent purchase at or before it.
+    Implemented as tag-union + last(ignorenulls) over one key-partitioned
+    window — single shuffle, linear, no pandas (operators/temporal.py)."""
+    from nyc_taxi_data_pipeline_spark.operators.temporal import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    out = as_of_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        right_cols=["purchase_ts", "purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+tagged AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM tagged GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(avg(CAST(floor(epoch(session_end)) AS BIGINT)
+                 - CAST(floor(epoch(session_start)) AS BIGINT)), 4)
+         AS avg_session_seconds
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@_register("sessionization_stats", _SESSION_ORACLE)
+def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via lag + running sum —
+    one shuffle on the key (operators/temporal.py)."""
+    from nyc_taxi_data_pipeline_spark.operators.temporal import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, key="user_id", ts_col="ts", gap_minutes=30).orderBy(
+        "user_id"
+    )
+
+
+_STREAM_WINDOW_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@_register("streaming_window_counts", _STREAM_WINDOW_ORACLE)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end (ST1-ST7 + the event-time windowed
+    aggregation the reference never built): file-source stream → watermark →
+    tumbling 1h window → memory sink, drained deterministically with
+    processAllAvailable. The returned frame is the materialized sink."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.catalog import table_path
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import (
+        run_stream_to_memory,
+        windowed_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # file-stream sources want a directory; glob-filter down to the table
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_counts(stream, ts_col="ts", key_col="event_type", window="1 hour")
+    sink = run_stream_to_memory(agg, f"win_{uuid.uuid4().hex[:8]}")
+    return sink.orderBy("window_start", "event_type")
+
+
+_CDC_ORACLE = """
+SELECT CAST(user_id % 3 AS INTEGER) AS vendorid,
+       ts                           AS tpep_pickup_datetime,
+       value                        AS passenger_count,
+       CAST(event_id % 100000 AS INTEGER) AS pulocationid
+FROM events
+ORDER BY pulocationid
+"""
+
+
+@_register("cdc_envelope_roundtrip", _CDC_ORACLE)
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8/ST8: events are wrapped into Debezium envelopes (JSON
+    payload.after with epoch-micros timestamps) then decoded with the
+    engine's parse_debezium — proving the CDC path bit-exact without Kafka."""
+    from pyspark.sql import types as T
+
+    from nyc_taxi_data_pipeline_spark.streaming.cdc import parse_debezium
+
+    e = _t(spark, sf_dir, "events")
+    wire = e.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.struct(
+                        (F.col("user_id") % 3).cast("int").alias("vendorid"),
+                        F.unix_micros(F.col("ts")).alias("tpep_pickup_datetime"),
+                        F.col("value").alias("passenger_count"),
+                        (F.col("event_id") % 100000).cast("int").alias("pulocationid"),
+                    ).alias("after")
+                ).alias("payload")
+            )
+        ).alias("value")
+    )
+    fields = {
+        "vendorid": T.IntegerType(),
+        "tpep_pickup_datetime": T.LongType(),
+        "passenger_count": T.DoubleType(),
+        "pulocationid": T.IntegerType(),
+    }
+    decoded = parse_debezium(
+        wire, fields=fields, epoch_micros_cols=("tpep_pickup_datetime",)
+    )
+    return decoded.orderBy("pulocationid")
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (BASELINE.json north star): dedup, similarity
+# search, text analysis, multimodal plumbing — on documents/embeddings.
+# ===========================================================================
+
+_DEDUP_EXACT_ORACLE = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@_register("dedup_exact_documents", _DEDUP_EXACT_ORACLE)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id document per identical text —
+    one hash shuffle on the text (operators/dedup.exact_dedup)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
+_DEDUP_NORM_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM n GROUP BY norm
+ORDER BY doc_id
+"""
+
+
+@_register("dedup_normalized_documents", _DEDUP_NORM_ORACLE)
+def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-style dedup at the semantic level the engine's
+    fingerprint hashes (lowercase, punctuation stripped, whitespace
+    collapsed): keep min doc_id per normalized text + duplicate count."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[!-/:-@\[-`{-~]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        d.groupBy(norm.alias("__norm"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("doc_id", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+@_register("dedup_fingerprint_xxhash", None)
+def dedup_fingerprint_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit-fingerprint dedup (operators/dedup.fingerprint_dedup) —
+    xxhash64 isn't available to the SQL oracle, so this is a rows-only
+    check; dedup_normalized_documents pins the same semantics with hashes
+    replaced by the normalized text itself."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import fingerprint_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_dedup(d, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
+@_register("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup removal (shingle → 16-perm minhash → 4-band
+    LSH → exact-Jaccard verify ≥0.8 → drop larger id). Rows-only check
+    (hash-seeded signatures aren't SQL-reproducible); ngram_jaccard_topk
+    pins the underlying Jaccard math against the oracle."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup(d, "text", "doc_id").select("doc_id", "lang").orderBy("doc_id")
+
+
+@_register("simhash_hamming_pairs", None)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit token-vote fingerprints,
+    16-bit-band LSH, Hamming distance ≤ 12. Rows-only check."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sims = simhash(d, "text", "doc_id")
+    return (
+        simhash_candidate_pairs(sims, band_bits=16)
+        .filter(F.col("hamming") <= 12)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_JACCARD_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE doc_id < 100)
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS u
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(i / u, 6) AS jaccard
+FROM p
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+@_register("ngram_jaccard_topk", _JACCARD_ORACLE)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (3-shingle) Jaccard similarity, top-20 most-similar pairs in
+    the doc_id<100 slice — pins the exact-Jaccard math that verifies
+    MinHash candidates (operators/dedup.verify_jaccard)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import verify_jaccard
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ids = d.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.crossJoin(d.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    jac = verify_jaccard(d, pairs, "text", "doc_id")
+    return (
+        jac.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+_TEXT_STATS_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with)\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       n_bpe_tokens,
+       n_chars,
+       round(CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE CAST(n_punct AS DOUBLE) / n_chars END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE CAST(n_stop AS DOUBLE) / n_tokens END, 6) AS stopword_ratio,
+       round(CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0
+           + CAST(0.3 AS DOUBLE) * (1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE CAST(n_punct AS DOUBLE) / n_chars END))
+           + CAST(0.3 AS DOUBLE) * least((CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 4.0, 1.0), 6)
+         AS quality_score
+FROM s
+ORDER BY doc_id
+"""
+
+
+@_register("text_stats_documents", _TEXT_STATS_ORACLE)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: token counts (whitespace + BPE-ish),
+    char count, punctuation/stopword ratios, composite quality score —
+    all codegen'd expressions, zero shuffles (operators/textstats)."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import text_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return text_stats(d).orderBy("doc_id")
+
+
+_LANG_ID_ORACLE = r"""
+WITH s AS (
+  SELECT lang,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with)\b'))   AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que|pour)\b'))     AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|como)\b'))   AS s_es
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN s_en >= greatest(s_de, s_fr, s_es, 1) THEN 'en'
+              WHEN s_de >= greatest(s_fr, s_es, 1) THEN 'de'
+              WHEN s_fr >= greatest(s_es, 1) THEN 'fr'
+              WHEN s_es >= 1 THEN 'es'
+              ELSE 'und' END AS lang_pred
+  FROM s
+)
+SELECT lang, lang_pred, count(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+"""
+
+
+@_register("lang_id_documents", _LANG_ID_ORACLE)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-marker argmax, ties by precedence
+    en>de>fr>es, 'und' when nothing matches) — confusion counts against
+    the labeled lang column (functions/text.lang_id)."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import with_lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_lang_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+_TOKEN_BUDGET_ORACLE = r"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       count(*) AS n_docs,
+       round(avg(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens
+FROM s GROUP BY source
+ORDER BY source
+"""
+
+
+@_register("token_budget_by_source", _TOKEN_BUDGET_ORACLE)
+def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budgeting per source (operators/textstats.token_budget_by)."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import token_budget_by
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_by(d, "source")
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@_register("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over the embedding column: broadcast query set,
+    JVM-side zip_with/aggregate dot products, per-query window rank.
+    Ranks computed on 6-decimal-rounded cosine so Spark and DuckDB agree
+    bit-for-bit (operators/similarity.brute_force_topk)."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@_register("ann_lsh_topk", None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing — the scale
+    path (bucketed candidates instead of full scan). Rows-only check:
+    recall is probabilistic by design (operators/similarity.lsh_topk)."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=4).orderBy("query_id", "rank")
+
+
+_NEARDUP_EMB_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+@_register("embedding_neardup_pairs", _NEARDUP_EMB_ORACLE)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact quadratic baseline on a
+    bounded slice (the LSH-pruned variant is the scale path; this pins the
+    math) — operators/dedup.embedding_neardup_pairs."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.35, use_lsh=False
+    ).orderBy("id_a", "id_b")
+
+
+_BINARY_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text)                  AS content_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("multimodal_binary_stats", _BINARY_ORACLE)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads (utf-8 bytes here;
+    image/audio bytes in production) flow through byte-length and
+    content-hash metadata extraction (operators/multimodal)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+    ).orderBy("doc_id")

@@ -46,8 +46,10 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One distributed parquet scan; Catalyst handles pushdown + pruning."""
+    # runtime-settable SQLConfs, set defensively so any caller's session
+    # (e.g. the driver's bare session) matches the oracle's UTC semantics
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANOS_TS_COLS:
-        # runtime-settable SQLConf; set defensively so any caller's session works
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, ()):

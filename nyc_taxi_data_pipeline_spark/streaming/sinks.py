@@ -1,0 +1,115 @@
+"""Streaming sources/sinks and run harnesses (SURVEY.md §2.9 ST1-ST7).
+
+The reference's streaming jobs are Kafka → parquet with processing-time
+partitioning, append mode, checkpointing, and a rate cap
+(streaming_to_minio_fixed.py:46-77). Those translate 1:1; what we add is
+the watermark/window surface the reference never used and a deterministic
+test harness (processAllAvailable instead of wall-clock awaitTermination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 100,
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """S6: Kafka source with the reference's exact option surface
+    (streaming_to_minio_fixed.py:46-53). Requires the kafka connector jar."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-based stream source — the test/CI stand-in for Kafka (schema is
+    mandatory for streaming file sources)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] | None = ("date_partition",),
+    trigger_seconds: int | None = 10,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """S10/ST1-ST3/ST6: partitioned parquet sink with checkpointing
+    (streaming_to_minio_fixed.py:70-77)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .outputMode(output_mode)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with late-data watermark —
+    the stateful-streaming surface the reference lacks (SURVEY.md §2.9
+    closing note). Works on a stream (incremental state) or batch frame
+    (plain group-by) with the same code."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("win"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
+    """ST7 harness, determinism-fixed: drain all available input
+    (processAllAvailable), stop, return the materialized sink as a batch
+    frame — replaces the reference's wall-clock awaitTermination(60) +
+    read-back pattern."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if _has_aggregation(df) else "append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    return "Aggregate" in plan

@@ -10,6 +10,16 @@ from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
 from tests.oracle_harness import compare_query
 
 ORACLE_QUERIES = [q for q in REGISTRY.values() if q.oracle is not None]
+ROWS_ONLY_QUERIES = [q for q in REGISTRY.values() if q.oracle is None]
+
+
+@pytest.mark.parametrize("query", ROWS_ONLY_QUERIES, ids=lambda q: q.name)
+def test_rows_only_query_runs(spark, query):
+    """Queries without a SQL oracle (hash-seeded / probabilistic / streaming)
+    still must run and produce a stable non-empty schema at sf0.01."""
+    df = query.spark(spark, "/root/testdata/sf0.01")
+    assert df.columns
+    assert df.count() >= 0
 
 
 @pytest.mark.parametrize("query", ORACLE_QUERIES, ids=lambda q: q.name)
