@@ -58,15 +58,6 @@ def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a real image/audio decoder: folds payload
-    bytes into a FEATURE_DIM-float vector. Stable across runs/executors."""
-    acc = [0] * FEATURE_DIM
-    for i, b in enumerate(payload or b""):
-        acc[i % FEATURE_DIM] = (acc[i % FEATURE_DIM] * 31 + b) % 100003
-    return [v / 100003.0 for v in acc]
-
-
 def decode_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -87,7 +78,19 @@ def decode_features(
             "this environment; pass fake=True for the deterministic stub"
         )
 
+    # the closure must be SELF-CONTAINED: executors don't necessarily have
+    # this package importable (driver-side sys.path doesn't propagate), and
+    # cloudpickle serializes module-level helpers by reference — so the fake
+    # decode is inlined here and captured by value
+    feature_dim = FEATURE_DIM
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload):
+            acc = [0] * feature_dim
+            for i, b in enumerate(payload or b""):
+                acc[i % feature_dim] = (acc[i % feature_dim] * 31 + b) % 100003
+            return [v / 100003.0 for v in acc]
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -96,7 +99,7 @@ def decode_features(
                     "n_bytes": pdf[payload_col].map(
                         lambda b: 0 if b is None else len(b)
                     ),
-                    "feature": pdf[payload_col].map(_fake_decode),
+                    "feature": pdf[payload_col].map(fake_decode),
                 }
             )
 

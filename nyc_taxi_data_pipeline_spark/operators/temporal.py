@@ -68,6 +68,53 @@ def as_of_join(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7 * 24 * 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: each point row pairs with every interval row whose
+    [start, end) contains its timestamp.
+
+    Naive formulation (`ts >= start AND ts < end` with no equi-key) gives
+    Spark a broadcast-nested-loop join — O(|points| * |intervals|), dead at
+    scale. Instead both sides are mapped onto fixed-width time buckets:
+    intervals explode to the buckets they cover (cheap: intervals are the
+    small side and spans are bounded), points compute one bucket, and the
+    join becomes equi on bucket + residual range filter — hash-partitioned,
+    AQE-skew-splittable, linear shuffle.
+
+    Pick bucket_seconds near the typical interval span: much smaller
+    multiplies the interval explode; much larger inflates candidate pairs.
+    """
+    p_b = points.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    )
+    i_b = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long"),
+                # end is exclusive, but a point in the end-boundary bucket can
+                # still precede it — include that bucket and let the filter cut
+                (F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    joined = p_b.join(
+        i_b,
+        (p_b["__bucket"] == i_b["__bucket"])
+        & (p_b[ts_col] >= i_b[start_col])
+        & (p_b[ts_col] < i_b[end_col]),
+        how,
+    )
+    return joined.drop("__bucket")
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -1021,19 +1021,11 @@ ORDER BY 1, 2
 """
 
 
-@_register("streaming_window_counts", _STREAM_WINDOW_ORACLE)
-def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming end-to-end (ST1-ST7 + the event-time windowed
-    aggregation the reference never built): file-source stream → watermark →
-    tumbling 1h window → memory sink, drained deterministically with
-    processAllAvailable. The returned frame is the materialized sink."""
-    import uuid
-
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `events` table as a Structured Streaming file source (the CI
+    stand-in for Kafka, SURVEY.md §2.1 S6 note). Handles the table's
+    TIMESTAMP(NANOS) physical type the same way sources/catalog.py does."""
     from nyc_taxi_data_pipeline_spark.sources.catalog import table_path
-    from nyc_taxi_data_pipeline_spark.streaming.sinks import (
-        run_stream_to_memory,
-        windowed_counts,
-    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1046,7 +1038,23 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@_register("streaming_window_counts", _STREAM_WINDOW_ORACLE)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end (ST1-ST7 + the event-time windowed
+    aggregation the reference never built): file-source stream → watermark →
+    tumbling 1h window → memory sink, drained deterministically with
+    processAllAvailable. The returned frame is the materialized sink."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import (
+        run_stream_to_memory,
+        windowed_counts,
+    )
+
+    stream = _events_stream(spark, sf_dir)
     agg = windowed_counts(stream, ts_col="ts", key_col="event_type", window="1 hour")
     sink = run_stream_to_memory(agg, f"win_{uuid.uuid4().hex[:8]}")
     return sink.orderBy("window_start", "event_type")
@@ -1447,3 +1455,456 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).alias("n_bytes"),
         F.md5(payload).alias("content_md5"),
     ).orderBy("doc_id")
+
+
+# ===========================================================================
+# Relational surface, wave 2: range join, outer join, cube, percentiles,
+# JSON, explode/top-k, EXISTS, HAVING (all oracle-backed)
+# ===========================================================================
+
+_RANGE_JOIN_ORACLE = """
+WITH intervals AS (
+  SELECT o_orderkey,
+         o_orderdate                          AS interval_start,
+         o_orderdate + INTERVAL 7 DAY         AS interval_end
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT i.o_orderkey AS o_orderkey,
+       count(*) AS n_points,
+       CAST(round(sum(CAST(l.l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS sum_qty
+FROM intervals i
+JOIN lineitem l
+  ON l.l_shipdate >= i.interval_start AND l.l_shipdate < i.interval_end
+GROUP BY i.o_orderkey
+ORDER BY o_orderkey
+"""
+
+
+@_register("range_join_interval_agg", _RANGE_JOIN_ORACLE)
+def range_join_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (an operator Spark has no native plan for): each
+    sampled order spans [orderdate, orderdate+7d); count lineitem shipments
+    inside the span. Implemented by time-bucketing both sides so the theta
+    join becomes equi-on-bucket + residual filter — hash shuffle, not the
+    broadcast-nested-loop O(n*m) plan a naive range predicate produces
+    (operators/temporal.interval_join)."""
+    from nyc_taxi_data_pipeline_spark.operators.temporal import interval_join
+
+    intervals = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("interval_start"),
+            F.expr("timestampadd(DAY, 7, o_orderdate)").alias("interval_end"),
+        )
+    )
+    points = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    joined = interval_join(
+        points, intervals, "l_shipdate", "interval_start", "interval_end",
+        bucket_seconds=7 * 24 * 3600,
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_OUTER_JOIN_ORACLE = """
+SELECT c.c_custkey AS c_custkey,
+       count(o.o_orderkey) AS n_big_orders,
+       CAST(round(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 0), 2)
+            AS DOUBLE) AS total_spent
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+ORDER BY c_custkey
+"""
+
+
+@_register("outer_join_null_handling", _OUTER_JOIN_ORACLE)
+def outer_join_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-group semantics: every customer appears,
+    customers with no qualifying orders get count 0 / total 0.0. The filter
+    on the right side is applied BEFORE the join (pushdown under outer joins
+    only happens on the preserved side — pre-filtering is the contract)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(38,6)")),
+                    F.lit(0).cast("decimal(38,6)"),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+@_register("cube_aggregation", _CUBE_ORACLE)
+def cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (available natively per SURVEY.md §2.4 closing
+    note): all 4 grouping combinations in one pass, per-combination GROUPING
+    flags distinguish real nulls from rollup nulls."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@_register("percentile_stats", _PERCENTILE_ORACLE)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). The approx_percentile
+    sketch is the 100 TB path; the exact form is the correctness pin."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(name)
+                for q, name in ((0.5, "p50_price"), (0.9, "p90_price"), (0.99, "p99_price"))
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY k
+ORDER BY k
+"""
+
+
+@_register("json_extract_events", _JSON_ORACLE)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7-class JSON decode on a batch column: get_json_object path
+    extraction (JVM-side, no UDF), aggregated per extracted key."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("k")
+    )
+
+
+_TOKEN_TOP_ORACLE = r"""
+WITH tok AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+counts AS (
+  SELECT lang, token, count(*) AS n FROM tok WHERE token <> ''
+  GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+  FROM counts
+)
+SELECT lang, token, n, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 10
+ORDER BY lang, rnk
+"""
+
+
+@_register("token_explode_top", _TOKEN_TOP_ORACLE)
+def token_explode_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/unnest + per-group top-k: tokenize every document, count
+    tokens per language, rank with a window, keep the top 10 per language
+    (deterministic tie-break on the token)."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tokens = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = tokens.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("lang", "rnk")
+    )
+
+
+_EXISTS_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@_register("exists_semijoin_priority", _EXISTS_ORACLE)
+def exists_semijoin_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelates to a left-semi join (the
+    idiomatic-Spark form SURVEY.md §2.3 notes the reference gets for free);
+    each order counted once no matter how many lineitems qualify."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_HAVING_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 150
+)
+SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+       o.o_totalprice AS o_totalprice, b.sum_qty AS sum_qty
+FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@_register("having_top_orders", _HAVING_ORACLE)
+def having_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate → HAVING filter → join back to orders →
+    global top-10 (Spark plans orderBy+limit as TakeOrderedAndProject — a
+    per-partition top-k plus a driver merge, never a full sort at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("__sq"))
+        .filter(F.col("__sq") > 150)
+        .select(
+            "l_orderkey", F.round("__sq", 2).cast("double").alias("sum_qty")
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Streaming, wave 2: production sink shape + stateful dedup
+# ===========================================================================
+
+_STREAM_SINK_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS date_partition,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@_register("streaming_partitioned_sink", _STREAM_SINK_ORACLE)
+def streaming_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's production streaming sink end-to-end (S10/ST3/ST6/ST7:
+    partitioned parquet + checkpoint + read-back verify), with event-time
+    date partitions instead of the reference's nondeterministic
+    processing-time ones. The sink directory is re-read as a batch frame and
+    aggregated per partition — proving partition layout AND content."""
+    import tempfile
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_parquet
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "date_partition", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = tempfile.mkdtemp(prefix="stream_sink_")
+    out = run_stream_to_parquet(
+        stream,
+        f"{base}/data",
+        f"{base}/checkpoint",
+        partition_by=("date_partition",),
+    )
+    return (
+        out.groupBy(F.col("date_partition").cast("string").alias("date_partition"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("date_partition")
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(DISTINCT event_id) AS n_unique_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("streaming_dedup_state", _STREAM_DEDUP_ORACLE)
+def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicates on event_id keyed state
+    across micro-batches, then a streaming aggregation — two stateful
+    operators stacked, drained deterministically to a memory sink."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
+
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events")
+    )
+    sink = run_stream_to_memory(agg, f"dedup_{uuid.uuid4().hex[:8]}")
+    return sink.orderBy("event_type")
+
+
+# ===========================================================================
+# Multimodal, wave 2: frame-sample plan (oracle) + Arrow-batched decode
+# ===========================================================================
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT doc_id AS media_id,
+       len(generate_series(0, greatest(n_chars * 7 - 1, 0), 1000)) AS n_frames
+FROM documents
+ORDER BY media_id
+"""
+
+
+@_register("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per (media, frame timestamp)
+    generated JVM-side (sequence+explode) without touching payload bytes;
+    counted back per media to prove the sampling arithmetic
+    (operators/multimodal.frame_sample_plan)."""
+    from nyc_taxi_data_pipeline_spark.operators.multimodal import frame_sample_plan
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 7).cast("long").alias("duration_ms"),
+    )
+    frames = frame_sample_plan(media, every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("media_id")
+    )
+
+
+@_register("multimodal_decode_features", None)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media decode plumbing (mapInPandas): documents stand in
+    as binary payloads, the deterministic fake decoder emits fixed-dim float
+    features, aggregated per mime class. Rows-only check — the byte-fold
+    stub isn't SQL-expressible; the schema/batch plumbing is what's under
+    test (operators/multimodal.decode_features)."""
+    from nyc_taxi_data_pipeline_spark.operators.multimodal import decode_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/fake"))
+        .otherwise(F.lit("audio/fake"))
+        .alias("mime_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = decode_features(media, fake=True)
+    return (
+        feats.groupBy("mime_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+        )
+        .orderBy("mime_type")
+    )
+
+
+@_register("approx_distinct_sketch", None)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (the 100 TB path for COUNT DISTINCT): HLL++
+    approx_count_distinct next to the exact count per event_type. Rows-only
+    check — sketch estimates are engine-specific by design."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -92,6 +92,27 @@ def windowed_counts(
     )
 
 
+def run_stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Bounded run of the reference's production sink shape (S10/ST6/ST7):
+    partitioned parquet + checkpoint, drained with processAllAvailable,
+    then the sink is re-read as a batch frame (the reference's write-then-
+    read-back verify, streaming_to_minio_fixed.py:86-104, made
+    deterministic)."""
+    q = write_stream_parquet(
+        df, path, checkpoint, partition_by=partition_by, trigger_seconds=None
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.read.parquet(path)
+
+
 def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
     """ST7 harness, determinism-fixed: drain all available input
     (processAllAvailable), stop, return the materialized sink as a batch

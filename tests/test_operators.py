@@ -1,0 +1,139 @@
+"""Module-level unit tests: operators and IO that the oracle catalog
+exercises only indirectly (or not at all — writers, DDL, plumbing shape).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interval_join_matches_naive_theta(spark):
+    """Bucketed interval join must produce exactly the naive range join's
+    pairs (the bucketing is a physical strategy, not a semantics change)."""
+    from nyc_taxi_data_pipeline_spark.operators.temporal import interval_join
+
+    intervals = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("start"),
+            F.expr("timestampadd(DAY, 11, o_orderdate)").alias("end"),
+        )
+    )
+    points = load_table(spark, SF, "lineitem").select("l_orderkey", "l_shipdate")
+
+    bucketed = interval_join(points, intervals, "l_shipdate", "start", "end",
+                             bucket_seconds=3 * 24 * 3600)
+    naive = points.join(
+        intervals,
+        (points["l_shipdate"] >= intervals["start"])
+        & (points["l_shipdate"] < intervals["end"]),
+    )
+    key = lambda df: sorted(
+        (r["l_orderkey"], r["o_orderkey"], r["l_shipdate"]) for r in df.collect()
+    )
+    assert key(bucketed) == key(naive)
+    assert bucketed.count() > 0
+
+
+def test_asof_join_unmatched_left_gets_nulls(spark):
+    from nyc_taxi_data_pipeline_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 5, "b"), (2, 7, "c")], "k int, t int, tag string"
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "tag")
+    right = spark.createDataFrame(
+        [(1, 6, 100.0), (1, 9, 200.0)], "k int, rt int, v double"
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "v")
+    out = {
+        r["tag"]: r["v"]
+        for r in as_of_join(
+            left, right, key="k", left_ts="t", right_ts="rt", right_cols=["v"]
+        ).collect()
+    }
+    assert out == {"a": 200.0, "b": None, "c": None}
+
+
+def test_write_parquet_partitioned_roundtrip(spark, tmp_path):
+    from nyc_taxi_data_pipeline_spark.sources.io import read_parquet, write_parquet
+
+    df = load_table(spark, SF, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "lake")
+    write_parquet(df, path, partition_by=["status"])
+    back = read_parquet(spark, path)
+    assert back.count() == df.count()
+    # partition pruning: the filtered scan must read only the one directory
+    pruned = back.filter(F.col("status") == "F")
+    expected = df.filter(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == expected
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(status" in plan
+
+
+def test_create_external_table(spark, tmp_path):
+    from nyc_taxi_data_pipeline_spark.sources.io import create_external_table, write_parquet
+
+    df = load_table(spark, SF, "region")
+    path = str(tmp_path / "region_tbl")
+    write_parquet(df, path)
+    create_external_table(spark, "region_ext", path)
+    try:
+        assert spark.sql("SELECT count(*) AS n FROM region_ext").first()["n"] == df.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS region_ext")
+
+
+def test_media_metadata_md5_matches_hashlib(spark):
+    from nyc_taxi_data_pipeline_spark.operators.multimodal import media_metadata
+
+    payloads = [b"hello world", b"", b"\x00\x01\x02"]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id int, payload binary"
+    )
+    rows = {r["media_id"]: r for r in media_metadata(df).collect()}
+    for i, p in enumerate(payloads):
+        assert rows[i]["n_bytes"] == len(p)
+        assert rows[i]["content_md5"] == hashlib.md5(p).hexdigest()
+
+
+def test_decode_features_partition_invariant(spark):
+    """The mapInPandas decode must give identical output no matter how rows
+    are batched/partitioned (the Arrow batch boundary is not semantic)."""
+    from nyc_taxi_data_pipeline_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_features,
+    )
+
+    d = load_table(spark, SF, "documents").limit(50).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text/plain").alias("mime_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    one = decode_features(d.repartition(1), fake=True).collect()
+    many = decode_features(d.repartition(8), fake=True).collect()
+    key = lambda rows: sorted((r["media_id"], tuple(r["feature"])) for r in rows)
+    assert key(one) == key(many)
+    assert all(len(r["feature"]) == FEATURE_DIM for r in one)
+
+
+def test_decode_features_without_libs_raises(spark):
+    import pytest
+
+    from nyc_taxi_data_pipeline_spark.operators.multimodal import decode_features
+
+    d = load_table(spark, SF, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/png").alias("mime_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    with pytest.raises(NotImplementedError):
+        decode_features(d, fake=False)
