@@ -1,0 +1,78 @@
+"""Physical-plan audits: the plan SHAPE is the scale contract.
+
+Correctness at sf0.01 says nothing about 100 TB; these tests pin the
+properties that do — scans prune and push down, small dims broadcast,
+range joins never degrade to nested loops, Python appears in exactly one
+operator (the multimodal decode), top-k never global-sorts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def test_q01_scan_pushdown_and_pruning(spark):
+    df = REGISTRY["q01_pricing_summary"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read columns q1 doesn't touch
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    # whole-stage codegen: visible as *(n) markers once AQE finalizes
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "*(" in final and "isFinalPlan=true" in final
+
+
+def test_zone_enrichment_broadcasts_lookup(spark):
+    plan = _plan(spark, "zone_enrichment_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_fact_broadcasts_dims(spark):
+    plan = _plan(spark, "star_fact_summary")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, "exists_semijoin_priority")
+    assert "LeftSemi" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "having_top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_join_not_nested_loop(spark):
+    plan = _plan(spark, "range_join_interval_agg")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_exact_single_shuffle(spark):
+    plan = _plan(spark, "dedup_exact_documents")
+    # one window shuffle on the dedup key — no join, no extra exchange
+    assert plan.count("Exchange") <= 2  # hashpartitioning + final orderBy range
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in REGISTRY if n != "multimodal_decode_features"]
+)
+def test_no_python_in_hot_path(spark, name):
+    """Every operator except the explicit Arrow decode stage must stay
+    JVM-side — no row-at-a-time or vectorized Python eval in the plan."""
+    if name.startswith("streaming_"):
+        pytest.skip("streaming queries materialize sinks; plan is the sink read")
+    plan = _plan(spark, name)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{name} has Python stage {marker}"
