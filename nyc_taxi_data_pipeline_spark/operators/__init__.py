@@ -6,6 +6,7 @@ from nyc_taxi_data_pipeline_spark.operators import (  # noqa: F401
     normalize,
     quality,
     similarity,
+    skew,
     temporal,
     textstats,
     warehouse,
@@ -19,6 +20,7 @@ __all__ = [
     "normalize",
     "quality",
     "similarity",
+    "skew",
     "temporal",
     "textstats",
     "warehouse",

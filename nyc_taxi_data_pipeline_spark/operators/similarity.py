@@ -90,6 +90,81 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 50,
+    n_probe: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the third tier beyond LSH.
+
+    Coarse quantizer: every `centroid_stride`-th corpus vector (by id) is a
+    centroid — deterministic, no RNG, no iterative k-means (sampled
+    centroids are the standard cheap quantizer baseline). Each corpus
+    vector is assigned to its nearest centroid ONCE (broadcast centroids,
+    argmin via min(struct)); each query probes its `n_probe` nearest cells
+    and scores only vectors in those cells.
+
+    Scale shape: assignment is a map-side broadcast pass; the probe join is
+    equi on cell id (hash shuffle, AQE-skewable); scored candidates are
+    |corpus| * n_probe / n_cells per query instead of |corpus|. At 100 TB
+    the cell assignment would be computed once and persisted alongside the
+    embeddings (it's a property of the corpus, not the query)."""
+    cents = F.broadcast(
+        corpus.filter(F.col(corpus_id) % centroid_stride == 0).select(
+            F.col(corpus_id).alias("cent_id"), F.col(corpus_vec).alias("cent_vec")
+        )
+    )
+    # corpus → cell: argmin_{centroid} l2(vec, centroid), ties to lowest id
+    assigned = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv"))
+        .crossJoin(cents)
+        .groupBy("neighbor_id")
+        .agg(
+            F.min(
+                F.struct(
+                    vecfn.l2_distance(F.col("cv"), F.col("cent_vec")).alias("d"),
+                    F.col("cent_id").alias("cell"),
+                )
+            )["cell"].alias("cell"),
+            F.first("cv").alias("cv"),
+        )
+    )
+    # query → n_probe nearest cells
+    q_scored = (
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
+        .crossJoin(cents)
+        .select(
+            "query_id",
+            "qv",
+            F.col("cent_id").alias("cell"),
+            vecfn.l2_distance(F.col("qv"), F.col("cent_vec")).alias("d"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("cell"))
+    probes = F.broadcast(
+        q_scored.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = assigned.join(probes, "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(vecfn.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

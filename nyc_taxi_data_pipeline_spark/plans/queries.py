@@ -1908,3 +1908,205 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Wave 3: window-function breadth, scalar-function matrix, coercion casts,
+# custom stateful streaming, IVF similarity
+# ===========================================================================
+
+_WINDOW_BREADTH_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice)  OVER wt, 2) AS prev_price,
+       round(lead(o_totalprice) OVER wt, 2) AS next_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS running_spend,
+       CAST(rank()       OVER wp AS INT) AS price_rank,
+       CAST(dense_rank() OVER wp AS INT) AS price_dense_rank,
+       CAST(ntile(4)     OVER wn AS INT) AS price_quartile,
+       round(cume_dist() OVER wp, 6) AS price_cume_dist
+FROM orders
+WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+       wn AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@_register("window_function_breadth", _WINDOW_BREADTH_ORACLE)
+def window_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface beyond SURVEY.md §2.5 (the reference has
+    none): lag/lead, running frame sum, rank/dense_rank (value-ties safe),
+    ntile (total order for determinism), cume_dist — all in one pass,
+    sharing shuffles where partitioning allows."""
+    o = _t(spark, sf_dir, "orders")
+    wt = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wn = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(wt), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(wt), 2).alias("next_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(
+                wt.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("running_spend"),
+        F.rank().over(wp).alias("price_rank"),
+        F.dense_rank().over(wp).alias("price_dense_rank"),
+        F.ntile(4).over(wn).alias("price_quartile"),
+        F.round(F.cume_dist().over(wp), 6).alias("price_cume_dist"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_SCALAR_MATRIX_ORACLE = """
+SELECT p_partkey,
+       upper(p_brand)                              AS brand_upper,
+       substring(p_name, 1, 8)                     AS name_prefix,
+       length(p_name)                              AS name_len,
+       replace(p_type, ' ', '_')                   AS type_slug,
+       concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+       round(abs(p_retailprice - 1000.0), 2)       AS price_dist_1000,
+       round(sqrt(CAST(p_size AS DOUBLE)), 6)      AS size_sqrt,
+       round(ln(p_retailprice), 6)                 AS price_ln,
+       CAST(floor(p_retailprice / 100) AS BIGINT)  AS price_bucket,
+       regexp_extract(p_type, '([a-z]+)$', 1)      AS type_last_word
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@_register("scalar_function_matrix", _SCALAR_MATRIX_ORACLE)
+def scalar_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math breadth beyond the reference's F1-F11 (SURVEY.md
+    §2.8 notes it has almost none): case mapping, substring, length,
+    replace, concat, abs/sqrt/ln/floor, regexp_extract — every one a
+    codegen'd JVM expression, zero shuffles, zero UDFs."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.concat(
+            F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")
+        ).alias("brand_size"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("price_dist_1000"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        F.floor(F.col("p_retailprice") / 100).cast("long").alias("price_bucket"),
+        F.regexp_extract("p_type", r"([a-z]+)$", 1).alias("type_last_word"),
+    ).orderBy("p_partkey")
+
+
+_COERCE_ORACLE = """
+SELECT props,
+       coalesce(try_cast(json_extract_string(props, '$.k') AS INTEGER), 0)
+         AS k_coerced,
+       try_cast(props AS INTEGER) AS whole_cast,
+       count(*) AS n
+FROM events
+GROUP BY props
+ORDER BY props
+LIMIT 50
+"""
+
+
+@_register("coerce_cast_defaults", _COERCE_ORACLE)
+def coerce_cast_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4's coerce variant (pd.to_numeric(errors='coerce').fillna(0),
+    elt_pipeline_optimized_dag.py:116-118): try_cast → null on failure →
+    coalesce default. ANSI mode makes plain cast throw; try_cast is the
+    engine's pinned coerce contract."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "props",
+            F.coalesce(
+                F.try_to_number(
+                    F.get_json_object("props", "$.k"), F.lit("999999999")
+                ).cast("int"),
+                F.lit(0),
+            ).alias("k_coerced"),
+            F.expr("try_cast(props AS INT)").alias("whole_cast"),
+        )
+        .groupBy("props", "k_coerced", "whole_cast")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("props")
+        .limit(50)
+    )
+
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS total_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@_register("streaming_stateful_running_stats", _STATEFUL_ORACLE)
+def streaming_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (count, sum, max) held in the state store across micro-batches.
+    The update-mode sink's last emission per key IS the final total —
+    collapsed with max() since the accumulators are monotone (values > 0).
+    Oracle = the equivalent batch aggregation."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    stream = _events_stream(spark, sf_dir)
+    stats = running_user_stats(stream)
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("total_value"), 2).alias("total_value"),
+            F.round(F.max("max_value"), 2).alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register("ann_ivf_topk", None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: sampled-centroid coarse quantizer, corpus
+    assigned to cells once, queries probe 3 nearest cells. Rows-only check
+    (recall is approximate by design); tests/test_operators.py pins
+    recall@5 against the brute-force baseline
+    (operators/similarity.ivf_topk)."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=5, centroid_stride=40, n_probe=3).orderBy(
+        "query_id", "rank"
+    )

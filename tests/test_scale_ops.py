@@ -1,0 +1,125 @@
+"""Scale-strategy operators: semantics must be IDENTICAL to the naive
+forms (salting, bucketing are physical choices), and approximate search
+must hit a recall floor against the exact baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_salted_join_matches_plain_join(spark):
+    from nyc_taxi_data_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    # orders keyed as l_orderkey for a same-name equi-join
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, ["l_orderkey"])
+    salted = salted_join(li, o, on=["l_orderkey"], salt=8)
+    cols = ["l_orderkey", "l_quantity", "o_totalprice"]
+    assert _rows(salted, cols) == _rows(plain, cols)
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from nyc_taxi_data_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, ["l_orderkey"], "left")
+    salted = salted_join(li, o, on=["l_orderkey"], salt=4, how="left")
+    cols = ["l_orderkey", "l_quantity", "o_totalprice"]
+    assert _rows(salted, cols) == _rows(plain, cols)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from nyc_taxi_data_pipeline_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, SF, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("min_q"),
+        F.max("l_quantity").alias("max_q"),
+    )
+    salted = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "min_q": F.min("l_quantity"),
+            "max_q": F.max("l_quantity"),
+        },
+        salt=8,
+    )
+    cols = ["l_returnflag", "n", "min_q", "max_q"]
+    assert _rows(salted, cols) == _rows(plain, cols)
+
+
+def test_ivf_recall_floor(spark):
+    """IVF with 3-of-~13 cells probed must still recover most exact
+    neighbors; the floor is deliberately conservative (deterministic, so a
+    regression means the operator changed, not the dice)."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, centroid_stride=40, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 regressed: {recall:.3f}"
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Pre-bucketed tables co-locate the join key: the sort-merge join must
+    read both sides with NO Exchange — the bucketing IS the shuffle, paid
+    once at write time (the 100 TB repeated-join strategy)."""
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "b_li")).saveAsTable("b_lineitem")
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_o")).saveAsTable("b_orders")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it still answers correctly
+        assert joined.count() == li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
