@@ -65,6 +65,33 @@ def violations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     )
 
 
+def referential_violations(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str, name: str
+) -> DataFrame:
+    """Orphan-FK count as (rule, violations): child rows whose fk has no
+    parent pk. left_anti join — one shuffle, no row materialization."""
+    orphans = child.select(F.col(fk)).join(
+        parent.select(F.col(pk)), child[fk] == parent[pk], "left_anti"
+    )
+    return orphans.agg(
+        F.lit(name).alias("rule"), F.count(F.lit(1)).cast("long").alias("violations")
+    )
+
+
+def uniqueness_violations(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
+    """Duplicate-key count as (rule, violations): number of key values that
+    appear more than once (the dbt `unique` test, SURVEY.md §5.2)."""
+    dupes = (
+        df.groupBy(F.col(col))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    return dupes.agg(
+        F.lit(name or f"{col}_unique").alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("violations"),
+    )
+
+
 def check(df: DataFrame, rules: list[Rule]) -> dict[str, int]:
     """Eager evaluation → {rule: violation_count}. The test-harness entry
     point (replaces GX checkpoint runs)."""

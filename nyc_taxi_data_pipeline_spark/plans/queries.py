@@ -2110,3 +2110,178 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, centroid_stride=40, n_probe=3).orderBy(
         "query_id", "rank"
     )
+
+
+# ===========================================================================
+# Wave 4: dataset-level quality, SQL entry point, per-file identity,
+# max-per-group, systematic dataset split
+# ===========================================================================
+
+_RI_ORACLE = """
+SELECT 'lineitem_orderkey_fk' AS rule, count(*) AS violations
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'orders_custkey_fk', count(*)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'orders_orderkey_unique', count(*)
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+ORDER BY rule
+"""
+
+
+@_register("quality_referential_integrity", _RI_ORACLE)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level quality checks beyond the reference's row-level GX
+    suite: orphan-FK counts via left_anti joins and dbt-style uniqueness —
+    the relationship/unique tests its production schema.yml left empty
+    (SURVEY.md §5.2)."""
+    from nyc_taxi_data_pipeline_spark.operators.quality import (
+        referential_violations,
+        uniqueness_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    checks = (
+        referential_violations(li, o, "l_orderkey", "o_orderkey", "lineitem_orderkey_fk")
+        .unionByName(
+            referential_violations(o, c, "o_custkey", "c_custkey", "orders_custkey_fk")
+        )
+        .unionByName(uniqueness_violations(o, "o_orderkey", "orders_orderkey_unique"))
+    )
+    return checks.orderBy("rule")
+
+
+_SQL_VIEW_ORACLE = """
+SELECT r.r_name AS region_name,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, year(o.o_orderdate)
+ORDER BY region_name, order_year
+"""
+
+
+@_register("sql_view_entrypoint", _SQL_VIEW_ORACLE)
+def sql_view_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10, the SQL entry point: tables registered as temp views, the query
+    expressed as SQL TEXT through spark.sql — same Catalyst plan as the
+    DataFrame form (the engine's replacement for the reference's
+    Trino/dbt ad-hoc SQL layer, SURVEY.md §3.3)."""
+    for name in ("orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name,
+               CAST(year(o.o_orderdate) AS INT) AS order_year,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+                 AS total_revenue
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN v_region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, year(o.o_orderdate)
+        ORDER BY region_name, order_year
+        """
+    )
+
+
+_FILE_IDENTITY_ORACLE = """
+SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows
+FROM lineitem
+"""
+
+
+@_register("input_file_identity", _FILE_IDENTITY_ORACLE)
+def input_file_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: per-file provenance via input_file_name() — the engine's answer
+    to the reference's object-store listing loop (minio_utils.py:30-38);
+    at scale this powers file-grain idempotency and audit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name")
+        )
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_MAX_PER_GROUP_ORACLE = """
+WITH ranked AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         max(c_acctbal) OVER (PARTITION BY c_nationkey) AS mx
+  FROM customer
+)
+SELECT n.n_name AS nation_name, r.c_custkey AS c_custkey,
+       round(r.c_acctbal, 2) AS c_acctbal
+FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
+WHERE r.c_acctbal = r.mx
+ORDER BY nation_name, c_custkey
+"""
+
+
+@_register("max_per_group_filter", _MAX_PER_GROUP_ORACLE)
+def max_per_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated max subquery), decorrelated the Spark way:
+    a windowed max instead of a re-scanning self-join — one shuffle on the
+    group key, keeps ties (all max-acctbal customers per nation)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = W.partitionBy("c_nationkey")
+    ranked = c.select(
+        "c_custkey", "c_nationkey", "c_acctbal", F.max("c_acctbal").over(w).alias("mx")
+    ).filter(F.col("c_acctbal") == F.col("mx"))
+    return (
+        ranked.join(n, ranked["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy("nation_name", "c_custkey")
+    )
+
+
+_SPLIT_ORACLE = """
+SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+            WHEN doc_id % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
+@_register("dataset_split_systematic", _SPLIT_ORACLE)
+def dataset_split_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export: deterministic systematic train/val/test split
+    (id mod 10 → 80/10/10) with per-split-per-language balance counts —
+    reproducible across engines and runs, unlike seeded random sampling."""
+    d = _t(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, F.lit("train"))
+        .when(F.col("doc_id") % 10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -1,0 +1,89 @@
+"""Streaming semantics that the single-file catalog queries can't prove:
+state carried across MULTIPLE micro-batches, and rate-limited triggers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_4_files(spark, tmp_path_factory):
+    """The events table split into 4 parquet files so maxFilesPerTrigger=1
+    forces 4 distinct micro-batches."""
+    path = str(tmp_path_factory.mktemp("events_split"))
+    load_table(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stateful_stats_across_micro_batches(spark, events_4_files):
+    """running_user_stats must converge to the batch aggregate no matter how
+    the input is chopped into micro-batches — state is the carrier."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    batch = load_table(spark, SF, "events")
+    schema = spark.read.parquet(events_4_files).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_4_files)
+    )
+    stats = running_user_stats(stream)
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = stats.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    # final state per key (accumulators are monotone, values > 0)
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 2))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert final == expected
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_4_files):
+    """The same windowed_counts code must give identical results run as a
+    multi-batch stream or as a batch frame (SURVEY.md §2.9 extension)."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import (
+        run_stream_to_memory,
+        windowed_counts,
+    )
+
+    schema = spark.read.parquet(events_4_files).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_4_files)
+    )
+    streamed = run_stream_to_memory(
+        windowed_counts(stream, window="6 hours"), f"wb_{uuid.uuid4().hex[:8]}"
+    )
+    batch = windowed_counts(spark.read.parquet(events_4_files), window="6 hours")
+    key = lambda df: sorted(
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in df.collect()
+    )
+    assert key(streamed) == key(batch)
