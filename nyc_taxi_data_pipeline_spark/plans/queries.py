@@ -2285,3 +2285,187 @@ def dataset_split_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ===========================================================================
+# Wave 5: green-variant normalize (coerce contract), null-safe equality,
+# datetime matrix, unpivot
+# ===========================================================================
+
+_GREEN_ORACLE = """
+WITH green AS (
+  SELECT
+    CAST((l_suppkey % 2) + 1 AS INTEGER)    AS vendor_id,
+    l_shipdate                              AS pickup_datetime,
+    CASE WHEN l_linenumber % 7 = 0 THEN 0
+         ELSE CAST((l_linenumber % 6) + 1 AS INTEGER) END AS rate_code_id,
+    CAST((l_partkey % 25) + 1 AS INTEGER)   AS pickup_location_id,
+    CAST((l_suppkey % 25) + 1 AS INTEGER)   AS dropoff_location_id,
+    CAST((l_orderkey % 6) + 1 AS INTEGER)   AS payment_type_id,
+    l_quantity                              AS passenger_count,
+    l_extendedprice                         AS fare_amount
+  FROM lineitem
+)
+SELECT dropoff_location_id, fare_amount, passenger_count, payment_type_id,
+       pickup_datetime, pickup_location_id, rate_code_id, vendor_id
+FROM green
+"""
+
+
+@_register("normalize_green_variant", _GREEN_ORACLE)
+def normalize_green_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1's GREEN branch + P4's coerce contract: lpep_* prefixes rename,
+    green-only columns (trip_type, ehail_fee) drop, null RatecodeID coerces
+    to 0 instead of dropping the row (the DAG variant's
+    to_numeric(errors='coerce').fillna(0) semantics,
+    elt_pipeline_optimized_dag.py:116-118)."""
+    from nyc_taxi_data_pipeline_spark.operators.normalize import (
+        detect_service_type,
+        normalize,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw_green = li.select(
+        ((F.col("l_suppkey") % 2) + 1).alias("VendorID"),
+        F.col("l_shipdate").alias("lpep_pickup_datetime"),
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(((F.col("l_linenumber") % 6) + 1).cast("double"))
+        .alias("RatecodeID"),
+        ((F.col("l_partkey") % 25) + 1).alias("PULocationID"),
+        ((F.col("l_suppkey") % 25) + 1).alias("DOLocationID"),
+        ((F.col("l_orderkey") % 6) + 1).alias("payment_type"),
+        F.col("l_quantity").alias("passenger_count"),
+        F.col("l_extendedprice").alias("fare_amount"),
+        F.lit(1.0).alias("trip_type"),
+        F.lit(0.0).alias("ehail_fee"),
+    )
+    assert detect_service_type(raw_green.columns) == 2  # green detected
+    return normalize(raw_green, coerce_null_to_zero=True)
+
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(user_id % 10 AS INTEGER) END AS grp
+  FROM events WHERE event_id % 2 = 0
+),
+b AS (
+  SELECT CASE WHEN g % 3 = 0 THEN NULL ELSE g END AS grp,
+         g AS label
+  FROM (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS g)
+)
+SELECT a.grp AS grp, b.label AS label, count(*) AS n
+FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+GROUP BY a.grp, b.label
+ORDER BY grp NULLS FIRST, label
+"""
+
+
+@_register("null_safe_equality_join", _NULLSAFE_ORACLE)
+def null_safe_equality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys MATCH
+    null keys — the semantics plain equality silently drops. Still a hash
+    join (null-safe equality is a valid hash key), not a nested loop."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    a = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("user_id") % 10).cast("int"))
+        .alias("grp"),
+    )
+    b = spark.range(0, 10).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("id").cast("int"))
+        .alias("grp"),
+        F.col("id").cast("int").alias("label"),
+    )
+    return (
+        a.join(b, a["grp"].eqNullSafe(b["grp"]))
+        .groupBy(a["grp"].alias("grp"), "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("grp").asc_nulls_first(), "label")
+    )
+
+
+_DATETIME_ORACLE = """
+SELECT event_id,
+       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+       date_trunc('hour', ts)                   AS hour_start,
+       CAST(datediff('day', CAST(ts AS DATE), DATE '2024-03-01') AS INT)
+                                                AS days_to_march,
+       ts + INTERVAL 2 MONTH                    AS plus_two_months,
+       last_day(CAST(ts AS DATE))               AS month_end,
+       CAST(hour(ts) AS INT)                    AS hr,
+       CAST(minute(ts) AS INT)                  AS mn,
+       CAST(isodow(ts) AS INT)                  AS iso_dow,
+       CAST(week(ts) AS INT)                    AS iso_week
+FROM events
+ORDER BY event_id
+"""
+
+
+@_register("datetime_function_matrix", _DATETIME_ORACLE)
+def datetime_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime breadth beyond the reference's F1-F3: truncation, day
+    arithmetic, month arithmetic, month boundaries, field extraction, ISO
+    day-of-week/week-of-year — engine-pinned to ISO semantics (Spark's
+    1=Sunday dayofweek is remapped; locale-dependent names stay out)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.datediff(F.lit("2024-03-01").cast("date"), F.col("ts").cast("date"))
+        .cast("int")
+        .alias("days_to_march"),
+        F.expr("timestampadd(MONTH, 2, ts)").alias("plus_two_months"),
+        F.last_day(F.col("ts").cast("date")).alias("month_end"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.minute("ts").cast("int").alias("mn"),
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+    ).orderBy("event_id")
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_returnflag, measure,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+FROM (
+  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', l_tax FROM lineitem
+)
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+"""
+
+
+@_register("unpivot_measures", _UNPIVOT_ORACLE)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of pivot_event_values): wide measures to
+    (measure, value) rows via the native unpivot node — no UNION re-scan;
+    one pass, measure names become data."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "extendedprice")
+        .otherwise("tax"),
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total")
+        )
+        .orderBy("l_returnflag", "measure")
+    )
