@@ -126,6 +126,11 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+    # materialize the banded frame once: both self-join sides would otherwise
+    # recompute the whole signature pipeline (AQE stage reuse does not fire
+    # for these shapes — measured 2x). On a cluster this is the analog of
+    # writing the signature table to the lake before pairing.
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -255,6 +260,8 @@ def simhash_candidate_pairs(sims: DataFrame, band_bits: int = 16) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+    # shared materialization for the self-join (see lsh_candidate_pairs)
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -297,7 +304,9 @@ def embedding_neardup_pairs(
     if use_lsh:
         from nyc_taxi_data_pipeline_spark.operators.similarity import hyperplane_bucket
 
-        bucketed = slim.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes))
+        bucketed = slim.withColumn(
+            "bucket", hyperplane_bucket(F.col("v"), n_planes)
+        ).localCheckpoint(eager=False)
         a, b = bucketed.alias("a"), bucketed.alias("b")
         pairs = a.join(
             b,

@@ -833,7 +833,9 @@ def star_fact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact_trip,
     )
 
-    staging = _staging_trips(spark, sf_dir)
+    # staging feeds 3 dims + the fact — materialize it once, exactly as the
+    # reference materializes staging.nyc_taxi before dbt builds the star
+    staging = _staging_trips(spark, sf_dir).localCheckpoint(eager=False)
     fact = fact_trip(
         staging, dim_vendor(staging), dim_rate_code(staging), dim_payment(staging)
     )
