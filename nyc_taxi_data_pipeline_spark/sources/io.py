@@ -94,6 +94,25 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_parquet_idempotent(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] | list[str],
+) -> None:
+    """Idempotent partitioned write: dynamic partition overwrite replaces
+    ONLY the partitions present in `df`, leaving the rest of the zone
+    untouched. This is the engine's substitute for the reference's
+    object-exists-skip + retry loop (scripts/extract_load.py:49-76) — rerun
+    a failed batch and it converges instead of duplicating."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
