@@ -28,6 +28,43 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking for context-length-bounded training: each doc
+    becomes ceil((n_tokens - overlap) / stride) chunks of `chunk_tokens`
+    tokens overlapping by chunk_tokens - stride.
+
+    One projection + one explode — tokens split once, chunk starts
+    generated with sequence(), chunk text sliced JVM-side. Chunk rows carry
+    (doc_id, chunk_id, n_tokens, chunk_text); empty docs produce no chunks.
+    """
+    overlap = chunk_tokens - stride
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("__toks")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__toks") - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = base.select(
+        id_col, "__toks", F.explode(starts).alias("__start")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        ((F.col("__start") - 1) / stride).cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append `lang_pred` from the stopword-marker heuristic."""
     return df.withColumn("lang_pred", textfn.lang_id(text_col))

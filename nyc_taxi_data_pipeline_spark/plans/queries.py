@@ -2471,3 +2471,188 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+# ===========================================================================
+# Wave 6: training-data text ops — chunking, PII scrubbing, TF-IDF, vocab
+# ===========================================================================
+
+_CHUNK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 10, 1), 40)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) / 40 AS INT) AS chunk_id,
+       CAST(least(start + 49, len(toks)) - start + 1 AS INT) AS n_tokens,
+       array_to_string(toks[start:least(start + 49, len(toks))], ' ') AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+@_register("document_chunking", _CHUNK_ORACLE)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (50-token windows, stride 40): the
+    context-length-bounded training export. Tokens split once per doc,
+    chunk starts via sequence(), slices JVM-side — scan-speed, one explode
+    (operators/textstats.chunk_documents)."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=50, stride=40).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+_PII_ORACLE = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         concat('contact ', source, '@example.com or +1-555-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' re: ',
+                substring(text, 1, 40)) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '[EMAIL]', 'g'),
+         '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed
+FROM seeded
+ORDER BY doc_id
+"""
+
+
+@_register("pii_scrub_documents", _PII_ORACLE)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: email/phone patterns redacted
+    with chained regexp_replace (codegen'd, zero Python). Inputs are
+    deterministic synthetic PII seeded from the documents table (the corpus
+    itself contains none)."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact "),
+        F.col("source"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            raw, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"
+        ),
+        r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+        "[PHONE]",
+    )
+    return d.select("doc_id", scrubbed.alias("scrubbed")).orderBy("doc_id")
+
+
+_TFIDF_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE doc_id < 50 AND trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+),
+tf_counts AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf WHERE term <> ''
+  GROUP BY doc_id, term
+),
+df_counts AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf_counts GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM docs),
+scored AS (
+  SELECT t.doc_id, t.term,
+         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tf_counts t JOIN df_counts d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+@_register("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (doc_id<50 slice): term frequency per doc,
+    document frequency per term (two aggregations sharing the exploded
+    token frame), idf = ln(N/df), top-3 per doc. The df side is tiny after
+    aggregation → broadcast back onto tf."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 50) & (F.trim(F.col("text")) != ""))
+    )
+    docs = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    ).localCheckpoint(eager=False)  # shared by tf, df, and N
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_VOCAB_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+counts AS (
+  SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS vocab_id,
+       token, freq
+FROM counts
+ORDER BY vocab_id
+LIMIT 100
+"""
+
+
+@_register("vocabulary_build", _VOCAB_ORACLE)
+def vocabulary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency with dense contiguous
+    ids (the tokenizer-training precursor). Global rank over the aggregated
+    term counts — the sort runs on the tiny post-agg frame, never the
+    corpus."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    counts = (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = W.orderBy(F.col("freq").desc(), "token")
+    return (
+        counts.withColumn("vocab_id", F.row_number().over(w).cast("int"))
+        .select("vocab_id", "token", "freq")
+        .orderBy("vocab_id")
+        .limit(100)
+    )
