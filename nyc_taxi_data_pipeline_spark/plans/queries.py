@@ -2656,3 +2656,87 @@ def vocabulary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vocab_id")
         .limit(100)
     )
+
+
+# ===========================================================================
+# Wave 7: statistical aggregates, session windows
+# ===========================================================================
+
+_STATS_AGG_ORACLE = """
+SELECT event_type,
+       round(stddev_samp(value), 6)        AS sd_value,
+       round(var_samp(value), 6)           AS var_value,
+       round(corr(value, user_id), 6)      AS corr_value_user,
+       round(covar_samp(value, user_id), 6) AS covar_value_user,
+       round(regr_slope(value, user_id), 6) AS slope,
+       round(regr_intercept(value, user_id), 6) AS intercept
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("stats_aggregates", _STATS_AGG_ORACLE)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate breadth: sample stddev/variance, correlation,
+    covariance, and least-squares regression (slope/intercept) per group —
+    all single-pass JVM aggregates (regr_* = the per-group trend extraction
+    that would otherwise tempt an applyInPandas)."""
+    e = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.round(F.var_samp("value"), 6).alias("var_value"),
+            F.round(F.corr("value", uid), 6).alias("corr_value_user"),
+            F.round(F.covar_samp("value", uid), 6).alias("covar_value_user"),
+            F.round(F.regr_slope("value", uid), 6).alias("slope"),
+            F.round(F.regr_intercept("value", uid), 6).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+tagged AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM (SELECT user_id, session_id, count(*) AS n_events
+      FROM tagged GROUP BY user_id, session_id)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@_register("session_window_agg", _SESSION_WINDOW_ORACLE)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-min gap merge) pinned against an
+    INDEPENDENT derivation (lag + running-sum gap sessionization in the
+    oracle) — two different algorithms, same sessions. Works identically on
+    a stream with withWatermark; the batch form keeps the check exact."""
+    e = _t(spark, sf_dir, "events")
+    per_session = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("win")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

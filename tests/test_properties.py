@@ -1,0 +1,169 @@
+"""Property-based tests (hypothesis): custom operators checked against
+independent Python reference implementations on adversarial small inputs —
+boundary timestamps, duplicate keys, empty groups, single elements.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_BASE = datetime(2024, 1, 1)
+
+_settings = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_ts = st.integers(min_value=0, max_value=500)  # offsets in seconds
+_key = st.integers(min_value=0, max_value=3)
+
+
+@_settings
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=25),
+    right=st.lists(st.tuples(_key, _ts, st.floats(0, 100, allow_nan=False)), max_size=25),
+)
+def test_asof_join_matches_python_reference(spark, left, right):
+    from nyc_taxi_data_pipeline_spark.operators.temporal import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, _BASE + timedelta(seconds=t)) for i, (k, t) in enumerate(left)],
+        "lid int, k int, t timestamp",
+    )
+    # dedup right on (k, ts): keep the max value — mirrors what a caller
+    # must do anyway (as-of join against a keyed series with unique ts)
+    rbest = {}
+    for k, t, v in right:
+        rbest[(k, t)] = max(v, rbest.get((k, t), v))
+    rdf = spark.createDataFrame(
+        [(k, _BASE + timedelta(seconds=t), v) for (k, t), v in rbest.items()],
+        "k int, rt timestamp, v double",
+    )
+    out = {
+        r["lid"]: r["v"]
+        for r in as_of_join(
+            ldf, rdf, key="k", left_ts="t", right_ts="rt", right_cols=["v"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt), v in rbest.items() if rk == k and rt <= t]
+        expected = max(cands)[1] if cands else None
+        assert out[i] == expected, (i, k, t, cands)
+
+
+@_settings
+@given(
+    points=st.lists(_ts, min_size=1, max_size=30),
+    intervals=st.lists(st.tuples(_ts, st.integers(0, 200)), min_size=1, max_size=10),
+)
+def test_interval_join_matches_python_reference(spark, points, intervals):
+    from nyc_taxi_data_pipeline_spark.operators.temporal import interval_join
+
+    pdf = spark.createDataFrame(
+        [(i, _BASE + timedelta(seconds=t)) for i, t in enumerate(points)],
+        "pid int, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [
+            (j, _BASE + timedelta(seconds=s), _BASE + timedelta(seconds=s + d))
+            for j, (s, d) in enumerate(intervals)
+        ],
+        "iid int, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pdf, idf, "ts", "start", "end", bucket_seconds=60
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, t in enumerate(points)
+        for j, (s, d) in enumerate(intervals)
+        if s <= t < s + d
+    )
+    assert got == want
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(_key, st.integers(-1000, 1000)), min_size=1, max_size=40
+    )
+)
+def test_salted_aggregate_matches_python_reference(spark, rows):
+    from nyc_taxi_data_pipeline_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r["k"]: (r["n"], r["mn"], r["mx"])
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            aggs={
+                "n": F.count(F.lit(1)),
+                "mn": F.min("v"),
+                "mx": F.max("v"),
+            },
+            salt=4,
+        ).collect()
+    }
+    want = {}
+    for k, v in rows:
+        n, mn, mx = want.get(k, (0, v, v))
+        want[k] = (n + 1, min(mn, v), max(mx, v))
+    assert got == want
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.text(alphabet="abc", max_size=2)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_exact_dedup_keeps_min_id_per_key(spark, rows):
+    from nyc_taxi_data_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "id int, t string"
+    )
+    got = sorted((r["t"], r["id"]) for r in exact_dedup(df, ["t"], "id").collect())
+    want = {}
+    for i, (_, t) in enumerate(rows):
+        want.setdefault(t, i)
+    assert got == sorted((t, i) for t, i in want.items())
+
+
+@_settings
+@given(
+    events=st.lists(st.tuples(_key, st.integers(0, 10000)), min_size=1, max_size=40)
+)
+def test_sessionize_gap_count_matches_python(spark, events):
+    from nyc_taxi_data_pipeline_spark.operators.temporal import sessionize
+
+    gap_min = 5
+    df = spark.createDataFrame(
+        [(k, _BASE + timedelta(seconds=t)) for k, t in events],
+        "k int, ts timestamp",
+    )
+    out = sessionize(df, key="k", ts_col="ts", gap_minutes=gap_min)
+    got = {
+        r["k"]: r["n"]
+        for r in out.groupBy("k").agg(F.countDistinct("session_id").alias("n")).collect()
+    }
+    by_key: dict[int, list[int]] = {}
+    for k, t in events:
+        by_key.setdefault(k, []).append(t)
+    for k, ts in by_key.items():
+        ts.sort()
+        sessions = 1 + sum(
+            1 for a, b in zip(ts, ts[1:]) if b - a > gap_min * 60
+        )
+        assert got[k] == sessions, (k, ts)
