@@ -54,7 +54,11 @@ def unique_rule(col: str) -> Rule:
 def violations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """One-pass violation counts: (rule string, violations long)."""
     aggs = [
-        F.sum(F.when(r.violated, 1).otherwise(0)).cast("long").alias(r.name)
+        # coalesce: sum over an EMPTY frame is null, and "no rows" means
+        # zero violations, not unknown
+        F.coalesce(F.sum(F.when(r.violated, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(r.name)
         for r in rules
     ]
     wide = df.agg(*aggs)

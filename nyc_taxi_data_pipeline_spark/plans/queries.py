@@ -2740,3 +2740,41 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_UPSERT_ORACLE = """
+WITH latest AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type,
+       round(value, 2) AS last_value, ts AS last_ts
+FROM latest WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@_register("streaming_upsert_latest", _UPSERT_ORACLE)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE into a keyed zone: per-user latest state upserted
+    micro-batch by micro-batch (keep-newest by event time, so the final
+    zone is deterministic under any batch split) — the CDC-compaction the
+    reference's append-only sink never does. The returned frame is the
+    final committed version (streaming/sinks.run_stream_upsert_parquet)."""
+    import tempfile
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_upsert_parquet
+
+    stream = _events_stream(spark, sf_dir)
+    zone = tempfile.mkdtemp(prefix="upsert_zone_")
+    final = run_stream_upsert_parquet(
+        stream, zone, key_cols=["user_id"], order_col="ts", tiebreak_col="event_id"
+    )
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    ).orderBy("user_id")

@@ -113,6 +113,61 @@ def run_stream_to_parquet(
     return df.sparkSession.read.parquet(path)
 
 
+def run_stream_upsert_parquet(
+    stream: DataFrame,
+    zone: str,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """foreachBatch upsert: every micro-batch MERGEs into a keyed parquet
+    zone, keeping the newest row per key by (order_col, tiebreak_col).
+
+    Plain parquet can't transactionally overwrite a path it is reading, so
+    each merge writes a new immutable version directory (v=<batch_id>) —
+    a minimal commit-log, the shape Delta's MERGE provides natively (swap
+    this body for `DeltaTable.merge` when delta-spark is on the classpath).
+    Keep-latest is by EVENT TIME, not batch arrival, so the final state is
+    deterministic under any micro-batch split. Returns the final version
+    as a batch frame."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        merged = batch
+        versions = sorted(
+            int(d.split("=")[1])
+            for d in (os.listdir(zone) if os.path.isdir(zone) else [])
+            if d.startswith("v=")
+        )
+        if versions:
+            merged = spark.read.parquet(f"{zone}/v={versions[-1]}").unionByName(batch)
+        w = W.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), F.col(tiebreak_col).desc()
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        latest.write.mode("overwrite").parquet(f"{zone}/v={batch_id}")
+
+    q = stream.writeStream.foreachBatch(merge).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream.sparkSession
+    import os
+
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(zone) if d.startswith("v=")
+    )
+    return spark.read.parquet(f"{zone}/v={versions[-1]}")
+
+
 def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
     """ST7 harness, determinism-fixed: drain all available input
     (processAllAvailable), stop, return the materialized sink as a batch

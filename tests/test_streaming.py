@@ -62,6 +62,39 @@ def test_stateful_stats_across_micro_batches(spark, events_4_files):
     assert final == expected
 
 
+def test_foreachbatch_upsert_converges_across_batches(spark, events_4_files, tmp_path):
+    """The versioned upsert zone must end at the same per-key latest state
+    whether the stream arrives as one batch or four."""
+    from pyspark.sql import Window as W
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_upsert_parquet
+
+    schema = spark.read.parquet(events_4_files).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_4_files)
+    )
+    final = run_stream_upsert_parquet(
+        stream,
+        str(tmp_path / "zone"),
+        key_cols=["user_id"],
+        order_col="ts",
+        tiebreak_col="event_id",
+    )
+    got = sorted(
+        (r["user_id"], r["event_id"]) for r in final.select("user_id", "event_id").collect()
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    batch = (
+        spark.read.parquet(events_4_files)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    want = sorted((r["user_id"], r["event_id"]) for r in batch.collect())
+    assert got == want
+
+
 def test_windowed_counts_stream_equals_batch(spark, events_4_files):
     """The same windowed_counts code must give identical results run as a
     multi-batch stream or as a batch frame (SURVEY.md §2.9 extension)."""
