@@ -2778,3 +2778,22 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("last_value"),
         F.col("ts").alias("last_ts"),
     ).orderBy("user_id")
+
+
+@_register("approx_percentile_sketch", None)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile sketches (the 100 TB path for percentile_stats): KLL-style
+    approx_percentile next to the exact interpolated values. Rows-only
+    check — sketch outputs are engine-specific by design; percentile_stats
+    pins the exact math."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+                "approx_p50_p90_p99"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+        )
+        .orderBy("l_returnflag")
+    )

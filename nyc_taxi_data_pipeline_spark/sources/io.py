@@ -137,6 +137,37 @@ def write_jdbc(
     )
 
 
+def compact_parquet_zone(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet zone into ~target-size files
+    (streaming sinks and incremental batches accumulate small files; at
+    scale that degrades scan planning and S3 listing). Returns the new file
+    count. `sort_within_by` clusters rows inside each file so parquet
+    row-group min/max statistics enable data skipping on those columns.
+
+    Plain parquet has no transaction, so the rewrite staging-swaps through
+    a sibling directory rather than reading and overwriting in place."""
+    import math
+    import shutil
+    from pathlib import Path
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(f.stat().st_size for f in Path(path).rglob("*.parquet"))
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    staging = f"{path}__compacting"
+    out.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    return n_files
+
+
 def delta_available(spark: SparkSession) -> bool:
     """S9 gate: Delta needs its jars on the classpath (not in this image)."""
     try:

@@ -173,3 +173,22 @@ def test_decode_features_without_libs_raises(spark):
     )
     with pytest.raises(NotImplementedError):
         decode_features(d, fake=False)
+
+
+def test_compact_parquet_zone(spark, tmp_path):
+    """Compaction must cut the file count and preserve every row."""
+    from pathlib import Path
+
+    from nyc_taxi_data_pipeline_spark.sources.io import compact_parquet_zone
+
+    df = load_table(spark, SF, "lineitem")
+    path = str(tmp_path / "fragmented")
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before_files = len(list(Path(path).rglob("*.parquet")))
+    before_rows = spark.read.parquet(path).count()
+
+    compact_parquet_zone(spark, path, target_file_bytes=64 * 1024 * 1024,
+                         sort_within_by=["l_orderkey"])
+    after_files = len(list(Path(path).rglob("*.parquet")))
+    assert after_files < before_files
+    assert spark.read.parquet(path).count() == before_rows
