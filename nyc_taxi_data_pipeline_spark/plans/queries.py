@@ -2797,3 +2797,179 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ===========================================================================
+# Wave 10: TPC-H-shaped relational depth (Q7/Q12/Q14/Q19 patterns)
+# ===========================================================================
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, year(o.o_orderdate)
+ORDER BY cust_nation, order_year
+"""
+
+
+@_register("q07_cross_nation_volume", _Q7_ORACLE)
+def q07_cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: five-way join (two roles for nation), theta filter
+    on the joined dims, revenue by customer nation x year. The two nation
+    sides and supplier/customer broadcast; only lineitem⋈orders shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return (
+        joined.groupBy(
+            "cust_nation", F.year("o_orderdate").cast("int").alias("order_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("cust_nation", "order_year")
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@_register("q12_priority_casesum", _Q12_ORACLE)
+def q12_priority_casesum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: range-filtered join with conditional CASE sums (the
+    pivot-style aggregation pattern); the shipdate filter pushes into the
+    lineitem scan before the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q14_ORACLE = """
+SELECT CAST(round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                  ELSE CAST(0 AS DECIMAL(38,6)) END)
+       / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 6)
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+@_register("q14_promo_share", _Q14_ORACLE)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate RATIO in one pass (promo
+    revenue share). part broadcasts onto lineitem; decimal sums keep the
+    ratio bit-stable across partitionings."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q19_ORACLE = """
+SELECT count(*) AS n_matches,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@_register("q19_bracket_disjunction", _Q19_ORACLE)
+def q19_bracket_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-bracket predicate spanning both
+    join sides — Catalyst extracts the common l_partkey=p_partkey equi-key
+    so this stays a hash join with a residual OR filter, not a nested loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return j.filter(bracket).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+    )

@@ -192,3 +192,29 @@ def test_compact_parquet_zone(spark, tmp_path):
     after_files = len(list(Path(path).rglob("*.parquet")))
     assert after_files < before_files
     assert spark.read.parquet(path).count() == before_rows
+
+
+def test_jdbc_roundtrip_via_embedded_derby(spark):
+    """S7: the JDBC sink/source pair against the embedded Derby engine that
+    ships on Spark's classpath — write with the reference's batching shape
+    (coalesce + batchsize), read back partitioned, compare values."""
+    import pytest
+
+    from nyc_taxi_data_pipeline_spark.sources.io import read_jdbc, write_jdbc
+
+    url = "jdbc:derby:memory:enginedb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    df = load_table(spark, SF, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    try:
+        write_jdbc(df, url, "nation_jdbc", mode="overwrite", properties=props,
+                   batchsize=100, num_partitions=2)
+    except Exception as e:  # pragma: no cover - driver genuinely absent
+        pytest.skip(f"embedded Derby unavailable: {str(e)[:80]}")
+    back = read_jdbc(
+        spark, url, "nation_jdbc", properties=props,
+        partition_column="n_nationkey", lower_bound=0, upper_bound=30,
+        num_partitions=4,
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
