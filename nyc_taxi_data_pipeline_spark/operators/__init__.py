@@ -2,6 +2,7 @@ from nyc_taxi_data_pipeline_spark.operators import (  # noqa: F401
     aggregate,
     dedup,
     enrich,
+    graph,
     multimodal,
     normalize,
     quality,
@@ -16,6 +17,7 @@ __all__ = [
     "aggregate",
     "dedup",
     "enrich",
+    "graph",
     "multimodal",
     "normalize",
     "quality",

@@ -2973,3 +2973,66 @@ def q19_bracket_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.round(F.sum(rev), 2).cast("double").alias("revenue"),
     )
+
+
+_CC_ORACLE = r"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE doc_id < 500)
+),
+e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        >= 0.5
+),
+sym AS (
+  SELECT id_a AS srcn, id_b AS dstn FROM e
+  UNION ALL
+  SELECT id_b, id_a FROM e
+),
+walk(node, label) AS (
+  SELECT DISTINCT srcn, srcn FROM sym
+  UNION
+  SELECT s.srcn, w.label FROM sym s JOIN walk w ON w.node = s.dstn
+),
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+SELECT c.component AS component, c.node AS doc_id, s.n_members AS n_members
+FROM comp c
+JOIN (SELECT component, count(*) AS n_members FROM comp GROUP BY component) s
+  USING (component)
+ORDER BY component, doc_id
+"""
+
+
+@_register("dedup_connected_components", _CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE duplicate clusters: exact-Jaccard edges (>= 0.5, doc_id < 500
+    slice) closed transitively by iterative min-label propagation — the
+    iterative-algorithm class nothing else in the catalog exercises. The
+    oracle recomputes the same components with a recursive CTE: two
+    independent algorithms, identical clusters
+    (operators/graph.connected_components)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import verify_jaccard
+    from nyc_taxi_data_pipeline_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    ids = d.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.crossJoin(d.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    edges = verify_jaccard(d, pairs, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        comp.join(sizes, "component")
+        .select("component", F.col("node").alias("doc_id"), "n_members")
+        .orderBy("component", "doc_id")
+    )

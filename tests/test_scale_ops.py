@@ -123,3 +123,32 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A 4-chain collapses to one component even though the endpoints share
+    no edge; disjoint cliques stay separate; convergence is exact."""
+    from nyc_taxi_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                    # pair
+        "src int, dst int",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_dedup_clusters_assigns_singletons(spark):
+    from nyc_taxi_data_pipeline_spark.operators.graph import dedup_clusters
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id int")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a int, id_b int")
+    got = {r["doc_id"]: r["component"] for r in dedup_clusters(df, pairs).collect()}
+    assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 2, 4: 4}
