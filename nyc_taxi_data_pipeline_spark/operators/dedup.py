@@ -199,6 +199,49 @@ def verify_jaccard(
     )
 
 
+def all_pairs_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs shingle Jaccard ≥ threshold via an inverted index:
+    explode (id, shingle), equi-join on the shingle, count shared shingles
+    per pair, derive |∪| from per-doc set sizes.
+
+    Equivalent to the quadratic crossJoin + array_intersect (a pair with
+    J > 0 must share a shingle, so the index join finds every above-
+    threshold pair) but the work is O(Σ postings²  per shingle), not
+    O(n²) — measured well under half the crossJoin cost at 500 docs and
+    the gap widens with n. At extreme scale, ultra-frequent shingles
+    dominate the join; cap or salt them only if exactness can be traded."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(textfn.shingles(text_col, shingle_k)).alias("sh"),
+    ).localCheckpoint(eager=False)  # feeds both the index and the sizes
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("__nb"))
+    jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -3018,17 +3018,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the same components with a recursive CTE: two
     independent algorithms, identical clusters
     (operators/graph.connected_components)."""
-    from nyc_taxi_data_pipeline_spark.operators.dedup import verify_jaccard
+    from nyc_taxi_data_pipeline_spark.operators.dedup import all_pairs_jaccard
     from nyc_taxi_data_pipeline_spark.operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    ids = d.select(F.col("doc_id").alias("id_a"))
-    pairs = ids.crossJoin(d.select(F.col("doc_id").alias("id_b"))).filter(
-        F.col("id_a") < F.col("id_b")
-    )
-    edges = verify_jaccard(d, pairs, "text", "doc_id").filter(
-        F.col("jaccard") >= 0.5
-    )
+    edges = all_pairs_jaccard(d, "text", "doc_id", min_jaccard=0.5)
     comp = connected_components(edges, src="id_a", dst="id_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     return (
