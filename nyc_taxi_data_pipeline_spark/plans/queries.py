@@ -3030,3 +3030,47 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("component", F.col("node").alias("doc_id"), "n_members")
         .orderBy("component", "doc_id")
     )
+
+
+_EXACT_NEARDUP_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents)
+),
+e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        >= 0.8
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM e)
+ORDER BY doc_id
+"""
+
+
+@_register("dedup_exact_jaccard", _EXACT_NEARDUP_ORACLE)
+def dedup_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup dedup (J >= 0.8, keep the smaller id): the
+    deterministic ground truth the probabilistic minhash path
+    (dedup_minhash_lsh) approximates — possible at full precision because
+    the inverted-index all-pairs Jaccard finds every above-threshold pair
+    without an O(n²) scan (operators/dedup.all_pairs_jaccard)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import all_pairs_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    dups = (
+        all_pairs_jaccard(d, "text", "doc_id", min_jaccard=0.8)
+        .select(F.col("id_b").alias("__dup"))
+        .distinct()
+    )
+    return (
+        d.join(dups, d["doc_id"] == dups["__dup"], "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -152,3 +152,23 @@ def test_dedup_clusters_assigns_singletons(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a int, id_b int")
     got = {r["doc_id"]: r["component"] for r in dedup_clusters(df, pairs).collect()}
     assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 2, 4: 4}
+
+
+def test_minhash_dedup_conservative_vs_exact(spark):
+    """LSH can MISS near-dup pairs (recall < 1) but never invent them, so
+    minhash survivors must be a superset of the exact-Jaccard survivors."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        all_pairs_jaccard,
+        minhash_dedup,
+    )
+
+    d = load_table(spark, SF, "documents")
+    mh = {r["doc_id"] for r in minhash_dedup(d, "text", "doc_id").select("doc_id").collect()}
+    dup_b = {
+        r["id_b"]
+        for r in all_pairs_jaccard(d, "text", "doc_id", min_jaccard=0.8).collect()
+    }
+    exact = {r["doc_id"] for r in d.select("doc_id").collect()} - dup_b
+    assert exact <= mh
+    # and the approximation is close on this corpus
+    assert len(mh - exact) <= max(2, len(dup_b) // 2)
