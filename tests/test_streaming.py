@@ -62,6 +62,101 @@ def test_stateful_stats_across_micro_batches(spark, events_4_files):
     assert final == expected
 
 
+def test_transform_with_state_v2_across_micro_batches(spark, events_4_files):
+    """State-v2 API (transformWithStateInPandas + RocksDB store) must
+    converge to the batch aggregate across micro-batches. Final state is
+    recovered by argmax-over-count — valid even for negative values, unlike
+    the max() collapse the v1 test uses.
+
+    Gated: the transformWithState Python worker speaks protobuf to the JVM
+    state server; without the protobuf package the worker crashes at init
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Same env-gate
+    pattern as Delta (no jars) and Kafka (no broker)."""
+    import uuid
+
+    pytest.importorskip("google.protobuf", reason="transformWithState worker needs protobuf")
+
+    from nyc_taxi_data_pipeline_spark.streaming.stateful import transform_running_stats
+
+    prev = spark.conf.get("spark.sql.streaming.stateStoreProviderClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStoreProviderClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(events_4_files).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_4_files)
+        )
+        stats = transform_running_stats(stream)
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = stats.writeStream.format("memory").queryName(name).outputMode("update").start()
+        try:
+            q.processAllAvailable()
+            n_batches = len(q.recentProgress)
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStoreProviderClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStoreProviderClass", prev)
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    final = {
+        r["s"]["user_id"]: (
+            r["s"]["n_events"],
+            round(r["s"]["total_value"], 2),
+            round(r["s"]["min_value"], 2),
+            round(r["s"]["max_value"], 2),
+        )
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "user_id", "total_value", "min_value", "max_value")
+            ).alias("s")
+        )
+        .collect()
+    }
+    batch = load_table(spark, SF, "events")
+    expected = {
+        r["user_id"]: (
+            r["n"],
+            round(r["tv"], 2),
+            round(r["mn"], 2),
+            round(r["mx"], 2),
+        )
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert final == expected
+
+
+def test_transform_with_state_v2_plan_construction(spark, events_4_files):
+    """Plan construction + analysis for the state-v2 operator must work even
+    where execution is env-gated (no protobuf): the unresolved plan is built
+    JVM-side and the output schema is fixed by the operator contract."""
+    from nyc_taxi_data_pipeline_spark.streaming.stateful import (
+        TWS_STATS_SCHEMA,
+        transform_running_stats,
+    )
+
+    schema = spark.read.parquet(events_4_files).schema
+    stream = spark.readStream.schema(schema).parquet(events_4_files)
+    out = transform_running_stats(stream)
+    assert out.isStreaming
+    assert out.schema == TWS_STATS_SCHEMA
+
+
 def test_foreachbatch_upsert_converges_across_batches(spark, events_4_files, tmp_path):
     """The versioned upsert zone must end at the same per-key latest state
     whether the stream arrives as one batch or four."""
