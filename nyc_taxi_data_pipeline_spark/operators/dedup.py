@@ -99,10 +99,17 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_index, band_hash) →
     candidate (id_a, id_b) pairs with id_a < id_b. Only docs sharing a full
-    band collide, so the join output is ~the true-duplicate set, not O(n²)."""
+    band collide, so the join output is ~the true-duplicate set, not O(n²).
+
+    `materialize=False` skips the localCheckpoint — correct when
+    `signatures` is already a cheap re-scannable source (a persisted
+    signature zone, see `write_signature_zone`): re-deriving the band
+    hashes from a parquet scan costs one codegen'd xxhash64 per band, vs
+    re-running the whole shingle→minhash pipeline for in-memory lineage."""
     num_hashes_col = F.size(F.col("signature"))
     rows_per_band = (num_hashes_col / bands).cast("int")
     banded = signatures.select(
@@ -129,8 +136,11 @@ def lsh_candidate_pairs(
     # materialize the banded frame once: both self-join sides would otherwise
     # recompute the whole signature pipeline (AQE stage reuse does not fire
     # for these shapes — measured 2x). On a cluster this is the analog of
-    # writing the signature table to the lake before pairing.
-    banded = banded.localCheckpoint(eager=False)
+    # writing the signature table to the lake before pairing — which
+    # `write_signature_zone` does for real; zone readers pass
+    # materialize=False.
+    if materialize:
+        banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -171,6 +181,49 @@ def minhash_dedup(
     return df.join(
         dups, df[id_col] == dups["__dup_id"], "left_anti"
     )
+
+
+def write_signature_zone(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Persist (id, signature) to a parquet zone — the 100 TB shape for
+    minhash dedup: signatures are computed ONCE over the corpus (the
+    expensive shingle→hash→min pass), stored ~16 longs/doc, and every
+    downstream pass (banding self-join, incremental dedup of new docs
+    against the corpus, re-banding with different band counts) re-reads
+    the zone instead of re-deriving. A localCheckpoint only survives one
+    driver; the zone survives the job."""
+    minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def minhash_dedup_via_zone(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    zone_path: str,
+    shingle_k: int = 3,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """`minhash_dedup` reading signatures from a persisted zone (see
+    `write_signature_zone`) instead of in-memory lineage. Both sides of the
+    banding self-join scan the zone parquet (column-pruned to id+signature,
+    no recompute), so no checkpoint is needed."""
+    spark = df.sparkSession
+    sigs = spark.read.parquet(zone_path)
+    candidates = lsh_candidate_pairs(sigs, bands, materialize=False)
+    verified = verify_jaccard(df, candidates, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    dups = verified.select(F.col("id_b").alias("__dup_id")).distinct()
+    return df.join(dups, df[id_col] == dups["__dup_id"], "left_anti")
 
 
 def verify_jaccard(

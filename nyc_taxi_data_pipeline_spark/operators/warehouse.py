@@ -100,10 +100,25 @@ def dim_service_type(staging: DataFrame) -> DataFrame:
 
 
 def dim_location(staging: DataFrame, prefix: str) -> DataFrame:
-    """dim_pickup_location.sql / dim_dropoff_location.sql:3-21 — id + lat/long."""
+    """dim_pickup_location.sql / dim_dropoff_location.sql:3-21 — id +
+    lat/long when staging carries coordinates.
+
+    Reference null semantics are asymmetric and preserved exactly: the CTE
+    filters `vendor_id IS NOT NULL` BEFORE the distinct, the outer query
+    filters `{prefix}_location_id IS NOT NULL` — but null lat/long rows
+    are KEPT (dim_pickup_location.sql:10-11,18-19). build_dim's
+    all-columns-not-null contract would silently drop them, so the filter
+    is built here instead."""
     cols = [f"{prefix}_location_id", f"{prefix}_latitude", f"{prefix}_longitude"]
     present = [c for c in cols if c in staging.columns]
-    return build_dim(staging, present, f"{prefix}_location_key")
+    id_col = f"{prefix}_location_id"
+    cond = F.col(id_col).isNotNull()
+    if "vendor_id" in staging.columns:
+        cond = F.col("vendor_id").isNotNull() & cond
+    distinct = staging.filter(cond).select(*present).distinct()
+    return distinct.select(
+        scalar.surrogate_key(*present).alias(f"{prefix}_location_key"), *present
+    ).orderBy(id_col)
 
 
 def fact_trip(

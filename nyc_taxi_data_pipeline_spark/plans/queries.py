@@ -1412,6 +1412,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, n_planes=4).orderBy("query_id", "rank")
 
 
+@_register("ann_lsh_multiprobe_exact", _ANN_ORACLE)
+def ann_lsh_multiprobe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH at full Hamming radius (multiprobe = n_planes probes
+    every bucket) — the correctness anchor of the approximate family: the
+    probe-expansion + bucket-join machinery must degrade EXACTLY to brute
+    force, so it shares the exact top-k oracle. Operating points between
+    (multiprobe 1..n-1) trade that recall for candidate count
+    (operators/similarity.lsh_topk)."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(emb, queries, k=5, n_planes=4, multiprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
+        "query_id", "rank"
+    )
+
+
 _NEARDUP_EMB_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id < 300)

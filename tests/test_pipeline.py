@@ -70,3 +70,52 @@ def test_dynamic_partition_overwrite_preserves_other_partitions(spark, tmp_path)
         .groupBy("year").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert after == before  # 1997 replaced with identical data; rest untouched
+
+
+def test_dim_location_latlong_branch(spark):
+    """dim_pickup_location.sql null semantics are asymmetric: null vendor_id
+    drops the row (CTE filter), null location_id drops the row (outer
+    filter), but null lat/long rows are KEPT — and distinct runs over the
+    full (id, lat, long) triple."""
+    from nyc_taxi_data_pipeline_spark.operators.warehouse import dim_location
+
+    staging = spark.createDataFrame(
+        [
+            (1, 10, 40.7, -74.0),
+            (1, 10, 40.7, -74.0),    # exact dup → collapsed by distinct
+            (1, 10, 40.8, -74.0),    # same id, new coords → separate dim row
+            (2, 11, None, -73.9),    # null latitude → KEPT
+            (None, 12, 40.6, -73.8), # null vendor → dropped (CTE filter)
+            (1, None, 40.5, -73.7),  # null location id → dropped (outer filter)
+        ],
+        "vendor_id int, pickup_location_id int, pickup_latitude double, pickup_longitude double",
+    )
+    got = dim_location(staging, "pickup")
+    assert got.columns == [
+        "pickup_location_key",
+        "pickup_location_id",
+        "pickup_latitude",
+        "pickup_longitude",
+    ]
+    rows = sorted(
+        (r["pickup_location_id"], r["pickup_latitude"], r["pickup_longitude"])
+        for r in got.collect()
+    )
+    assert rows == [(10, 40.7, -74.0), (10, 40.8, -74.0), (11, None, -73.9)]
+    # surrogate keys are unique per distinct triple
+    assert got.select("pickup_location_key").distinct().count() == 3
+
+
+def test_dim_location_without_coordinates(spark):
+    """When staging has no lat/long columns (the synthetic-staging shape),
+    the dim degrades to distinct location ids."""
+    from nyc_taxi_data_pipeline_spark.operators.warehouse import dim_location
+
+    staging = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11), (None, 12), (1, None)],
+        "vendor_id int, dropoff_location_id int",
+    )
+    rows = sorted(
+        r["dropoff_location_id"] for r in dim_location(staging, "dropoff").collect()
+    )
+    assert rows == [10, 11]

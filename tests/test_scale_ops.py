@@ -172,3 +172,70 @@ def test_minhash_dedup_conservative_vs_exact(spark):
     assert exact <= mh
     # and the approximation is close on this corpus
     assert len(mh - exact) <= max(2, len(dup_b) // 2)
+
+
+def test_minhash_dedup_via_signature_zone(spark, tmp_path):
+    """The persisted-signature-zone path (compute once → parquet → band
+    from the zone, no checkpoint) must keep exactly the same survivors as
+    the in-memory minhash_dedup."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_via_zone,
+        write_signature_zone,
+    )
+
+    d = load_table(spark, SF, "documents")
+    zone = str(tmp_path / "sig_zone")
+    write_signature_zone(d, "text", "doc_id", zone)
+    via_zone = {
+        r["doc_id"]
+        for r in minhash_dedup_via_zone(d, "text", "doc_id", zone).select("doc_id").collect()
+    }
+    in_mem = {
+        r["doc_id"] for r in minhash_dedup(d, "text", "doc_id").select("doc_id").collect()
+    }
+    assert via_zone == in_mem
+    # the zone holds one compact signature row per non-empty doc
+    sigs = spark.read.parquet(zone)
+    assert sigs.columns == ["id", "signature"]
+    n_nonempty = d.filter(F.trim(F.col("text")) != "").count()
+    assert sigs.count() == n_nonempty
+
+
+def test_recall_sweep_monotone_in_probes(spark):
+    """The recall/probe trade-off must move the right way: more IVF cells
+    probed → recall@5 non-decreasing (and high at full probe); LSH
+    multiprobe (Hamming-1 bucket expansion) → recall ≥ single-bucket.
+    Deterministic planes/centroids, so these are regression floors, not
+    dice."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    ivf = [
+        recall(ivf_topk(emb, queries, k=5, centroid_stride=40, n_probe=p))
+        for p in (1, 3, 6, 12)
+    ]
+    assert all(a <= b + 1e-9 for a, b in zip(ivf, ivf[1:])), f"IVF recall not monotone: {ivf}"
+    assert ivf[-1] >= 0.9, f"IVF recall@5 with 12/13 cells probed too low: {ivf[-1]:.3f}"
+
+    lsh = [
+        recall(lsh_topk(emb, queries, k=5, n_planes=6, multiprobe=d)) for d in (0, 1, 2)
+    ]
+    assert all(a <= b + 1e-9 for a, b in zip(lsh, lsh[1:])), f"LSH recall not monotone: {lsh}"
+    assert lsh[2] >= 0.6, f"Hamming-2 multiprobe recall floor regressed: {lsh[2]:.3f}"
