@@ -2085,8 +2085,10 @@ def streaming_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFr
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running (count, sum, max) held in the state store across micro-batches.
     The update-mode sink's last emission per key IS the final total —
-    collapsed with max() since the accumulators are monotone (values > 0).
-    Oracle = the equivalent batch aggregation."""
+    recovered by argmax-over-n_events (the count strictly increases every
+    time a key is touched, so it orders emissions correctly even if values
+    were negative; a plain max() over each column would silently assume
+    monotone sums). Oracle = the equivalent batch aggregation."""
     import uuid
 
     from nyc_taxi_data_pipeline_spark.streaming.stateful import running_user_stats
@@ -2105,12 +2107,15 @@ def streaming_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         q.stop()
     sink = spark.table(name)
+    last = F.max(F.struct("n_events", "total_value", "max_value")).alias("s")
     return (
         sink.groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.round(F.max("total_value"), 2).alias("total_value"),
-            F.round(F.max("max_value"), 2).alias("max_value"),
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.round(F.col("s.total_value"), 2).alias("total_value"),
+            F.round(F.col("s.max_value"), 2).alias("max_value"),
         )
         .orderBy("user_id")
     )
