@@ -226,6 +226,90 @@ def minhash_dedup_via_zone(
     return df.join(dups, df[id_col] == dups["__dup_id"], "left_anti")
 
 
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    zone_path: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+    est_jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Admit only new docs that are NOT near-duplicates of the existing
+    corpus — the batch-over-batch production shape: the corpus is
+    represented ONLY by its signature zone (~16 longs/doc), never rescanned.
+
+    New signatures band-join against zone signatures for candidates, then
+    candidates verify at SIGNATURE level: estimated Jaccard = matching
+    minhash lanes / num_hashes ≥ `est_jaccard_threshold`. The corpus TEXT
+    is never needed — which is the point at 100 TB: the zone is ~128
+    bytes/doc however big the documents are. Returns the admitted subset
+    of `new_docs`; callers then append the admitted docs' signatures to
+    the zone."""
+    spark = new_docs.sparkSession
+    corpus = spark.read.parquet(zone_path)
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_k)
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        num_hashes_col = F.size(F.col("signature"))
+        rows_per_band = (num_hashes_col / bands).cast("int")
+        return sigs.select(
+            "id",
+            "signature",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+
+    nb = banded(new_sigs).select(
+        F.col("id").alias("new_id"),
+        F.col("signature").alias("new_sig"),
+        "band",
+        "bucket",
+    )
+    cb = banded(corpus).select(
+        F.col("id").alias("corpus_id"),
+        F.col("signature").alias("corpus_sig"),
+        "band",
+        "bucket",
+    )
+    matching_lanes = F.aggregate(
+        F.zip_with(
+            F.col("new_sig"),
+            F.col("corpus_sig"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est_jaccard = matching_lanes / F.size(F.col("new_sig"))
+    dup_new_ids = (
+        cb.join(nb, ["band", "bucket"])
+        .filter(est_jaccard >= est_jaccard_threshold)
+        .select("new_id")
+        .distinct()
+    )
+    return new_docs.join(
+        dup_new_ids, new_docs[id_col] == dup_new_ids["new_id"], "left_anti"
+    )
+
+
 def verify_jaccard(
     df: DataFrame,
     pairs: DataFrame,

@@ -165,6 +165,87 @@ def ivf_topk(
     )
 
 
+def write_ivf_zone(
+    corpus: DataFrame,
+    path: str,
+    centroid_stride: int = 50,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Persist the IVF index to a zone: `{path}/centroids` (the coarse
+    quantizer) and `{path}/cells` (corpus vectors WITH their cell
+    assignment, partitioned by cell). Cell assignment is a property of the
+    corpus, not the query — at 100 TB it's computed once here and every
+    query run afterwards reads only the probed cells' partitions
+    (partition pruning on `cell=`), never the full corpus."""
+    cents = corpus.filter(F.col(corpus_id) % centroid_stride == 0).select(
+        F.col(corpus_id).alias("cent_id"), F.col(corpus_vec).alias("cent_vec")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv"))
+        .crossJoin(F.broadcast(cents))
+        .groupBy("neighbor_id")
+        .agg(
+            F.min(
+                F.struct(
+                    vecfn.l2_distance(F.col("cv"), F.col("cent_vec")).alias("d"),
+                    F.col("cent_id").alias("cell"),
+                )
+            )["cell"].alias("cell"),
+            F.first("cv").alias("cv"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def ivf_topk_via_zone(
+    queries: DataFrame,
+    zone_path: str,
+    k: int = 5,
+    n_probe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """`ivf_topk` against a persisted IVF zone (see `write_ivf_zone`):
+    centroids load (tiny, broadcast), each query picks its n_probe nearest
+    cells, and the probe join's `cell` equi-key lines up with the zone's
+    partition column — with a literal cell list Catalyst prunes partitions;
+    with this join form it's still a scan of the (pruned-width) cells
+    table with the probe set broadcast. Results are identical to the
+    in-memory ivf_topk given the same corpus/stride."""
+    spark = queries.sparkSession
+    cents = F.broadcast(spark.read.parquet(f"{zone_path}/centroids"))
+    assigned = spark.read.parquet(f"{zone_path}/cells")
+    q_scored = (
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
+        .crossJoin(cents)
+        .select(
+            "query_id",
+            "qv",
+            F.col("cent_id").alias("cell"),
+            vecfn.l2_distance(F.col("qv"), F.col("cent_vec")).alias("d"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("cell"))
+    probes = F.broadcast(
+        q_scored.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = assigned.join(probes, "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(vecfn.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

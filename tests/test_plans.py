@@ -65,6 +65,29 @@ def test_dedup_exact_single_shuffle(spark):
     assert plan.count("Exchange") <= 2  # hashpartitioning + final orderBy range
 
 
+def test_q04_exists_is_semi_join(spark):
+    """EXISTS must decorrelate to LeftSemi — never a distinct + inner join."""
+    plan = _plan(spark, "q04_exists_priority")
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan  # the priority rollup, not a dedup
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    """NOT EXISTS must become LeftAnti; the scalar avg is a 1-row
+    broadcast, not a per-row subquery."""
+    plan = _plan(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "Subquery" not in plan or "ReusedSubquery" in plan
+
+
+def test_q18_having_filter_before_join(spark):
+    """The HAVING-filtered aggregate is tiny → both its join onto orders
+    and the customer join must broadcast (no full-size shuffle join)."""
+    plan = _plan(spark, "q18_large_volume_customers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan  # top-100 never global-sorts
+
+
 @pytest.mark.parametrize(
     "name", [n for n in REGISTRY if n != "multimodal_decode_features"]
 )

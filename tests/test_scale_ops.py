@@ -239,3 +239,69 @@ def test_recall_sweep_monotone_in_probes(spark):
     ]
     assert all(a <= b + 1e-9 for a, b in zip(lsh, lsh[1:])), f"LSH recall not monotone: {lsh}"
     assert lsh[2] >= 0.6, f"Hamming-2 multiprobe recall floor regressed: {lsh[2]:.3f}"
+
+
+def test_incremental_dedup_against_zone(spark, tmp_path):
+    """Batch-over-batch dedup: build the zone from a corpus, then submit a
+    new batch = (exact copies of corpus docs under new ids) ∪ (genuinely
+    new docs). Copies must be rejected via signature-zone comparison alone;
+    new docs must be admitted."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        write_signature_zone,
+    )
+
+    d = load_table(spark, SF, "documents").filter(F.trim(F.col("text")) != "")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    fresh = d.filter(F.col("doc_id") % 2 == 1)
+    zone = str(tmp_path / "zone")
+    write_signature_zone(corpus, "text", "doc_id", zone)
+
+    copies = corpus.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    new_batch = copies.unionByName(fresh.select("doc_id", "text"))
+    admitted = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(new_batch, "text", "doc_id", zone)
+        .select("doc_id")
+        .collect()
+    }
+    # every exact copy collides on all bands and matches all lanes → rejected
+    assert not any(i >= 1_000_000 for i in admitted), "a corpus copy was admitted"
+    # fresh docs are admitted unless they happen to near-dup a corpus doc;
+    # the synthetic corpus has limited true cross-doc duplication, so most
+    # of the fresh half must survive
+    n_fresh = fresh.count()
+    assert len(admitted) >= 0.8 * n_fresh, (len(admitted), n_fresh)
+
+
+def test_ivf_zone_matches_in_memory(spark, tmp_path):
+    """The persisted IVF zone (centroids + cell-partitioned assignments)
+    must return exactly the in-memory ivf_topk results for the same
+    corpus/stride/probe settings."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_via_zone,
+        write_ivf_zone,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    zone = str(tmp_path / "ivf")
+    write_ivf_zone(emb, zone, centroid_stride=40)
+    via_zone = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in ivf_topk_via_zone(queries, zone, k=5, n_probe=3).collect()
+    )
+    in_mem = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(emb, queries, k=5, centroid_stride=40, n_probe=3).collect()
+    )
+    assert via_zone == in_mem
+    # the zone is laid out for partition pruning on cell
+    import os
+
+    assert any(d.startswith("cell=") for d in os.listdir(f"{zone}/cells"))
