@@ -206,14 +206,21 @@ def ivf_topk_via_zone(
     n_probe: int = 3,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    prune_files: bool = True,
 ) -> DataFrame:
     """`ivf_topk` against a persisted IVF zone (see `write_ivf_zone`):
     centroids load (tiny, broadcast), each query picks its n_probe nearest
-    cells, and the probe join's `cell` equi-key lines up with the zone's
-    partition column — with a literal cell list Catalyst prunes partitions;
-    with this join form it's still a scan of the (pruned-width) cells
-    table with the probe set broadcast. Results are identical to the
-    in-memory ivf_topk given the same corpus/stride."""
+    cells, and only those cells' partitions are read.
+
+    prune_files=True collects the probed cell ids to the driver first —
+    a deliberately tiny collect (≤ |queries| × n_probe longs; the probe
+    set must be small for ANN to make sense at all) — and applies them as
+    a literal `isin` filter, which Catalyst turns into PartitionFilters
+    on the zone's `cell=` directories: unprobed cells are never opened,
+    the file-level analog of an inverted-file index seek. With
+    prune_files=False the probe set stays a broadcast join and the scan
+    reads all cell partitions (correct, but full-width). Results are
+    identical to the in-memory ivf_topk given the same corpus/stride."""
     spark = queries.sparkSession
     cents = F.broadcast(spark.read.parquet(f"{zone_path}/centroids"))
     assigned = spark.read.parquet(f"{zone_path}/cells")
@@ -233,6 +240,9 @@ def ivf_topk_via_zone(
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "qv", "cell")
     )
+    if prune_files:
+        probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+        assigned = assigned.filter(F.col("cell").isin(probed_cells))
     scored = assigned.join(probes, "cell").select(
         "query_id",
         "neighbor_id",

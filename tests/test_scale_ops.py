@@ -292,16 +292,23 @@ def test_ivf_zone_matches_in_memory(spark, tmp_path):
     )
     zone = str(tmp_path / "ivf")
     write_ivf_zone(emb, zone, centroid_stride=40)
-    via_zone = sorted(
-        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
-        for r in ivf_topk_via_zone(queries, zone, k=5, n_probe=3).collect()
-    )
     in_mem = sorted(
         (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
         for r in ivf_topk(emb, queries, k=5, centroid_stride=40, n_probe=3).collect()
     )
-    assert via_zone == in_mem
-    # the zone is laid out for partition pruning on cell
+    for prune in (False, True):
+        df = ivf_topk_via_zone(queries, zone, k=5, n_probe=3, prune_files=prune)
+        via_zone = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in df.collect()
+        )
+        assert via_zone == in_mem, f"prune_files={prune} diverged"
+    # the zone is laid out for partition pruning on cell...
     import os
 
     assert any(d.startswith("cell=") for d in os.listdir(f"{zone}/cells"))
+    # ...and the pruned path actually lands the probe set as PartitionFilters
+    pruned = ivf_topk_via_zone(queries, zone, k=5, n_probe=3, prune_files=True)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell" in l and "IN" in l.upper() for l in scan_lines), scan_lines
