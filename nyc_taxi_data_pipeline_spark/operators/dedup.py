@@ -380,6 +380,88 @@ def all_pairs_jaccard(
 
 
 # ---------------------------------------------------------------------------
+# winnowing (rolling-window fingerprints)
+# ---------------------------------------------------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprint) rows: the winnowing fingerprint set of each doc —
+    hash every k-token shingle, slide a `window`-wide window over the hash
+    sequence, keep each window's minimum (Schleimer/Wilkes/Aiken,
+    'Winnowing: Local Algorithms for Document Fingerprinting', SIGMOD'03).
+    Guarantees: any shared token run of length ≥ k+window-1 yields at
+    least one shared fingerprint, while storing ~2/(window+1) of the
+    hashes — position-robust partial-overlap detection, unlike whole-doc
+    fingerprints that any edit breaks.
+
+    Hashes are md5 STRINGS compared lexicographically (min over strings)
+    so the selection is bit-identical in any engine with md5 — no
+    engine-specific integer hash in the contract.
+
+    Shape: the shingle-hash array is built ONCE per row and exploded;
+    the per-window minimum is a sliding `min() OVER (rows BETWEEN 0 AND
+    window-1)` after one shuffle on doc id. The tempting pure-array form
+    (transform(sequence, j -> array_min(slice(hashes, j, w)))) re-evaluates
+    the whole md5 array per window position — O(tokens²) md5 calls per doc,
+    measured 10-min-plus at 5k docs vs seconds for this formulation."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_shingles = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n_shingles),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    ex = df.select(F.col(id_col).alias("id"), shingle_hashes.alias("__h")).select(
+        "id", F.posexplode("__h").alias("pos", "h")
+    )
+    wdoc = W.partitionBy("id")
+    wslide = wdoc.orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        ex.select(
+            "id",
+            "pos",
+            F.min("h").over(wslide).alias("fingerprint"),
+            F.max("pos").over(wdoc).alias("__maxpos"),
+        )
+        .filter(F.col("pos") <= F.col("__maxpos") - (window - 1))
+        .select("id", "fingerprint")
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Doc pairs sharing ≥ min_shared winnowing fingerprints — partial-
+    overlap (plagiarism-style) detection: catches a copied PASSAGE inside
+    otherwise-different documents, which whole-doc Jaccard dilutes below
+    any practical threshold. Inverted-index join on the fingerprint (same
+    scale shape as all_pairs_jaccard: shuffle on fingerprint, work
+    proportional to Σ postings², never O(n²))."""
+    fp = winnowing_fingerprints(df, text_col, id_col, k, window)
+    return (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -3295,3 +3295,44 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+_WINNOW_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS h
+  FROM toks
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(h) - 3, 0) + 1),
+                        j -> list_min(h[j:j+3]))) AS fps
+  FROM sh
+),
+ex AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fp WHERE len(fps) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS shared_fingerprints
+FROM ex a JOIN ex b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY id_a, id_b
+HAVING count(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
+@_register("winnowing_overlap_pairs", _WINNOW_ORACLE)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window document fingerprinting (winnowing, SIGMOD'03): hash
+    every 3-token shingle, keep each 4-window's min hash, pair docs sharing
+    ≥2 fingerprints — position-robust partial-overlap detection the
+    whole-doc Jaccard family can't express. Hashes are md5 strings min'd
+    lexicographically, so Spark and DuckDB select identical fingerprints
+    (operators/dedup.winnowing_overlap_pairs)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import winnowing_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_overlap_pairs(d, "text", "doc_id").orderBy("id_a", "id_b")

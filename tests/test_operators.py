@@ -218,3 +218,27 @@ def test_jdbc_roundtrip_via_embedded_derby(spark):
         num_partitions=4,
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_winnowing_detects_copied_passage(spark):
+    """The winnowing guarantee: a shared token run of length >= k+window-1
+    (here 3+4-1=6) must produce at least one shared fingerprint — even when
+    the surrounding documents are completely different (whole-doc Jaccard
+    would sit near zero). Unrelated docs share nothing."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import winnowing_overlap_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + passage + " delta epsilon zeta"),
+            (2, "one two three four five " + passage + " six seven eight nine"),
+            (3, "totally unrelated words about completely different topics here"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnowing_overlap_pairs(df, "text", "doc_id", min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

@@ -215,3 +215,68 @@ def test_windowed_counts_stream_equals_batch(spark, events_4_files):
         for r in df.collect()
     )
     assert key(streamed) == key(batch)
+
+
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    """Late-data policy must actually fire: an event older than
+    (max event time seen − watermark) arriving in a LATER micro-batch is
+    dropped from the windowed aggregation, while the same data in batch
+    (no watermark) counts it. Files are written between drains so the
+    micro-batch order is deterministic."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import windowed_counts
+
+    from datetime import datetime
+
+    sch = "ts timestamp, event_type string, value double"
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    on_time = spark.createDataFrame(
+        [
+            (t(10, 5), "click", 1.0),
+            (t(10, 20), "click", 2.0),
+            (t(12, 10), "click", 4.0),  # advances watermark to 10:10
+        ],
+        sch,
+    )
+    late = spark.createDataFrame(
+        [
+            (t(8, 30), "click", 8.0),   # < 10:10 watermark → DROPPED
+            (t(11, 45), "click", 16.0),  # >= watermark → kept
+        ],
+        sch,
+    )
+    src = str(tmp_path / "src")
+    on_time.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(on_time.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()          # batch 1: watermark advances to 12:10 - 2h
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()          # batch 2: 08:30 row is behind the watermark
+    finally:
+        q.stop()
+
+    streamed = {
+        r["window_start"]: (r["s"]["n_events"], r["s"]["total_value"])
+        for r in spark.table(name)
+        .groupBy("window_start")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .collect()
+    }
+    total_streamed = sum(v[1] for v in streamed.values())
+    batch = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in windowed_counts(
+            spark.read.parquet(src), window="1 hour", watermark="2 hours"
+        ).collect()
+    }
+    total_batch = sum(v[1] for v in batch.values())
+    # the dropped row's value (8.0) is the exact difference
+    assert total_batch - total_streamed == 8.0, (streamed, batch)
+    # and the kept-late row landed in its window
+    kept_win = datetime(2024, 1, 1, 11, 0)
+    assert streamed[kept_win] == (1, 16.0)
