@@ -9,6 +9,7 @@ scan speed over 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_pipeline_spark.functions import text as textfn
@@ -62,6 +63,77 @@ def chunk_documents(
         ((F.col("__start") - 1) / stride).cast("int").alias("chunk_id"),
         F.size(chunk).cast("int").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hexes: tuple[str, ...] = ("0", "1"),
+    min_tokens: int = 4,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS idea applied to tokens): a
+    chunk boundary opens AFTER any token whose md5 starts with one of
+    `boundary_hexes` (expected chunk length = 16/len(boundary_hexes)
+    tokens), except that boundaries inside the first `min_tokens` of a
+    chunk are suppressed (minimum-size clamp, as in LBFS). Because
+    boundaries depend only on local content, an edit reflows only its own
+    chunk — every other chunk's text (and hash) is byte-identical, unlike
+    fixed-stride chunking where one inserted token shifts every later
+    chunk. That makes chunk-level dedup/caching stable under edits.
+
+    Shape: split once → posexplode tokens → boundary flag (md5 prefix,
+    engine-portable) → running boundary count with min-size suppression
+    via a size-`min_tokens` look-back window → groupBy (id, chunk)
+    reassembles. Two shuffles (window + reassembly), both on doc id.
+
+    The suppression rule is deliberately window-local rather than the
+    sequential LBFS clamp: a raw boundary fires iff NO raw boundary
+    occurs in the previous min_tokens-1 tokens. That keeps every boundary
+    decision a pure function of its min_tokens-token neighborhood (edit
+    locality provable per token), at the cost of occasionally suppressing
+    more boundaries than the sequential rule would."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ex = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .select("id", F.posexplode("__toks").alias("pos", "tok"))
+    )
+    is_cut = F.substring(F.md5(F.col("tok")), 1, 1).isin(*boundary_hexes)
+    w = W.partitionBy("id").orderBy("pos")
+    prev_cuts = F.sum(F.when(is_cut, 1).otherwise(0)).over(
+        w.rowsBetween(-(min_tokens - 1), -1)
+    )
+    fires = is_cut & (F.coalesce(prev_cuts, F.lit(0)) == 0)
+    chunked = ex.select(
+        "id",
+        "pos",
+        "tok",
+        F.coalesce(
+            F.sum(F.when(fires, 1).otherwise(0)).over(
+                w.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy("id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ).getField("tok"),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            "n_tokens",
+            "chunk_text",
+        )
     )
 
 

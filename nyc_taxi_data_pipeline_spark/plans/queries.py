@@ -3336,3 +3336,55 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return winnowing_overlap_pairs(d, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+_CDC_CHUNK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents WHERE trim(text) <> ''
+),
+flag AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN substr(md5(tok), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END
+           AS is_cut
+  FROM toks
+),
+fires AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN is_cut = 1 AND coalesce(sum(is_cut) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) = 0
+              THEN 1 ELSE 0 END AS fires
+  FROM flag
+),
+chunks AS (
+  SELECT doc_id, pos, tok,
+         coalesce(sum(fires) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM fires
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+FROM chunks
+GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id
+"""
+
+
+@_register("content_defined_chunking", _CDC_CHUNK_ORACLE)
+def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS boundaries on token md5
+    prefixes, min-size clamp): edit-robust chunks whose boundaries are pure
+    functions of local content, so chunk-level dedup/caching survives
+    document edits — unlike fixed-stride chunking where one inserted token
+    shifts every later chunk (operators/textstats.content_defined_chunks;
+    edit-locality pinned in tests/test_operators.py)."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import content_defined_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return content_defined_chunks(d, min_tokens=4).orderBy("doc_id", "chunk_id")

@@ -242,3 +242,34 @@ def test_winnowing_detects_copied_passage(spark):
     }
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_content_defined_chunks_edit_locality(spark):
+    """The CDC property fixed-stride chunking lacks: prepending tokens to a
+    document must leave (almost) all original chunk texts intact — only
+    chunks adjacent to the edit may change."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import content_defined_chunks
+
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10_000)}" for _ in range(300)]
+    original = " ".join(words)
+    edited = "inserted preamble tokens " + original
+    df = spark.createDataFrame(
+        [(1, original), (2, edited)], "doc_id int, text string"
+    )
+    chunks = content_defined_chunks(df, min_tokens=4)
+    a = {r["chunk_text"] for r in chunks.filter(F.col("doc_id") == 1).collect()}
+    b = {r["chunk_text"] for r in chunks.filter(F.col("doc_id") == 2).collect()}
+    assert len(a) > 10  # the doc actually chunked
+    # all original chunks except the (possibly reflowed) first survive
+    assert len(a - b) <= 1, f"{len(a - b)} of {len(a)} chunks changed"
+    # chunks respect the minimum size
+    assert chunks.filter(F.col("n_tokens") < 1).count() == 0
+    # and chunk texts reassemble the doc exactly, in chunk order
+    rebuilt = " ".join(
+        r["chunk_text"]
+        for r in chunks.filter(F.col("doc_id") == 1).orderBy("chunk_id").collect()
+    )
+    assert rebuilt == original
