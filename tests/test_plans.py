@@ -99,3 +99,37 @@ def test_no_python_in_hot_path(spark, name):
     plan = _plan(spark, name)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan, f"{name} has Python stage {marker}"
+
+
+def test_runtime_bloom_filter_fires_at_scale(spark):
+    """At 100 TB a selective dim-side filter injects a runtime bloom filter
+    into the fact-side scan (row-level pruning before the shuffle). The
+    trigger is size-gated (application side ≥ 10 GB by default), so tiny
+    test data never fires it — this test shrinks the gate to prove the
+    engine's join shapes are ELIGIBLE: un-broadcast shuffle join + filtered
+    creation side → bloom_filter_agg appears in the optimized plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        assert "bloom_filter_agg" in plan, "runtime bloom filter did not inject"
+        assert "might_contain" in plan  # the probe side actually consumes it
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
