@@ -389,6 +389,7 @@ def winnowing_fingerprints(
     id_col: str,
     k: int = 3,
     window: int = 4,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """(id, fingerprint) rows: the winnowing fingerprint set of each doc —
     hash every k-token shingle, slide a `window`-wide window over the hash
@@ -401,7 +402,12 @@ def winnowing_fingerprints(
 
     Hashes are md5 STRINGS compared lexicographically (min over strings)
     so the selection is bit-identical in any engine with md5 — no
-    engine-specific integer hash in the contract.
+    engine-specific integer hash in the contract. `fast_hash=True` swaps
+    md5 for codegen'd xxhash64 longs — ~2× cheaper and 4× narrower
+    shuffle rows, the right choice when cross-engine reproducibility
+    isn't required (fingerprints are then Spark-specific but still
+    deterministic run-to-run, which is what chunk-cache/dedup reuse
+    needs).
 
     Shape: the shingle-hash array is built ONCE per row and exploded;
     the per-window minimum is a sliding `min() OVER (rows BETWEEN 0 AND
@@ -411,9 +417,12 @@ def winnowing_fingerprints(
     measured 10-min-plus at 5k docs vs seconds for this formulation."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n_shingles = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    hash_of = (
+        (lambda s: F.xxhash64(s)) if fast_hash else (lambda s: F.md5(s))
+    )
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), n_shingles),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        lambda i: hash_of(F.array_join(F.slice(toks, i, k), " ")),
     )
     ex = df.select(F.col(id_col).alias("id"), shingle_hashes.alias("__h")).select(
         "id", F.posexplode("__h").alias("pos", "h")
@@ -440,6 +449,7 @@ def winnowing_overlap_pairs(
     k: int = 3,
     window: int = 4,
     min_shared: int = 2,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Doc pairs sharing ≥ min_shared winnowing fingerprints — partial-
     overlap (plagiarism-style) detection: catches a copied PASSAGE inside
@@ -447,7 +457,7 @@ def winnowing_overlap_pairs(
     any practical threshold. Inverted-index join on the fingerprint (same
     scale shape as all_pairs_jaccard: shuffle on fingerprint, work
     proportional to Σ postings², never O(n²))."""
-    fp = winnowing_fingerprints(df, text_col, id_col, k, window)
+    fp = winnowing_fingerprints(df, text_col, id_col, k, window, fast_hash)
     return (
         fp.alias("a")
         .join(

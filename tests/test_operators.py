@@ -236,12 +236,15 @@ def test_winnowing_detects_copied_passage(spark):
         ],
         "doc_id int, text string",
     )
-    pairs = {
-        (r["id_a"], r["id_b"])
-        for r in winnowing_overlap_pairs(df, "text", "doc_id", min_shared=1).collect()
-    }
-    assert (1, 2) in pairs
-    assert not any(3 in p for p in pairs)
+    for fast in (False, True):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in winnowing_overlap_pairs(
+                df, "text", "doc_id", min_shared=1, fast_hash=fast
+            ).collect()
+        }
+        assert (1, 2) in pairs, f"fast_hash={fast} missed the shared passage"
+        assert not any(3 in p for p in pairs), f"fast_hash={fast} false positive"
 
 
 def test_content_defined_chunks_edit_locality(spark):
