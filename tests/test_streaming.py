@@ -280,3 +280,58 @@ def test_watermark_drops_too_late_rows(spark, tmp_path):
     # and the kept-late row landed in its window
     kept_win = datetime(2024, 1, 1, 11, 0)
     assert streamed[kept_win] == (1, 16.0)
+
+
+def test_checkpoint_restart_exactly_once(spark, events_4_files, tmp_path):
+    """ST3's real contract: kill a streaming query mid-stream and restart it
+    from the SAME checkpoint — the parquet sink must end with every input
+    row exactly once (no loss from the kill, no duplicates from the
+    restart replaying a committed batch)."""
+    import time
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(events_4_files).schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_4_files)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.2)
+        assert q.recentProgress, "no micro-batch committed before the kill"
+    finally:
+        q.stop()  # kill mid-stream: some of the 4 files are still unread
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        n_batches_after_restart = len(q2.recentProgress)
+    finally:
+        q2.stop()
+    assert n_batches_after_restart >= 1, "restart did not resume from checkpoint"
+
+    got = sorted(
+        (r["event_id"], r["user_id"])
+        for r in spark.read.parquet(sink).select("event_id", "user_id").collect()
+    )
+    want = sorted(
+        (r["event_id"], r["user_id"])
+        for r in spark.read.parquet(events_4_files).select("event_id", "user_id").collect()
+    )
+    assert got == want, (
+        f"exactly-once violated: {len(got)} sink rows vs {len(want)} input rows"
+    )
