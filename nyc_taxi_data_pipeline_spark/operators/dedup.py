@@ -96,6 +96,104 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature array<string>) — like `minhash_signatures` but each
+    lane is min over md5('<seed>:'||shingle) compared LEXICOGRAPHICALLY.
+    md5-on-strings is the one hash every SQL engine reproduces
+    bit-identically, so this variant's whole pipeline (signatures → bands
+    → candidates → verified dedup) is expressible as an oracle query —
+    the portability/performance complement of the xxhash64 fast path
+    (32-byte string lanes vs 8-byte longs; same shuffle shape: explode →
+    per-lane min aggregates with map-side combine)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(textfn.shingles(text_col, shingle_k))).alias(
+            "__s"
+        ),
+    )
+    agg = exploded.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("__s")))).alias(
+                f"__mh{seed}"
+            )
+            for seed in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        "id",
+        F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs_portable(
+    signatures: DataFrame,
+    bands: int = 4,
+    materialize: bool = True,
+) -> DataFrame:
+    """`lsh_candidate_pairs` with md5 band buckets over string-lane
+    signatures (engine-portable, see minhash_signatures_portable)."""
+    num_hashes_col = F.size(F.col("signature"))
+    rows_per_band = (num_hashes_col / bands).cast("int")
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("signature"), b * rows_per_band + 1, rows_per_band
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    if materialize:
+        banded = banded.localCheckpoint(eager=False)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """`minhash_dedup` on the portable md5 lanes — every stage SQL-
+    reproducible, so the full probabilistic pipeline can be verified
+    against a cross-engine oracle (plans/queries.dedup_minhash_portable),
+    not just rows-only."""
+    sigs = minhash_signatures_portable(df, text_col, id_col, num_hashes, shingle_k)
+    candidates = lsh_candidate_pairs_portable(sigs, bands)
+    verified = verify_jaccard(df, candidates, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    dups = verified.select(F.col("id_b").alias("__dup_id")).distinct()
+    return df.join(dups, df[id_col] == dups["__dup_id"], "left_anti")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,

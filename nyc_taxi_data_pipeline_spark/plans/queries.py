@@ -2121,20 +2121,58 @@ def streaming_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@_register("ann_ivf_topk", None)
+_IVF_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM c WHERE vec_id % 40 = 0),
+assigned AS (
+  SELECT vec_id AS neighbor_id, v AS cv2, cell FROM (
+    SELECT c.vec_id, c.v, cents.cent_id AS cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_distance(c.v, cents.cv), cents.cent_id) AS rn
+    FROM c CROSS JOIN cents) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cents.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_distance(q.qv, cents.cv), cents.cent_id) AS pr
+    FROM q CROSS JOIN cents) t WHERE pr <= 3
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv2), 6) AS cosine
+  FROM assigned JOIN probes USING (cell)
+),
+ranked AS (SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@_register("ann_ivf_topk", _IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: sampled-centroid coarse quantizer, corpus
-    assigned to cells once, queries probe 3 nearest cells. Rows-only check
-    (recall is approximate by design); tests/test_operators.py pins
-    recall@5 against the brute-force baseline
-    (operators/similarity.ivf_topk)."""
+    """IVF approximate top-k: sampled-centroid coarse quantizer (vec_id %
+    stride — deterministic, so the WHOLE index is SQL-expressible and this
+    is a full value-hash oracle, not a rows-only check), corpus assigned
+    to cells by argmin L2 once, queries probe 3 nearest cells.
+    Cross-engine stability: L2 distances of the same float32-upcast
+    doubles are bit-identical (elementwise sequential sums in both
+    engines), ties break on centroid id, cosines round to 6dp before
+    ranking. Recall@5 floor vs brute force pinned in
+    tests/test_scale_ops.py (operators/similarity.ivf_topk)."""
     from nyc_taxi_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries, k=5, centroid_stride=40, n_probe=3).orderBy(
+    out = ivf_topk(emb, queries, k=5, centroid_stride=40, n_probe=3)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
         "query_id", "rank"
     )
 
@@ -3388,3 +3426,80 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return content_defined_chunks(d, min_tokens=4).orderBy("doc_id", "chunk_id")
+
+
+def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Build the DuckDB oracle for the PORTABLE minhash pipeline — md5
+    string lanes make every stage SQL-reproducible, so the oracle runs the
+    actual LSH algorithm, not a stand-in."""
+    rpb = num_hashes // bands
+    lanes = ",\n         ".join(
+        f"min(md5('{seed}:' || s)) AS m{seed}" for seed in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"m{b * rpb + i}" for i in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+sig AS (
+  SELECT doc_id,
+         {lanes}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN shl sa ON sa.doc_id = cand.id_a
+  JOIN shl sb ON sb.doc_id = cand.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+             AS DOUBLE) >= 0.8
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM verified)
+ORDER BY doc_id
+"""
+
+
+@_register("dedup_minhash_portable", _minhash_portable_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup removal on PORTABLE md5 lanes (lexicographic
+    string minima): the same shingle→signature→band→verify→anti-join
+    pipeline as dedup_minhash_lsh, but every stage is bit-reproducible in
+    any engine with md5 — so the ORACLE RUNS THE ACTUAL LSH ALGORITHM
+    (generated SQL: 16 min-lanes, 4 md5 band buckets, exact-Jaccard
+    verify ≥ 0.8) instead of a rows-only check. The xxhash64 fast path
+    stays the production default; this pins its logic cross-engine
+    (operators/dedup.minhash_dedup_portable)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_dedup_portable
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        minhash_dedup_portable(d, "text", "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
