@@ -1398,18 +1398,63 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ann_lsh_topk", None)
+def _lsh_oracle(n_planes: int = 4, dim: int = 64) -> str:
+    """Generated oracle for hyperplane LSH: the planes are deterministic
+    driver-side constants, so they inline as SQL array literals and the
+    oracle computes the SAME sign-bit buckets (float64 dot products are
+    bit-identical across engines for identical operand order)."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import (
+        _deterministic_planes,
+    )
+
+    planes = _deterministic_planes(dim, n_planes)
+
+    def bucket_expr(v: str) -> str:
+        parts = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in p) + "]"
+            parts.append(
+                f"(CASE WHEN list_dot_product({v}, {lit}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(parts)
+
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+cb AS (SELECT vec_id AS neighbor_id, v AS cv, {bucket_expr('v')} AS bucket FROM c),
+qb AS (SELECT vec_id AS query_id, v AS qv, {bucket_expr('v')} AS bucket
+       FROM c WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM cb JOIN qb USING (bucket)
+),
+ranked AS (SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@_register("ann_lsh_topk", _lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing — the scale
-    path (bucketed candidates instead of full scan). Rows-only check:
-    recall is probabilistic by design (operators/similarity.lsh_topk)."""
+    path (bucketed candidates instead of full scan). The planes are
+    deterministic literals, so the oracle reproduces the exact bucketing
+    and this is a full value-hash check (operators/similarity.lsh_topk)."""
     from nyc_taxi_data_pipeline_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, k=5, n_planes=4).orderBy("query_id", "rank")
+    out = lsh_topk(emb, queries, k=5, n_planes=4)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
+        "query_id", "rank"
+    )
 
 
 @_register("ann_lsh_multiprobe_exact", _ANN_ORACLE)
