@@ -167,3 +167,51 @@ def test_sessionize_gap_count_matches_python(spark, events):
             1 for a, b in zip(ts, ts[1:]) if b - a > gap_min * 60
         )
         assert got[k] == sessions, (k, ts)
+
+
+@_settings
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 30), min_size=1, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_content_defined_chunks_reassemble(spark, docs):
+    """For ANY token sequence: chunk texts, joined in chunk order, must
+    reproduce the document exactly — no token lost, duplicated, or
+    reordered by the boundary logic."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import content_defined_chunks
+
+    rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    chunks = content_defined_chunks(df, min_tokens=3).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    for i, toks in enumerate(docs):
+        assert " ".join(by_doc[i]) == rows[i][1], f"doc {i} did not reassemble"
+
+
+@_settings
+@given(
+    prefix=st.lists(st.integers(0, 999), min_size=0, max_size=30),
+    shared=st.lists(st.integers(1000, 1999), min_size=8, max_size=20),
+    suffix=st.lists(st.integers(2000, 2999), min_size=0, max_size=30),
+)
+def test_winnowing_shared_run_guarantee(spark, prefix, shared, suffix):
+    """The winnowing theorem: two docs sharing a token run of length
+    ≥ k + window - 1 (= 6 here) MUST share at least one fingerprint,
+    whatever surrounds the run."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    words = lambda ts: " ".join(f"w{t}" for t in ts)
+    doc_a = words(prefix + shared)
+    doc_b = words(shared + suffix)
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id int, text string"
+    )
+    fp = winnowing_fingerprints(df, "text", "doc_id", k=3, window=4)
+    a = {r["fingerprint"] for r in fp.filter(F.col("id") == 1).collect()}
+    b = {r["fingerprint"] for r in fp.filter(F.col("id") == 2).collect()}
+    assert a & b, "shared run of length >= 6 produced no shared fingerprint"
