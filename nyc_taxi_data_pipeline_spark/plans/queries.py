@@ -3548,3 +3548,96 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+_FUNNEL_ORACLE = r"""
+WITH stats AS (
+  SELECT doc_id, lang, source, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+           AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\b(the|and|of|to|is|that|with)\b')) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, source, text, n_tokens,
+         round(CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0
+             + CAST(0.3 AS DOUBLE) * (1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+                    ELSE CAST(n_punct AS DOUBLE) / n_chars END))
+             + CAST(0.3 AS DOUBLE) * least((CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 4.0, 1.0), 6)
+           AS quality_score
+  FROM stats
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE lang = 'en' AND quality_score >= 0.5 AND n_tokens BETWEEN 5 AND 10000
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+                   '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM kept) t
+  WHERE rn = 1
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(quality_score), 6) AS avg_quality
+FROM deduped
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_register("curation_funnel", _FUNNEL_ORACLE)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation funnel, composed from the
+    engine's own operators: per-doc text stats → quality + language +
+    length gates → exact dedup on normalized text (window, min-id wins) →
+    per-source token budget of the surviving corpus. One declarative plan:
+    the stats projection fuses into the scan, the dedup is the only wide
+    shuffle, the final rollup is a tiny aggregate — the whole pipeline a
+    100 TB curation run would execute, verified end-to-end against the
+    oracle."""
+    from nyc_taxi_data_pipeline_spark.functions import text as textfn
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        textfn.token_count("text").alias("n_tokens"),
+        textfn.quality_score("text").alias("quality_score"),
+    )
+    kept = scored.filter(
+        (F.col("lang") == "en")
+        & (F.col("quality_score") >= 0.5)
+        & F.col("n_tokens").between(5, 10000)
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[!-/:-@\[-`{-~]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy(norm).orderBy(F.col("doc_id")))
+    deduped = kept.withColumn("__rn", rn).filter(F.col("__rn") == 1)
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
