@@ -3641,3 +3641,56 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MIX_ORACLE = r"""
+WITH rates AS (
+  SELECT * FROM (VALUES
+    ('src0', 100), ('src1', 100), ('src2', 100), ('src3', 100), ('src4', 100),
+    ('src5', 50), ('src6', 50), ('src7', 50), ('src8', 50), ('src9', 50)
+  ) AS t(source, rate_pct)
+),
+kept AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN trim(d.text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS n_tokens
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE d.doc_id % 100 < r.rate_pct
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_register("dataset_mix_weighted", _MIX_ORACLE)
+def dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible weighted corpus mixing: per-source sampling rates
+    applied by id-stride (doc_id % 100 < rate) — the deterministic analog
+    of Bernoulli sampling, so the same mix ships on every rerun and on any
+    partitioning (sampleBy's RNG can't promise either). Rates live in a
+    broadcast dim; unlisted sources drop out via the inner join. The
+    pattern that turns '50% of source X, all of source Y' training recipes
+    into one scan + one tiny aggregate at 100 TB
+    (functions.text.token_count for the budget)."""
+    from nyc_taxi_data_pipeline_spark.functions import text as textfn
+
+    d = _t(spark, sf_dir, "documents")
+    rates = F.broadcast(
+        spark.createDataFrame(
+            [(f"src{i}", 100) for i in range(5)]
+            + [(f"src{i}", 50) for i in range(5, 10)],
+            "source string, rate_pct int",
+        )
+    )
+    return (
+        d.join(rates, "source")
+        .filter(F.col("doc_id") % 100 < F.col("rate_pct"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(textfn.token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -133,3 +133,13 @@ def test_runtime_bloom_filter_fires_at_scale(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_curation_funnel_shuffle_budget(spark):
+    """The funnel's wide operations are exactly: the dedup window's hash
+    partitioning and the final per-source rollup (+ its tiny sort). The
+    stats/gates must fuse into the scan stage — more Exchanges than that
+    means a filter or projection fell out of the scan pipeline."""
+    plan = _plan(spark, "curation_funnel")
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
+    assert "PushedFilters" in plan  # lang gate reaches the parquet reader
