@@ -143,3 +143,40 @@ def test_curation_funnel_shuffle_budget(spark):
     plan = _plan(spark, "curation_funnel")
     assert plan.count("Exchange") <= 3, plan.count("Exchange")
     assert "PushedFilters" in plan  # lang gate reaches the parquet reader
+
+
+def test_q06_all_predicates_pushed(spark):
+    """Q6 is the pushdown probe: every filter must reach the parquet scan."""
+    plan = _plan(spark, "q06_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:400]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_q21_double_correlation_no_nested_loop(spark):
+    """EXISTS/NOT EXISTS with an equi component must hash-join, never
+    nested-loop: at 100 TB a BNLJ over lineitem×lineitem is fatal."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_lowers_to_anti(spark):
+    plan = _plan(spark, "q16_supplier_part_variety")
+    assert "LeftAnti" in plan
+
+
+def test_q08_single_fact_shuffle(spark):
+    """All seven dims broadcast; the only join shuffle allowed is
+    lineitem↔orders on orderkey."""
+    plan = _plan(spark, "q08_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    # orders↔lineitem may SMJ or SHJ depending on AQE, but never loop:
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_topk_take_ordered(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
