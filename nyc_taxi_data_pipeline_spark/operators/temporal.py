@@ -163,3 +163,70 @@ def session_stats(
             4,
         ).alias("avg_session_seconds"),
     )
+
+
+def gap_fill_forward(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Hypertable-style gap-fill + forward-fill (time_bucket_gapfill +
+    locf): bucket per-key observations, then materialize EVERY bucket in
+    the global [min, max] span for every key and carry the last observed
+    value across gaps.
+
+    Scale shape: the spine is generated with sequence()+explode — pure
+    narrow codegen, no driver loop, ~spine_len rows per key. The global
+    span is a 1-row aggregate broadcast onto the key list (tiny cross
+    join), the observations join is a shuffle on (key, bucket), and the
+    forward fill is one window pass per key ordered by bucket using
+    last(ignorenulls) — a single sort-based window, no self-join. At
+    100 TB the only wide ops are the equi-join and the window, both
+    partitioned by the same key, so AQE coalesces them into one exchange.
+
+    Returns (key, bucket_ts, observed, filled, is_gap)."""
+    unit = bucket.split()[-1].rstrip("s")  # "1 day" -> date_trunc unit "day"
+    bucketed = (
+        df.select(
+            F.col(key).alias("k"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("k", "bucket_ts")
+        .agg(F.sum(F.col("v").cast("decimal(38,6)")).alias("observed_dec"))
+    )
+    span = df.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("hi"),
+    )
+    keys = df.select(F.col(key).alias("k")).distinct()
+    spine = (
+        keys.join(F.broadcast(span))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {bucket}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(bucketed, ["k", "bucket_ts"], "left")
+        .select(
+            F.col("k").alias(key),
+            "bucket_ts",
+            F.round(F.col("observed_dec"), 2).cast("double").alias("observed"),
+            F.round(
+                F.last(F.col("observed_dec"), ignorenulls=True).over(w), 2
+            )
+            .cast("double")
+            .alias("filled"),
+            F.col("observed_dec").isNull().alias("is_gap"),
+        )
+    )

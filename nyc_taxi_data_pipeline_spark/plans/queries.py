@@ -4278,3 +4278,216 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )
+
+
+# ===========================================================================
+# Time-series + curation wave: gap-fill/LOCF, stream-stream join, canonical
+# dedup mapping, hash-stratified sampling.
+# ===========================================================================
+
+_GAPFILL_ORACLE = """
+WITH span AS (
+  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT u.user_id, g.bucket_ts
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN span
+  CROSS JOIN LATERAL unnest(generate_series(span.lo, span.hi,
+                                            INTERVAL 1 DAY)) AS g(bucket_ts)
+),
+obs AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+         sum(CAST(value AS DECIMAL(38,6))) AS observed_dec
+  FROM events GROUP BY 1, 2
+)
+SELECT sp.user_id,
+       sp.bucket_ts,
+       CAST(round(o.observed_dec, 2) AS DOUBLE) AS observed,
+       CAST(round(last_value(o.observed_dec IGNORE NULLS) OVER (
+           PARTITION BY sp.user_id ORDER BY sp.bucket_ts
+           ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS filled,
+       o.observed_dec IS NULL AS is_gap
+FROM spine sp LEFT JOIN obs o
+  ON o.user_id = sp.user_id AND o.bucket_ts = sp.bucket_ts
+ORDER BY sp.user_id, sp.bucket_ts
+"""
+
+
+@_register("timeseries_gapfill_locf", _GAPFILL_ORACLE)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill + LOCF (time_bucket_gapfill/locf semantics):
+    every user × day in the global span materialized, missing days carry
+    the last observed daily total forward. Spine via sequence()+explode
+    (narrow codegen, no driver loop); fill via one last(ignorenulls)
+    window — the join and the window share the user partitioning
+    (operators/temporal.gap_fill_forward)."""
+    from nyc_taxi_data_pipeline_spark.operators.temporal import gap_fill_forward
+
+    e = _t(spark, sf_dir, "events")
+    return gap_fill_forward(
+        e, key="user_id", ts_col="ts", value_col="value", bucket="1 day"
+    ).orderBy("user_id", "bucket_ts")
+
+
+_SS_JOIN_ORACLE = """
+SELECT c.event_id  AS click_id,
+       p.event_id  AS purchase_id,
+       c.user_id   AS user_id,
+       c.ts        AS click_ts,
+       p.ts        AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY click_id, purchase_id
+"""
+
+
+@_register("stream_stream_join_attribution", _SS_JOIN_ORACLE)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (the Structured Streaming
+    capability the reference's append-only CDC path never used): a click
+    stream joined to a purchase stream on user within [click, click+1h).
+    Both sides are real file-source streams with watermarks bounding the
+    join state (streaming/sinks.stream_stream_interval_join); the drained
+    memory sink must equal the batch interval join the oracle runs —
+    exactness of stream-stream inner join under complete drain."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import (
+        run_stream_to_memory,
+        stream_stream_interval_join,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    lw = clicks.withWatermark("click_ts", "2 hours")
+    rw = purchases.withWatermark("purchase_ts", "2 hours")
+    joined = lw.join(
+        rw,
+        (lw["c_user"] == rw["p_user"])
+        & (rw["purchase_ts"] >= lw["click_ts"])
+        & (rw["purchase_ts"] < lw["click_ts"] + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id", "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts", "purchase_ts",
+    )
+    sink = run_stream_to_memory(joined, f"ssj_{uuid.uuid4().hex[:8]}")
+    return sink.orderBy("click_id", "purchase_id")
+
+
+_CANONICAL_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, n_chars,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+clustered AS (
+  SELECT doc_id, n_chars,
+         array_to_string((regexp_split_to_array(norm, ' '))[1:3], ' ')
+           AS cluster_key
+  FROM n
+),
+ranked AS (
+  SELECT doc_id,
+         first_value(doc_id) OVER (
+           PARTITION BY cluster_key
+           ORDER BY n_chars DESC, doc_id) AS canonical_id,
+         count(*) OVER (PARTITION BY cluster_key) AS group_size
+  FROM clustered
+)
+SELECT doc_id, canonical_id, CAST(group_size AS BIGINT) AS group_size
+FROM ranked
+WHERE doc_id <> canonical_id
+ORDER BY doc_id
+"""
+
+
+@_register("dedup_canonical_mapping", _CANONICAL_ORACLE)
+def dedup_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonical selection: cluster documents by a
+    prefix fingerprint (first 3 normalized tokens — the boilerplate-header
+    clustering a curation pipeline uses), elect the longest (then
+    lowest-id) member as canonical, and emit the redirect mapping
+    duplicate → canonical so downstream joins can rewrite references to
+    dropped docs. One window over the cluster key; no self-join."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[!-/:-@\[-`{-~]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    cluster_key = F.array_join(F.slice(F.split(norm, " "), 1, 3), " ")
+    w = W.partitionBy("__ck").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "n_chars", cluster_key.alias("__ck"))
+        .select(
+            "doc_id",
+            F.first("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(W.partitionBy("__ck")).alias("group_size"),
+        )
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id", "group_size")
+        .orderBy("doc_id")
+    )
+
+
+_STRATIFIED_ORACLE = r"""
+WITH sampled AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        < CASE WHEN lang = 'en' THEN '80000000' ELSE '40000000' END
+)
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM sampled
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@_register("stratified_sample_hash", _STRATIFIED_ORACLE)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content-independent hash:
+    keep ~50% of English and ~25% of every other language by comparing a
+    uniform md5 lane of the doc id against a per-stratum threshold. Unlike
+    rng-based sampleBy this is reproducible across engines, restarts, and
+    partitionings (the property a training-data pipeline needs for
+    resumable runs); unlike id-stride sampling it is uncorrelated with
+    generation order. Narrow map-side filter — no shuffle until the
+    per-stratum summary agg."""
+    from nyc_taxi_data_pipeline_spark.functions import text as textfn
+
+    d = _t(spark, sf_dir, "documents")
+    lane = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    thr = F.when(F.col("lang") == "en", F.lit("80000000")).otherwise(
+        F.lit("40000000")
+    )
+    return (
+        d.filter(lane < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(textfn.token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

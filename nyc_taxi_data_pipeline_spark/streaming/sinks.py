@@ -189,3 +189,31 @@ def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
     return "Aggregate" in plan
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    right rows within [left_ts, left_ts + max_delay) for the same key —
+    the click→purchase attribution shape. Both sides carry watermarks so
+    Spark can bound the join state: left rows are dropped from state once
+    the right watermark passes left_ts + max_delay, right rows once the
+    left watermark passes right_ts (the time-range condition gives the
+    planner both eviction bounds — without it state grows forever, the
+    100 TB failure mode). Works identically on batch frames (plain
+    interval equi-join) for oracle parity."""
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] < lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner")

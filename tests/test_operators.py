@@ -276,3 +276,62 @@ def test_content_defined_chunks_edit_locality(spark):
         for r in chunks.filter(F.col("doc_id") == 1).orderBy("chunk_id").collect()
     )
     assert rebuilt == original
+
+
+def test_gap_fill_forward_leading_gaps_stay_null(spark):
+    """A key whose first observation arrives mid-span has no value to
+    carry: leading buckets must stay null (is_gap=true, filled=null),
+    and the fill must not leak across keys."""
+    from datetime import datetime
+
+    from nyc_taxi_data_pipeline_spark.operators.temporal import gap_fill_forward
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 10.0),
+            (1, datetime(2024, 1, 4), 40.0),
+            (2, datetime(2024, 1, 3), 99.0),
+        ],
+        "k int, ts timestamp, v double",
+    )
+    out = gap_fill_forward(df, key="k", ts_col="ts", value_col="v").collect()
+    by = {(r["k"], r["bucket_ts"].day): r for r in out}
+    # span is Jan 1..4 for every key -> 8 rows
+    assert len(out) == 8
+    # key 2 before its first observation: filled stays null
+    assert by[(2, 1)]["filled"] is None and by[(2, 1)]["is_gap"]
+    assert by[(2, 2)]["filled"] is None
+    assert by[(2, 3)]["filled"] == 99.0 and not by[(2, 3)]["is_gap"]
+    assert by[(2, 4)]["filled"] == 99.0 and by[(2, 4)]["is_gap"]
+    # key 1 carries 10.0 across its gap, then jumps
+    assert by[(1, 2)]["filled"] == 10.0 and by[(1, 2)]["is_gap"]
+    assert by[(1, 3)]["filled"] == 10.0
+    assert by[(1, 4)]["filled"] == 40.0
+    # no cross-key leakage: key 1's value never appears under key 2
+    assert by[(2, 2)]["observed"] is None
+
+
+def test_stream_stream_join_plan_has_bounded_state(spark):
+    """The streaming interval join must carry watermarks on BOTH sides and
+    an event-time range condition — the planner needs them to evict join
+    state; without them state grows unboundedly at scale."""
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import (
+        stream_stream_interval_join,
+    )
+
+    left = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as event_id", "value % 5 as user_id", "timestamp as ts")
+    )
+    right = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value as r_event_id", "value % 5 as user_id", "timestamp as rts"
+        )
+    )
+    joined = stream_stream_interval_join(
+        left, right, key="user_id", left_ts="ts", right_ts="rts"
+    )
+    analyzed = joined._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    assert analyzed.count("EventTimeWatermark") == 2
+    assert joined.isStreaming
