@@ -14,7 +14,7 @@ don't need row-level identity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_pipeline_spark.functions import scalar
@@ -85,3 +85,54 @@ def staging_aggregate(
         aggs.append(F.sum(src).alias(m))
     out = df.groupBy(*group_keys).agg(*aggs)
     return out.withColumn("service_type", F.lit(service_type))
+
+
+def write_partial_agg_zone(
+    df: DataFrame,
+    zone: str,
+    keys: list[str],
+    measures: list[str],
+    batch_id: int,
+) -> None:
+    """Persist a batch's PARTIAL aggregate state (per-key decimal sums +
+    counts) under `zone/batch=<id>` — the incremental-rollup pattern: each
+    ingest aggregates only its own rows; history is never rescanned.
+
+    The state is algebraic (sum/count), so partials merge by re-summing —
+    avg and other derived measures are computed only at read time. Decimal
+    accumulators make the merge order-independent, so any sequence of
+    batch arrivals yields bit-identical totals."""
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.col(m).cast("decimal(38,6)")).alias(f"__sum_{m}") for m in measures
+    ]
+    df.groupBy(*keys).agg(*aggs).write.mode("overwrite").parquet(
+        f"{zone}/batch={batch_id}"
+    )
+
+
+def read_merged_aggs(
+    spark: SparkSession,
+    zone: str,
+    keys: list[str],
+    measures: list[str],
+) -> DataFrame:
+    """Merge all persisted partials into final per-key totals + averages:
+    (keys..., n_rows, sum_<m>, avg_<m>). Reading the partials shuffles
+    |keys| rows per batch — at 100 TB that is orders of magnitude smaller
+    than the raw data the naive full recompute would rescan."""
+    parts = spark.read.parquet(f"{zone}/batch=*")
+    merged = parts.groupBy(*keys).agg(
+        F.sum("__n").alias("n_rows"),
+        *[F.sum(f"__sum_{m}").alias(f"__tot_{m}") for m in measures],
+    )
+    out_cols = [*keys, F.col("n_rows")]
+    for m in measures:
+        out_cols.append(
+            F.round(F.col(f"__tot_{m}"), 2).cast("double").alias(f"sum_{m}")
+        )
+        out_cols.append(
+            F.round(
+                F.col(f"__tot_{m}").cast("double") / F.col("n_rows"), 6
+            ).alias(f"avg_{m}")
+        )
+    return merged.select(*out_cols)

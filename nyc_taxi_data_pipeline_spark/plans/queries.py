@@ -4491,3 +4491,52 @@ def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_ANN_QUANT_ORACLE = """
+WITH scale AS (
+  SELECT max(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x)))) AS q_scale
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 127.0 / q_scale) AS BIGINT)) AS qv
+  FROM embeddings, scale
+),
+probes AS (SELECT vec_id AS query_id, qv AS pq FROM qz WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(p.pq, c.qv) AS BIGINT) AS qdot
+  FROM probes p CROSS JOIN qz c
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qdot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qdot
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@_register("ann_quantized_topk", _ANN_QUANT_ORACLE)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN: 4× narrower scan than float32 and an
+    INTEGER dot-product ranking that is exact — no float rounding pact
+    between engines needed, the scores themselves are reproducible
+    (operators/similarity.quantized_topk). The scale factor is a corpus
+    scalar (1-row broadcast), quantization a narrow map pass."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = quantized_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
+        "query_id", "rank"
+    )

@@ -312,3 +312,64 @@ def test_ivf_zone_matches_in_memory(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cell" in l and "IN" in l.upper() for l in scan_lines), scan_lines
+
+
+def test_quantized_topk_recall_vs_brute(spark):
+    """Int8 quantization must preserve most of the exact top-5 (64-dim
+    embeddings lose little to 8-bit scalar quantization)."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    quant = quantized_topk(emb, queries, k=5).collect()
+    by_q_exact: dict[int, set] = {}
+    by_q_quant: dict[int, set] = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(by_q_exact[q] & by_q_quant[q]) / 5 for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # self-match sanity: a query must retrieve itself at rank 1
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in quant if r["rank"] == 1}
+    assert all(q == n for q, n in rank1.items())
+
+
+def test_partial_agg_merge_equals_full_recompute(spark, tmp_path):
+    """Incremental rollup: merging per-batch partial aggregates must be
+    bit-identical to aggregating all rows at once — under any batch split."""
+    from nyc_taxi_data_pipeline_spark.operators.aggregate import (
+        read_merged_aggs,
+        write_partial_agg_zone,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    zone = str(tmp_path / "rollup")
+    keys, measures = ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+    # split by orderkey parity into two ingest batches
+    write_partial_agg_zone(
+        li.filter(F.col("l_orderkey") % 2 == 0), zone, keys, measures, batch_id=0
+    )
+    write_partial_agg_zone(
+        li.filter(F.col("l_orderkey") % 2 == 1), zone, keys, measures, batch_id=1
+    )
+    merged = {
+        r["l_returnflag"]: r for r in read_merged_aggs(spark, zone, keys, measures).collect()
+    }
+    full_zone = str(tmp_path / "full")
+    write_partial_agg_zone(li, full_zone, keys, measures, batch_id=0)
+    full = {
+        r["l_returnflag"]: r
+        for r in read_merged_aggs(spark, full_zone, keys, measures).collect()
+    }
+    assert set(merged) == set(full)
+    for k in full:
+        assert tuple(merged[k]) == tuple(full[k]), (merged[k], full[k])
