@@ -190,3 +190,42 @@ def build_star(staging: DataFrame) -> dict[str, DataFrame]:
         staging, dims["dim_vendor"], dims["dim_rate_code"], dims["dim_payment"]
     )
     return {**dims, "fact_trip": fact}
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing dimension from a change log: one row per
+    (key, attribute-run) with [valid_from, valid_to) validity and an
+    is_current flag — the dimension-versioning layer the reference's dbt
+    star schema implies but never materializes.
+
+    Two window passes over the same (key, ts) partitioning — Catalyst
+    plans ONE shuffle + one sort for both (consecutive-duplicate
+    compaction via lag, then validity bounds via lead). No self-join, no
+    driver state; per-key memory is O(1), so skewed keys degrade
+    gracefully. Late-arriving changes are handled by re-running over the
+    affected keys (the output is a pure function of the log)."""
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    w = W.partitionBy(key).orderBy(*order)
+    changes = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev"))
+        )
+        .drop("__prev")
+    )
+    w2 = W.partitionBy(key).orderBy(*order)
+    return changes.select(
+        F.col(key),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

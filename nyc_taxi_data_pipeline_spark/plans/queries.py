@@ -3755,6 +3755,9 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        # consumed twice (rows + per-part min); AQE won't reuse a derived
+        # frame's stages across a self-join — materialize once
+        .localCheckpoint(eager=False)
     )
     min_cost = eligible.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
         F.min("unit_cost").alias("mc")
@@ -4039,6 +4042,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_dec"
             )
         )
+        # consumed twice (rows + global total) — materialize once
+        .localCheckpoint(eager=False)
     )
     total = nation_value.agg(F.sum("value_dec").alias("tot"))
     return (
@@ -4097,6 +4102,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_revenue")
         )
+        # consumed twice (join side + its own max) — materialize once
+        .localCheckpoint(eager=False)
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -4540,3 +4547,133 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
         "query_id", "rank"
     )
+
+
+_RECON_ORACLE = """
+WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+b AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 <> 0)
+SELECT CASE WHEN a.o_orderkey IS NULL THEN 'right_only'
+            WHEN b.o_orderkey IS NULL THEN 'left_only'
+            ELSE 'both' END AS presence,
+       count(*) AS n_keys,
+       CAST(round(coalesce(sum(CAST(coalesce(a.o_totalprice, 0)
+                                    - coalesce(b.o_totalprice, 0)
+                                    AS DECIMAL(38,6))), 0), 2) AS DOUBLE)
+         AS price_delta
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+GROUP BY presence
+ORDER BY presence
+"""
+
+
+@_register("full_outer_reconciliation", _RECON_ORACLE)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source reconciliation via FULL OUTER join — the lake-vs-warehouse
+    diff report every ELT pipeline needs (and the one outer-join flavor the
+    rest of the catalog didn't pin): keys classified both/left-only/
+    right-only with an exact decimal delta of the common measure. Full
+    outer forces a shuffle join on the key (broadcast is illegal for it);
+    one shuffle, then a tiny classify-agg."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("a_key"), F.col("o_totalprice").alias("a_price")
+    )
+    b = o.filter(F.col("o_orderkey") % 2 != 0).select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("b_price")
+    )
+    presence = (
+        F.when(F.col("a_key").isNull(), "right_only")
+        .when(F.col("b_key").isNull(), "left_only")
+        .otherwise("both")
+    )
+    delta = (
+        F.coalesce(F.col("a_price"), F.lit(0.0))
+        - F.coalesce(F.col("b_price"), F.lit(0.0))
+    ).cast("decimal(38,6)")
+    return (
+        a.join(b, a["a_key"] == b["b_key"], "full_outer")
+        .groupBy(presence.alias("presence"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(
+                F.coalesce(F.sum(delta), F.lit(0).cast("decimal(38,6)")), 2
+            )
+            .cast("double")
+            .alias("price_delta"),
+        )
+        .orderBy("presence")
+    )
+
+
+_KPG_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY source, rk
+"""
+
+
+@_register("sample_k_per_group", _KPG_ORACLE)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (fixed eval/holdout sets): rank
+    by a uniform md5 lane of the id within each source and keep the first
+    k. Unlike orderBy(rand()) the choice is stable across runs, engines,
+    and partitionings — resumable-pipeline property. One window shuffle on
+    the group key; at 100 TB per-group state is O(1) (rank counter), and
+    the md5 ordering spreads the picks uniformly regardless of id
+    clustering."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .withColumn("rk", F.col("rk").cast("int"))
+        .orderBy("source", "rk")
+    )
+
+
+_SCD2_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events WHERE user_id % 25 = 0
+),
+compacted AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM log
+  ) WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM compacted
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from
+"""
+
+
+@_register("scd2_dimension_build", _SCD2_ORACLE)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension versioning from a change log: consecutive
+    duplicate states compacted (lag), then [valid_from, valid_to) validity
+    intervals and is_current flags (lead) — both windows share one
+    (key, ts) shuffle+sort (operators/warehouse.scd2_from_changelog)."""
+    from nyc_taxi_data_pipeline_spark.operators.warehouse import scd2_from_changelog
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    return scd2_from_changelog(
+        e, key="user_id", ts_col="ts", attr_col="event_type",
+        tiebreak_col="event_id",
+    ).orderBy("user_id", "valid_from")

@@ -180,3 +180,34 @@ def test_q08_single_fact_shuffle(spark):
 def test_q10_topk_take_ordered(spark):
     plan = _plan(spark, "q10_returned_items")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_full_outer_join_shuffles_not_broadcast(spark):
+    """FULL OUTER can't broadcast either side; it must plan as a shuffle
+    join (SMJ or SHJ) on the key."""
+    plan = _plan(spark, "full_outer_reconciliation")
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_scd2_windows_share_one_shuffle(spark):
+    """Compaction (lag) and validity (lead) windows use the same
+    (key, ts) partitioning — Catalyst must plan ONE hash exchange, not
+    two (the orderBy adds a range exchange; that's presentation)."""
+    plan = _plan(spark, "scd2_dimension_build")
+    hash_exchanges = plan.count("hashpartitioning")
+    assert hash_exchanges <= 1, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in REGISTRY if n != "multimodal_decode_features"]
+)
+def test_no_unbroadcast_cartesian_anywhere(spark, name):
+    """Catalog-wide scale lint: a CartesianProduct (both sides shuffled,
+    O(n·m) without even a broadcast bound) must never appear. Intentional
+    cross joins in the catalog are all broadcast-bounded (1-row scalar
+    frames, small probe sets) and plan as BroadcastNestedLoopJoin."""
+    if name.startswith("streaming_") or name.startswith("stream_stream"):
+        pytest.skip("streaming queries materialize sinks; plan is the sink read")
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} has a shuffled cartesian"
