@@ -4677,3 +4677,66 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, key="user_id", ts_col="ts", attr_col="event_type",
         tiebreak_col="event_id",
     ).orderBy("user_id", "valid_from")
+
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT l_returnflag,
+         count(*)                                                    AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice
+                       AS DECIMAL(38,6))) AS DOUBLE)                 AS sxx
+  FROM lineitem GROUP BY l_returnflag
+),
+bounds AS (
+  SELECT l_returnflag,
+         sx / n AS mu,
+         sqrt((sxx - sx * sx / n) / (n - 1)) AS sigma
+  FROM stats
+)
+SELECT l.l_returnflag,
+       count(*) AS n_outliers,
+       round(min(l.l_extendedprice), 2) AS min_outlier_price
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+WHERE abs(l.l_extendedprice - b.mu) > 1.5 * b.sigma
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@_register("outlier_zscore_by_group", _ZSCORE_ORACLE)
+def outlier_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection — the data-quality screen that
+    catches corrupted measures before they poison training aggregates.
+    Group stats are a tiny aggregate broadcast back onto the fact scan
+    (two passes over lineitem, NOT a window: a window would sort every
+    partition; the broadcast join keeps the second pass a pure map
+    filter). μ and σ are derived from EXACT decimal sums then identical
+    double arithmetic on both engines, so the boundary comparison cannot
+    flip on summation order — rows at the threshold land the same way
+    everywhere (the per-row x² products are deterministic doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    stats = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    bounds = stats.select(
+        "g",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    return (
+        li.join(F.broadcast(bounds), li["l_returnflag"] == F.col("g"))
+        .filter(F.abs(x - F.col("mu")) > 1.5 * F.col("sigma"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_outlier_price"),
+        )
+        .orderBy("l_returnflag")
+    )
