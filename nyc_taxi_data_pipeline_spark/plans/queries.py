@@ -4740,3 +4740,93 @@ def outlier_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT)                              AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT)                              AS g_status,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_qty,
+       count(*)                                                         AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+@_register("grouping_sets_aggregation", _GROUPING_SETS_ORACLE)
+def grouping_sets_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregation in ONE pass via GROUP BY GROUPING SETS
+    (the general form of the cube/rollup family SURVEY.md §2.4 flags as
+    natively exposable): detail, per-flag subtotal, and grand total share a
+    single scan + Expand + partial/final HashAggregate instead of three
+    scans unioned. GROUPING() markers disambiguate "NULL because
+    subtotal" from data nulls. Output is sorted by the markers first so
+    every sort key that can be NULL is constant within its tie-group —
+    null-ordering defaults (Spark NULLS FIRST vs DuckDB NULLS LAST) can
+    never reorder rows. At 100 TB the Expand tripling happens before the
+    map-side combine, so the shuffle carries only one group-row per
+    (set, key) per task — the same width as running the three aggregates
+    separately, for a third of the scan cost."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+_ROLLING_RANGE_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w
+                  AS DOUBLE), 2)                                 AS rolling_7d_revenue,
+       count(*) OVER w                                           AS rolling_7d_orders
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@_register("rolling_window_range_frame", _ROLLING_RANGE_ORACLE)
+def rolling_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling aggregate via a RANGE frame — the window-function
+    shape SURVEY.md §2.5 notes the reference lacks but an analytics engine
+    must expose (7-day trailing revenue per customer). The frame is
+    value-based (epoch seconds), not row-based, so same-timestamp peers
+    enter together and gaps in the series shrink the frame — semantics a
+    rows-frame cannot express. One shuffle on the partition key, then a
+    sorted single-pass sliding sum per partition (Spark keeps a running
+    frame, O(1) amortized per row). Both engines order by the same integral
+    epoch values and sum exact decimals, so the rolling totals are
+    bit-stable cross-engine. At 100 TB: state is one frame per open
+    customer — bounded by the 7-day span, not partition size."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-518400, W.currentRow)
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double"),
+            2,
+        ).alias("rolling_7d_revenue"),
+        F.count(F.lit(1)).over(w).alias("rolling_7d_orders"),
+    ).orderBy("o_custkey", "o_orderkey")

@@ -193,3 +193,53 @@ def create_external_table(spark: SparkSession, name: str, path: str, fmt: str = 
     psycopg2 DDL executor (utils/create_table.py) and the Trino external-table
     generator (utils/trinp_db.py:8-27) with the session catalog."""
     spark.sql(f"CREATE TABLE IF NOT EXISTS {name} USING {fmt} LOCATION '{path}'")
+
+def publish_zone_version(df: DataFrame, zone: str) -> int:
+    """Atomic zone publish without a table format: write the new snapshot
+    to an immutable `v=<n>` directory, then flip a tiny `_CURRENT` pointer
+    file — the minimal commit protocol Delta/Iceberg provide natively
+    (swap for `write_delta` when the jars are present, SURVEY §2.1 S9).
+
+    Readers that resolved the pointer before the flip keep reading the old
+    immutable version (snapshot isolation); a crashed writer leaves a
+    dangling v-dir but never a half-visible table, because the pointer
+    write is a single small-file rename. Returns the published version."""
+    import os
+
+    os.makedirs(zone, exist_ok=True)
+    versions = [
+        int(d.split("=")[1])
+        for d in os.listdir(zone)
+        if d.startswith("v=") and d.split("=")[1].isdigit()
+    ]
+    version = max(versions, default=-1) + 1
+    df.write.mode("errorifexists").parquet(f"{zone}/v={version}")
+    tmp = f"{zone}/_CURRENT.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, f"{zone}/_CURRENT")  # atomic on POSIX
+    return version
+
+
+def read_published_zone(spark: SparkSession, zone: str) -> DataFrame:
+    """Resolve the `_CURRENT` pointer and read that immutable snapshot."""
+    with open(f"{zone}/_CURRENT") as f:
+        version = int(f.read().strip())
+    return spark.read.parquet(f"{zone}/v={version}")
+
+
+def write_bucketed_table(
+    df: DataFrame, name: str, key: str, buckets: int = 32, sorted_by_key: bool = True
+) -> None:
+    """Bucketed (and bucket-sorted) managed table: pays the shuffle ONCE at
+    write time so every later equi-join / aggregation on `key` between
+    tables bucketed the same way runs shuffle-free — the 100 TB answer to
+    a fact table that is joined on the same key by many downstream jobs
+    (SURVEY §2.3 J2: fact×dim repeats every run). With `sorted_by_key`,
+    SortMergeJoin also skips its per-task sort. Bucket count is a
+    write-time contract: both sides must match for the exchange to be
+    elided, so standardize on one count per key domain."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sorted_by_key:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(name)

@@ -335,3 +335,66 @@ def test_stream_stream_join_plan_has_bounded_state(spark):
     analyzed = joined._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
     assert analyzed.count("EventTimeWatermark") == 2
     assert joined.isStreaming
+
+
+def test_zone_publish_snapshot_isolation(spark, tmp_path):
+    """publish_zone_version: versions are immutable, the pointer flips
+    atomically, and a reader holding the old version is unaffected by a
+    new publish (snapshot isolation without a table format)."""
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        publish_zone_version,
+        read_published_zone,
+    )
+
+    zone = str(tmp_path / "dim_zone")
+    r = load_table(spark, SF, "region")
+    v0 = publish_zone_version(r, zone)
+    assert v0 == 0
+    old_reader = read_published_zone(spark, zone)  # resolves v=0
+    n0 = old_reader.count()
+
+    v1 = publish_zone_version(r.limit(2), zone)
+    assert v1 == 1
+    # new readers see the new snapshot
+    assert read_published_zone(spark, zone).count() == 2
+    # the old reader's resolved frame still scans the immutable v=0
+    assert old_reader.count() == n0
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """write_bucketed_table: two tables bucketed 8-ways on the same key
+    join with ZERO Exchange in the final plan — the write-once-shuffle,
+    join-free-forever contract that makes repeated fact×fact joins viable
+    at 100 TB."""
+    from nyc_taxi_data_pipeline_spark.sources.io import write_bucketed_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}'")
+    try:
+        o = load_table(spark, SF, "orders")
+        c = load_table(spark, SF, "customer")
+        write_bucketed_table(o, "bucketdb.orders_b", "o_custkey", buckets=8)
+        write_bucketed_table(
+            c.withColumnRenamed("c_custkey", "o_custkey"),
+            "bucketdb.customer_b", "o_custkey", buckets=8,
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (
+                spark.table("bucketdb.orders_b")
+                .join(spark.table("bucketdb.customer_b"), "o_custkey")
+                .groupBy("c_mktsegment")
+                .count()
+            )
+            n = joined.count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert n > 0
+        assert "SortMergeJoin" in plan
+        # bucketing replaces BOTH join exchanges; only the tiny post-join
+        # aggregation may shuffle
+        assert plan.count("Exchange") <= 1, plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")

@@ -335,3 +335,83 @@ def test_checkpoint_restart_exactly_once(spark, events_4_files, tmp_path):
     assert got == want, (
         f"exactly-once violated: {len(got)} sink rows vs {len(want)} input rows"
     )
+
+
+def test_stream_stream_join_state_actually_evicts(spark, tmp_path):
+    """The watermark claim made real: feed three micro-batches whose event
+    times advance far past the watermark delay and assert the join state
+    store DROPS old rows (numRowsTotal well below total input) — unbounded
+    state is the 100 TB failure mode the interval condition exists to
+    prevent."""
+    import os
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import (
+        stream_stream_interval_join,
+    )
+
+    ldir, rdir = str(tmp_path / "left"), str(tmp_path / "right")
+    base = 1_700_000_000
+    rows_per_batch = 50
+
+    def write_batch(i: int) -> None:
+        # batches are 2h apart; watermark delay is 10min, join window 5min
+        t0 = base + i * 7200
+        df = spark.range(rows_per_batch).select(
+            (F.col("id") + i * 1000).alias("event_id"),
+            (F.col("id") % 5).alias("user_id"),
+            F.timestamp_seconds(F.col("id") + t0).alias("ts"),
+        )
+        df.coalesce(1).write.mode("append").parquet(ldir)
+        df.select(
+            F.col("event_id").alias("r_event_id"),
+            "user_id",
+            F.col("ts").alias("rts"),
+        ).coalesce(1).write.mode("append").parquet(rdir)
+        # file source orders by modification time; make it strictly increasing
+        now = time.time() + i
+        for d in (ldir, rdir):
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (now, now))
+
+    write_batch(0)
+    schema_l = "event_id long, user_id long, ts timestamp"
+    schema_r = "r_event_id long, user_id long, rts timestamp"
+    left = (
+        spark.readStream.schema(schema_l).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(ldir)
+    )
+    right = (
+        spark.readStream.schema(schema_r).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(rdir)
+    )
+    joined = stream_stream_interval_join(
+        left, right, key="user_id", left_ts="ts", right_ts="rts",
+        max_delay="5 minutes", watermark="10 minutes",
+    )
+    name = f"evict_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(1)
+        q.processAllAvailable()
+        write_batch(2)
+        q.processAllAvailable()
+        # one more empty-ish pass lets the store apply the final watermark
+        write_batch(3)
+        q.processAllAvailable()
+        progress = q.lastProgress
+        state = progress["stateOperators"][0]
+        total_fed = 2 * 4 * rows_per_batch
+        assert state["numRowsTotal"] < total_fed, state
+        # every batch joins within itself (same ts both sides), so output grew
+        assert spark.table(name).count() >= 4 * rows_per_batch
+    finally:
+        q.stop()
