@@ -4830,3 +4830,196 @@ def rolling_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rolling_7d_revenue"),
         F.count(F.lit(1)).over(w).alias("rolling_7d_orders"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+_UDTF_CHUNKS_ORACLE = r"""
+SELECT doc_id,
+       generate_subscripts(wins, 1) - 1 AS win_idx,
+       unnest(wins)                     AS window_text
+FROM (
+  SELECT doc_id,
+         [array_to_string(words[i+1:i+32], ' ')
+          for i in range(0, greatest(length(words) - 32, 0) + 16, 16)] AS wins
+  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents WHERE doc_id % 5 = 0)
+)
+ORDER BY doc_id, win_idx
+"""
+
+
+@_register("udtf_sliding_chunks", _UDTF_CHUNKS_ORACLE)
+def udtf_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunker as a Python UDTF in a LATERAL
+    join — the table-function surface SURVEY.md §2.10 lists (the reference
+    exposes row-multiplying transforms only through pandas `explode`,
+    utils/transform.py). Emits 32-word windows every 16 words (RAG-style
+    50% overlap, unlike the non-overlapping `document_chunking` entry);
+    window starts run to `max(len-32,0)+16` exclusive so the final window
+    always reaches the last word and every start past the first adds new
+    words. One UDTF row-batch per input row, no shuffle at all until the
+    final presentation sort — at 100 TB this is an embarrassingly parallel
+    map whose output is ~2× input tokens, the expected overlap cost.
+    The UDTF class is defined inside this function so cloudpickle ships it
+    by value (executors can't import this package under a foreign-cwd
+    driver)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx int, window_text string")
+    class SlidingChunks:
+        def eval(self, text):
+            if text is None:
+                return
+            words = text.split(" ")
+            n, w, s = len(words), 32, 16
+            for k, start in enumerate(range(0, max(n - w, 0) + s, s)):
+                yield k, " ".join(words[start : start + w])
+
+    spark.udtf.register("sliding_chunks", SlidingChunks)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.win_idx, c.window_text
+        FROM _udtf_docs d, LATERAL sliding_chunks(d.text) c
+        ORDER BY d.doc_id, c.win_idx
+        """
+    )
+
+
+_UDAF_MAD_ORACLE = """
+SELECT o_orderpriority,
+       round(mad(o_totalprice), 2) AS mad_totalprice,
+       count(*)                    AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@_register("udaf_pandas_mad", _UDAF_MAD_ORACLE)
+def udaf_pandas_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as an Arrow-batched grouped-agg pandas UDF — the
+    UDAF surface of SURVEY.md §2.10 (the reference's only custom aggregates
+    are pandas groupby lambdas, utils/transform.py). Median absolute
+    deviation is a robust spread measure no built-in exposes; both engines
+    compute median(|x - median(x)|) by selection over the same doubles
+    (pandas averages the two middles exactly like DuckDB's median), so the
+    rounded values agree bit-for-bit. The UDAF runs once per group AFTER a
+    hash shuffle on the group key; each group must fit one worker's memory
+    — fine for low-cardinality keys like priority (5 groups), and the
+    docstring contract says so: for high-cardinality keys use the
+    approx_percentile sketch entry instead."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit eval type: PEP-563 stringified hints can't be resolved here
+    # (pandas is function-local), so type-hint inference is unavailable
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _mad(v):
+        med = v.median()
+        return float((v - med).abs().median())
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a UDAF too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _n(v):
+        return len(v)
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(_mad("o_totalprice"), 2).alias("mad_totalprice"),
+            _n("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_FUZZY_LEV_ORACLE = """
+SELECT a.p_name                       AS name_a,
+       b.p_name                       AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM (SELECT DISTINCT p_name FROM part) a
+JOIN (SELECT DISTINCT p_name FROM part) b
+  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY name_a, name_b
+"""
+
+
+@_register("fuzzy_join_blocked_levenshtein", _FUZZY_LEV_ORACLE)
+def fuzzy_join_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join with BLOCKING — the scale-correct shape for
+    fuzzy matching (entity resolution over product/vendor names; the
+    reference's location-name matching joins only on exact keys,
+    models/staging). A naive all-pairs edit-distance join is O(n²); the
+    blocking key (first token) turns it into an equi-join whose quadratic
+    cost is confined within each block, then the JVM-side `levenshtein`
+    prunes to true near-matches. Distances are small integers — exact in
+    both engines. The distinct name list is consumed by both join sides, so
+    it is localCheckpointed once (AQE stage reuse does not fire for
+    self-joins of a derived frame). At 100 TB: block sizes are the skew
+    knob — add a second blocking key (name length bucket) before any block
+    outgrows a task."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
+        .localCheckpoint(eager=False)
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "block")
+    b = names.select(F.col("p_name").alias("name_b"), "block")
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "edit_dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(floor((l_quantity - 1) / 5) AS INT)      AS bin_id,
+       1 + 5 * CAST(floor((l_quantity - 1) / 5) AS INT) AS bin_lo,
+       5 + 5 * CAST(floor((l_quantity - 1) / 5) AS INT) AS bin_hi,
+       count(*)                                      AS n_rows,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+                                                     AS revenue
+FROM lineitem
+GROUP BY 1, 2, 3
+ORDER BY bin_id
+"""
+
+
+@_register("histogram_equiwidth", _HISTOGRAM_ORACLE)
+def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram as a binning aggregation — the profiling
+    primitive behind the reference's Great Expectations value-distribution
+    checks (SURVEY.md §2.11) done as ONE scan + tiny hash agg instead of a
+    per-bucket filter loop. The bin id is floor arithmetic on integral
+    quantities (1..50 → ten 5-wide bins): every division is exact at
+    multiples of the width, so bin edges cannot flip between engines.
+    Output is one row per non-empty bin — cardinality bounded by the bin
+    count, not data size, so the final shuffle is negligible at any scale;
+    the heavy lifting is the map-side partial aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    bin_id = F.floor((F.col("l_quantity") - 1) / 5).cast("int")
+    return (
+        li.select(
+            bin_id.alias("bin_id"),
+            (1 + 5 * bin_id).alias("bin_lo"),
+            (5 + 5 * bin_id).alias("bin_hi"),
+            "l_extendedprice",
+        )
+        .groupBy("bin_id", "bin_lo", "bin_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("bin_id")
+    )

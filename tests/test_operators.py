@@ -398,3 +398,38 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         assert "Exchange hashpartitioning(o_custkey" not in plan, plan
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_udtf_sliding_chunks_reconstruct(spark):
+    """Sliding-window chunker invariant: window 0 plus every later
+    window's words[stride:] re-concatenates to EXACTLY the original
+    document — no word lost at the tail, no word duplicated beyond the
+    designed 50% overlap. Runs on the real documents table so short
+    (single-window) docs are exercised too."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["udtf_sliding_chunks"].spark(spark, SF).collect()
+    )
+    originals = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents")
+        .filter("doc_id % 5 = 0")
+        .collect()
+    }
+    assert originals
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["win_idx"], r["window_text"]))
+    assert set(by_doc) == set(originals)
+    for doc_id, wins in by_doc.items():
+        wins.sort()
+        assert [i for i, _ in wins] == list(range(len(wins)))
+        words = wins[0][1].split(" ")
+        for _, text in wins[1:]:
+            w = text.split(" ")
+            # 50% overlap: this window's first 16 words repeat the tail
+            # of what's been reassembled so far
+            assert w[:16] == words[-16:]
+            words.extend(w[16:])
+        assert " ".join(words) == originals[doc_id], f"doc {doc_id} mangled"
