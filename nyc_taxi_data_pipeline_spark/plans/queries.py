@@ -3343,7 +3343,8 @@ SELECT c_nationkey,
          AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > ab
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-08-01')
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
@@ -3356,9 +3357,15 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, NOT EXISTS a LEFT ANTI join on custkey. The threshold is derived
     from an exact decimal sum cast to double — bit-identical in Spark and
     DuckDB, so the > comparison can't flip on summation order.
-    (c_nationkey stands in for the snapshot's missing phone country code.)"""
+    (c_nationkey stands in for the snapshot's missing phone country code;
+    "no orders" is "no orders since 2000-08-01" because the dense synthetic
+    lake gives every customer at least one lifetime order, which would make
+    the pure anti-join vacuously empty. The correlated predicate pushes into
+    the anti-join's build side as a plain filter before the shuffle.)"""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp")
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
         (
             F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
@@ -5022,4 +5029,232 @@ def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
         .orderBy("bin_id")
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+         AND e.ts > t1.ts1 AND e.ts <= t1.ts1 + INTERVAL 24 HOUR
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+         AND e.ts > t2.ts2 AND e.ts <= t2.ts2 + INTERVAL 24 HOUR
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+stages AS (
+  SELECT u.user_id,
+         CASE WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              WHEN t1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS funnel_stage
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN t1 USING (user_id)
+  LEFT JOIN t2 USING (user_id)
+  LEFT JOIN t3 USING (user_id)
+)
+SELECT funnel_stage, count(*) AS n_users
+FROM stages GROUP BY funnel_stage ORDER BY funnel_stage
+"""
+
+
+@_register("funnel_windowed_steps", _FUNNEL_ORACLE)
+def funnel_windowed_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (view → click → purchase, each step within 24h
+    of the previous, anchored at the user's FIRST view) — the product-
+    analytics sequence operator (ClickHouse windowFunnel's anchored
+    variant) the reference's event pipeline stops short of (SURVEY.md
+    §2.9 computes only per-window counts). Spark-first shape: ONE shuffle
+    to group by user, then a JVM-side higher-order F.aggregate walks the
+    sorted in-group event list carrying (stage, last_ts) — no Python, no
+    second pass per step. The oracle reaches the same stages via three
+    progressive min() CTEs; greedy earliest-match equals nested-min
+    because both anchor on the first view. At 100 TB the per-user event
+    list bounds memory (collect_list per user), so pre-filter to the
+    funnel's event types — here that's 3 of 5 types; for wide event
+    streams add a date window too."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    # walked over sort_array(collect_list(...)): (ts, event_type) ordering
+    # makes same-ts ties deterministic and identical to the oracle's
+    # strict-inequality chain
+    step = F.expr("INTERVAL 24 HOURS")
+
+    def _nxt(stage: int, x):
+        return F.struct(
+            F.lit(stage).alias("stage"), x["ts"].alias("t")
+        )
+
+    def _walk(acc, x):
+        in_win = (x["ts"] > acc["t"]) & (x["ts"] <= acc["t"] + step)
+        return (
+            F.when((acc["stage"] == 0) & (x["event_type"] == "view"), _nxt(1, x))
+            .when(
+                (acc["stage"] == 1) & (x["event_type"] == "click") & in_win,
+                _nxt(2, x),
+            )
+            .when(
+                (acc["stage"] == 2) & (x["event_type"] == "purchase") & in_win,
+                _nxt(3, x),
+            )
+            .otherwise(acc)
+        )
+
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("ts", "event_type"))),
+            init,
+            _walk,
+        )["stage"].alias("funnel_stage")
+    )
+    return (
+        per_user.groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_stage")
+    )
+
+
+_CHECKSUM_ORACLE = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
+             l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_returnflag, l_linestatus,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR),
+             strftime(l_shipdate, '%Y-%m-%d'))), 1, 15) AS BIGINT)
+           AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM lineitem
+"""
+
+
+@_register("table_checksum_orderfree", _CHECKSUM_ORACLE)
+def table_checksum_orderfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: md5 each row's canonical key
+    string, reinterpret the first 60 bits as an integer, SUM — the
+    replication/migration validation primitive (engines expose it as
+    CHECKSUM TABLE; the reference has no equivalent, it trusts row counts,
+    SURVEY.md §2.11). Addition is commutative so partition order, shuffle
+    order, and parallelism can't change the result, and the value is
+    portable: md5 is byte-identical everywhere and the hex→int cast is
+    exact. Sum in DECIMAL(38,0) — 60-bit addends would overflow BIGINT's
+    headroom after ~8k rows; the sum ships as a STRING because 38-digit
+    decimals silently degrade to float64 in Arrow/pandas bridges.
+    Timestamps and floats enter via explicit deterministic formatting
+    (date_format / integral cast), never via engine-default string casts.
+    At 100 TB this is a pure map + one-row aggregate: no shuffle wider
+    than one partial sum per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    canonical = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("int").cast("string"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    row_val = F.conv(F.substring(F.md5(canonical), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_val).cast("string").alias("checksum"),
+    )
+
+
+_CENTROID_ORACLE = """
+WITH scale AS (
+  SELECT max(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x)))) AS q_scale
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 127.0 / q_scale) AS BIGINT)) AS qv
+  FROM embeddings, scale
+),
+cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM qz WHERE vec_id % 64 = 0),
+dists AS (
+  SELECT v.vec_id, c.centroid_id,
+         list_sum([ (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])
+                    for i in range(1, len(v.qv) + 1) ]) AS d2
+  FROM qz v CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, centroid_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+  FROM dists
+)
+SELECT centroid_id,
+       count(*)               AS n_assigned,
+       CAST(sum(d2) AS BIGINT) AS total_d2
+FROM best WHERE rn = 1
+GROUP BY centroid_id ORDER BY centroid_id
+"""
+
+
+@_register("centroid_assign_quantized", _CENTROID_ORACLE)
+def centroid_assign_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step over int8-quantized embeddings — the
+    clustering building block for IVF index construction and corpus
+    dedup-by-cluster, done with EXACT integer L2² so the argmin is
+    bit-stable cross-engine (float dot products would tie-break
+    differently under reassociation). Every embedding scores against 8
+    data-derived centroids via broadcast — no shuffle in the scoring pass;
+    the only exchange is the final 8-row rollup. The quantized frame feeds
+    both the centroid pick and the scoring side, so it is localCheckpointed
+    once (AQE stage reuse does not fire on self-joins of a derived frame).
+    At 100 TB: centroids are always broadcast-size (k × dim), scoring is
+    embarrassingly parallel, and the integer arithmetic stays inside
+    whole-stage codegen."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        F.max(F.array_max(F.transform(dbl, lambda x: F.abs(x)))).alias("q_scale")
+    )
+    qz = (
+        emb.crossJoin(F.broadcast(scale))
+        .select(
+            "vec_id",
+            F.transform(
+                dbl, lambda x: F.round(x * 127.0 / F.col("q_scale")).cast("long")
+            ).alias("qv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cents = qz.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    return (
+        qz.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum("d2").cast("bigint").alias("total_d2"),
+        )
+        .orderBy("centroid_id")
     )
