@@ -522,19 +522,22 @@ def winnowing_fingerprints(
         F.sequence(F.lit(1), n_shingles),
         lambda i: hash_of(F.array_join(F.slice(toks, i, k), " ")),
     )
-    ex = df.select(F.col(id_col).alias("id"), shingle_hashes.alias("__h")).select(
-        "id", F.posexplode("__h").alias("pos", "h")
-    )
-    wdoc = W.partitionBy("id")
-    wslide = wdoc.orderBy("pos").rowsBetween(0, window - 1)
+    # carry the shingle count from before the explode: it spares a second
+    # (unordered max-over-partition) Window pass after the shuffle
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes.alias("__h"),
+        n_shingles.alias("__n"),
+    ).select("id", "__n", F.posexplode("__h").alias("pos", "h"))
+    wslide = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     return (
         ex.select(
             "id",
             "pos",
+            "__n",
             F.min("h").over(wslide).alias("fingerprint"),
-            F.max("pos").over(wdoc).alias("__maxpos"),
         )
-        .filter(F.col("pos") <= F.col("__maxpos") - (window - 1))
+        .filter(F.col("pos") <= F.col("__n") - window)
         .select("id", "fingerprint")
         .distinct()
     )
@@ -554,8 +557,13 @@ def winnowing_overlap_pairs(
     otherwise-different documents, which whole-doc Jaccard dilutes below
     any practical threshold. Inverted-index join on the fingerprint (same
     scale shape as all_pairs_jaccard: shuffle on fingerprint, work
-    proportional to Σ postings², never O(n²))."""
-    fp = winnowing_fingerprints(df, text_col, id_col, k, window, fast_hash)
+    proportional to Σ postings², never O(n²)). The fingerprint frame feeds
+    both join sides, so it is localCheckpointed once — AQE stage reuse does
+    not fire for self-joins of a derived frame, and without the checkpoint
+    the whole md5+window pipeline runs twice."""
+    fp = winnowing_fingerprints(
+        df, text_col, id_col, k, window, fast_hash
+    ).localCheckpoint(eager=False)
     return (
         fp.alias("a")
         .join(

@@ -433,3 +433,47 @@ def test_udtf_sliding_chunks_reconstruct(spark):
             assert w[:16] == words[-16:]
             words.extend(w[16:])
         assert " ".join(words) == originals[doc_id], f"doc {doc_id} mangled"
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning: a fact partitioned on year, joined to a
+    dim that is filtered on a NON-partition column, must scan only the
+    partitions the dim's surviving rows name — the difference between
+    reading one partition and reading 100 TB. The filter value ('y2000')
+    can't be pushed statically because the fact doesn't have the label
+    column; only runtime subquery reuse (DPP) can prune."""
+    fact_dir = str(tmp_path / "fact_orders")
+    o = load_table(spark, SF, "orders")
+    o.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+        "o_year"
+    ).parquet(fact_dir)
+
+    dim = (
+        o.select(F.year("o_orderdate").alias("o_year"))
+        .distinct()
+        .withColumn("label", F.concat(F.lit("y"), F.col("o_year")))
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = (
+        fact.join(F.broadcast(dim), "o_year")
+        .filter(F.col("label") == "y2000")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0]["n"] > 0
+    plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """Source/sink breadth beyond parquet (CSV/JSON roundtrips are pinned
+    above): ORC — the other columnar lake format Spark ships natively —
+    preserves row content and types through a write/read cycle."""
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = str(tmp_path / "orc")
+    cust.write.mode("overwrite").orc(path)
+    back = spark.read.schema(cust.schema).orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
