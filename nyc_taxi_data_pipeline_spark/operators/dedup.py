@@ -416,11 +416,30 @@ def verify_jaccard(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: join shingle arrays
-    back in (broadcast-friendly when the candidate set is small), compute
-    |∩| / |∪| with array intrinsics."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(textfn.shingles(text_col, shingle_k)).alias("sh"),
+    back in, compute |∩| / |∪| with array intrinsics.
+
+    Scale shape: the pairs frame is materialized once (it is consumed by
+    the id-extraction AND the final join — as a derived LSH join it would
+    otherwise re-run per consumer), and the shingle arrays are built ONLY
+    for ids that appear in some candidate pair (broadcast semi-join prune).
+    Verification cost is proportional to the candidate set, never the
+    corpus — at 100 TB the corpus-wide shingle pass is the dominant cost
+    and candidates are a vanishing fraction."""
+    pairs = pairs.localCheckpoint(eager=False)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # prune BEFORE projecting: a semi-join above the shingle projection
+    # would still evaluate the shingle expression for every corpus row
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        .select(
+            "id", F.array_distinct(textfn.shingles("__t", shingle_k)).alias("sh")
+        )
+        .localCheckpoint(eager=False)  # feeds both join sides
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
