@@ -109,3 +109,27 @@ def expect(df: DataFrame, rules: list[Rule]) -> None:
     failed = {k: v for k, v in results.items() if v != 0}
     if failed:
         raise AssertionError(f"data-quality expectations failed: {failed}")
+
+
+def observe_quality(df: DataFrame, rules: list[Rule]):
+    """Attach the rule suite to the frame as `df.observe()` metrics:
+    violation counts ride along with whatever action the caller already
+    runs (the production write, a count) — ZERO extra scans, where
+    `check()` runs a dedicated aggregation job and the reference's GX
+    suite runs one query per expectation. Returns (observed_df, obs);
+    read `obs.get` after the action completes.
+
+    The 100 TB posture: quality gating becomes free telemetry on the
+    write instead of doubling the pipeline's scan bill. Aggregate-level
+    rules (unique) still need their own aggregation — same contract as
+    `check()`."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).cast("long").alias("observed_rows")] + [
+        F.coalesce(F.sum(F.when(r.violated, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(r.name)
+        for r in rules
+    ]
+    return df.observe(obs, *aggs), obs

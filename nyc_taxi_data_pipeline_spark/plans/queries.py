@@ -5258,3 +5258,61 @@ def centroid_assign_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+_IQR_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT quantile_cont(n_orders, 0.25) AS q1,
+         quantile_cont(n_orders, 0.75) AS q3
+  FROM per_cust
+)
+SELECT o_custkey,
+       n_orders,
+       q1 - 1.5 * (q3 - q1) AS fence_lo,
+       q3 + 1.5 * (q3 - q1) AS fence_hi
+FROM per_cust, q
+WHERE n_orders < q1 - 1.5 * (q3 - q1) OR n_orders > q3 + 1.5 * (q3 - q1)
+ORDER BY o_custkey
+"""
+
+
+@_register("outlier_iqr_robust", _IQR_ORACLE)
+def outlier_iqr_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier screen — the robust complement to
+    `outlier_zscore_by_group` (quartiles don't move when the outliers do;
+    z-scores famously mask their own outliers). Runs on per-customer order
+    COUNTS, where the synthetic lake actually has tail mass. Exactness:
+    counts are integers and Spark's exact `percentile` uses the same
+    pos = f·(n-1) linear interpolation as DuckDB's quantile_cont, so with
+    dyadic f (0.25/0.75) every quartile, IQR, and 1.5×-fence is a finite
+    binary fraction — the < comparisons cannot flip cross-engine. Scale
+    shape: one count agg, a 1-row broadcast of the quartiles, and a scan-
+    side filter; the counts frame feeds both and is materialized once.
+    (Exact percentile needs a per-group sort at scale — swap
+    approx_percentile in when rank-error tolerance is acceptable.)"""
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .localCheckpoint(eager=False)  # feeds the quartiles AND the filter
+    )
+    q = per_cust.agg(
+        F.expr("percentile(n_orders, 0.25)").alias("q1"),
+        F.expr("percentile(n_orders, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        per_cust.crossJoin(F.broadcast(q))
+        .filter((F.col("n_orders") < lo) | (F.col("n_orders") > hi))
+        .select(
+            "o_custkey",
+            "n_orders",
+            lo.alias("fence_lo"),
+            hi.alias("fence_hi"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -477,3 +477,44 @@ def test_orc_roundtrip(spark, tmp_path):
     cust.write.mode("overwrite").orc(path)
     back = spark.read.schema(cust.schema).orc(path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
+
+
+def test_observe_quality_piggybacks_on_action(spark, tmp_path):
+    """observe_quality: violation counts must arrive with the job's own
+    write action — no second scan — and agree with the dedicated check()
+    pass."""
+    from nyc_taxi_data_pipeline_spark.operators.quality import (
+        between_rule,
+        check,
+        not_null_rule,
+        observe_quality,
+    )
+
+    df = load_table(spark, SF, "orders")
+    rules = [not_null_rule("o_custkey"), between_rule("o_totalprice", 0.0, 50_000.0)]
+    observed, obs = observe_quality(df, rules)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    want = check(df, rules)
+    assert got["observed_rows"] == df.count()
+    for r in rules:
+        assert got[r.name] == want[r.name], r.name
+
+
+def test_join_strategy_hints_honored(spark):
+    """Join-strategy hints are the manual override lane when stats mislead
+    the optimizer at scale: merge and shuffle_hash hints must actually
+    select SortMergeJoin / ShuffledHashJoin."""
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    cond_merge = o["o_custkey"] == c["c_custkey"]
+
+    merged = o.join(c.hint("merge"), cond_merge).groupBy("c_mktsegment").count()
+    merged.collect()
+    plan = merged._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "SortMergeJoin" in plan, plan
+
+    hashed = o.join(c.hint("shuffle_hash"), cond_merge).groupBy("c_mktsegment").count()
+    hashed.collect()
+    plan = hashed._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ShuffledHashJoin" in plan, plan
