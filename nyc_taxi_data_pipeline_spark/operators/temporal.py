@@ -230,3 +230,58 @@ def gap_fill_forward(
             F.col("observed_dec").isNull().alias("is_gap"),
         )
     )
+
+
+def cogrouped_asof_merge(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """`as_of_join` on the COGROUP surface: both sides shuffle once on the
+    key, then each key's pair of Arrow batches meets one pandas
+    `merge_asof` (backward, exact matches allowed — the same "at or
+    before" semantics as the JVM path; `right_cols` must not collide with
+    left column names).
+
+    Exists for two reasons: (a) it covers
+    `groupBy().cogroup().applyInPandas` — the API every two-sided custom
+    per-key algorithm (per-entity model scoring, custom reconciliation)
+    needs, which no other operator in this engine exercises; (b) it is the
+    escape hatch when the per-key merge logic outgrows what window
+    functions express. For plain as-of attribution PREFER `as_of_join`:
+    it stays in whole-stage codegen, while this path pays one
+    Python/Arrow round-trip per key group. Per-key state must fit one
+    worker (same contract as every applyInPandas)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        list(left.schema.fields) + [right.schema[c] for c in right_cols]
+    )
+    lcols = list(left.columns)
+
+    def merge(lpdf, rpdf):
+        import pandas as pd
+
+        out_cols = lcols + right_cols
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if lpdf.empty or rpdf.empty:
+            out = lpdf.copy()
+            for c in right_cols:
+                out[c] = None
+            return out[out_cols]
+        rsub = (
+            rpdf[[right_ts] + right_cols]
+            .rename(columns={right_ts: "__rts"})
+            .sort_values("__rts", kind="mergesort")
+        )
+        m = pd.merge_asof(
+            lpdf, rsub, left_on=left_ts, right_on="__rts", direction="backward"
+        )
+        return m[out_cols]
+
+    return (
+        left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas(merge, schema)
+    )

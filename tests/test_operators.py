@@ -518,3 +518,36 @@ def test_join_strategy_hints_honored(spark):
     hashed.collect()
     plan = hashed._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_cogrouped_asof_matches_jvm_asof(spark):
+    """The cogrouped pandas merge_asof and the codegen'd union+window
+    as_of_join are two physical strategies for ONE semantics — they must
+    agree row-for-row on real data (including keys with no right rows)."""
+    from nyc_taxi_data_pipeline_spark.operators.temporal import (
+        as_of_join,
+        cogrouped_asof_merge,
+    )
+
+    ev = load_table(spark, SF, "events")
+    left = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    args = dict(key="user_id", left_ts="ts", right_ts="pts",
+                right_cols=["purchase_value"])
+    jvm = as_of_join(left, right, **args)
+    cog = cogrouped_asof_merge(left, right, **args)
+
+    def snap(df):
+        return sorted(
+            (r["user_id"], r["ts"], r["event_id"],
+             None if r["purchase_value"] is None else round(r["purchase_value"], 6))
+            for r in df.collect()
+        )
+
+    a, b = snap(jvm), snap(cog)
+    assert a == b
+    assert len(a) == left.count()

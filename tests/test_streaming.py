@@ -415,3 +415,82 @@ def test_stream_stream_join_state_actually_evicts(spark, tmp_path):
         assert spark.table(name).count() >= 4 * rows_per_batch
     finally:
         q.stop()
+
+
+def test_streaming_session_window_emits_closed_sessions(spark, tmp_path):
+    """Event-time session windows in a STREAM: append mode must emit
+    exactly the sessions the watermark has closed, with the same
+    (start, end, count) a batch sessionization computes — the §2.9
+    extension the reference's processing-time-only pipeline never
+    attempts. Four micro-batches 2h apart; after the 4th, the watermark
+    has sealed the first three batches (the 4th's own sessions stay
+    open — no later event time has passed them); processAllAvailable's
+    flush batches apply each file's watermark as it lands."""
+    import os
+    import time
+    import uuid
+
+    src = str(tmp_path / "src")
+    base = 1_700_000_000
+    n_users, n_ev = 3, 5
+
+    def write_batch(i: int) -> None:
+        t0 = base + i * 7200
+        df = spark.range(n_users * n_ev).select(
+            (F.col("id") % n_users).alias("user_id"),
+            F.timestamp_seconds((F.col("id") / n_users).cast("int") * 60 + t0).alias("ts"),
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        now = time.time() + i
+        for f in os.listdir(src):
+            os.utime(os.path.join(src, f), (now, now))
+
+    for i in range(2):
+        write_batch(i)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("start"),
+                F.col("w.end").alias("end"), "n_events")
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(2)
+        q.processAllAvailable()
+        write_batch(3)
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], r["start"], r["end"], r["n_events"])
+            for r in spark.table(name).collect()
+        )
+    finally:
+        q.stop()
+
+    first_two = spark.read.parquet(src).filter(
+        F.col("ts") < F.timestamp_seconds(F.lit(base + 3 * 7200))
+    )
+    want = sorted(
+        (r["user_id"], r["start"], r["end"], r["n_events"])
+        for r in first_two.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("start"),
+                F.col("w.end").alias("end"), "n_events")
+        .collect()
+    )
+    assert want, "batch reference is empty — fixture broken"
+    assert got == want, f"closed sessions diverge: got {got[:4]} want {want[:4]}"
