@@ -551,3 +551,34 @@ def test_cogrouped_asof_matches_jvm_asof(spark):
     a, b = snap(jvm), snap(cog)
     assert a == b
     assert len(a) == left.count()
+
+
+def test_udtf_table_argument_melt(spark):
+    """UDTF taking a TABLE argument — the table-valued-function surface
+    (SQL `FROM melt(TABLE(...))`): melts every numeric column of the input
+    relation to (col, value) rows without the caller naming the columns.
+    Covers §2.10's last uncovered shape; the unpivot catalog entry is the
+    static-schema cousin."""
+    from pyspark.sql.functions import udtf
+
+    class MeltNumeric:
+        def eval(self, row):
+            for name, v in row.asDict().items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    yield name, float(v)
+
+    spark.udtf.register(
+        "melt_numeric", udtf(MeltNumeric, returnType="col string, value double")
+    )
+    load_table(spark, SF, "region").createOrReplaceTempView("_melt_src")
+    got = sorted(
+        (r["col"], r["value"])
+        for r in spark.sql(
+            "SELECT * FROM melt_numeric(TABLE(SELECT * FROM _melt_src))"
+        ).collect()
+    )
+    want = sorted(
+        ("r_regionkey", float(r["r_regionkey"]))
+        for r in load_table(spark, SF, "region").collect()
+    )
+    assert got == want

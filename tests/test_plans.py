@@ -88,11 +88,21 @@ def test_q18_having_filter_before_join(spark):
     assert "TakeOrderedAndProject" in plan  # top-100 never global-sorts
 
 
+# catalog entries whose PURPOSE is the Python surface: the Arrow decode
+# stub and the UDTF/UDAF coverage entries (§2.10) — everything else must
+# stay JVM-side
+_PYTHON_BY_DESIGN = {
+    "multimodal_decode_features",
+    "udtf_sliding_chunks",
+    "udaf_pandas_mad",
+}
+
+
 @pytest.mark.parametrize(
-    "name", [n for n in REGISTRY if n != "multimodal_decode_features"]
+    "name", [n for n in REGISTRY if n not in _PYTHON_BY_DESIGN]
 )
 def test_no_python_in_hot_path(spark, name):
-    """Every operator except the explicit Arrow decode stage must stay
+    """Every operator except the explicit Python-surface entries must stay
     JVM-side — no row-at-a-time or vectorized Python eval in the plan."""
     if name.startswith("streaming_"):
         pytest.skip("streaming queries materialize sinks; plan is the sink read")
@@ -211,3 +221,64 @@ def test_no_unbroadcast_cartesian_anywhere(spark, name):
         pytest.skip("streaming queries materialize sinks; plan is the sink read")
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name} has a shuffled cartesian"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """session.py turns AQE skew-join on and the docs lean on it — prove it
+    FIRES: a 90%-one-key sort-merge join under tiny skew thresholds must
+    show skew=true / AQEShuffleRead skewed in the final adaptive plan (the
+    hot partition split across tasks instead of stalling one executor).
+    Coalescing is disabled for the probe — it re-packs partitions before
+    the skew check and can mask the hot one at toy sizes."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            (F.col("id") * 2).alias("payload"),
+        )
+        small = spark.range(1_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = big.join(small, "k")
+        assert len(joined.collect()) == 270_100
+        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """A global orderBy must shuffle with RangePartitioning (sampled
+    boundaries, every partition sorted AND globally ordered) — never a
+    single-partition sort; sortWithinPartitions must add NO exchange at
+    all (the zone-write ordering primitive)."""
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+    big = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    global_sorted = big.orderBy("l_extendedprice")
+    global_sorted.collect()
+    plan = global_sorted._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "rangepartitioning" in plan.lower(), plan
+
+    local_sorted = big.sortWithinPartitions("l_extendedprice")
+    local_sorted.collect()
+    plan = local_sorted._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Exchange" not in plan, plan
