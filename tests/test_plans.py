@@ -2,8 +2,9 @@
 
 Correctness at sf0.01 says nothing about 100 TB; these tests pin the
 properties that do — scans prune and push down, small dims broadcast,
-range joins never degrade to nested loops, Python appears in exactly one
-operator (the multimodal decode), top-k never global-sorts.
+range joins never degrade to nested loops, Python appears only in the
+operators whose purpose IS the Python surface (multimodal decode, UDTF
+chunker, pandas UDAF), top-k never global-sorts.
 """
 
 from __future__ import annotations
