@@ -168,17 +168,36 @@ def run_stream_upsert_parquet(
     return spark.read.parquet(f"{zone}/v={versions[-1]}")
 
 
-def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
+def run_stream_to_memory(
+    df: DataFrame, name: str, state_partitions: int | None = 8
+) -> DataFrame:
     """ST7 harness, determinism-fixed: drain all available input
     (processAllAvailable), stop, return the materialized sink as a batch
     frame — replaces the reference's wall-clock awaitTermination(60) +
-    read-back pattern."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete" if _has_aggregation(df) else "append")
-        .start()
-    )
+    read-back pattern.
+
+    `state_partitions` pins `spark.sql.shuffle.partitions` for the stream's
+    lifetime (restored after): a stateful query instantiates one state
+    store per shuffle partition PER stateful operator (a stream-stream
+    join runs four), so state width must be sized to key cardinality and
+    throughput — inheriting a batch session's wide shuffle default just
+    multiplies state-store open/commit overhead. Results are identical at
+    any width; pass None to keep the session setting. The pin is read once
+    at query START, so it cannot leak into the query after restore."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete" if _has_aggregation(df) else "append")
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
