@@ -243,3 +243,36 @@ def write_bucketed_table(
     if sorted_by_key:
         writer = writer.sortBy(key)
     writer.saveAsTable(name)
+
+
+def audited_publish_zone(df: DataFrame, zone: str, rules) -> tuple[int | None, dict]:
+    """Write-Audit-Publish: write the snapshot to the next immutable
+    `v=<n>` directory with quality metrics observed ON the write itself
+    (one scan total), and flip the `_CURRENT` pointer ONLY if no rule is
+    violated. A failed audit leaves the pointer untouched — readers keep
+    the last good version and the bad snapshot sits in its v-dir for
+    inspection (delete or republish later). Returns (published version or
+    None, metric dict). This is the WAP commit protocol Iceberg/Delta
+    users build with branches, done with the pointer file."""
+    import os
+
+    from nyc_taxi_data_pipeline_spark.operators.quality import observe_quality
+
+    observed, obs = observe_quality(df, rules)
+    os.makedirs(zone, exist_ok=True)
+    versions = [
+        int(d.split("=")[1])
+        for d in os.listdir(zone)
+        if d.startswith("v=") and d.split("=")[1].isdigit()
+    ]
+    version = max(versions, default=-1) + 1
+    observed.write.mode("errorifexists").parquet(f"{zone}/v={version}")
+    metrics = dict(obs.get)
+    violated = any(v > 0 for k, v in metrics.items() if k != "observed_rows")
+    if violated:
+        return None, metrics
+    tmp = f"{zone}/_CURRENT.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, f"{zone}/_CURRENT")
+    return version, metrics

@@ -582,3 +582,34 @@ def test_udtf_table_argument_melt(spark):
         for r in load_table(spark, SF, "region").collect()
     )
     assert got == want
+
+
+def test_audited_publish_blocks_bad_snapshot(spark, tmp_path):
+    """Write-Audit-Publish: a clean snapshot publishes and flips the
+    pointer; a snapshot violating a rule writes its v-dir (for forensics)
+    but does NOT become current — readers keep the last good version. The
+    audit metrics come from the write itself (observe), not a second
+    scan."""
+    from nyc_taxi_data_pipeline_spark.operators.quality import between_rule
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        audited_publish_zone,
+        read_published_zone,
+    )
+
+    zone = str(tmp_path / "zone")
+    good = load_table(spark, SF, "orders")
+    rules = [between_rule("o_totalprice", 0.0, 10_000_000.0)]
+    v, metrics = audited_publish_zone(good, zone, rules)
+    assert v == 0
+    assert metrics["observed_rows"] == good.count()
+    assert read_published_zone(spark, zone).count() == good.count()
+
+    bad_rules = [between_rule("o_totalprice", 0.0, 10.0)]  # everything violates
+    v2, metrics2 = audited_publish_zone(good, zone, bad_rules)
+    assert v2 is None
+    assert metrics2[bad_rules[0].name] > 0
+    # pointer still resolves v=0; the rejected v=1 exists for inspection
+    assert read_published_zone(spark, zone).count() == good.count()
+    import os
+
+    assert os.path.isdir(f"{zone}/v=1")
