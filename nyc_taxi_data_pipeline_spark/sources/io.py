@@ -276,3 +276,33 @@ def audited_publish_zone(df: DataFrame, zone: str, rules) -> tuple[int | None, d
         f.write(str(version))
     os.replace(tmp, f"{zone}/_CURRENT")
     return version, metrics
+
+
+def list_zone_versions(zone: str) -> list[int]:
+    """All snapshot versions present in the zone, ascending (the published
+    one is whatever `_CURRENT` names — a superset means rejected WAP
+    audits or rollback history)."""
+    import os
+
+    if not os.path.isdir(zone):
+        return []
+    return sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(zone)
+        if d.startswith("v=") and d.split("=")[1].isdigit()
+    )
+
+
+def rollback_zone(zone: str, version: int) -> None:
+    """Point `_CURRENT` back at an existing immutable snapshot — the
+    recovery path when a published version turns out bad downstream.
+    O(1): a pointer flip, no data movement, same atomic rename as
+    publish. Raises if the version was never written."""
+    import os
+
+    if not os.path.isdir(f"{zone}/v={version}"):
+        raise ValueError(f"zone {zone} has no version {version}")
+    tmp = f"{zone}/_CURRENT.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, f"{zone}/_CURRENT")

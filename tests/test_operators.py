@@ -613,3 +613,39 @@ def test_audited_publish_blocks_bad_snapshot(spark, tmp_path):
     import os
 
     assert os.path.isdir(f"{zone}/v=1")
+
+
+def test_zone_rollback_and_schema_evolution(spark, tmp_path):
+    """Versioned-zone lifecycle: publish v0, publish an evolved v1 (extra
+    column), roll back to v0 in O(1), and read the full history with
+    mergeSchema (old snapshots surface the new column as null) — the
+    schema-evolution contract a lakehouse table format gives, recreated on
+    the pointer protocol."""
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        list_zone_versions,
+        publish_zone_version,
+        read_published_zone,
+        rollback_zone,
+    )
+
+    zone = str(tmp_path / "dim")
+    r = load_table(spark, SF, "region")
+    assert publish_zone_version(r, zone) == 0
+    evolved = r.withColumn("ingest_tag", F.lit("batch-2"))
+    assert publish_zone_version(evolved, zone) == 1
+    assert list_zone_versions(zone) == [0, 1]
+    assert "ingest_tag" in read_published_zone(spark, zone).columns
+
+    rollback_zone(zone, 0)
+    assert "ingest_tag" not in read_published_zone(spark, zone).columns
+    assert read_published_zone(spark, zone).count() == r.count()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rollback_zone(zone, 99)
+
+    history = spark.read.option("mergeSchema", True).parquet(f"{zone}/v=*")
+    assert "ingest_tag" in history.columns
+    assert history.count() == 2 * r.count()
+    assert history.filter(F.col("ingest_tag").isNull()).count() == r.count()
