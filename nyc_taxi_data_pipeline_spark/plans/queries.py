@@ -5316,3 +5316,123 @@ def outlier_iqr_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+_COHORT_ORACLE = """
+WITH first_signup AS (
+  SELECT user_id,
+         min(ts)                                   AS signup_ts,
+         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_trunc('week', e.ts) AS DATE) AS active_week
+  FROM events e JOIN first_signup f USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= f.signup_ts
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+         AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first_signup f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+ORDER BY f.cohort_week, week_offset
+"""
+
+
+@_register("cohort_retention", _COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup
+    (users grouped by signup week × weeks-since-signup in which they
+    purchased). Weeks are ISO date_trunc on BOTH engines (Monday-aligned,
+    so the day-diff is always a multiple of 7 and the integer division is
+    exact); users without a signup never enter (inner join), pre-signup
+    purchases are excluded on the raw timestamp. Scale shape: the cohort
+    dim is one row per user — broadcast — so the event scan shuffles only
+    for the per-(user, week) distinct; the final matrix is
+    cohorts × offsets, tiny at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+        .withColumn("cohort_week", F.date_trunc("week", F.col("signup_ts")).cast("date"))
+        .localCheckpoint(eager=False)  # joined twice: activity filter + rollup
+    )
+    activity = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first), "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        )
+        .distinct()
+    )
+    return (
+        activity.join(F.broadcast(first), "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_SLIDING_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) - INTERVAL 30 MINUTE AS t0,
+         max(ts)                                          AS t1
+  FROM events
+),
+starts AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 30 MINUTE)) AS ws FROM bounds
+)
+SELECT s.ws                                                  AS window_start,
+       s.ws + INTERVAL 1 HOUR                                AS window_end,
+       count(*)                                              AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE), 2)
+                                                             AS total_value
+FROM events e
+JOIN starts s ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL 1 HOUR
+GROUP BY s.ws
+ORDER BY window_start
+"""
+
+
+@_register("sliding_window_counts", _SLIDING_ORACLE)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) time windows in BATCH: 1-hour windows every
+    30 minutes, each event counted in exactly two — the trend-smoothing
+    companion to the tumbling `streaming_window_counts`. Spark's window()
+    replicates each row once per containing window BEFORE the shuffle (an
+    Expand, ×2 here), then it's a plain hash aggregate — no self-join, no
+    range join. The oracle builds the same epoch-aligned window starts
+    explicitly (series from the covering half-hour boundary) and range-
+    joins; empty windows appear in neither engine. At 100 TB the cost is
+    the overlap factor (window/slide), paid in the map stage where it
+    combines — never a per-window scan."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
