@@ -5436,3 +5436,93 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+_TF_COSINE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE doc_id % 4 = 0
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm FROM tf GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT d.doc_a, d.doc_b,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b
+),
+ranked AS (
+  SELECT doc_a, doc_b, cosine,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY cosine DESC, doc_b) AS rnk
+  FROM scored
+)
+SELECT doc_a, doc_b, CAST(rnk AS INT) AS rnk, cosine
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_a, rnk
+"""
+
+
+@_register("doc_similarity_tf_cosine", _TF_COSINE_ORACLE)
+def doc_similarity_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse document-to-document cosine top-k over TERM-FREQUENCY vectors
+    via an inverted index — the relational complement to the dense
+    embedding ANN family: no vectors stored, the dot product is
+    sum(tf_a·tf_b) grouped on an equi-join over shared terms, so work is
+    Σ postings² per term, never |docs|². Exactness: tf values are
+    integers (exact dot), sqrt is IEEE-correctly-rounded in both engines,
+    and the final division happens in one identical expression — ties in
+    cosine break on doc id. The tf frame feeds the join twice plus the
+    norms, so it is materialized once. At 100 TB: cap ultra-frequent
+    terms (they dominate postings²) exactly like the all-pairs-Jaccard
+    docstring prescribes; IDF weighting (log) is deliberately absent —
+    transcendental functions aren't bit-reproducible across engines, and
+    the portable contract is part of this catalog's spec."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds both join sides + norms
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a = tf.select(F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tf_a"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    w = W.partitionBy("doc_a").orderBy(F.col("cosine").desc(), "doc_b")
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_a", "doc_b", "rnk", "cosine")
+        .orderBy("doc_a", "rnk")
+    )
