@@ -5526,3 +5526,112 @@ def doc_similarity_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "rnk", "cosine")
         .orderBy("doc_a", "rnk")
     )
+
+
+_CADENCE_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       count(*) + 1                          AS n_orders,
+       CAST(max(gap_days) AS INT)            AS max_gap_days,
+       CAST(min(gap_days) AS INT)            AS min_gap_days,
+       CAST(sum(gap_days) AS BIGINT)         AS total_span_days
+FROM gaps
+WHERE gap_days IS NOT NULL AND o_custkey % 25 = 0
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@_register("order_cadence_gaps", _CADENCE_ORACLE)
+def order_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence analysis: per-customer gaps between CONSECUTIVE
+    orders via lag() over (custkey, orderdate, orderkey) — the
+    deterministic total order makes same-day orders tie-break identically
+    in both engines, so every gap is the same integer day count. One
+    shuffle on the partition key; the lag is a single pass over each
+    sorted partition; sum(gaps) telescopes to last-minus-first (asserted
+    by the oracle's BIGINT sum). The churn-risk signal (max gap) and
+    subscription-likeness (min gap) drop out of the same window."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.filter(F.col("gap_days").isNotNull() & (F.col("o_custkey") % 25 == 0))
+        .groupBy("o_custkey")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_orders"),
+            F.max("gap_days").cast("int").alias("max_gap_days"),
+            F.min("gap_days").cast("int").alias("min_gap_days"),
+            F.sum("gap_days").cast("bigint").alias("total_span_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_SHARE_ORACLE = """
+WITH nat AS (
+  SELECT n.n_regionkey, n.n_name,
+         sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS nat_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_name
+)
+SELECT r.r_name                                        AS region,
+       nat.n_name                                      AS nation,
+       round(CAST(nat.nat_rev AS DOUBLE), 2)           AS nation_revenue,
+       round(CAST(nat.nat_rev AS DOUBLE)
+             / CAST(sum(nat.nat_rev) OVER (PARTITION BY nat.n_regionkey)
+                    AS DOUBLE) * 100, 4)               AS pct_of_region
+FROM nat JOIN region r ON nat.n_regionkey = r.r_regionkey
+ORDER BY region, pct_of_region DESC, nation
+"""
+
+
+@_register("revenue_share_of_region", _SHARE_ORACLE)
+def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent decomposition (nation revenue as % of its
+    region): aggregate once at the CHILD grain, then a window sum over
+    the parent key supplies the denominator — one detail shuffle plus a
+    25-row window, where the naive two-aggregations-and-a-join shape scans
+    the fact twice. Both engines window over the SAME decimal sums, so
+    the shares divide identical doubles. At 100 TB the fact joins only
+    broadcast dims and aggregates straight to nation grain — the window
+    runs on 25 rows regardless of fact size."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nat = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("nat_rev"))
+    )
+    wreg = W.partitionBy("n_regionkey")
+    return (
+        nat.join(F.broadcast(r), nat["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("nat_rev").cast("double"), 2).alias("nation_revenue"),
+            F.round(
+                F.col("nat_rev").cast("double")
+                / F.sum("nat_rev").over(wreg).cast("double")
+                * 100,
+                4,
+            ).alias("pct_of_region"),
+        )
+        .orderBy("region", F.col("pct_of_region").desc(), "nation")
+    )
