@@ -5635,3 +5635,132 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", F.col("pct_of_region").desc(), "nation")
     )
+
+
+_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_support AS (
+  SELECT l_partkey, count(*) AS n_orders FROM items GROUP BY l_partkey
+),
+pair_support AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS together
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+n_orders_total AS (SELECT count(DISTINCT l_orderkey) AS n FROM items)
+SELECT p.part_a, p.part_b, p.together,
+       round(CAST(p.together AS DOUBLE) * t.n
+             / (sa.n_orders * sb.n_orders), 6) AS lift
+FROM pair_support p
+JOIN part_support sa ON sa.l_partkey = p.part_a
+JOIN part_support sb ON sb.l_partkey = p.part_b
+CROSS JOIN n_orders_total t
+WHERE p.together >= 3
+ORDER BY p.together DESC, lift DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+@_register("basket_pair_affinity", _BASKET_ORACLE)
+def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same order,
+    with LIFT (observed co-rate over independence) — association mining as
+    one inverted-index self-join on the basket key, the same Σ postings²
+    shape as the Jaccard/TF-cosine family (baskets are small, so the
+    quadratic blowup is per-order, never per-catalog). Counts are exact;
+    lift divides exact integers in one identical expression. The distinct
+    item list feeds the pair join twice plus both support lookups — one
+    materialization. Top-50 by support with full deterministic
+    tie-breaking, so LIMIT is stable cross-engine."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    support = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    sa = support.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na"))
+    sb = support.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(
+                F.col("together").cast("double") * F.col("n")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("together").desc(), F.col("lift").desc(), "part_a", "part_b"
+        )
+        .limit(50)
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+         AS p_next
+FROM counts
+ORDER BY event_type, next_type
+"""
+
+
+@_register("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (P(next event type | current)): lead() over a fully deterministic
+    order (ts, event_id), count transitions, normalize per source state
+    with a window over the 5×5 count matrix — sequence analytics as two
+    windows and a hash agg, no Python state machine. Row probabilities
+    divide exact integer counts, so they're bit-identical cross-engine.
+    At 100 TB the only wide op is the shuffle on user_id; the matrix
+    itself is |event types|² regardless of volume."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    counts = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = W.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wsrc).cast("double"), 6
+        ).alias("p_next"),
+    ).orderBy("event_type", "next_type")
