@@ -5764,3 +5764,87 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wsrc).cast("double"), 6
         ).alias("p_next"),
     ).orderBy("event_type", "next_type")
+
+
+_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS col, count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(38,2)) AS VARCHAR),
+       CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(38,2)) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate),
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+FROM orders
+ORDER BY col
+"""
+
+
+@_register("profile_table_onepass", _PROFILE_ORACLE)
+def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (nulls / distincts / min / max per column, long
+    format) in ONE scan: all 24 aggregates run in a single HashAggregate
+    and `stack` unpivots the 1-row result — the engine-side DESCRIBE the
+    reference's notebook-based validation re-queries column by column
+    (SURVEY §2.11), and the oracle deliberately writes as 6 UNION'd scans
+    to prove the fused pass agrees. Values ship as strings with
+    type-aware canonical casts (decimals for doubles — Spark and DuckDB
+    disagree on scientific notation for big doubles; explicit strftime
+    for timestamps). At 100 TB: one scan versus one per column; the
+    distinct counts are the only wide aggregates, and they share the
+    scan."""
+    o = _t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+
+    def prof(col, minmax):
+        return [
+            (n - F.count(col)).alias(f"__nn_{col}"),
+            F.countDistinct(col).alias(f"__nd_{col}"),
+            minmax(F.min(F.col(col))).alias(f"__mn_{col}"),
+            minmax(F.max(F.col(col))).alias(f"__mx_{col}"),
+        ]
+
+    as_str = lambda c: c.cast("string")
+    as_dec = lambda c: F.round(c, 2).cast("decimal(38,2)").cast("string")
+    as_ts = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    plan = {
+        "o_orderkey": as_str,
+        "o_custkey": as_str,
+        "o_orderstatus": as_str,
+        "o_totalprice": as_dec,
+        "o_orderdate": as_ts,
+        "o_orderpriority": as_str,
+    }
+    wide = o.agg(*[a for c, f_ in plan.items() for a in prof(c, f_)])
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in plan
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(plan)}, {stack_args}) AS "
+                "(col, n_nulls, n_distinct, min_val, max_val)"
+            )
+        )
+        .orderBy("col")
+    )
