@@ -5848,3 +5848,57 @@ def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+_ROLLING_DISTINCT_ORACLE = """
+WITH pd AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events WHERE event_type = 'purchase'
+),
+days AS (SELECT d, count(DISTINCT user_id) AS dau FROM pd GROUP BY d)
+SELECT days.d                                     AS day,
+       days.dau,
+       (SELECT count(DISTINCT pd.user_id) FROM pd
+        WHERE pd.d BETWEEN days.d - 6 AND days.d) AS wau
+FROM days ORDER BY day
+"""
+
+
+@_register("rolling_distinct_users", _ROLLING_DISTINCT_ORACLE)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct purchasers (the WAU curve): COUNT DISTINCT
+    over a sliding frame, which no engine's window aggregate does exactly
+    — so the scalable shape is pre-aggregation to DAY grain
+    (collect_set per day, one shuffle over the raw events), then a
+    7-day array-union window over the bounded day series. The final
+    window runs over one row per day — at 100 TB that is 365 rows/year
+    regardless of event volume, so the single-partition WindowExec is
+    fine BY CONSTRUCTION (the wide data never enters it); per-day user
+    sets are the memory bound, swap in HLL sketch-merge when cardinality
+    outgrows them. The oracle computes each day's window by correlated
+    rescan — the dumb-but-obviously-right form."""
+    pd_ = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+        )
+    )
+    daily = pd_.groupBy("day").agg(
+        F.collect_set("user_id").alias("users"),
+        F.countDistinct("user_id").alias("dau"),
+    )
+    w = (
+        W.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "day",
+            "dau",
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("users").over(w)))
+            ).alias("wau"),
+        )
+        .orderBy("day")
+    )
