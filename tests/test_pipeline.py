@@ -119,3 +119,44 @@ def test_dim_location_without_coordinates(spark):
         r["dropoff_location_id"] for r in dim_location(staging, "dropoff").collect()
     )
     assert rows == [10, 11]
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """The LLM-curation job: gates → dedup → chunk → mix, each zone
+    WAP-published. Reruns must publish NEW versions with IDENTICAL row
+    counts (deterministic stages, snapshot isolation for readers)."""
+    from nyc_taxi_data_pipeline_spark.plans.curation_pipeline import (
+        clean_documents,
+        run_curation_pipeline,
+    )
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+    from nyc_taxi_data_pipeline_spark.sources.io import read_published_zone
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    report = run_curation_pipeline(spark, sf, out)
+    assert report["published"], report
+
+    docs = load_table(spark, sf, "documents")
+    want_clean = clean_documents(docs).count()
+    assert 0 < want_clean <= docs.count()
+    assert report["rows"]["clean_documents"] == want_clean
+    assert report["rows"]["chunks"] >= want_clean  # every doc chunks >= once
+    assert 0 < report["rows"]["mix_manifest"] <= 10
+
+    clean_zone = read_published_zone(spark, f"{out}/clean_documents")
+    assert clean_zone.count() == want_clean
+    chunks_zone = read_published_zone(spark, f"{out}/chunks")
+    # chunk reassembly spot check: total chunk tokens == clean corpus tokens
+    from pyspark.sql import functions as F
+
+    assert (
+        chunks_zone.agg(F.sum("n_tokens")).first()[0]
+        == clean_zone.agg(F.sum("n_tokens")).first()[0]
+    )
+
+    rerun = run_curation_pipeline(spark, sf, out)
+    assert rerun["versions"] == {
+        "clean_documents": 1, "chunks": 1, "mix_manifest": 1,
+    }
+    assert rerun["rows"] == report["rows"]
