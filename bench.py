@@ -37,10 +37,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
-    for name, query in REGISTRY.items():
+    for i, (name, query) in enumerate(REGISTRY.items()):
         t0 = time.perf_counter()
         query.spark(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # storage blocks from lazy localCheckpoints are only unpersisted
+        # after the driver GCs the frame refs (ContextCleaner); over a
+        # 100+-query run the accumulation causes multi-x eviction spikes
+        # in later heavy queries — nudge reclamation periodically
+        if i % 25 == 24:
+            spark._jvm.System.gc()
     total = round(time.perf_counter() - t_suite, 3)
 
     print(
