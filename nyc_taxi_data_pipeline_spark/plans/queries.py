@@ -5902,3 +5902,60 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         dayofweek(ts)                       AS dow,
+         count(*)                            AS n_events
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT dow, CAST(sum(n_events) AS DOUBLE) / count(*) AS dow_mean
+  FROM daily GROUP BY dow
+)
+SELECT d.day, d.n_events,
+       round(d.dow_mean, 4)              AS dow_mean,
+       round(d.n_events / d.dow_mean, 4) AS ratio
+FROM (SELECT daily.*, base.dow_mean FROM daily JOIN base USING (dow)) d
+ORDER BY abs(d.n_events / d.dow_mean - 1) DESC, d.day
+LIMIT 5
+"""
+
+
+@_register("seasonal_anomaly_days", _ANOMALY_ORACLE)
+def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomaly screen: each day's event count
+    against the mean of ITS weekday (Mondays compare to Mondays —
+    a plain daily mean would flag every weekend), top deviants first.
+    The weekday key never leaves the plan, which matters because Spark
+    numbers weekdays 1-7 from Sunday and DuckDB 0-6 — the PARTITION is
+    identical, the labels aren't. Ratios divide exact integer counts by
+    a sum/count double, computed in one identical expression on both
+    engines; the |ratio-1| ordering ties break on the date. Scale shape:
+    day-grain pre-aggregation again — after one shuffle the baseline and
+    the ranking run on 365 rows/year."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.dayofweek(F.col("ts")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    base = daily.groupBy("dow").agg(
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("dow_mean")
+    )
+    joined = daily.join(F.broadcast(base), "dow")
+    ratio = F.col("n_events") / F.col("dow_mean")
+    # rank on the UNROUNDED ratio (matching the oracle's ORDER BY), then
+    # round only the shipped columns — ordering against the rounded value
+    # could flip the top-5 SET at the cutoff
+    return (
+        joined.orderBy(F.abs(ratio - 1).desc(), "day")
+        .limit(5)
+        .select(
+            "day",
+            "n_events",
+            F.round("dow_mean", 4).alias("dow_mean"),
+            F.round(ratio, 4).alias("ratio"),
+        )
+    )
