@@ -306,3 +306,69 @@ def rollback_zone(zone: str, version: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, f"{zone}/_CURRENT")
+
+
+def delete_rows_from_zone(
+    spark: SparkSession, zone: str, predicate
+) -> tuple[int, int]:
+    """Targeted delete (GDPR right-to-be-forgotten shape): publish a NEW
+    immutable version of the zone without the rows matching `predicate`
+    (a Column). Old versions keep the data until retention removes their
+    v-dirs — deletion-by-rewrite is the lakehouse contract (Delta/Iceberg
+    DELETE does the same under a fancier log). Returns (new version,
+    rows deleted). O(zone) rewrite: at 100 TB partition the zone so the
+    rewrite touches only partitions that can contain the targets (pair
+    with partition-level checksums to find them)."""
+    current = read_published_zone(spark, zone)
+    keep = current.filter(~predicate)
+    deleted = current.count() - keep.count()
+    version = publish_zone_version(keep, zone)
+    return version, deleted
+
+
+def zone_group_checksums(df: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """Per-group order-independent checksum: md5 each row's canonical
+    string, fold 60-bit prefixes with an addition per group key — the
+    anti-entropy primitive for comparing two zone versions (or a replica)
+    WITHOUT shipping rows: groups whose checksum differs are the only
+    ones to re-sync. Same exactness recipe as table_checksum_orderfree."""
+    from pyspark.sql import functions as F
+
+    canonical = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    row_val = F.conv(F.substring(F.md5(canonical), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_val).cast("string").alias("checksum"),
+    )
+
+
+def zone_diff_by_checksum(
+    spark: SparkSession, zone: str, v_old: int, v_new: int, key: str, cols: list[str]
+) -> DataFrame:
+    """Which groups changed between two zone versions — computed from
+    group checksums alone (full-outer join of two tiny checksum tables,
+    never a row-level diff). Returns (key, change) with change in
+    {'added','removed','modified'}; unchanged groups are absent. The
+    row-level reconciliation (full_outer_reconciliation) then runs only
+    on the flagged groups."""
+    from pyspark.sql import functions as F
+
+    old = zone_group_checksums(
+        spark.read.parquet(f"{zone}/v={v_old}"), key, cols
+    ).select(key, F.col("checksum").alias("__old"))
+    new = zone_group_checksums(
+        spark.read.parquet(f"{zone}/v={v_new}"), key, cols
+    ).select(key, F.col("checksum").alias("__new"))
+    return (
+        old.join(new, key, "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("__old").isNull(), F.lit("added"))
+            .when(F.col("__new").isNull(), F.lit("removed"))
+            .when(F.col("__old") != F.col("__new"), F.lit("modified")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(key, "change")
+    )

@@ -649,3 +649,38 @@ def test_zone_rollback_and_schema_evolution(spark, tmp_path):
     assert "ingest_tag" in history.columns
     assert history.count() == 2 * r.count()
     assert history.filter(F.col("ingest_tag").isNull()).count() == r.count()
+
+
+def test_delete_rows_and_zone_diff(spark, tmp_path):
+    """Targeted delete publishes a new version without the matching rows
+    (old version immutable), and checksum-based zone diff flags EXACTLY
+    the touched groups — the anti-entropy pair that lets incremental
+    sync move only changed partitions."""
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        delete_rows_from_zone,
+        publish_zone_version,
+        read_published_zone,
+        zone_diff_by_checksum,
+    )
+
+    zone = str(tmp_path / "orders_zone")
+    o = load_table(spark, SF, "orders")
+    assert publish_zone_version(o, zone) == 0
+
+    target = F.col("o_custkey") == 7
+    n_target = o.filter(target).count()
+    assert n_target > 0
+    version, deleted = delete_rows_from_zone(spark, zone, target)
+    assert version == 1 and deleted == n_target
+
+    now = read_published_zone(spark, zone)
+    assert now.filter(target).count() == 0
+    assert now.count() == o.count() - n_target
+    # v0 untouched
+    assert spark.read.parquet(f"{zone}/v=0").count() == o.count()
+
+    diff = zone_diff_by_checksum(
+        spark, zone, 0, 1, key="o_custkey",
+        cols=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    ).collect()
+    assert {(r["o_custkey"], r["change"]) for r in diff} == {(7, "removed")}
