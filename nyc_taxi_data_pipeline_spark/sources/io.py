@@ -372,3 +372,23 @@ def zone_diff_by_checksum(
         .filter(F.col("change").isNotNull())
         .select(key, "change")
     )
+
+
+def upsert_rows_to_zone(
+    spark: SparkSession, zone: str, updates: DataFrame, key: str
+) -> tuple[int, int, int]:
+    """MERGE-style batch upsert: publish a new version where rows matching
+    `key` in `updates` replace the current rows and unmatched updates
+    append — the update half of the maintenance pair with
+    `delete_rows_from_zone` (Delta/Iceberg MERGE INTO under the pointer
+    protocol). Returns (version, n_updated, n_inserted). Column sets must
+    match. The current snapshot is read once; updates win via left_anti +
+    union (cheaper and easier to reason about than a full-outer coalesce
+    when updates replace WHOLE rows). At 100 TB: partition the zone on a
+    prefix of the key so the rewrite only touches affected partitions."""
+    current = read_published_zone(spark, zone).select(*updates.columns)
+    matched = current.join(updates.select(key), key, "left_semi").count()
+    survivors = current.join(updates.select(key), key, "left_anti")
+    merged = survivors.unionByName(updates)
+    version = publish_zone_version(merged, zone)
+    return version, matched, updates.count() - matched

@@ -684,3 +684,39 @@ def test_delete_rows_and_zone_diff(spark, tmp_path):
         cols=["o_orderkey", "o_orderstatus", "o_totalprice"],
     ).collect()
     assert {(r["o_custkey"], r["change"]) for r in diff} == {(7, "removed")}
+
+
+def test_upsert_rows_to_zone(spark, tmp_path):
+    """MERGE-style upsert: updated keys replace their rows, new keys
+    append, untouched rows survive byte-for-byte, old version immutable."""
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        publish_zone_version,
+        read_published_zone,
+        upsert_rows_to_zone,
+    )
+
+    zone = str(tmp_path / "cust_zone")
+    c = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    publish_zone_version(c, zone)
+
+    updates = spark.createDataFrame(
+        [(1, "UPDATED", 999.99), (99_999_999, "BRAND NEW", 1.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    version, n_upd, n_ins = upsert_rows_to_zone(spark, zone, updates, "c_custkey")
+    assert (version, n_upd, n_ins) == (1, 1, 1)
+
+    now = read_published_zone(spark, zone)
+    assert now.count() == c.count() + 1
+    assert now.filter(F.col("c_custkey") == 1).first()["c_name"] == "UPDATED"
+    assert now.filter(F.col("c_custkey") == 99_999_999).count() == 1
+    untouched = now.filter(~F.col("c_custkey").isin(1, 99_999_999))
+    want = c.filter(~F.col("c_custkey").isin(1)).exceptAll(
+        c.filter(F.col("c_custkey") == 99_999_999)
+    )
+    assert untouched.exceptAll(want).count() == 0
+    assert spark.read.parquet(f"{zone}/v=0").filter(
+        F.col("c_custkey") == 1
+    ).first()["c_name"] != "UPDATED"
