@@ -6004,3 +6004,54 @@ def distinct_counts_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_priority", "g_status", "o_orderpriority", "o_orderstatus")
     )
+
+
+_SET_BAG_ORACLE = """
+WITH r AS (
+  SELECT CAST(l_quantity AS INT) AS qty FROM lineitem
+  WHERE l_returnflag = 'R' AND l_orderkey % 50 = 0
+),
+a AS (
+  SELECT CAST(l_quantity AS INT) AS qty FROM lineitem
+  WHERE l_returnflag = 'A' AND l_orderkey % 50 = 0
+),
+surplus AS (SELECT qty FROM r EXCEPT ALL SELECT qty FROM a),
+common  AS (SELECT qty FROM r INTERSECT ALL SELECT qty FROM a)
+SELECT 'r_surplus' AS op, qty, count(*) AS n FROM surplus GROUP BY qty
+UNION ALL
+SELECT 'common' AS op, qty, count(*) AS n FROM common GROUP BY qty
+ORDER BY op, qty
+"""
+
+
+@_register("set_operations_bag", _SET_BAG_ORACLE)
+def set_operations_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — BAG semantics, where multiplicity is
+    data (how many MORE 'R' lineitems carry each quantity than 'A' ones):
+    the distinct-set `set_operations` entry can't answer that. Spark
+    plans both as a single aggregate computing per-row multiplicity
+    deltas then a generate — one shuffle each, no join. Everything is
+    exact integers. At 100 TB bag ops shuffle the full multiset — prefer
+    pre-aggregated count comparison (the checksum/diff family) when only
+    the delta summary is needed; this entry IS that delta summary, which
+    is why it groups at the end."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").cast("int").alias("qty")
+    )
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_quantity").cast("int").alias("qty")
+    )
+    surplus = (
+        r.exceptAll(a)
+        .groupBy("qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("r_surplus").alias("op"), "qty", "n")
+    )
+    common = (
+        r.intersectAll(a)
+        .groupBy("qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("common").alias("op"), "qty", "n")
+    )
+    return surplus.unionByName(common).orderBy("op", "qty")
