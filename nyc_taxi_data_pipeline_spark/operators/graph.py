@@ -87,3 +87,66 @@ def dedup_clusters(
     return out.withColumn(
         "component", F.coalesce(F.col("component"), F.col(id_col))
     ).drop("node")
+
+
+def pagerank_fixed_iterations(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """(node, pr) after a FIXED number of power iterations of PageRank over
+    the directed edge list — the canonical iterative join-aggregate workload
+    (each iteration: one shuffle-join of the rank vector against the edge
+    list + one hash aggregation on the destination).
+
+    All arithmetic is SCALED-INTEGER (ranks are bigints summing to ~`scale`,
+    `div` floor division everywhere), so the result is bit-identical in any
+    engine — no float summation-order drift — and the catalog entry gets a
+    REAL cross-engine oracle (unrolled CTEs) instead of a rows-only check,
+    unusual for an iterative algorithm. Callers pass a symmetrized edge list
+    for undirected graphs; dangling nodes (out-degree 0) leak their mass by
+    design, matching the oracle exactly.
+
+    Same lineage discipline as connected_components: the rank frame is
+    localCheckpointed per iteration or the plan tree doubles every round."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint(
+        eager=False
+    )
+    teleport = F.expr(f"({100 - damping_pct} * {scale}L) div (100 * __n)")
+    pr = nodes.crossJoin(F.broadcast(n_frame)).select(
+        "node", F.expr(f"{scale}L div __n").alias("pr")
+    )
+    for _ in range(iterations):
+        summed = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("pr div __deg").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n_frame))
+            .join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.expr(f"({damping_pct} * coalesce(__s, 0L)) div 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

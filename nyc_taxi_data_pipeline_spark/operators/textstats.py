@@ -159,3 +159,98 @@ def token_budget_by(df: DataFrame, group_col: str, text_col: str = "text") -> Da
         )
         .orderBy(group_col)
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_sizes: tuple[int, ...] = (2, 3),
+    max_dup_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style intra-document repetition screen (Rae et al. 2021,
+     'Scaling Language Models' §A1.1.2): for each n in `ngram_sizes`, the
+    fraction of the doc's n-grams that are repeats of an earlier n-gram
+    (1 - distinct/total). Boilerplate, template spam, and decoding loops
+    show up as high duplicate fractions long before any cross-doc dedup
+    runs; `keep = true` iff every fraction is <= `max_dup_frac`.
+
+    One projection, zero shuffles: the token array is split once per row
+    and each fraction is size(arr)/size(array_distinct(arr)) arithmetic —
+    scan-speed over 100 TB like the rest of this module."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    def ngrams(n: int):
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(1))
+        )
+        return F.transform(
+            starts, lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " ")
+        )
+
+    cols = [F.col(id_col)]
+    keep = F.lit(True)
+    for n in ngram_sizes:
+        g = ngrams(n)
+        frac = F.when(
+            F.size(g) == 0, F.lit(0.0)
+        ).otherwise(1.0 - F.size(F.array_distinct(g)) / F.size(g))
+        cols.append(F.round(frac, 6).alias(f"dup_{n}gram_frac"))
+        keep = keep & (F.round(frac, 6) <= max_dup_frac)
+    cols.append(keep.alias("keep"))
+    return base.select(*cols)
+
+
+def decontaminate_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_overlap_frac: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: flag eval documents whose k-gram set
+    overlaps any train document by >= `min_overlap_frac` of the eval doc's
+    k-grams (the GPT-3/PaLM n-gram-collision test — eval examples the model
+    may have memorized from the training corpus must be dropped or the
+    benchmark is contaminated).
+
+    Returns (eval id, n_shingles, max_overlap_frac, contaminated) per eval
+    doc. Scale shape: inverted-index equi-join on the shingle (shuffle on
+    shingle, work ~ sum of postings products per shingle, never
+    |train| x |eval|); overlap counts aggregate per (eval, train) pair and
+    max-reduce per eval doc. Shingles cross the join as strings for oracle
+    parity; a Spark-only deployment would project them through one
+    xxhash64 first to shrink the shuffle rows ~4x."""
+    def sh(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(textfn.shingles(text_col, shingle_k))
+            ).alias("__s"),
+        )
+
+    ev = sh(eval_df, "eval_id")
+    ev_sizes = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        ev.join(sh(train, "train_id"), "__s")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .groupBy("eval_id")
+        .agg(F.max("__shared").alias("__max_shared"))
+    )
+    return (
+        ev_sizes.join(shared, "eval_id", "left")
+        .select(
+            "eval_id",
+            "n_shingles",
+            F.round(
+                F.coalesce(F.col("__max_shared"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("max_overlap_frac"),
+            (
+                F.coalesce(F.col("__max_shared"), F.lit(0)) / F.col("n_shingles")
+                >= min_overlap_frac
+            ).alias("contaminated"),
+        )
+    )

@@ -1025,8 +1025,13 @@ ORDER BY 1, 2
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `events` table as a Structured Streaming file source (the CI
-    stand-in for Kafka, SURVEY.md §2.1 S6 note). Handles the table's
-    TIMESTAMP(NANOS) physical type the same way sources/catalog.py does."""
+    stand-in for Kafka, SURVEY.md §2.1 S6 note). Adapts to the table's
+    physical timestamp encoding the same way sources/catalog.py does:
+    TIMESTAMP(NANOS) arrives as long (legacy conf) and truncates to
+    micros; plain micros arrives as TIMESTAMP_NTZ and casts to an instant
+    (value-preserving under the UTC session tz pinned here)."""
+    from pyspark.sql import types as T
+
     from nyc_taxi_data_pipeline_spark.sources.catalog import table_path
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1040,7 +1045,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @_register("streaming_window_counts", _STREAM_WINDOW_ORACLE)
@@ -1088,7 +1095,12 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.struct(
                         (F.col("user_id") % 3).cast("int").alias("vendorid"),
-                        F.unix_micros(F.col("ts")).alias("tpep_pickup_datetime"),
+                        # ts arrives as TIMESTAMP_NTZ from parquet inference;
+                        # unix_micros needs an instant — UTC session tz makes
+                        # the cast value-preserving
+                        F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                            "tpep_pickup_datetime"
+                        ),
                         F.col("value").alias("passenger_count"),
                         (F.col("event_id") % 100000).cast("int").alias("pulocationid"),
                     ).alias("after")
@@ -3552,6 +3564,102 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
         minhash_dedup_portable(d, "text", "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_oph_oracle(num_bins: int = 16, bands: int = 4) -> str:
+    """DuckDB oracle for the one-permutation-hashing minhash pipeline —
+    like `_minhash_portable_oracle` the SQL runs the ACTUAL algorithm
+    (1 md5/shingle, hex-prefix binning, conditional-min lanes, circular
+    rotation densification, md5 band buckets, exact-Jaccard verify)."""
+    rpb = num_bins // bands
+    raw_lanes = ",\n         ".join(
+        f"min(CASE WHEN b = {i} THEN h END) AS r{i}" for i in range(num_bins)
+    )
+    dense_lanes = ",\n         ".join(
+        "coalesce({ring}) AS m{i}".format(
+            i=i,
+            ring=", ".join(f"r{(i + j) % num_bins}" for j in range(num_bins)),
+        )
+        for i in range(num_bins)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM dense".format(
+            b=b,
+            concat=" || ',' || ".join(f"m{b * rpb + i}" for i in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+hashed AS (
+  SELECT doc_id, md5(s) AS h,
+         CAST('0x' || substr(md5(s), 1, 2) AS INT) % {num_bins} AS b
+  FROM ex
+),
+sig AS (
+  SELECT doc_id,
+         {raw_lanes}
+  FROM hashed GROUP BY doc_id
+),
+dense AS (
+  SELECT doc_id,
+         {dense_lanes}
+  FROM sig
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN shl sa ON sa.doc_id = cand.id_a
+  JOIN shl sb ON sb.doc_id = cand.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+             AS DOUBLE) >= 0.8
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM verified)
+ORDER BY doc_id
+"""
+
+
+@_register("dedup_minhash_oph", _minhash_oph_oracle())
+def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing MinHash+LSH near-dup removal: one md5 per
+    distinct shingle (vs 16 in dedup_minhash_portable), hex-prefix binning
+    into 16 lanes, circular-rotation densification of empty bins, then the
+    same band→candidate→exact-Jaccard-verify→anti-join tail. The signature
+    pass — the corpus-wide cost that dominates at 100 TB — does ~16x less
+    hash work for the same banding width; the oracle SQL runs the identical
+    algorithm, so the probabilistic pipeline stays cross-engine-verified
+    (operators/dedup.minhash_dedup_oph; Li/Owen/Zhang NIPS'12 one-
+    permutation hashing with Shrivastava/Li rotation densification)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_dedup_oph
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        minhash_dedup_oph(d, "text", "doc_id")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
@@ -6055,3 +6163,237 @@ def set_operations_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("common").alias("op"), "qty", "n")
     )
     return surplus.unionByName(common).orderBy("op", "qty")
+
+
+# ===========================================================================
+# Later additions: LLM data-curation screens (repetition, decontamination),
+# an oracle-backed iterative algorithm (PageRank), and skyline analytics.
+# ===========================================================================
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                        i -> array_to_string(t[i:i+1], ' ')) AS g2,
+         list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                        i -> array_to_string(t[i:i+2], ' ')) AS g3
+  FROM toks
+),
+fracs AS (
+  SELECT doc_id,
+         round(CASE WHEN len(g2) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END, 6)
+           AS dup_2gram_frac,
+         round(CASE WHEN len(g3) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 6)
+           AS dup_3gram_frac
+  FROM grams
+)
+SELECT doc_id, dup_2gram_frac, dup_3gram_frac,
+       (dup_2gram_frac <= 0.3 AND dup_3gram_frac <= 0.3) AS keep
+FROM fracs
+ORDER BY doc_id
+"""
+
+
+@_register("repetition_filter_gopher", _REPETITION_ORACLE)
+def repetition_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition screen: per-doc duplicate
+    2-gram/3-gram fractions (1 - distinct/total) with a keep flag at the
+    0.3 threshold — catches boilerplate/template spam/decoding loops that
+    cross-document dedup never sees. Zero shuffles: one projection of
+    array arithmetic over the token split, scan-speed at 100 TB
+    (operators/textstats.repetition_stats)."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, "text", "doc_id").orderBy("doc_id")
+
+
+_DECONTAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks
+),
+ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM shl WHERE doc_id % 5 = 0),
+tr AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM shl WHERE doc_id % 5 <> 0),
+sizes AS (SELECT eval_id, count(*) AS n_shingles FROM ev GROUP BY eval_id),
+pair_shared AS (
+  SELECT ev.eval_id, tr.train_id, count(*) AS c
+  FROM ev JOIN tr ON ev.s = tr.s
+  GROUP BY ev.eval_id, tr.train_id
+),
+shared AS (SELECT eval_id, max(c) AS mx FROM pair_shared GROUP BY eval_id)
+SELECT s.eval_id,
+       s.n_shingles,
+       round(CAST(coalesce(h.mx, 0) AS DOUBLE) / s.n_shingles, 6)
+         AS max_overlap_frac,
+       (CAST(coalesce(h.mx, 0) AS DOUBLE) / s.n_shingles) >= 0.5
+         AS contaminated
+FROM sizes s LEFT JOIN shared h ON h.eval_id = s.eval_id
+ORDER BY s.eval_id
+"""
+
+
+@_register("decontamination_ngram_overlap", _DECONTAM_ORACLE)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM n-gram collision test): eval
+    docs (hash split doc_id % 5 = 0) are flagged when any train doc shares
+    >= 50% of their 3-gram set — eval examples leaked into training data
+    invalidate the benchmark. Inverted-index equi-join on the shingle:
+    work scales with postings-list products, never |train| x |eval|
+    (operators/textstats.decontaminate_overlap)."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import (
+        decontaminate_overlap,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    ev = d.filter(F.col("doc_id") % 5 == 0)
+    return decontaminate_overlap(train, ev, "text", "doc_id").orderBy("eval_id")
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE PageRank oracle — possible because the operator's
+    arithmetic is scaled-integer (bigint ranks, floor division), so every
+    engine reproduces it bit-exactly; float power iteration would drift
+    with summation order."""
+    its = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT n2.node,
+         (15 * CAST(1000000000000 AS BIGINT)) // (100 * nn.n)
+         + (85 * coalesce(s.s, 0)) // 100 AS pr
+  FROM nodes n2 CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+             FROM edges e
+             JOIN {prev} p ON p.node = e.src
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) s ON s.node = n2.node
+)""")
+        prev = f"it{i}"
+    its_sql = ",".join(its)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst AS src, src AS dst FROM e0
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pr0 AS (
+  SELECT node, CAST(1000000000000 AS BIGINT) // nn.n AS pr
+  FROM nodes CROSS JOIN nn
+),{its_sql}
+SELECT node, pr FROM {prev}
+ORDER BY pr DESC, node
+LIMIT 20
+"""
+
+
+@_register("pagerank_supplier_graph", _pagerank_oracle())
+def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over the symmetrized
+    customer<->supplier trade graph derived from orders x lineitem — the
+    canonical ITERATIVE join-aggregate workload, and thanks to the
+    scaled-integer formulation it carries a full value oracle (unrolled
+    CTEs) rather than the rows-only check iterative ops usually get.
+    Each iteration shuffles once on the join key and once on the
+    aggregation key; rank-frame lineage is checkpoint-truncated per round
+    (operators/graph.pagerank_fixed_iterations)."""
+    from nyc_taxi_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_iterations,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank_fixed_iterations(edges)
+    return pr.orderBy(F.col("pr").desc(), F.col("node")).limit(20)
+
+
+_PARETO_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+pts AS (SELECT DISTINCT spend, n_orders FROM agg),
+fr AS (
+  SELECT spend, n_orders,
+         max(n_orders) OVER (ORDER BY spend DESC, n_orders DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM pts
+),
+fpts AS (SELECT spend, n_orders FROM fr WHERE mx IS NULL OR n_orders > mx)
+SELECT a.o_custkey,
+       round(CAST(a.spend AS DOUBLE), 2) AS total_spend,
+       a.n_orders
+FROM agg a JOIN fpts ON a.spend = fpts.spend AND a.n_orders = fpts.n_orders
+ORDER BY total_spend DESC, a.o_custkey
+"""
+
+
+@_register("pareto_frontier_customers", _PARETO_ORACLE)
+def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline/Pareto-frontier query: customers not dominated on
+    (total_spend, n_orders) — no other customer is >= on both and > on
+    one. Computed without the naive quadratic NOT-EXISTS self-join: sort
+    the DISTINCT point set by spend desc and keep points whose n_orders
+    exceeds every preceding point's (running max window), then semi-join
+    customers back — O(n log n), and the single-partition window runs on
+    the post-aggregation point set, orders of magnitude smaller than the
+    base table. Spend arithmetic is decimal-exact; doubles only at
+    output."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    pts = agg.select("__spend", "n_orders").distinct()
+    w = W.orderBy(F.col("__spend").desc(), F.col("n_orders").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    fpts = (
+        pts.withColumn("__mx", F.max("n_orders").over(w))
+        .filter(F.col("__mx").isNull() | (F.col("n_orders") > F.col("__mx")))
+        .select("__spend", "n_orders")
+    )
+    return (
+        agg.join(fpts, ["__spend", "n_orders"], "left_semi")
+        .select(
+            "o_custkey",
+            F.round(F.col("__spend").cast("double"), 2).alias("total_spend"),
+            "n_orders",
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    )

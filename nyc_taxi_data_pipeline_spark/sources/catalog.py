@@ -37,11 +37,13 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects. We read them as long (legacy conf) and truncate to
-# microsecond timestamps — the same truncation DuckDB applies, so oracle
-# comparisons agree.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Event-time columns whose physical encoding has varied across testdata
+# generations: TIMESTAMP(NANOS) (vectorized reader rejects it — read as
+# long via legacy conf, integer-truncate to micros) or plain micros
+# (arrives as TIMESTAMP_NTZ — cast to an instant under the UTC session
+# tz). Either way every consumer sees TimestampType with identical UTC
+# wall values, matching the DuckDB oracle.
+_EVENT_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,13 +51,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runtime-settable SQLConfs, set defensively so any caller's session
     # (e.g. the driver's bare session) matches the oracle's UTC semantics
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name in _NANOS_TS_COLS:
+    if name in _EVENT_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    for col in _NANOS_TS_COLS.get(name, ()):
+    for col in _EVENT_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
             # integer division — double division loses precision at ns scale
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(df.schema[col].dataType, T.TimestampNTZType):
+            # value-preserving under the UTC session tz pinned above;
+            # streaming watermarks require TimestampType, not NTZ
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

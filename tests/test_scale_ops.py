@@ -373,3 +373,40 @@ def test_partial_agg_merge_equals_full_recompute(spark, tmp_path):
     assert set(merged) == set(full)
     for k in full:
         assert tuple(merged[k]) == tuple(full[k]), (merged[k], full[k])
+
+
+def test_oph_signatures_fully_densified(spark):
+    """Every OPH signature lane must be non-null after rotation
+    densification (a doc with >=1 shingle populates >=1 bin, and the
+    coalesce ring reaches every bin), and the estimator must agree with
+    the classic per-lane minhash: OPH survivors superset exact-Jaccard
+    survivors, same as the other variants."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        all_pairs_jaccard,
+        minhash_dedup_oph,
+        minhash_signatures_oph,
+    )
+
+    d = load_table(spark, SF, "documents")
+    sigs = minhash_signatures_oph(d, "text", "doc_id")
+    n_null = (
+        sigs.select(
+            F.sum(
+                F.size(F.filter("signature", lambda x: x.isNull()))
+            ).alias("n")
+        ).collect()[0]["n"]
+    )
+    assert n_null == 0
+    assert sigs.select(F.size("signature")).distinct().collect()[0][0] == 16
+
+    oph = {
+        r["doc_id"]
+        for r in minhash_dedup_oph(d, "text", "doc_id").select("doc_id").collect()
+    }
+    dup_b = {
+        r["id_b"]
+        for r in all_pairs_jaccard(d, "text", "doc_id", min_jaccard=0.8).collect()
+    }
+    exact = {r["doc_id"] for r in d.select("doc_id").collect()} - dup_b
+    assert exact <= oph
+    assert len(oph - exact) <= max(2, len(dup_b) // 2)
