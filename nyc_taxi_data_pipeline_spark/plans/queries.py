@@ -6397,3 +6397,181 @@ def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
     )
+
+
+_SPINE_ORACLE = """
+WITH RECURSIVE sparse AS (
+  SELECT CAST(ts AS DATE) AS day, value FROM events WHERE event_id % 1000 = 0
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM sparse),
+days(day) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM days, bounds WHERE day < hi
+),
+daily AS (
+  SELECT day, count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS total_value
+  FROM sparse GROUP BY day
+)
+SELECT d.day,
+       coalesce(a.n_events, 0) AS n_events,
+       coalesce(a.total_value, 0.0) AS total_value
+FROM days d LEFT JOIN daily a ON a.day = d.day
+ORDER BY d.day
+"""
+
+
+@_register("recursive_calendar_spine", _SPINE_ORACLE)
+def recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE surface (WITH RECURSIVE, new in Spark 4): a dense
+    daily calendar spine generated by recursion between min/max event
+    dates, left-joined against (deliberately sparsified) daily aggregates
+    so days with NO events appear as explicit zero rows — the dense-axis
+    contract dashboards and window functions need, which gapfill-LOCF
+    (timeseries_gapfill_locf) deliberately does not provide. The
+    recursion depth is the calendar span in days, far under Spark's
+    100-level default; the spine is tiny however large the fact table,
+    so the join broadcasts."""
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+      WITH RECURSIVE sparse AS (
+        SELECT CAST(ts AS DATE) AS day, value FROM events
+        WHERE event_id % 1000 = 0
+      ),
+      bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM sparse),
+      days(day) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT date_add(day, 1) FROM days, bounds WHERE day < hi
+      ),
+      daily AS (
+        SELECT day, count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+                 AS total_value
+        FROM sparse GROUP BY day
+      )
+      SELECT d.day,
+             coalesce(a.n_events, 0L) AS n_events,
+             coalesce(a.total_value, 0.0D) AS total_value
+      FROM days d LEFT JOIN daily a ON a.day = d.day
+      ORDER BY d.day
+    """)
+
+
+_REACH_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 10 = 0
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst AS src, src AS dst FROM e0
+),
+seed AS (SELECT min(src) AS s FROM edges),
+walk(node, d) AS (
+  SELECT s, 0 FROM seed
+  UNION ALL
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < 3
+)
+SELECT node, min(d) AS dist
+FROM walk GROUP BY node
+ORDER BY dist, node
+"""
+
+
+@_register("recursive_graph_reachability", _REACH_ORACLE)
+def recursive_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the (thinned) customer<->supplier graph as a
+    RECURSIVE CTE: hop distance from the lexicographic-min node, min(d)
+    per reached node. Each recursion level is one distributed join of the
+    frontier against the edge list — the declarative twin of
+    graph.connected_components' imperative loop. Depth is capped at 3 so
+    UNION ALL path enumeration stays bounded (bipartite fan-out keeps
+    level sizes polynomial; the min-aggregate collapses paths at the
+    end); production unbounded closures belong to the imperative loop
+    with its per-iteration checkpoint, not recursion."""
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+      WITH RECURSIVE e0 AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS STRING) AS src,
+                        's' || CAST(l.l_suppkey AS STRING) AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 10 = 0
+      ),
+      edges AS (
+        SELECT src, dst FROM e0
+        UNION
+        SELECT dst AS src, src AS dst FROM e0
+      ),
+      seed AS (SELECT min(src) AS s FROM edges),
+      walk(node, d) AS (
+        SELECT s, 0 FROM seed
+        UNION ALL
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < 3
+      )
+      SELECT node, min(d) AS dist
+      FROM walk GROUP BY node
+      ORDER BY dist, node
+    """)
+
+
+_EQUIDEPTH_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, spend,
+         ntile(8) OVER (ORDER BY spend, o_custkey) AS bucket
+  FROM agg
+)
+SELECT bucket,
+       count(*) AS n_customers,
+       round(CAST(min(spend) AS DOUBLE), 2) AS lo_spend,
+       round(CAST(max(spend) AS DOUBLE), 2) AS hi_spend,
+       round(CAST(sum(spend) AS DOUBLE), 2) AS bucket_spend
+FROM tiled GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@_register("histogram_equidepth", _EQUIDEPTH_ORACLE)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile binning) of per-customer spend via
+    ntile(8) — equal-population buckets with their value ranges, the
+    complement of histogram_equiwidth's equal-range buckets. The window
+    orders by (spend, custkey) so tile assignment is total-order
+    deterministic; it runs single-partition but on the post-aggregation
+    customer frame, not the fact table. Decimal-exact spend; doubles
+    only at output."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    w = W.orderBy("spend", "o_custkey")
+    tiled = agg.withColumn("bucket", F.ntile(8).over(w))
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("spend").cast("double"), 2).alias("lo_spend"),
+            F.round(F.max("spend").cast("double"), 2).alias("hi_spend"),
+            F.round(F.sum("spend").cast("double"), 2).alias("bucket_spend"),
+        )
+        .orderBy("bucket")
+    )
