@@ -6575,3 +6575,95 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_PYDS_ORACLE = """
+SELECT (i * 31) % 265 + 1 AS zone,
+       count(*) AS n_trips,
+       sum((i * 7919) % 10000) AS fare_cents
+FROM range(0, 10000) t(i)
+GROUP BY 1
+ORDER BY zone
+"""
+
+
+@_register("python_datasource_scan", _PYDS_ORACLE)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Python DataSource API (Spark 4): the
+    `synthetic_trips` source plans one task per InputPartition (8 here),
+    generates rows executor-side from seeded integer arithmetic, and the
+    result aggregates like any scan. Replaces the reference's driver-side
+    feeder loops (utils/streaming_data_db.py:48-58) with a partition-
+    parallel source; determinism gives the entry a full value oracle
+    (sources/pydatasource.py)."""
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_synthetic_trips,
+    )
+
+    register_synthetic_trips(spark)
+    trips = (
+        spark.read.format("synthetic_trips")
+        .option("n_rows", 10_000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        trips.groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.sum("fare_cents").alias("fare_cents"),
+        )
+        .orderBy("zone")
+    )
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+         AS total_value
+FROM events
+WHERE event_id % 7 = 0
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+@_register("variant_shredding", _VARIANT_ORACLE)
+def variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT type surface (Spark 4): events are serialized into nested
+    JSON envelopes, parsed with parse_json into VARIANT, and shredded
+    back out with typed variant_get paths ($.meta.etype, $.meta.day,
+    $.val) — the schema-on-read shape for semi-structured columns where
+    from_json's fixed StructType (cdc_envelope_roundtrip) can't be
+    declared up front. Typed doubles round-trip bit-exactly through
+    Spark's JSON shortest-repr serialization, so the decimal-sum oracle
+    holds; the whole path is JVM expressions, no Python."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    wire = e.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("event_type").alias("etype"),
+                    F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                ).alias("meta"),
+                F.col("value").alias("val"),
+            )
+        ).alias("j")
+    )
+    shredded = wire.select(F.parse_json(F.col("j")).alias("v")).select(
+        F.variant_get("v", "$.meta.etype", "string").alias("event_type"),
+        F.variant_get("v", "$.meta.day", "string").cast("date").alias("day"),
+        F.variant_get("v", "$.val", "double").alias("val"),
+    )
+    return (
+        shredded.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("val").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type", "day")
+    )

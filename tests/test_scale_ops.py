@@ -410,3 +410,31 @@ def test_oph_signatures_fully_densified(spark):
     exact = {r["doc_id"] for r in d.select("doc_id").collect()} - dup_b
     assert exact <= oph
     assert len(oph - exact) <= max(2, len(dup_b) // 2)
+
+
+def test_python_datasource_partitions_cover_exactly(spark):
+    """The custom source's InputPartitions must tile [0, n_rows) exactly
+    (no gap/overlap) for any n_rows/partitions combination, and the scan
+    must parallelize into one task per partition."""
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_synthetic_trips,
+    )
+
+    register_synthetic_trips(spark)
+    for n_rows, parts in [(10, 3), (7, 8), (100, 1), (96, 8)]:
+        df = (
+            spark.read.format("synthetic_trips")
+            .option("n_rows", n_rows)
+            .option("partitions", parts)
+            .load()
+        )
+        ids = sorted(r["trip_id"] for r in df.collect())
+        assert ids == list(range(n_rows)), (n_rows, parts)
+    assert (
+        spark.read.format("synthetic_trips")
+        .option("n_rows", 96)
+        .option("partitions", 8)
+        .load()
+        .rdd.getNumPartitions()
+        == 8
+    )
