@@ -43,9 +43,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         # storage blocks from lazy localCheckpoints are only unpersisted
         # after the driver GCs the frame refs (ContextCleaner); over a
-        # 100+-query run the accumulation causes multi-x eviction spikes
+        # 140-query run the accumulation causes multi-x eviction spikes
         # in later heavy queries — nudge reclamation periodically
-        if i % 25 == 24:
+        if i % 10 == 9:
             spark._jvm.System.gc()
     total = round(time.perf_counter() - t_suite, 3)
 
