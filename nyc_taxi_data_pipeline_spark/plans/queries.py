@@ -6343,59 +6343,63 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARETO_ORACLE = """
 WITH agg AS (
   SELECT o_custkey,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*), 2) AS avg_order,
          count(*) AS n_orders
   FROM orders GROUP BY o_custkey
 ),
-pts AS (SELECT DISTINCT spend, n_orders FROM agg),
+pts AS (SELECT DISTINCT avg_order, n_orders FROM agg),
 fr AS (
-  SELECT spend, n_orders,
-         max(n_orders) OVER (ORDER BY spend DESC, n_orders DESC
+  SELECT avg_order, n_orders,
+         max(n_orders) OVER (ORDER BY avg_order DESC, n_orders DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
   FROM pts
 ),
-fpts AS (SELECT spend, n_orders FROM fr WHERE mx IS NULL OR n_orders > mx)
+fpts AS (SELECT avg_order, n_orders FROM fr WHERE mx IS NULL OR n_orders > mx)
 SELECT a.o_custkey,
-       round(CAST(a.spend AS DOUBLE), 2) AS total_spend,
+       a.avg_order,
        a.n_orders
-FROM agg a JOIN fpts ON a.spend = fpts.spend AND a.n_orders = fpts.n_orders
-ORDER BY total_spend DESC, a.o_custkey
+FROM agg a
+JOIN fpts ON a.avg_order = fpts.avg_order AND a.n_orders = fpts.n_orders
+ORDER BY a.avg_order DESC, a.o_custkey
 """
 
 
 @_register("pareto_frontier_customers", _PARETO_ORACLE)
 def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline/Pareto-frontier query: customers not dominated on
-    (total_spend, n_orders) — no other customer is >= on both and > on
-    one. Computed without the naive quadratic NOT-EXISTS self-join: sort
-    the DISTINCT point set by spend desc and keep points whose n_orders
-    exceeds every preceding point's (running max window), then semi-join
-    customers back — O(n log n), and the single-partition window runs on
-    the post-aggregation point set, orders of magnitude smaller than the
-    base table. Spend arithmetic is decimal-exact; doubles only at
-    output."""
+    (avg_order_value, n_orders) — no other customer is >= on both and >
+    on one (the two objectives anti-correlate, so the frontier is a real
+    curve, not a single max point). Computed without the naive quadratic
+    NOT-EXISTS self-join: sort the DISTINCT point set by avg desc and
+    keep points whose n_orders exceeds every preceding point's (running
+    max window), then semi-join customers back — O(n log n), and the
+    single-partition window runs on the post-aggregation point set,
+    orders of magnitude smaller than the base table. The avg is derived
+    from a decimal-exact sum and rounded BEFORE domination so both
+    engines compare identical doubles."""
     o = _t(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__spend"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_order"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    pts = agg.select("__spend", "n_orders").distinct()
-    w = W.orderBy(F.col("__spend").desc(), F.col("n_orders").desc()).rowsBetween(
+    pts = agg.select("avg_order", "n_orders").distinct()
+    w = W.orderBy(F.col("avg_order").desc(), F.col("n_orders").desc()).rowsBetween(
         W.unboundedPreceding, -1
     )
     fpts = (
         pts.withColumn("__mx", F.max("n_orders").over(w))
         .filter(F.col("__mx").isNull() | (F.col("n_orders") > F.col("__mx")))
-        .select("__spend", "n_orders")
+        .select("avg_order", "n_orders")
     )
     return (
-        agg.join(fpts, ["__spend", "n_orders"], "left_semi")
-        .select(
-            "o_custkey",
-            F.round(F.col("__spend").cast("double"), 2).alias("total_spend"),
-            "n_orders",
-        )
-        .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+        agg.join(fpts, ["avg_order", "n_orders"], "left_semi")
+        .select("o_custkey", "avg_order", "n_orders")
+        .orderBy(F.col("avg_order").desc(), F.col("o_custkey"))
     )
 
 
