@@ -6671,3 +6671,75 @@ def variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+_XML_ORACLE = """
+SELECT CAST(user_id % 5 AS INTEGER) AS vendorid,
+       value                        AS passenger_count,
+       CAST(event_id % 100000 AS INTEGER) AS pulocationid
+FROM events
+WHERE event_id % 11 = 0
+ORDER BY pulocationid
+"""
+
+
+@_register("xml_envelope_roundtrip", _XML_ORACLE)
+def xml_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML format surface (natively built into Spark 4, no spark-xml jar):
+    rows serialize through to_xml and decode back with a typed from_xml
+    schema — the third wire format next to the JSON Debezium envelope
+    (cdc_envelope_roundtrip) and the VARIANT path (variant_shredding).
+    Pure JVM expressions; the oracle reads the source columns directly, so
+    the roundtrip must be value-exact to pass."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    wire = e.select(
+        F.to_xml(
+            F.struct(
+                (F.col("user_id") % 5).cast("int").alias("vendorid"),
+                F.col("value").alias("passenger_count"),
+                (F.col("event_id") % 100000).cast("int").alias("pulocationid"),
+            )
+        ).alias("x")
+    )
+    decoded = wire.select(
+        F.from_xml(
+            "x", "vendorid INT, passenger_count DOUBLE, pulocationid INT"
+        ).alias("s")
+    ).select("s.*")
+    return decoded.orderBy("pulocationid")
+
+
+_CSVEXPR_ORACLE = """
+SELECT CAST(user_id % 5 AS INTEGER) AS vendorid,
+       value                        AS passenger_count,
+       CAST(event_id % 100000 AS INTEGER) AS pulocationid
+FROM events
+WHERE event_id % 13 = 0
+ORDER BY pulocationid
+"""
+
+
+@_register("csv_envelope_roundtrip", _CSVEXPR_ORACLE)
+def csv_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV expression surface (S3-class text format at the row level):
+    to_csv serializes each row, from_csv parses it back under a typed
+    schema — the degenerate-but-ubiquitous wire format, covered with the
+    same value-exact roundtrip contract as the JSON/XML/VARIANT
+    envelopes. Doubles survive because Spark writes shortest-round-trip
+    representations."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    wire = e.select(
+        F.to_csv(
+            F.struct(
+                (F.col("user_id") % 5).cast("int").alias("vendorid"),
+                F.col("value").alias("passenger_count"),
+                (F.col("event_id") % 100000).cast("int").alias("pulocationid"),
+            )
+        ).alias("c")
+    )
+    decoded = wire.select(
+        F.from_csv(
+            "c", "vendorid INT, passenger_count DOUBLE, pulocationid INT"
+        ).alias("s")
+    ).select("s.*")
+    return decoded.orderBy("pulocationid")

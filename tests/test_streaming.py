@@ -608,3 +608,114 @@ def test_json_corrupt_record_modes(spark, tmp_path):
             .json(path)
             .collect()
         )
+
+
+def test_rocksdb_state_store_windowed_agg(spark, events_4_files):
+    """The production state backend (RocksDBStateStoreProvider — bundled
+    with Spark 4, no extra jars) must run the windowed aggregation with
+    results identical to the default HDFS-backed store, and its engagement
+    is proven by rocksdb* custom metrics in the query progress (a silently
+    ignored conf would pass a results-only check). At 100 TB state scale
+    RocksDB is the only viable backend — state spills off-heap instead of
+    living in executor JVM memory."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import windowed_counts
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(events_4_files).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_4_files)
+        )
+        agg = windowed_counts(stream, window="6 hours")
+        name = f"rdb_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progresses = q.recentProgress
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+    metrics = [
+        m
+        for p in progresses
+        for op in (p["stateOperators"] or [])
+        for m in (op.get("customMetrics") or {})
+    ]
+    assert any(m.startswith("rocksdb") for m in metrics), metrics
+
+    streamed = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], round(r["total_value"], 2))
+        for r in spark.table(name).collect()
+    )
+    batch = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], round(r["total_value"], 2))
+        for r in windowed_counts(
+            spark.read.parquet(events_4_files), window="6 hours"
+        ).collect()
+    )
+    assert streamed == batch
+
+
+def test_available_now_trigger_drains_and_terminates(spark, events_4_files):
+    """Trigger.AvailableNow (ST1-class): process everything currently in
+    the source across rate-limited micro-batches, then stop WITHOUT
+    external processAllAvailable/stop choreography — the production shape
+    for scheduled incremental jobs (reference runs its batch loop for
+    this, SURVEY.md §4 'Incremental/bounded processing'). The query must
+    self-terminate with results equal to batch."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import windowed_counts
+
+    schema = spark.read.parquet(events_4_files).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_4_files)
+    )
+    agg = windowed_counts(stream, window="6 hours")
+    name = f"an_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "availableNow query did not self-terminate"
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    assert n_batches >= 4, f"maxFilesPerTrigger ignored? {n_batches} batches"
+
+    streamed = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], round(r["total_value"], 2))
+        for r in spark.table(name).collect()
+    )
+    batch = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], round(r["total_value"], 2))
+        for r in windowed_counts(
+            spark.read.parquet(events_4_files), window="6 hours"
+        ).collect()
+    )
+    assert streamed == batch
