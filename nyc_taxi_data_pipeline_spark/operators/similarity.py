@@ -393,3 +393,47 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qdot")
     )
+
+
+def quantize_embeddings_arrow(
+    df: DataFrame,
+    scale: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, qvec array<bigint>) — int8 symmetric quantization computed in
+    a mapInArrow pass: zero-copy Arrow batches in and out, vectorized
+    pyarrow.compute kernels on the FLAT child array of the list column
+    (one multiply/divide/round over all lanes of the whole batch, no
+    per-row Python). This is the §2.10 Arrow-level lane, one step below
+    pandas UDFs: no pandas conversion, list offsets reused as-is.
+
+    `scale` is the corpus max |x| (see int8_scale) — a corpus constant
+    computed once per ingest and shipped as a closure scalar, the same
+    number int8_scale broadcasts JVM-side. Arithmetic is pinned to
+    (x * 127.0) / scale with round half-away-from-zero
+    (pyarrow round_mode='half_towards_infinity' == Spark/DuckDB round),
+    so the quantized lanes are bit-identical to the JVM _quantize
+    recipe and any SQL oracle."""
+    out_schema = f"{id_col} bigint, qvec array<bigint>"
+
+    def quantize_batches(batches):
+        # self-contained closure: workers may not have this package
+        # importable when the driver runs from a foreign cwd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            emb = batch.column(1)
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            flat = pc.cast(emb.values, "float64")
+            scaled = pc.divide(pc.multiply(flat, 127.0), scale)
+            q = pc.cast(
+                pc.round(scaled, round_mode="half_towards_infinity"), "int64"
+            )
+            qvec = pa.ListArray.from_arrays(emb.offsets, q)
+            yield pa.RecordBatch.from_arrays([ids, qvec], [id_col, "qvec"])
+
+    return df.select(id_col, vec_col).mapInArrow(quantize_batches, out_schema)

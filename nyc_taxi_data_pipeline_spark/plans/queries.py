@@ -6743,3 +6743,61 @@ def csv_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     ).select("s.*")
     return decoded.orderBy("pulocationid")
+
+
+_ARROW_QUANT_ORACLE = """
+WITH s AS (
+  SELECT max(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))))) AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT))
+           AS qv
+  FROM embeddings, s
+)
+SELECT vec_id,
+       CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS self_qdot,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS l1_norm
+FROM q
+ORDER BY vec_id
+"""
+
+
+@_register("arrow_quantized_norms", _ARROW_QUANT_ORACLE)
+def arrow_quantized_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface (§2.10's Arrow-level lane, below pandas UDFs):
+    embeddings are int8-quantized by vectorized pyarrow.compute kernels
+    on zero-copy Arrow batches, then JVM array aggregates compute exact
+    integer self-dot and L1 norms per vector. The Arrow rounding mode
+    (half_towards_infinity) is pinned to Spark/DuckDB round semantics,
+    so even though Python touches every lane the result carries a full
+    value oracle (operators/similarity.quantize_embeddings_arrow). The
+    quantization scale is a corpus constant fetched once (one scalar
+    aggregate), the per-ingest pattern for a persisted int8 zone."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import (
+        int8_scale,
+        quantize_embeddings_arrow,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = float(int8_scale(emb).collect()[0][0])
+    q = quantize_embeddings_arrow(emb, scale)
+    return (
+        q.select(
+            "vec_id",
+            F.aggregate(
+                F.transform(F.col("qvec"), lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("self_qdot"),
+            F.aggregate(
+                F.transform(F.col("qvec"), F.abs),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("l1_norm"),
+        )
+        .orderBy("vec_id")
+    )

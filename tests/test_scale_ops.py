@@ -438,3 +438,28 @@ def test_python_datasource_partitions_cover_exactly(spark):
         .rdd.getNumPartitions()
         == 8
     )
+
+
+def test_arrow_quantize_matches_jvm_recipe(spark):
+    """The mapInArrow int8 quantization must produce BIT-IDENTICAL lanes
+    to the JVM expression recipe (_quantize) for the same scale — the
+    whole point of pinning Arrow's round_mode to half-away-from-zero."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import (
+        _quantize,
+        int8_scale,
+        quantize_embeddings_arrow,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    scale = float(int8_scale(emb).collect()[0][0])
+    arrow = {
+        r["vec_id"]: r["qvec"]
+        for r in quantize_embeddings_arrow(emb, scale).collect()
+    }
+    jvm = {
+        r["vec_id"]: r["qvec"]
+        for r in emb.select(
+            "vec_id", _quantize(F.col("embedding"), F.lit(scale)).alias("qvec")
+        ).collect()
+    }
+    assert arrow == jvm
