@@ -215,3 +215,52 @@ def test_winnowing_shared_run_guarantee(spark, prefix, shared, suffix):
     a = {r["fingerprint"] for r in fp.filter(F.col("id") == 1).collect()}
     b = {r["fingerprint"] for r in fp.filter(F.col("id") == 2).collect()}
     assert a & b, "shared run of length >= 6 produced no shared fingerprint"
+
+
+@_settings
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_oph_signatures_match_python_reference(spark, docs):
+    """One-permutation-hashing signatures (hex-prefix binning + rotation
+    densification) checked lane-by-lane against an independent Python
+    implementation — covers short docs (< k tokens), empty docs (must
+    emit no signature), and sparse bins (densification ring)."""
+    import hashlib
+
+    from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_signatures_oph
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+
+    def ref_signature(text: str):
+        toks = text.strip().lower().split()
+        if not toks:
+            toks = [""]  # split of '' yields [''] in Spark/DuckDB semantics
+        k = 3
+        n = max(len(toks) - (k - 1), 1)
+        shingles = {" ".join(toks[i : i + k]) for i in range(n)}
+        bins: dict[int, str] = {}
+        for s in shingles:
+            h = hashlib.md5(s.encode()).hexdigest()
+            b = int(h[:2], 16) % 16
+            bins[b] = min(bins.get(b, h), h)
+        return [
+            next(bins[(i + j) % 16] for j in range(16) if (i + j) % 16 in bins)
+            for i in range(16)
+        ]
+
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["id"]: list(r["signature"])
+        for r in minhash_signatures_oph(df, "text", "doc_id").collect()
+    }
+    expected = {i: ref_signature(t) for i, t in rows}
+    assert got == expected
