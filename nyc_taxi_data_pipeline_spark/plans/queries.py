@@ -6801,3 +6801,77 @@ def arrow_quantized_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_LATERAL_ORACLE = """
+SELECT n.n_name, l.c_name, l.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+ORDER BY n.n_name, l.c_acctbal DESC, l.c_name
+"""
+
+
+@_register("lateral_topn_per_nation", _LATERAL_ORACLE)
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT — per-nation
+    top-2 customers by balance, written the way an analyst writes it.
+    Catalyst de-correlates it into row_number + WindowGroupLimit (the
+    group-limit pushes down BEFORE the shuffle, so each map task emits at
+    most 2 rows per key) + a broadcast equi-join back to nation — i.e.
+    the same physical plan as the hand-written window formulation
+    (window_topk_per_group), proving the declarative surface costs
+    nothing at scale."""
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+      SELECT n.n_name, l.c_name, l.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+      ORDER BY n.n_name, l.c_acctbal DESC, l.c_name
+    """)
+
+
+_NOTIN_ORACLE = """
+SELECT 'no_null' AS variant, count(*) AS n_customers
+FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)
+UNION ALL
+SELECT 'with_null' AS variant, count(*) AS n_customers
+FROM customer
+WHERE c_nationkey NOT IN
+      (SELECT nullif(n_nationkey, 3) FROM nation WHERE n_nationkey < 5)
+ORDER BY variant
+"""
+
+
+@_register("not_in_null_semantics", _NOTIN_ORACLE)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic NOT IN (the classic SQL trap, distinct from the
+    <=> null-safe join in null_safe_equality_join): the same anti-
+    membership predicate is evaluated against a subquery without NULLs
+    (a plain anti-join count) and with an injected NULL — where NOT IN
+    must return UNKNOWN for EVERY row, so the count is exactly 0. Spark
+    plans the null-aware variant as a null-aware anti join rather than
+    silently treating NULL as a non-match; the oracle pins both counts."""
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+      SELECT 'no_null' AS variant, count(*) AS n_customers
+      FROM customer
+      WHERE c_nationkey NOT IN
+            (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)
+      UNION ALL
+      SELECT 'with_null' AS variant, count(*) AS n_customers
+      FROM customer
+      WHERE c_nationkey NOT IN
+            (SELECT nullif(n_nationkey, 3) FROM nation WHERE n_nationkey < 5)
+      ORDER BY variant
+    """)
