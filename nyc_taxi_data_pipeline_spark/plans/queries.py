@@ -6875,3 +6875,115 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (SELECT nullif(n_nationkey, 3) FROM nation WHERE n_nationkey < 5)
       ORDER BY variant
     """)
+
+
+_ARRAY_HOF_ORACLE = r"""
+WITH t AS (
+  SELECT lang,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+per_doc AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(toks, x -> length(x) > 7)) > 0
+              THEN 1 ELSE 0 END AS has_long,
+         CASE WHEN len(list_filter(toks, x -> x = '')) = 0
+              THEN 1 ELSE 0 END AS all_nonempty,
+         len(list_filter(toks, x -> x LIKE 'a%')) AS n_a_tokens,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS n_chars
+  FROM t
+)
+SELECT lang,
+       count(*)          AS n_docs,
+       sum(has_long)     AS docs_with_long_token,
+       sum(all_nonempty) AS docs_all_nonempty,
+       sum(n_a_tokens)   AS total_a_tokens,
+       sum(n_chars)      AS total_token_chars
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@_register("array_hof_matrix", _ARRAY_HOF_ORACLE)
+def array_hof_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicate/fold breadth: exists, forall, filter,
+    and aggregate lambdas over the token array — the remaining §2.8-class
+    function surface (transform/zip_with are exercised by the vector
+    ops). One projection + one hash aggregate; lambdas evaluate per row
+    JVM-side with no explode, so token arrays never hit a shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    per_doc = d.select(
+        "lang",
+        F.exists(toks, lambda t: F.length(t) > 7).cast("int").alias("has_long"),
+        F.forall(toks, lambda t: t != "").cast("int").alias("all_nonempty"),
+        F.size(F.filter(toks, lambda t: t.startswith("a"))).alias("n_a_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_long").alias("docs_with_long_token"),
+            F.sum("all_nonempty").alias("docs_all_nonempty"),
+            F.sum("n_a_tokens").alias("total_a_tokens"),
+            F.sum("n_chars").alias("total_token_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MAP_FN_ORACLE = """
+WITH counts AS (
+  SELECT user_id % 50 AS user_bucket, event_type, count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT user_bucket, event_type, n * 2 AS boosted
+FROM counts
+WHERE n >= 3
+ORDER BY user_bucket, event_type
+"""
+
+
+@_register("map_function_matrix", _MAP_FN_ORACLE)
+def map_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event-type counts are packed into a MAP
+    (map_from_entries over collected structs), transformed value-wise
+    (transform_values), pruned entry-wise (map_filter), then unpacked
+    with explode(map_entries) — the round trip every map function in the
+    §2.8 family. Maps never appear in the OUTPUT schema (Arrow/oracle
+    bridges disagree on map encodings); the oracle computes the same
+    result relationally, so the map pipeline must be value-exact."""
+    e = _t(spark, sf_dir, "events")
+    counts = (
+        e.groupBy((F.col("user_id") % 50).alias("user_bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    packed = counts.groupBy("user_bucket").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    boosted = packed.select(
+        "user_bucket",
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda _, v: v * 2),
+            lambda _, v: v >= 6,
+        ).alias("m"),
+    )
+    return (
+        boosted.select(
+            "user_bucket", F.explode(F.map_entries("m")).alias("ent")
+        )
+        .select(
+            "user_bucket",
+            F.col("ent.key").alias("event_type"),
+            F.col("ent.value").alias("boosted"),
+        )
+        .orderBy("user_bucket", "event_type")
+    )

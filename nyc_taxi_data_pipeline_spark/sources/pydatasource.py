@@ -52,12 +52,14 @@ def make_synthetic_trips_source():
             self.n_parts = max(1, int(options.get("partitions", 8)))
 
         def partitions(self):
-            # contiguous row-id ranges; one Spark task each
-            step = -(-self.n_rows // self.n_parts)
+            # contiguous row-id ranges; one Spark task each. step >= 1
+            # keeps range() legal when n_rows == 0 (empty source -> one
+            # empty partition, since Spark requires at least one).
+            step = max(1, -(-self.n_rows // self.n_parts))
             return [
                 InputPartition((lo, min(lo + step, self.n_rows)))
                 for lo in range(0, self.n_rows, step)
-            ]
+            ] or [InputPartition((0, 0))]
 
         def read(self, partition):
             lo, hi = partition.value

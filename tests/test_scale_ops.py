@@ -421,7 +421,7 @@ def test_python_datasource_partitions_cover_exactly(spark):
     )
 
     register_synthetic_trips(spark)
-    for n_rows, parts in [(10, 3), (7, 8), (100, 1), (96, 8)]:
+    for n_rows, parts in [(10, 3), (7, 8), (100, 1), (96, 8), (0, 4)]:
         df = (
             spark.read.format("synthetic_trips")
             .option("n_rows", n_rows)
