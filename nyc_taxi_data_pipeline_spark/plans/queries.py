@@ -6987,3 +6987,39 @@ def map_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket", "event_type")
     )
+
+
+_SESSION_VAR_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders
+FROM orders
+WHERE o_totalprice > 250000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@_register("session_variable_parameterized", _SESSION_VAR_ORACLE)
+def session_variable_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL surface (Spark 4 SQL scripting family): a session
+    variable (DECLARE OR REPLACE ... / SET VAR) carries the analyst's
+    threshold into the query text-free, and EXECUTE IMMEDIATE ... USING
+    binds a positional parameter — the two idioms that replace f-string
+    SQL generation (the reference builds SQL by interpolation,
+    utils/trinp_db.py:12-27, the injection-prone shape). The plan is
+    identical to the constant-folded static query; the oracle IS that
+    static query."""
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 200000.0"
+    )
+    spark.sql("SET VAR price_floor = 250000.0")
+    return spark.sql("""
+      EXECUTE IMMEDIATE
+        'SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders WHERE o_totalprice > ?
+         GROUP BY o_orderpriority ORDER BY o_orderpriority'
+      USING price_floor
+    """)

@@ -720,3 +720,50 @@ def test_upsert_rows_to_zone(spark, tmp_path):
     assert spark.read.parquet(f"{zone}/v=0").filter(
         F.col("c_custkey") == 1
     ).first()["c_name"] != "UPDATED"
+
+
+def test_udtf_polymorphic_analyze_schema(spark):
+    """§2.10 UDTF polymorphism: an analyze()-time UDTF derives its OUTPUT
+    SCHEMA from a constant argument (here: n-quantile split points →
+    n columns), the Spark-4 surface that static-schema UDTFs can't
+    express. The closure must be self-contained (workers can't import
+    the test module)."""
+    from pyspark.sql.functions import lit, udtf
+
+    class QuantileCols:
+        @staticmethod
+        def analyze(values, n):
+            from pyspark.sql.types import StructType
+
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"q{i + 1}", "double")
+            return __import__(
+                "pyspark.sql.udtf", fromlist=["AnalyzeResult"]
+            ).AnalyzeResult(schema=st)
+
+        def eval(self, values, n):
+            vals = sorted(values)
+            out = []
+            for i in range(n):
+                # inclusive nearest-rank quantile over the sorted list
+                rank = max(0, -(-len(vals) * (i + 1) // n) - 1)
+                out.append(float(vals[rank]))
+            yield tuple(out)
+
+    QC = udtf(QuantileCols)
+    spark.udtf.register("quantile_cols", QC)
+
+    for n in (2, 4):
+        row = (
+            spark.sql(
+                f"SELECT * FROM quantile_cols(array(9.0, 1.0, 5.0, 3.0, 7.0), {n})"
+            )
+            .collect()[0]
+        )
+        assert len(row) == n
+        assert row[n - 1] == 9.0  # last quantile is the max
+    two = spark.sql(
+        "SELECT * FROM quantile_cols(array(9.0, 1.0, 5.0, 3.0, 7.0), 2)"
+    ).collect()[0]
+    assert two.asDict() == {"q1": 5.0, "q2": 9.0}
