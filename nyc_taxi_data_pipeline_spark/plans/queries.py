@@ -7023,3 +7023,59 @@ def session_variable_parameterized(spark: SparkSession, sf_dir: str) -> DataFram
          GROUP BY o_orderpriority ORDER BY o_orderpriority'
       USING price_floor
     """)
+
+
+_STREAM_STATIC_ORACLE = """
+WITH dim(event_type, category, weight) AS (
+  VALUES ('click', 'engagement', 1),
+         ('view', 'engagement', 1),
+         ('purchase', 'revenue', 3),
+         ('signup', 'growth', 2)
+)
+SELECT d.category,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) , 2)
+         AS total_value,
+       sum(d.weight) AS total_weight
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY d.category
+ORDER BY d.category
+"""
+
+
+@_register("stream_static_enrichment", _STREAM_STATIC_ORACLE)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join (the everyday streaming enrichment shape,
+    distinct from the watermark-bounded stream-stream join): each
+    micro-batch of the event stream joins a small static dimension —
+    Spark broadcasts the static side, no state store is involved (only
+    the downstream aggregation is stateful), and dimension updates take
+    effect by restarting the query, the standard trade-off. Inner join
+    doubles as the semi-filter (unmapped event types drop). Oracle: the
+    same join run as batch SQL over a VALUES dim."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
+
+    dim = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("click", "engagement", 1),
+                ("view", "engagement", 1),
+                ("purchase", "revenue", 3),
+                ("signup", "growth", 2),
+            ],
+            "event_type string, category string, weight int",
+        )
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = stream.join(dim, "event_type")
+    agg = enriched.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.sum("weight").alias("total_weight"),
+    )
+    sink = run_stream_to_memory(agg, f"ss_{uuid.uuid4().hex[:8]}")
+    return sink.orderBy("category")

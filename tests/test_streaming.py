@@ -719,3 +719,58 @@ def test_available_now_trigger_drains_and_terminates(spark, events_4_files):
         ).collect()
     )
     assert streamed == batch
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark — the state-BOUNDED dedup variant:
+    unlike dropDuplicates (whose per-key state lives forever unless the
+    event-time column is part of the key), state here is evicted purely
+    by watermark, the only shape whose state survives an unbounded
+    stream at 100 TB. Duplicate event_ids re-sent in a later micro-batch
+    (still inside the watermark) must be dropped; the result equals
+    batch distinct-by-id."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+    base = (
+        load_table(spark, SF, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .limit(200)
+    )
+    d = str(tmp_path / "dup_feed")
+    # file 1: the events; file 2: the SAME events re-sent (pure dups)
+    base.coalesce(1).write.mode("overwrite").parquet(d)
+    base.coalesce(1).write.mode("append").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["event_type"]: r["n"] for r in spark.table(name).collect()}
+    expected = {
+        r["event_type"]: r["n"]
+        for r in base.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
