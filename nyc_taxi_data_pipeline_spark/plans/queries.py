@@ -7079,3 +7079,58 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_stream_to_memory(agg, f"ss_{uuid.uuid4().hex[:8]}")
     return sink.orderBy("category")
+
+
+_COLLATION_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+),
+cased AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(t) ELSE t END AS tc
+  FROM tok
+)
+SELECT min(tc) AS token_key,
+       count(*) AS n,
+       count(DISTINCT tc) AS n_case_variants
+FROM cased
+GROUP BY lower(tc)
+ORDER BY n DESC, token_key
+LIMIT 20
+"""
+
+
+@_register("collated_group_by", _COLLATION_ORACLE)
+def collated_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation surface (Spark 4): tokens are re-cased deterministically
+    (upper on even doc ids) and grouped under UTF8_LCASE collation — the
+    hash aggregate itself merges case variants, no lower() projection in
+    the grouping key. Collation-aware grouping beats normalize-then-group
+    when the ORIGINAL strings must survive (here: min + variant count per
+    group prove both casings reached the same group). Output keys are
+    binary min over the group, so the result is deterministic; the
+    oracle groups by lower() which is semantically identical for ASCII."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    )
+    cased = tok.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("t")).otherwise(F.col("t")).alias(
+            "tc"
+        )
+    )
+    return (
+        cased.groupBy(F.collate(F.col("tc"), "UTF8_LCASE").alias("__k"))
+        .agg(
+            F.min(F.collate(F.col("tc"), "UTF8_BINARY")).alias("token_key"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.collate(F.col("tc"), "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .drop("__k")
+        .orderBy(F.col("n").desc(), "token_key")
+        .limit(20)
+    )
