@@ -7,6 +7,15 @@ JSON line:
 
 Each query is forced with a full count() (materializes every operator in
 the plan); per-query seconds include Catalyst planning + execution.
+
+Output contract: the JSON line is the ONLY bytes this process writes to
+stdout. Everything the JVM, py4j, or any library might print is routed to
+stderr at the file-descriptor level for the whole run (BENCH_r01 showed a
+driver-side parse failure when stray stdout mixed with the result line),
+and the JSON is emitted compact (no separators whitespace, 2-decimal
+timings) so the line stays small enough to survive tail-truncating log
+captures. A full copy is also written to BENCH_LOCAL.json next to this
+file for local round-over-round diffing.
 """
 
 from __future__ import annotations
@@ -19,13 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
-    except ValueError:
-        sf = -1.0
-
+def _run(sf_dir: str) -> dict:
     from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
     from nyc_taxi_data_pipeline_spark.session import get_spark
 
@@ -40,27 +43,52 @@ def main() -> None:
     for i, (name, query) in enumerate(REGISTRY.items()):
         t0 = time.perf_counter()
         query.spark(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(time.perf_counter() - t0, 2)
         # storage blocks from lazy localCheckpoints are only unpersisted
         # after the driver GCs the frame refs (ContextCleaner); over a
-        # 140-query run the accumulation causes multi-x eviction spikes
+        # 150-query run the accumulation causes multi-x eviction spikes
         # in later heavy queries — nudge reclamation periodically
         if i % 10 == 9:
             spark._jvm.System.gc()
     total = round(time.perf_counter() - t_suite, 3)
-
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
     spark.stop()
+    return {"total": total, "timings": timings}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    # route EVERYTHING (including JVM fd-1 writes) to stderr while queries
+    # run; keep a dup of the real stdout for the single result line
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+    try:
+        result = _run(sf_dir)
+    finally:
+        sys.stdout.flush()
+        os.dup2(real_stdout_fd, 1)
+        os.close(real_stdout_fd)
+
+    payload = {
+        "metric": "suite_wall_seconds",
+        "value": result["total"],
+        "unit": "sec",
+        "queries": result["timings"],
+        "sf": sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

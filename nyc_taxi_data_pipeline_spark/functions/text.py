@@ -120,3 +120,17 @@ def fingerprint(col: str | Column) -> Column:
         )
     )
     return F.xxhash64(normalized)
+
+
+def fingerprint_portable(col: str | Column) -> Column:
+    """`fingerprint` on the portable md5 lane (same normalization, md5 hex
+    string instead of xxhash64): reproducible bit-identically in any SQL
+    engine, so fingerprint-dedup results can be oracle-verified. 32-byte
+    string key vs the 8-byte long of the production lane — same shuffle
+    shape, ~4x wider key."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(_c(col)), r"[!-/:-@\[-`{-~]", " "), r"\s+", " "
+        )
+    )
+    return F.md5(normalized)

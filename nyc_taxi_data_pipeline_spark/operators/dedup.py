@@ -50,6 +50,14 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return exact_dedup(fp, ["__fp"], id_col).drop("__fp")
 
 
+def fingerprint_dedup_portable(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """`fingerprint_dedup` on the portable md5 lane (functions/text.
+    fingerprint_portable) — identical single-shuffle shape, but the dedup
+    key is reproducible cross-engine so the result is oracle-verifiable."""
+    fp = df.withColumn("__fp", textfn.fingerprint_portable(text_col))
+    return exact_dedup(fp, ["__fp"], id_col).drop("__fp")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -698,6 +706,49 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         # bit 63 is the sign bit: 1<<63 doesn't fit a signed long
         bit_val = (1 << i) if i < 63 else -(1 << 63)
         bit = F.when(F.col(f"__v{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    return votes.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 60
+) -> DataFrame:
+    """(id, simhash bigint): `simhash` on the PORTABLE md5 token lane —
+    each token's hash is the first 15 hex chars of md5 parsed as a 60-bit
+    integer, which every SQL engine reproduces bit-identically (the same
+    md5-lane trick as minhash_signatures_portable). The whole pipeline
+    (token hash → per-bit votes → sign fingerprint) is therefore
+    expressible as a cross-engine oracle query, unlike the seeded
+    xxhash64 production lane.
+
+    Shuffle shape is identical to `simhash`: explode(tokens) → one
+    codegen'd md5+conv per token → groupBy(id) with `bits` vote-sum
+    aggregates (map-side combine), fingerprint assembled from the vote
+    signs. 60 bits (not 64) keeps the fingerprint comfortably inside a
+    signed long on both engines; band with band_bits=15 so 4 bands tile
+    the 60 bits exactly."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
+    hashed = exploded.select("id", h.alias("__h"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"__v{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)

@@ -96,6 +96,7 @@ def pagerank_fixed_iterations(
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = 10**12,
+    dangling: str = "redistribute",
 ) -> DataFrame:
     """(node, pr) after a FIXED number of power iterations of PageRank over
     the directed edge list — the canonical iterative join-aggregate workload
@@ -107,11 +108,21 @@ def pagerank_fixed_iterations(
     engine — no float summation-order drift — and the catalog entry gets a
     REAL cross-engine oracle (unrolled CTEs) instead of a rows-only check,
     unusual for an iterative algorithm. Callers pass a symmetrized edge list
-    for undirected graphs; dangling nodes (out-degree 0) leak their mass by
-    design, matching the oracle exactly.
+    for undirected graphs.
+
+    `dangling` picks the treatment of nodes with out-degree 0:
+      * "redistribute" (default) — the standard formulation: each
+        iteration sums the rank mass sitting on dangling nodes (one tiny
+        aggregate, broadcast back) and spreads it uniformly, so total
+        mass is conserved up to floor-division dust;
+      * "leak" — dangling mass vanishes (the power-iteration-over-edges
+        shortcut); only correct when the caller knows the graph has no
+        dangling sources, so it is opt-in, not silently the default.
 
     Same lineage discipline as connected_components: the rank frame is
     localCheckpointed per iteration or the plan tree doubles every round."""
+    if dangling not in ("redistribute", "leak"):
+        raise ValueError(f"dangling must be 'redistribute' or 'leak': {dangling!r}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=False
     )
@@ -137,16 +148,26 @@ def pagerank_fixed_iterations(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
-        pr = (
-            nodes.crossJoin(F.broadcast(n_frame))
-            .join(summed, "node", "left")
-            .select(
-                "node",
-                (
-                    teleport
-                    + F.expr(f"({damping_pct} * coalesce(__s, 0L)) div 100")
-                ).alias("pr"),
+        if dangling == "redistribute":
+            # mass sitting on out-degree-0 nodes this iteration: one tiny
+            # aggregate (anti-join against the degree frame), broadcast
+            # back and spread uniformly — conserves total mass
+            dang = (
+                pr.join(deg, pr["node"] == deg["src"], "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("__d"))
             )
+            inflow = F.expr(
+                f"({damping_pct} * (coalesce(__s, 0L) + __d div __n)) div 100"
+            )
+            base = (
+                nodes.crossJoin(F.broadcast(n_frame)).crossJoin(F.broadcast(dang))
+            )
+        else:
+            inflow = F.expr(f"({damping_pct} * coalesce(__s, 0L)) div 100")
+            base = nodes.crossJoin(F.broadcast(n_frame))
+        pr = (
+            base.join(summed, "node", "left")
+            .select("node", (teleport + inflow).alias("pr"))
             .localCheckpoint(eager=False)
         )
     return pr

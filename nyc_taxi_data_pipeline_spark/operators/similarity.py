@@ -207,20 +207,26 @@ def ivf_topk_via_zone(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     prune_files: bool = True,
+    max_pruned_cells: int = 4096,
 ) -> DataFrame:
     """`ivf_topk` against a persisted IVF zone (see `write_ivf_zone`):
     centroids load (tiny, broadcast), each query picks its n_probe nearest
     cells, and only those cells' partitions are read.
 
     prune_files=True collects the probed cell ids to the driver first —
-    a deliberately tiny collect (≤ |queries| × n_probe longs; the probe
-    set must be small for ANN to make sense at all) — and applies them as
-    a literal `isin` filter, which Catalyst turns into PartitionFilters
-    on the zone's `cell=` directories: unprobed cells are never opened,
-    the file-level analog of an inverted-file index seek. With
-    prune_files=False the probe set stays a broadcast join and the scan
-    reads all cell partitions (correct, but full-width). Results are
-    identical to the in-memory ivf_topk given the same corpus/stride."""
+    a deliberately tiny collect (≤ distinct cells probed, itself ≤ the
+    zone's cell count, which is ~sqrt(corpus) by construction) — and
+    applies them as a literal `isin` filter, which Catalyst turns into
+    PartitionFilters on the zone's `cell=` directories: unprobed cells
+    are never opened, the file-level analog of an inverted-file index
+    seek. The collect is HARD-BOUNDED by `max_pruned_cells`: if the probe
+    set exceeds it (a huge query frame probing most of the zone), the
+    literal filter would stop paying for itself, so the operator falls
+    back to the broadcast-join path automatically instead of growing an
+    unbounded driver-side list. With prune_files=False the probe set
+    stays a broadcast join and the scan reads all cell partitions
+    (correct, but full-width). Results are identical to the in-memory
+    ivf_topk given the same corpus/stride."""
     spark = queries.sparkSession
     cents = F.broadcast(spark.read.parquet(f"{zone_path}/centroids"))
     assigned = spark.read.parquet(f"{zone_path}/cells")
@@ -241,8 +247,14 @@ def ivf_topk_via_zone(
         .select("query_id", "qv", "cell")
     )
     if prune_files:
-        probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-        assigned = assigned.filter(F.col("cell").isin(probed_cells))
+        limited = (
+            probes.select("cell").distinct().limit(max_pruned_cells + 1).collect()
+        )
+        if len(limited) <= max_pruned_cells:
+            probed_cells = [r["cell"] for r in limited]
+            assigned = assigned.filter(F.col("cell").isin(probed_cells))
+        # else: probe set too wide for a literal partition filter — keep
+        # the broadcast join below as the only (scan-wide) pruning
     scored = assigned.join(probes, "cell").select(
         "query_id",
         "neighbor_id",
@@ -397,9 +409,10 @@ def quantized_topk(
 
 def quantize_embeddings_arrow(
     df: DataFrame,
-    scale: float,
+    scale: float | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scale_col: str | None = None,
 ) -> DataFrame:
     """(id, qvec array<bigint>) — int8 symmetric quantization computed in
     a mapInArrow pass: zero-copy Arrow batches in and out, vectorized
@@ -408,13 +421,20 @@ def quantize_embeddings_arrow(
     per-row Python). This is the §2.10 Arrow-level lane, one step below
     pandas UDFs: no pandas conversion, list offsets reused as-is.
 
-    `scale` is the corpus max |x| (see int8_scale) — a corpus constant
-    computed once per ingest and shipped as a closure scalar, the same
-    number int8_scale broadcasts JVM-side. Arithmetic is pinned to
-    (x * 127.0) / scale with round half-away-from-zero
-    (pyarrow round_mode='half_towards_infinity' == Spark/DuckDB round),
-    so the quantized lanes are bit-identical to the JVM _quantize
-    recipe and any SQL oracle."""
+    The corpus max |x| (see int8_scale) can be supplied two ways:
+      * `scale` — a Python float shipped as a closure scalar (the
+        per-ingest pattern where the scale is a persisted zone constant);
+      * `scale_col` — the name of a constant column on `df`, e.g. from
+        crossJoin(broadcast(int8_scale(df))): the whole quantization is
+        then ONE Spark action with no driver-side collect — the Arrow
+        kernel reads the scale from the first row of each batch.
+    Arithmetic is pinned to (x * 127.0) / scale with round
+    half-away-from-zero (pyarrow round_mode='half_towards_infinity' ==
+    Spark/DuckDB round), so the quantized lanes are bit-identical to the
+    JVM _quantize recipe and any SQL oracle. Null embedding rows stay
+    null (the input validity bitmap is carried onto qvec)."""
+    if (scale is None) == (scale_col is None):
+        raise ValueError("pass exactly one of scale / scale_col")
     out_schema = f"{id_col} bigint, qvec array<bigint>"
 
     def quantize_batches(batches):
@@ -428,12 +448,26 @@ def quantize_embeddings_arrow(
             emb = batch.column(1)
             if isinstance(emb, pa.ChunkedArray):
                 emb = emb.combine_chunks()
+            if scale is not None:
+                s = scale
+            else:
+                # scale_col is a broadcast corpus constant — identical on
+                # every row of every batch
+                s = batch.column(2)[0].as_py()
             flat = pc.cast(emb.values, "float64")
-            scaled = pc.divide(pc.multiply(flat, 127.0), scale)
+            scaled = pc.divide(pc.multiply(flat, 127.0), s)
             q = pc.cast(
                 pc.round(scaled, round_mode="half_towards_infinity"), "int64"
             )
-            qvec = pa.ListArray.from_arrays(emb.offsets, q)
+            # carry the row-level validity bitmap: a null embedding must
+            # stay a null qvec, not collapse to a non-null empty list
+            if emb.null_count:
+                qvec = pa.ListArray.from_arrays(
+                    emb.offsets, q, mask=emb.is_null()
+                )
+            else:
+                qvec = pa.ListArray.from_arrays(emb.offsets, q)
             yield pa.RecordBatch.from_arrays([ids, qvec], [id_col, "qvec"])
 
-    return df.select(id_col, vec_col).mapInArrow(quantize_batches, out_schema)
+    cols = [id_col, vec_col] + ([scale_col] if scale_col else [])
+    return df.select(*cols).mapInArrow(quantize_batches, out_schema)

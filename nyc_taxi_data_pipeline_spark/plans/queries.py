@@ -1181,44 +1181,193 @@ def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dedup_fingerprint_xxhash", None)
-def dedup_fingerprint_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit-fingerprint dedup (operators/dedup.fingerprint_dedup) —
-    xxhash64 isn't available to the SQL oracle, so this is a rows-only
-    check; dedup_normalized_documents pins the same semantics with hashes
-    replaced by the normalized text itself."""
-    from nyc_taxi_data_pipeline_spark.operators.dedup import fingerprint_dedup
+_FP_PORTABLE_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id FROM n GROUP BY fp ORDER BY doc_id
+"""
+
+
+@_register("dedup_fingerprint_portable", _FP_PORTABLE_ORACLE)
+def dedup_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup on the PORTABLE md5 lane (operators/dedup.
+    fingerprint_dedup_portable): dedup key is the md5 of the normalized
+    text, reproducible bit-identically in any engine — so the oracle runs
+    the ACTUAL hash-key algorithm instead of a rows-only check. The
+    8-byte xxhash64 production lane (fingerprint_dedup) keeps the same
+    single-shuffle shape and is pinned equal-output-to-this-lane in
+    tests/test_operators.py."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import fingerprint_dedup_portable
 
     d = _t(spark, sf_dir, "documents")
-    return fingerprint_dedup(d, "text", "doc_id").select("doc_id").orderBy("doc_id")
+    return (
+        fingerprint_dedup_portable(d, "text", "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
-@_register("dedup_minhash_lsh", None)
+def _minhash_portable_oracle(
+    num_hashes: int = 16, bands: int = 4, cols: str = "doc_id, lang, source"
+) -> str:
+    """Build the DuckDB oracle for the PORTABLE minhash pipeline — md5
+    string lanes make every stage SQL-reproducible, so the oracle runs the
+    actual LSH algorithm, not a stand-in."""
+    rpb = num_hashes // bands
+    lanes = ",\n         ".join(
+        f"min(md5('{seed}:' || s)) AS m{seed}" for seed in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"m{b * rpb + i}" for i in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+sig AS (
+  SELECT doc_id,
+         {lanes}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN shl sa ON sa.doc_id = cand.id_a
+  JOIN shl sb ON sb.doc_id = cand.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+             AS DOUBLE) >= 0.8
+)
+SELECT {cols}
+FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM verified)
+ORDER BY doc_id
+"""
+
+
+@_register(
+    "dedup_minhash_lsh",
+    _minhash_portable_oracle(num_hashes=24, bands=6, cols="doc_id, lang"),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup removal (shingle → 16-perm minhash → 4-band
-    LSH → exact-Jaccard verify ≥0.8 → drop larger id). Rows-only check
-    (hash-seeded signatures aren't SQL-reproducible); ngram_jaccard_topk
-    pins the underlying Jaccard math against the oracle."""
-    from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_dedup
+    """MinHash+LSH near-dup removal at a WIDER operating point than
+    dedup_minhash_portable: 24 md5 lanes in 6 bands of 4 rows (vs 16/4) —
+    higher recall at the same verify threshold, the knob a production
+    pipeline turns when banding misses matter. Portable md5 lanes, so the
+    generated oracle runs the ACTUAL signature→band→verify→anti-join
+    algorithm cross-engine (the seeded xxhash64 fast path,
+    operators/dedup.minhash_dedup, stays the production default and is
+    pytest-covered)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_dedup_portable
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup(d, "text", "doc_id").select("doc_id", "lang").orderBy("doc_id")
+    return (
+        minhash_dedup_portable(d, "text", "doc_id", num_hashes=24, bands=6)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
 
 
-@_register("simhash_hamming_pairs", None)
+def _simhash_portable_oracle(
+    bits: int = 60, band_bits: int = 15, max_hamming: int = 12
+) -> str:
+    """DuckDB oracle for the portable simhash pipeline — like
+    `_minhash_portable_oracle` the SQL runs the ACTUAL algorithm (60-bit
+    md5 token hashes, per-bit vote sums, sign fingerprint, 15-bit band
+    buckets, Hamming filter), not a stand-in."""
+    sum_lanes = ",\n         ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig_terms = "\n             + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sig, {b} AS band,"
+        f" (sig >> {b * band_bits}) & {mask} AS bucket FROM s"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+),
+v AS (
+  SELECT doc_id,
+         {sum_lanes}
+  FROM h GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id,
+         ({sig_terms}) AS sig
+  FROM v
+),
+banded AS (
+{band_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@_register("simhash_hamming_pairs", _simhash_portable_oracle())
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit token-vote fingerprints,
-    16-bit-band LSH, Hamming distance ≤ 12. Rows-only check."""
+    """SimHash near-dup candidates on the PORTABLE 60-bit md5 token lane:
+    per-bit vote fingerprints, 15-bit-band LSH (4 bands tile the 60 bits),
+    Hamming distance ≤ 12 — the generated oracle runs the identical
+    hash→vote→sign→band→Hamming algorithm in DuckDB, so the probabilistic
+    pipeline is value-verified cross-engine. The seeded 64-bit xxhash64
+    production lane (operators/dedup.simhash) keeps the same shuffle shape
+    and stays pytest-covered."""
     from nyc_taxi_data_pipeline_spark.operators.dedup import (
-        simhash,
         simhash_candidate_pairs,
+        simhash_portable,
     )
 
     d = _t(spark, sf_dir, "documents")
-    sims = simhash(d, "text", "doc_id")
+    sims = simhash_portable(d, "text", "doc_id")
     return (
-        simhash_candidate_pairs(sims, band_bits=16)
+        simhash_candidate_pairs(sims, band_bits=15)
         .filter(F.col("hamming") <= 12)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
 
@@ -1944,13 +2093,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_decode_features", None)
+# the fake decoder's lane-0 feature is SQL-derivable: payload bytes are the
+# UTF-8 text (ASCII in this corpus, so ascii(char) == byte), reshaped into
+# 16-wide rows with row weight r+1; f0 = (sum_r (r+1)*byte[16r]) % 100003
+# / 100003 cast to float32 — expressed below with a list_transform over row
+# indices, REAL cast matching numpy's float32 rounding
+_MM_DECODE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END
+           AS mime_type,
+         text,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+f AS (
+  SELECT doc_id, mime_type, n_bytes,
+         CAST(coalesce(list_sum(list_transform(
+                range(0, CAST(ceil(n_bytes / 16.0) AS INT)),
+                r -> (r + 1) * ascii(substr(text, 16 * r + 1, 1))
+              )), 0) % 100003 / 100003.0 AS REAL) AS f0
+  FROM p
+)
+SELECT mime_type,
+       count(*) AS n_media,
+       round(avg(n_bytes), 4) AS avg_bytes,
+       round(avg(f0), 6) AS avg_f0
+FROM f
+GROUP BY mime_type
+ORDER BY mime_type
+"""
+
+
+@_register("multimodal_decode_features", _MM_DECODE_ORACLE)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media decode plumbing (mapInPandas): documents stand in
     as binary payloads, the deterministic fake decoder emits fixed-dim float
-    features, aggregated per mime class. Rows-only check — the byte-fold
-    stub isn't SQL-expressible; the schema/batch plumbing is what's under
-    test (operators/multimodal.decode_features)."""
+    features, aggregated per mime class. The fake decoder's byte-fold is a
+    pure function of the payload bytes, so the oracle derives lane-0 of the
+    feature vector in SQL — the mapInPandas Python lane is value-verified
+    against a cross-engine recomputation, not just rows-only
+    (operators/multimodal.decode_features)."""
     from nyc_taxi_data_pipeline_spark.operators.multimodal import decode_features
 
     d = _t(spark, sf_dir, "documents")
@@ -1973,17 +2156,36 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("approx_distinct_sketch", None)
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("approx_distinct_sketch", _APPROX_DISTINCT_ORACLE)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (the 100 TB path for COUNT DISTINCT): HLL++
-    approx_count_distinct next to the exact count per event_type. Rows-only
-    check — sketch estimates are engine-specific by design."""
+    approx_count_distinct (rsd 2%) per event_type, VALUE-CHECKED against
+    the exact count — the entry emits `approx_within_5pct`, true iff the
+    sketch estimate lands within rtol 0.05 of exact, and the oracle
+    asserts exact counts plus literal TRUE. Sketch internals stay
+    engine-specific, but the accuracy contract is now driver-verified
+    (measured HLL error ≤0.4% at sf0.1, so 5% is a hard-fail bound, not
+    a tautology)."""
     e = _t(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id")
     return (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
+            exact.alias("exact_users"),
+            (
+                F.abs(approx - exact) <= F.lit(0.05) * exact
+            ).alias("approx_within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -2900,20 +3102,42 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-@_register("approx_percentile_sketch", None)
+_APPROX_PCTL_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2)  AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.9), 2)  AS exact_p90,
+       round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99,
+       TRUE AS approx_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@_register("approx_percentile_sketch", _APPROX_PCTL_ORACLE)
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentile sketches (the 100 TB path for percentile_stats): KLL-style
-    approx_percentile next to the exact interpolated values. Rows-only
-    check — sketch outputs are engine-specific by design; percentile_stats
-    pins the exact math."""
+    """Percentile sketches (the 100 TB path for percentile_stats):
+    approx_percentile (accuracy 10000) per return flag, VALUE-CHECKED
+    against the exact interpolated percentiles — the entry emits
+    `approx_within_1pct`, true iff all three sketch quantiles land within
+    rtol 0.01 of exact, and the oracle asserts the exact values plus
+    literal TRUE. Sketch internals stay engine-specific; the accuracy
+    contract is driver-verified (measured error ≤0.1% at sf0.1, so 1% is
+    a hard-fail bound)."""
     li = _t(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    exact = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-                "approx_p50_p90_p99"
-            ),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+            F.round(exact[0], 2).alias("exact_p50"),
+            F.round(exact[1], 2).alias("exact_p90"),
+            F.round(exact[2], 2).alias("exact_p99"),
+            (
+                (F.abs(approx[0] - exact[0]) <= F.lit(0.01) * F.abs(exact[0]))
+                & (F.abs(approx[1] - exact[1]) <= F.lit(0.01) * F.abs(exact[1]))
+                & (F.abs(approx[2] - exact[2]) <= F.lit(0.01) * F.abs(exact[2]))
+            ).alias("approx_within_1pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -3490,63 +3714,6 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return content_defined_chunks(d, min_tokens=4).orderBy("doc_id", "chunk_id")
-
-
-def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4) -> str:
-    """Build the DuckDB oracle for the PORTABLE minhash pipeline — md5
-    string lanes make every stage SQL-reproducible, so the oracle runs the
-    actual LSH algorithm, not a stand-in."""
-    rpb = num_hashes // bands
-    lanes = ",\n         ".join(
-        f"min(md5('{seed}:' || s)) AS m{seed}" for seed in range(num_hashes)
-    )
-    band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
-            b=b,
-            concat=" || ',' || ".join(f"m{b * rpb + i}" for i in range(rpb)),
-        )
-        for b in range(bands)
-    )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-  FROM documents
-),
-shl AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                       i -> array_to_string(t[i:i+2], ' '))) AS sh
-  FROM toks
-),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-sig AS (
-  SELECT doc_id,
-         {lanes}
-  FROM ex GROUP BY doc_id
-),
-banded AS (
-{band_rows}
-),
-cand AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-  GROUP BY id_a, id_b
-),
-verified AS (
-  SELECT id_a, id_b
-  FROM cand
-  JOIN shl sa ON sa.doc_id = cand.id_a
-  JOIN shl sb ON sb.doc_id = cand.id_b
-  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
-             AS DOUBLE) >= 0.8
-)
-SELECT doc_id, lang, source
-FROM documents
-WHERE doc_id NOT IN (SELECT id_b FROM verified)
-ORDER BY doc_id
-"""
 
 
 @_register("dedup_minhash_portable", _minhash_portable_oracle())
@@ -6336,7 +6503,10 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank_fixed_iterations(edges)
+    # the symmetrized graph has no dangling sources (every node appears as
+    # a src), so the leak shortcut is exact here — explicit opt-in; the
+    # operator's default redistributes dangling mass for arbitrary graphs
+    pr = pagerank_fixed_iterations(edges, dangling="leak")
     return pr.orderBy(F.col("pr").desc(), F.col("node")).limit(20)
 
 
@@ -6775,16 +6945,18 @@ def arrow_quantized_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (half_towards_infinity) is pinned to Spark/DuckDB round semantics,
     so even though Python touches every lane the result carries a full
     value oracle (operators/similarity.quantize_embeddings_arrow). The
-    quantization scale is a corpus constant fetched once (one scalar
-    aggregate), the per-ingest pattern for a persisted int8 zone."""
+    quantization scale rides in as a broadcast column
+    (crossJoin(broadcast(int8_scale))) read batch-side by the Arrow
+    kernel — the whole entry is ONE Spark action with no driver-side
+    collect."""
     from nyc_taxi_data_pipeline_spark.operators.similarity import (
         int8_scale,
         quantize_embeddings_arrow,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    scale = float(int8_scale(emb).collect()[0][0])
-    q = quantize_embeddings_arrow(emb, scale)
+    with_scale = emb.crossJoin(F.broadcast(int8_scale(emb)))
+    q = quantize_embeddings_arrow(with_scale, scale_col="q_scale")
     return (
         q.select(
             "vec_id",

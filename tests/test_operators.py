@@ -767,3 +767,80 @@ def test_udtf_polymorphic_analyze_schema(spark):
         "SELECT * FROM quantile_cols(array(9.0, 1.0, 5.0, 3.0, 7.0), 2)"
     ).collect()[0]
     assert two.asDict() == {"q1": 5.0, "q2": 9.0}
+
+
+def test_fingerprint_portable_lane_matches_xxhash_lane(spark):
+    """The portable md5 fingerprint lane (the oracle-backed catalog entry)
+    must keep exactly the same rows as the xxhash64 production lane — the
+    hash function changes, the dedup semantics must not."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        fingerprint_dedup,
+        fingerprint_dedup_portable,
+    )
+
+    d = load_table(spark, SF, "documents")
+    prod = {r["doc_id"] for r in fingerprint_dedup(d, "text", "doc_id").collect()}
+    port = {
+        r["doc_id"] for r in fingerprint_dedup_portable(d, "text", "doc_id").collect()
+    }
+    assert prod == port
+    assert len(prod) > 0
+
+
+def test_simhash_portable_matches_python_reference(spark):
+    """Lane-exact property: the distributed 60-bit portable simhash must
+    equal an independent pure-Python recomputation (md5 token hashes,
+    per-bit votes, sign fingerprint) on a document sample."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import simhash_portable
+
+    d = load_table(spark, SF, "documents").filter(F.col("doc_id") < 40)
+    got = {
+        r["id"]: r["simhash"]
+        for r in simhash_portable(d, "text", "doc_id").collect()
+    }
+
+    rows = d.select("doc_id", "text").collect()
+    assert len(rows) > 0
+    for r in rows:
+        toks = r["text"].strip().lower().split()
+        if not toks:
+            toks = [""]  # Spark split('') yields ['']
+        votes = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        expect = sum(1 << i for i in range(60) if votes[i] > 0)
+        assert got[r["doc_id"]] == expect, r["doc_id"]
+
+
+def test_pagerank_dangling_redistribute_conserves_mass(spark):
+    """On a graph WITH a dangling node (c has no out-edges), the default
+    redistribute mode must conserve total rank mass (up to floor-division
+    dust), while the opt-in leak mode loses the dangling mass — and on a
+    dangling-free graph the two modes must agree exactly."""
+    from nyc_taxi_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_iterations,
+    )
+
+    scale = 10**12
+    dangling_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"]
+    )
+    redis = pagerank_fixed_iterations(dangling_edges, iterations=3)
+    leak = pagerank_fixed_iterations(dangling_edges, iterations=3, dangling="leak")
+    total_redis = redis.agg(F.sum("pr")).collect()[0][0]
+    total_leak = leak.agg(F.sum("pr")).collect()[0][0]
+    # 3 nodes x 3 iterations of floor divisions: dust far under 100 units
+    assert abs(total_redis - scale) < 100
+    assert total_leak < total_redis - scale // 10  # leak lost real mass
+
+    sym = dangling_edges.union(
+        dangling_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    r = {(x["node"], x["pr"]) for x in pagerank_fixed_iterations(sym).collect()}
+    l = {
+        (x["node"], x["pr"])
+        for x in pagerank_fixed_iterations(sym, dangling="leak").collect()
+    }
+    assert r == l

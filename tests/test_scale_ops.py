@@ -463,3 +463,46 @@ def test_arrow_quantize_matches_jvm_recipe(spark):
         ).collect()
     }
     assert arrow == jvm
+
+
+def test_arrow_quantize_scale_col_lane_and_null_mask(spark):
+    """The scale_col lane (broadcast corpus constant, zero driver collect)
+    must match the closure-scalar lane bit-for-bit, and a NULL embedding
+    row must stay NULL in qvec (validity bitmap carried through the Arrow
+    kernel, not collapsed to an empty list)."""
+    from pyspark.sql import types as T
+
+    from nyc_taxi_data_pipeline_spark.operators.similarity import (
+        int8_scale,
+        quantize_embeddings_arrow,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    scale = float(int8_scale(emb).collect()[0][0])
+    scalar_lane = {
+        r["vec_id"]: r["qvec"]
+        for r in quantize_embeddings_arrow(emb, scale).collect()
+    }
+    col_lane = {
+        r["vec_id"]: r["qvec"]
+        for r in quantize_embeddings_arrow(
+            emb.crossJoin(F.broadcast(int8_scale(emb))), scale_col="q_scale"
+        ).collect()
+    }
+    assert scalar_lane == col_lane
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    with_null = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, None), (3, [0.5, 0.25])], schema
+    )
+    out = {
+        r["vec_id"]: r["qvec"]
+        for r in quantize_embeddings_arrow(with_null, 2.0).collect()
+    }
+    assert out[2] is None
+    assert out[1] == [64, -127] and out[3] == [32, 16]
