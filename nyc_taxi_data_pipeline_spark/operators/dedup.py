@@ -82,9 +82,10 @@ def minhash_signatures(
     re-inlined into downstream banding expressions; the aggregate here is
     also a natural optimizer barrier.)
 
-    Docs with zero shingles (empty/whitespace text) have no minhash by
-    definition and drop out — they are never near-dup candidates; pair with
-    exact/fingerprint dedup to collapse empty docs."""
+    Only NULL-text docs drop out (split of '' yields [''] in Spark, so
+    empty/whitespace docs produce the single '' shingle and all share one
+    signature — they band-collide with each other); pair with exact/
+    fingerprint dedup first to collapse empty docs cheaply."""
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(textfn.shingles(text_col, shingle_k))).alias(
@@ -159,8 +160,11 @@ def minhash_signatures_oph(
     any SQL engine, so the full pipeline stays oracle-verifiable. Shuffle
     shape is unchanged: explode → groupBy(id) with num_bins conditional-min
     aggregates (map-side combine collapses each partition to one row per
-    doc). Docs with zero shingles drop out as before; docs with ≥1 shingle
-    always densify fully (the coalesce ring contains every bin)."""
+    doc). Only NULL-text docs drop out (split of '' yields [''] in Spark,
+    so empty/whitespace docs all share the md5('') single-shingle
+    signature and will band-collide with each other — run exact/
+    fingerprint dedup first to collapse them); every doc with a signature
+    densifies fully (the coalesce ring contains every bin)."""
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(textfn.shingles(text_col, shingle_k))).alias(

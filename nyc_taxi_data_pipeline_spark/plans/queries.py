@@ -1095,9 +1095,9 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.struct(
                         (F.col("user_id") % 3).cast("int").alias("vendorid"),
-                        # ts arrives as TIMESTAMP_NTZ from parquet inference;
-                        # unix_micros needs an instant — UTC session tz makes
-                        # the cast value-preserving
+                        # load_table already normalizes ts to TimestampType;
+                        # the cast is a defensive no-op kept for loaders that
+                        # bypass catalog normalization (raw spark.read paths)
                         F.unix_micros(F.col("ts").cast("timestamp")).alias(
                             "tpep_pickup_datetime"
                         ),
@@ -6605,11 +6605,16 @@ def recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     so days with NO events appear as explicit zero rows — the dense-axis
     contract dashboards and window functions need, which gapfill-LOCF
     (timeseries_gapfill_locf) deliberately does not provide. The
-    recursion depth is the calendar span in days, far under Spark's
-    100-level default; the spine is tiny however large the fact table,
-    so the join broadcasts."""
+    recursion depth is the calendar span in DAYS — a property of the
+    data, not the query — so the recursion limit is raised explicitly to
+    4000 levels (~11 years) rather than silently relying on the testdata
+    span staying under Spark's 100-level default; the spine is tiny
+    however large the fact table, so the join broadcasts."""
     from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
 
+    # session conf must hold at EXECUTION time (the frame is lazy), so it
+    # is set without restore — 4000 is harmless for every other query
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "4000")
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql("""
       WITH RECURSIVE sparse AS (

@@ -124,7 +124,30 @@ def write_jdbc(
 ) -> None:
     """S7: staging-warehouse sink (reference: batch_processing_optimized.py:186-197
     — coalesce(4) + batchsize 10000). numPartitions bounds concurrent
-    connections; on a big cluster raise it with the DB's write capacity."""
+    connections; on a big cluster raise it with the DB's write capacity.
+
+    Round-trip proven against embedded Derby (tests/test_operators.py);
+    the reference's target is Postgres, which this environment cannot run
+    (no network, no pg wheel), so the known Derby-vs-Postgres JDBC type
+    deltas are documented here instead of asserted:
+      * TimestampType → Derby TIMESTAMP has NANOsecond precision, Postgres
+        `timestamp` is MICROsecond — equal for this engine (Spark
+        timestamps are micros end-to-end), but sub-micro values a future
+        source introduces would truncate on pg only;
+      * DoubleType → Derby DOUBLE and pg `double precision` are both
+        IEEE754-binary64 (no delta); mapping to pg `numeric` instead goes
+        through the dialect only if the caller creates the table first —
+        let Spark create the schema to avoid double↔numeric rounding;
+      * StringType → Derby needs an explicit VARCHAR width via
+        `createTableColumnTypes` (default LONG VARCHAR forbids indexes),
+        pg `text` is unbounded — set createTableColumnTypes per-target;
+      * BooleanType → pg `boolean` natively; Derby <10.7 lacked BOOLEAN
+        (modern Derby fine);
+      * ShortType/ByteType → both promote to SMALLINT on pg (JDBC dialect
+        folds TINYINT), Derby keeps SMALLINT — readback widens to short.
+    The writer itself is dialect-agnostic: Spark's JdbcDialects supplies
+    the DDL type map per-URL, so no code branch is needed — only the
+    width/precision caveats above."""
     (
         df.coalesce(num_partitions)
         .write.mode(mode)

@@ -232,8 +232,10 @@ def test_winnowing_shared_run_guarantee(spark, prefix, shared, suffix):
 def test_oph_signatures_match_python_reference(spark, docs):
     """One-permutation-hashing signatures (hex-prefix binning + rotation
     densification) checked lane-by-lane against an independent Python
-    implementation — covers short docs (< k tokens), empty docs (must
-    emit no signature), and sparse bins (densification ring)."""
+    implementation — covers short docs (< k tokens), empty docs (which
+    tokenize to the single '' shingle and so all share the md5('')
+    signature — only NULL text emits no signature), and sparse bins
+    (densification ring)."""
     import hashlib
 
     from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_signatures_oph
