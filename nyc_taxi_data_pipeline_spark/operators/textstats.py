@@ -161,6 +161,116 @@ def token_budget_by(df: DataFrame, group_col: str, text_col: str = "text") -> Da
     )
 
 
+def sequence_packing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget_tokens: int = 512,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence
+    ("pack") — the step between chunking and dataset mixing in an LLM
+    data pipeline: pretraining consumes fixed-length sequences, and
+    packing short documents together (with attention-mask separators)
+    recovers the throughput that per-document padding wastes.
+
+    Deterministic sequential fill WITHIN each `group_col` shard, ordered
+    by `id_col`: a document starting at running-token offset `s` joins
+    pack `s // budget_tokens` (start-position packing — a document
+    straddling a boundary stays in the pack where it starts, the
+    concat-then-slice semantics of block-packed pretraining corpora).
+    Documents longer than the budget therefore span packs by
+    construction; run `chunk_documents` upstream when hard per-pack
+    caps are required.
+
+    Scale shape: ONE window cumsum partitioned by the shard key — packs
+    fill sequentially per shard but shards pack in parallel, so there is
+    no global-order bottleneck; every step is a codegen'd JVM expression
+    (no Python), and the whole assignment is reproducible in any SQL
+    engine (integer cumsum + floor division), so it carries a full
+    cross-engine oracle.
+
+    Returns one row per (group, pack_id): n_docs, pack_tokens (sum of
+    member token counts — boundary-straddling docs count wholly in their
+    starting pack, so per-shard totals are conserved)."""
+    toks = textfn.token_count(text_col)
+    w = W.partitionBy(group_col).orderBy(id_col)
+    start = (F.sum(toks).over(w) - toks).cast("long")
+    assigned = df.select(
+        F.col(group_col).alias("grp"),
+        toks.alias("__tok"),
+        (start / budget_tokens).cast("long").alias("pack_id"),
+    )
+    return (
+        assigned.groupBy(F.col("grp").alias(group_col), "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("pack_tokens"),
+        )
+        .orderBy(group_col, "pack_id")
+    )
+
+
+def sequence_packing_bestfit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget_tokens: int = 512,
+) -> DataFrame:
+    """Greedy BEST-FIT-DECREASING packing within each shard — the
+    hard-cap complement of `sequence_packing`: no pack exceeds
+    `budget_tokens` (docs longer than the budget get a pack of their
+    own), at the cost of reordering documents inside the shard. Use when
+    sequences must never straddle pack boundaries (e.g. per-sequence
+    loss masking without cross-doc attention); use `sequence_packing`
+    when corpus order must be preserved.
+
+    The greedy state (open packs and their remaining room) is inherently
+    sequential, so this is an applyInPandas stage — one Python pass PER
+    SHARD, shards packed in parallel across executors, which is the
+    production shape: shard cardinality (sources/books/domains) is the
+    parallelism, per-shard doc count the sequential cost. Deterministic:
+    docs are processed by (tokens desc, id asc); ties in best-fit go to
+    the lowest pack id.
+
+    Returns one row per doc: (group, doc_id, n_tokens, pack_id)."""
+    out_schema = (
+        f"{group_col} string, {id_col} bigint, n_tokens long, pack_id long"
+    )
+    gcol, icol = group_col, id_col
+
+    def pack_shard(pdf):
+        # self-contained closure (executors import pandas, not this package)
+        pdf = pdf.sort_values(
+            ["__tok", icol], ascending=[False, True], kind="mergesort"
+        )
+        room: list[int] = []  # remaining tokens per open pack
+        assigned = []
+        for tok in pdf["__tok"]:
+            # best fit: smallest remaining room that still takes tok;
+            # ties resolve to the lowest pack id (stable scan order)
+            best, best_room = -1, None
+            for pid, r in enumerate(room):
+                if tok <= r and (best_room is None or r < best_room):
+                    best, best_room = pid, r
+            if best < 0:
+                room.append(max(budget_tokens - tok, 0))
+                best = len(room) - 1
+            else:
+                room[best] -= tok
+            assigned.append(best)
+        pdf = pdf.assign(pack_id=assigned)
+        return pdf[[gcol, icol, "__tok", "pack_id"]].rename(
+            columns={"__tok": "n_tokens"}
+        )
+
+    with_tok = df.select(
+        gcol, icol, textfn.token_count(text_col).alias("__tok")
+    )
+    return with_tok.groupBy(gcol).applyInPandas(pack_shard, schema=out_schema)
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -1270,24 +1270,104 @@ ORDER BY doc_id
 """
 
 
+def _minhash_oph_oracle(
+    num_bins: int = 16, bands: int = 4, cols: str = "doc_id, lang, source"
+) -> str:
+    """DuckDB oracle for the one-permutation-hashing minhash pipeline —
+    like `_minhash_portable_oracle` the SQL runs the ACTUAL algorithm
+    (1 md5/shingle, hex-prefix binning, conditional-min lanes, circular
+    rotation densification, md5 band buckets, exact-Jaccard verify)."""
+    rpb = num_bins // bands
+    raw_lanes = ",\n         ".join(
+        f"min(CASE WHEN b = {i} THEN h END) AS r{i}" for i in range(num_bins)
+    )
+    dense_lanes = ",\n         ".join(
+        "coalesce({ring}) AS m{i}".format(
+            i=i,
+            ring=", ".join(f"r{(i + j) % num_bins}" for j in range(num_bins)),
+        )
+        for i in range(num_bins)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM dense".format(
+            b=b,
+            concat=" || ',' || ".join(f"m{b * rpb + i}" for i in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+hashed AS (
+  SELECT doc_id, md5(s) AS h,
+         CAST('0x' || substr(md5(s), 1, 2) AS INT) % {num_bins} AS b
+  FROM ex
+),
+sig AS (
+  SELECT doc_id,
+         {raw_lanes}
+  FROM hashed GROUP BY doc_id
+),
+dense AS (
+  SELECT doc_id,
+         {dense_lanes}
+  FROM sig
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN shl sa ON sa.doc_id = cand.id_a
+  JOIN shl sb ON sb.doc_id = cand.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+             AS DOUBLE) >= 0.8
+)
+SELECT {cols}
+FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM verified)
+ORDER BY doc_id
+"""
+
+
 @_register(
     "dedup_minhash_lsh",
-    _minhash_portable_oracle(num_hashes=24, bands=6, cols="doc_id, lang"),
+    _minhash_oph_oracle(num_bins=24, bands=6, cols="doc_id, lang"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup removal at a WIDER operating point than
-    dedup_minhash_portable: 24 md5 lanes in 6 bands of 4 rows (vs 16/4) —
+    """MinHash+LSH near-dup removal at a WIDER operating point than the
+    16-lane entries: 24 signature lanes in 6 bands of 4 rows (vs 16/4) —
     higher recall at the same verify threshold, the knob a production
-    pipeline turns when banding misses matter. Portable md5 lanes, so the
-    generated oracle runs the ACTUAL signature→band→verify→anti-join
-    algorithm cross-engine (the seeded xxhash64 fast path,
-    operators/dedup.minhash_dedup, stays the production default and is
-    pytest-covered)."""
-    from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_dedup_portable
+    pipeline turns when banding misses matter. Lanes come from
+    ONE-PERMUTATION HASHING (1 md5 per distinct shingle, hex-prefix
+    binning + rotation densification — the 100 TB signature-pass shape,
+    see dedup_minhash_oph), so widening the signature costs no extra
+    hash work; the generated oracle runs the ACTUAL signature→band→
+    verify→anti-join algorithm cross-engine (the seeded xxhash64 fast
+    path, operators/dedup.minhash_dedup, keeps the same pipeline on
+    8-byte long lanes and stays pytest-covered)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_dedup_oph
 
     d = _t(spark, sf_dir, "documents")
     return (
-        minhash_dedup_portable(d, "text", "doc_id", num_hashes=24, bands=6)
+        minhash_dedup_oph(d, "text", "doc_id", num_bins=24, bands=6)
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
@@ -1517,6 +1597,43 @@ def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return token_budget_by(d, "source")
+
+
+_SEQ_PACKING_ORACLE = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+  FROM documents
+),
+s AS (
+  SELECT source, tok,
+         (sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok) // 512
+           AS pack_id
+  FROM t
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS pack_tokens
+FROM s GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+@_register("sequence_packing", _SEQ_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing (512 tokens) per source shard —
+    the pretraining step between chunking and dataset mixing: short docs
+    fill fixed-length training sequences by deterministic sequential fill
+    (start-position assignment via ONE window cumsum + floor division,
+    all integer JVM expressions). Shards pack in parallel — no global
+    order bottleneck — and the assignment is engine-reproducible, so the
+    oracle runs the identical algorithm
+    (operators/textstats.sequence_packing)."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import sequence_packing
+
+    d = _t(spark, sf_dir, "documents")
+    return sequence_packing(d, budget_tokens=512)
 
 
 _ANN_ORACLE = """
@@ -3734,81 +3851,6 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
-
-
-def _minhash_oph_oracle(num_bins: int = 16, bands: int = 4) -> str:
-    """DuckDB oracle for the one-permutation-hashing minhash pipeline —
-    like `_minhash_portable_oracle` the SQL runs the ACTUAL algorithm
-    (1 md5/shingle, hex-prefix binning, conditional-min lanes, circular
-    rotation densification, md5 band buckets, exact-Jaccard verify)."""
-    rpb = num_bins // bands
-    raw_lanes = ",\n         ".join(
-        f"min(CASE WHEN b = {i} THEN h END) AS r{i}" for i in range(num_bins)
-    )
-    dense_lanes = ",\n         ".join(
-        "coalesce({ring}) AS m{i}".format(
-            i=i,
-            ring=", ".join(f"r{(i + j) % num_bins}" for j in range(num_bins)),
-        )
-        for i in range(num_bins)
-    )
-    band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM dense".format(
-            b=b,
-            concat=" || ',' || ".join(f"m{b * rpb + i}" for i in range(rpb)),
-        )
-        for b in range(bands)
-    )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-  FROM documents
-),
-shl AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                       i -> array_to_string(t[i:i+2], ' '))) AS sh
-  FROM toks
-),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-hashed AS (
-  SELECT doc_id, md5(s) AS h,
-         CAST('0x' || substr(md5(s), 1, 2) AS INT) % {num_bins} AS b
-  FROM ex
-),
-sig AS (
-  SELECT doc_id,
-         {raw_lanes}
-  FROM hashed GROUP BY doc_id
-),
-dense AS (
-  SELECT doc_id,
-         {dense_lanes}
-  FROM sig
-),
-banded AS (
-{band_rows}
-),
-cand AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-  GROUP BY id_a, id_b
-),
-verified AS (
-  SELECT id_a, id_b
-  FROM cand
-  JOIN shl sa ON sa.doc_id = cand.id_a
-  JOIN shl sb ON sb.doc_id = cand.id_b
-  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
-             AS DOUBLE) >= 0.8
-)
-SELECT doc_id, lang, source
-FROM documents
-WHERE doc_id NOT IN (SELECT id_b FROM verified)
-ORDER BY doc_id
-"""
 
 
 @_register("dedup_minhash_oph", _minhash_oph_oracle())

