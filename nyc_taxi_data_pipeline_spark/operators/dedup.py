@@ -843,3 +843,113 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 64,
+    tau_num: int = 7,
+    tau_den: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings and comparing pairs ONLY within a cluster —
+    near-duplicates land in the same cluster, so the quadratic pair work
+    is bounded per cluster instead of corpus-wide.
+
+    This implementation keeps every stage in exact integer arithmetic so
+    the whole pipeline is reproducible cross-engine (full value oracle):
+
+      1. int8-quantize vectors (corpus max-|x| scale, one 1-row broadcast);
+      2. assign each vector to its nearest of the k data-derived centroids
+         (ids ≡ 0 mod `centroid_stride`) by integer L2², ties to the
+         lowest centroid id — same recipe as `centroid_assign_quantized`,
+         so k GROWS with the corpus and cluster sizes stay bounded;
+      3. within each cluster, self-join on centroid_id (a.id < b.id) and
+         keep pairs with cosine ≥ tau_num/tau_den, tested WITHOUT floats:
+         dot > 0  ∧  tau_den²·dot² ≥ tau_num²·‖a‖²·‖b‖²
+         (|dot| ≤ dim·127² so the squared products stay far inside int64);
+      4. a row is dropped when any smaller-id cluster-mate is that close —
+         report per-cluster members / dropped / kept.
+
+    Scale shape: one narrow quantize map, one broadcast-centroid scoring
+    pass, one shuffle on centroid_id for the pair join (cluster-bounded),
+    and a tiny rollup. No stage is corpus-quadratic."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import (
+        _quantize,
+        int8_scale,
+    )
+
+    scale = F.broadcast(int8_scale(df, vec_col))
+    qz = (
+        df.join(scale)
+        .select(
+            F.col(id_col).alias("vid"),
+            _quantize(F.col(vec_col), F.col("q_scale")).alias("qv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cents = qz.filter(F.col("vid") % centroid_stride == 0).select(
+        F.col("vid").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("vid").orderBy("d2", "centroid_id")
+    best = (
+        qz.crossJoin(F.broadcast(cents))
+        .select("vid", "qv", "centroid_id", l2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "qv", "centroid_id")
+        .localCheckpoint(eager=False)
+    )
+    a = best.select(
+        "centroid_id", F.col("vid").alias("id_a"), F.col("qv").alias("qa")
+    )
+    b = best.select(
+        "centroid_id", F.col("vid").alias("id_b"), F.col("qv").alias("qb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            dot.alias("dot"),
+            norm("qa").alias("na"),
+            norm("qb").alias("nb"),
+        )
+    )
+    dropped = (
+        pairs.filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(tau_den * tau_den) * F.col("dot") * F.col("dot")
+                >= F.lit(tau_num * tau_num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        best.join(dropped, best["vid"] == dropped["dup_id"], "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("dup_id").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("dup_id")).alias("n_kept"),
+        )
+    )

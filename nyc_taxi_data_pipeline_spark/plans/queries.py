@@ -7353,3 +7353,260 @@ def collated_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token_key")
         .limit(20)
     )
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH scale AS (
+  SELECT max(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x)))) AS q_scale
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 127.0 / q_scale) AS BIGINT)) AS qv
+  FROM embeddings, scale
+),
+cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM qz WHERE vec_id % 64 = 0),
+dists AS (
+  SELECT v.vec_id, v.qv, c.centroid_id,
+         list_sum([ (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])
+                    for i in range(1, len(v.qv) + 1) ]) AS d2
+  FROM qz v CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, qv, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, centroid_id) AS rn
+    FROM dists) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS dup_id,
+         list_sum([ a.qv[i] * b.qv[i] for i in range(1, len(a.qv) + 1) ]) AS dot,
+         list_sum([ a.qv[i] * a.qv[i] for i in range(1, len(a.qv) + 1) ]) AS na,
+         list_sum([ b.qv[i] * b.qv[i] for i in range(1, len(b.qv) + 1) ]) AS nb
+  FROM best a JOIN best b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+),
+dropped AS (
+  SELECT DISTINCT dup_id FROM pairs
+  WHERE dot > 0 AND 400 * dot * dot >= 49 * na * nb
+)
+SELECT b.centroid_id,
+       count(*)                                AS n_members,
+       count(d.dup_id)                         AS n_dropped,
+       count(*) - count(d.dup_id)              AS n_kept
+FROM best b LEFT JOIN dropped d ON d.dup_id = b.vec_id
+GROUP BY b.centroid_id
+ORDER BY b.centroid_id
+"""
+
+
+@_register("semantic_dedup_clusters", _SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
+    clustering embeddings and comparing pairs only WITHIN a cluster —
+    the composition that turns the exact-quadratic
+    `embedding_neardup_pairs` baseline into the 100 TB shape. Cluster
+    assignment reuses the `centroid_assign_quantized` integer recipe
+    (data-derived centroids, stride 64, so k grows with the corpus and
+    per-cluster pair work stays bounded); the cosine ≥ 0.35 test runs in
+    exact int64 arithmetic (400·dot² ≥ 49·‖a‖²·‖b‖², dot > 0), so every
+    stage — and therefore this whole entry — carries a full value oracle.
+    A vector drops when a smaller-id cluster-mate clears the threshold
+    (operators/dedup.semantic_dedup_stats)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import semantic_dedup_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_stats(
+        emb, "embedding", "vec_id", centroid_stride=64, tau_num=7, tau_den=20
+    ).orderBy("centroid_id")
+
+
+_CHARLM_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 3
+),
+tri AS (
+  SELECT doc_id, unnest([ substr(t, i, 3) for i in range(1, length(t) - 1) ]) AS g
+  FROM docs
+),
+model AS (SELECT g, count(*) AS cnt FROM tri GROUP BY g),
+total AS (SELECT sum(cnt) AS tot FROM model),
+scored AS (
+  SELECT tri.doc_id,
+         count(*)      AS n_trigrams,
+         sum(m.cnt)    AS cnt_sum
+  FROM tri JOIN model m USING (g)
+  GROUP BY tri.doc_id
+)
+SELECT s.doc_id,
+       s.n_trigrams,
+       (1000000 * s.cnt_sum) // (s.n_trigrams * t.tot) AS score_ppm
+FROM scored s, total t
+ORDER BY s.doc_id
+"""
+
+
+@_register("charlm_freq_score", _CHARLM_ORACLE)
+def charlm_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-LM quality scoring, the CCNet/Gopher perplexity-filter
+    analog an LLM curation pipeline runs before training: train a unigram
+    char-3-gram model ON the corpus itself (one hash aggregate), then score
+    each document by its mean trigram corpus-frequency — garbage text
+    (mojibake, base64 blobs, typo storms) is built from RARE trigrams and
+    scores low exactly where a real LM assigns high perplexity. The score
+    is kept in scaled-integer arithmetic (ppm, bigint floor-div) so the
+    entry carries a full cross-engine value oracle; a production variant
+    at 100 TB corpus totals would hold the same ratio in DECIMAL(38,0) or
+    DOUBLE. Scale shape: trigram explode is a narrow map; the model is a
+    bounded-vocabulary aggregate (≤ |charset|³ rows) that BROADCASTS onto
+    the scoring join — no shuffle of the corpus by trigram; the per-doc
+    rollup shuffles on doc_id once."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.filter(
+        F.col("text").isNotNull() & (F.length("text") >= 3)
+    ).select("doc_id", F.lower(F.col("text")).alias("t"))
+    tri = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"),
+        F.col("t"),
+    ).select("doc_id", F.expr("substring(t, i, 3)").alias("g"))
+    tri = tri.localCheckpoint(eager=False)
+    model = tri.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("tot"))
+    scored = (
+        tri.join(F.broadcast(model), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("cnt").alias("cnt_sum"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.expr("(1000000 * cnt_sum) div (n_trigrams * tot)").alias(
+                "score_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_HLL_ROLLUP_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         date_trunc('day', ts)                                AS day,
+         date_diff('day', DATE '2024-01-01', ts) // 7         AS week_idx
+  FROM events
+)
+SELECT week_idx,
+       count(DISTINCT day)      AS n_days,
+       count(DISTINCT user_id)  AS exact_users,
+       TRUE                     AS union_within_5pct
+FROM e
+GROUP BY week_idx
+ORDER BY week_idx
+"""
+
+
+@_register("hll_sketch_rollup", _HLL_ROLLUP_ORACLE)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg) — the pattern that makes COUNT
+    DISTINCT incremental at 100 TB: exact distincts don't add across
+    partitions, but sketches UNION. Daily per-partition sketches are
+    built once (in production: persisted with the daily zone), then any
+    coarser grain — here ISO-agnostic 7-day buckets — is answered by
+    unioning the daily sketches WITHOUT re-scanning events. The entry
+    value-checks the rolled-up estimate against the exact weekly distinct
+    (rtol 5%; lgConfigK=12 measures ≲2%), so the accuracy contract is
+    driver-verified while the sketch bytes stay engine-internal —
+    same pattern as approx_distinct_sketch."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.expr("datediff(ts, DATE '2024-01-01') div 7").alias("week_idx"),
+    )
+    daily = e.groupBy("week_idx", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("day_users"),
+    )
+    weekly_sketch = daily.groupBy("week_idx").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_users"),
+    )
+    weekly_exact = e.groupBy("week_idx").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        weekly_sketch.join(weekly_exact, "week_idx")
+        .select(
+            "week_idx",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("union_within_5pct"),
+        )
+        .orderBy("week_idx")
+    )
+
+
+_OFFSET_LOG_ORACLE = """
+WITH parts AS (SELECT unnest(range(0, 4)) AS p),
+offs  AS (SELECT unnest(range(0, 150)) AS o),
+recs AS (
+  SELECT CAST((p * 1000003 + o * 7919) % 97 AS BIGINT) AS user_id,
+         CAST((p * 31 + o * 17) % 1000 AS BIGINT)      AS amount_cents
+  FROM parts, offs
+)
+SELECT user_id,
+       count(*)          AS n_events,
+       sum(amount_cents) AS total_cents
+FROM recs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@_register("streaming_offset_log_source", _OFFSET_LOG_ORACLE)
+def streaming_offset_log_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 in spirit: a custom STREAMING source with Kafka's execution
+    contract — partitioned append-only log, per-partition monotone
+    offsets, batches planned as [start, end) offset ranges, executor-side
+    range reads, commit acknowledgment — implemented through the Python
+    DataSourceStreamReader API and drained over multiple paced
+    micro-batches (150 offsets × 4 topic-partitions at 50 offsets/batch
+    = 3 batches) into a streaming aggregation. The record stream is
+    seeded integer arithmetic, so the drained result carries a full
+    value oracle (the SQL regenerates the identical log). The broker
+    wire protocol is the only piece this proves nothing about — no
+    Kafka jar/broker exists in this image (sources/pydatasource.py,
+    reference: streaming_processing/streaming_to_minio_fixed.py:46-53)."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
+
+    register_offset_log(spark)
+    stream = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 4)
+        .option("n_rows", 150)
+        .option("rows_per_batch", 50)
+        .load()
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amount_cents").alias("total_cents"),
+    )
+    sink = run_stream_to_memory(agg, f"ol_{uuid.uuid4().hex[:8]}")
+    return sink.orderBy("user_id")

@@ -87,3 +87,151 @@ def make_synthetic_trips_source():
 def register_synthetic_trips(spark) -> None:
     """Idempotent registration of the `synthetic_trips` format."""
     spark.dataSource.register(make_synthetic_trips_source())
+
+
+# ---------------------------------------------------------------------------
+# Kafka-shaped replayable streaming source
+# ---------------------------------------------------------------------------
+
+# Deterministic record recipe shared with the oracle SQL (plans/queries.py):
+#   user_id      = (p * 1000003 + o * 7919) % 97
+#   amount_cents = (p * 31 + o * 17) % 1000
+OFFSET_LOG_SCHEMA = (
+    "partition int, offset bigint, user_id bigint, amount_cents bigint"
+)
+USER_MULT_P = 1000003
+USER_MULT_O = 7919
+USER_MOD = 97
+AMT_MULT_P = 31
+AMT_MULT_O = 17
+AMT_MOD = 1000
+
+
+def make_offset_log_source():
+    """Streaming DataSource with KAFKA'S execution contract, in pure Python.
+
+    The reference's streaming edge is a real Kafka topic
+    (streaming_processing/streaming_to_minio_fixed.py:46-53); this image
+    ships no Kafka broker or connector jar, so that scan cannot even be
+    constructed here. What CAN be proven is the contract that makes Kafka
+    work as a Spark source, which is not the wire protocol but the offset
+    algebra: a partitioned append-only log, monotone per-partition offsets,
+    batches planned as half-open offset ranges [start, end), executor-side
+    range reads, replayability of any planned range, and commit()
+    acknowledgment. This source implements exactly that contract through
+    the Python DataSourceStreamReader API (new in Spark 4):
+
+      - the log has `partitions` topic-partitions × `n_rows` records each,
+        generated from seeded integer arithmetic (no wall clock), so every
+        batch — and any REPLAY of it after failure — yields bit-identical
+        rows, and the catalog entry carries a full value oracle;
+      - `latestOffset` paces availability by `rows_per_batch` per call,
+        giving a deterministic multi-micro-batch drain;
+      - a RESTART from a checkpoint hands `partitions(start, end)` a start
+        beyond the paced cursor; the reader fast-forwards (never re-serves
+        committed ranges) and clamps end <= start to an empty plan, the
+        same no-regress rule the Kafka source enforces;
+      - `read(partition)` runs executor-side per topic-partition — the
+        1:1 task-per-partition parallelism of the real connector.
+
+    Classes are built inside the factory so cloudpickle ships them by
+    value (same rule as every closure in this repo)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    ump, umo, um = USER_MULT_P, USER_MULT_O, USER_MOD
+    amp, amo, am = AMT_MULT_P, AMT_MULT_O, AMT_MOD
+
+    class OffsetRange(InputPartition):
+        def __init__(self, pid, lo, hi):
+            self.pid, self.lo, self.hi = pid, lo, hi
+
+    class OffsetLogStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.n_parts = max(1, int(options.get("partitions", 4)))
+            self.n_rows = int(options.get("n_rows", 150))
+            self.rows_per_batch = max(1, int(options.get("rows_per_batch", 50)))
+            # The paced high-watermark is BROKER state, not consumer state:
+            # a latestOffset that restarts from zero while the checkpoint
+            # holds a higher committed offset would hand Spark a regressed
+            # offset to WAL, and the next batch would re-serve committed
+            # ranges (duplicates in an append sink). `hwm_file` persists
+            # the watermark across reader instances exactly like a broker
+            # outlives consumers; without it the in-memory cursor is only
+            # safe for single-run (no-restart) drains.
+            self.hwm_file = options.get("hwm_file")
+            self.cursor = self._load_hwm()
+
+        def _load_hwm(self):
+            if self.hwm_file:
+                try:
+                    with open(self.hwm_file) as fh:
+                        return int(fh.read().strip() or 0)
+                except (OSError, ValueError):
+                    return 0
+            return 0
+
+        def _store_hwm(self):
+            if self.hwm_file:
+                with open(self.hwm_file, "w") as fh:
+                    fh.write(str(self.cursor))
+
+        def initialOffset(self):
+            return {str(p): 0 for p in range(self.n_parts)}
+
+        def latestOffset(self):
+            self.cursor = min(self.cursor + self.rows_per_batch, self.n_rows)
+            self._store_hwm()
+            return {str(p): self.cursor for p in range(self.n_parts)}
+
+        def partitions(self, start, end):
+            # Restart resume: the checkpointed start can be ahead of the
+            # paced cursor — fast-forward so no committed range re-plans,
+            # and clamp so a behind `end` yields an empty batch instead of
+            # a negative range.
+            out = []
+            for p in range(self.n_parts):
+                lo = int(start.get(str(p), 0))
+                hi = max(int(end.get(str(p), 0)), lo)
+                if lo > self.cursor:
+                    self.cursor = lo
+                    self._store_hwm()
+                out.append(OffsetRange(p, lo, hi))
+            return out
+
+        def read(self, partition):
+            p = partition.pid
+            for o in range(partition.lo, partition.hi):
+                yield (
+                    p,
+                    o,
+                    (p * ump + o * umo) % um,
+                    (p * amp + o * amo) % am,
+                )
+
+        def commit(self, end):
+            # acknowledgment hook: a real broker-backed source would
+            # commit consumer-group offsets here; the log itself is
+            # immutable so there is nothing to reclaim.
+            pass
+
+    class OffsetLogDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "offset_log"
+
+        def schema(self):
+            return OFFSET_LOG_SCHEMA
+
+        def streamReader(self, schema):
+            return OffsetLogStreamReader(self.options)
+
+    return OffsetLogDataSource
+
+
+def register_offset_log(spark) -> None:
+    """Idempotent registration of the `offset_log` streaming format."""
+    spark.dataSource.register(make_offset_log_source())

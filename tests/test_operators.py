@@ -926,3 +926,22 @@ def test_sequence_packing_bestfit_caps_and_determinism(spark):
     for r in sp:
         sp_totals[r["source"]] = sp_totals.get(r["source"], 0) + r["pack_tokens"]
     assert sp_totals == totals
+
+
+def test_semantic_dedup_stats_invariants(spark):
+    """SemDeDup: members = dropped + kept per cluster; totals cover the
+    corpus exactly once; dropping is monotone in the threshold (a looser
+    tau can only drop more)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import semantic_dedup_stats
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    strict = semantic_dedup_stats(emb, tau_num=7, tau_den=20).collect()
+    assert all(r["n_members"] == r["n_dropped"] + r["n_kept"] for r in strict)
+    assert sum(r["n_members"] for r in strict) == n
+
+    loose = semantic_dedup_stats(emb, tau_num=1, tau_den=10).collect()
+    dropped_strict = sum(r["n_dropped"] for r in strict)
+    dropped_loose = sum(r["n_dropped"] for r in loose)
+    assert dropped_loose >= dropped_strict

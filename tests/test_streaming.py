@@ -774,3 +774,62 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# offset_log: Kafka-contract streaming source (sources/pydatasource.py)
+# ---------------------------------------------------------------------------
+
+def _run_offset_log(spark, n_rows, hwm, ckpt, out):
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+
+    register_offset_log(spark)
+    stream = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 4)
+        .option("n_rows", n_rows)
+        .option("rows_per_batch", 50)
+        .option("hwm_file", hwm)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+
+
+def test_offset_log_exactly_once_across_restarts(spark, tmp_path):
+    """The Kafka-source execution contract, end to end: paced multi-batch
+    drain, restart-with-growth resuming EXACTLY at the committed offset,
+    and an idle restart appending nothing — proven through an append-mode
+    file sink, which (unlike a complete-mode memory agg) cannot mask
+    duplicate or lost ranges."""
+    hwm = str(tmp_path / "hwm")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # phase 1: log holds 100 offsets x 4 partitions; 50/batch -> 2 batches
+    n_batches = _run_offset_log(spark, 100, hwm, ckpt, out)
+    assert n_batches >= 2
+    assert spark.read.parquet(out).count() == 400
+
+    # phase 2: the log GREW to 150; a fresh reader instance + the same
+    # checkpoint must serve exactly the new [100, 150) range per partition
+    _run_offset_log(spark, 150, hwm, ckpt, out)
+    df = spark.read.parquet(out)
+    assert df.count() == 600
+    assert df.select("partition", "offset").distinct().count() == 600
+
+    # phase 3: nothing new — restart must append zero rows
+    _run_offset_log(spark, 150, hwm, ckpt, out)
+    assert spark.read.parquet(out).count() == 600
