@@ -7610,3 +7610,260 @@ def streaming_offset_log_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_stream_to_memory(agg, f"ol_{uuid.uuid4().hex[:8]}")
     return sink.orderBy("user_id")
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Unrolled n-iteration BPE oracle. Each iteration counts adjacent
+    symbol pairs (weighted by word frequency), picks the argmax (ties:
+    lexicographic), and applies the merge via sentinel-delimited string
+    replace — replace() is greedy left-to-right non-overlapping in both
+    engines, which IS the BPE merge rule."""
+    parts = [
+        r"""
+WITH words AS (
+  SELECT w AS word, count(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY w
+),
+v0 AS (SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS seq, freq FROM words)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{k} AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS cnt FROM (
+    SELECT unnest([ {{'l': t[i], 'r': t[i+1]}} for i in range(1, len(t)) ]) AS pr,
+           freq
+    FROM (SELECT string_split(trim(seq, '|'), '||') AS t, freq FROM v{k - 1})
+  ) GROUP BY 1, 2
+),
+best{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+v{k} AS (
+  SELECT replace(seq, '|' || l || '||' || r || '|', '|' || l || r || '|') AS seq,
+         freq
+  FROM v{k - 1}, best{k}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, l AS merge_left, r AS merge_right, cnt AS pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{unions}\n) ORDER BY merge_rank")
+    return "".join(parts)
+
+
+@_register("bpe_merge_iterations", _bpe_oracle(3))
+def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), the step upstream of
+    every token-counting operator in this catalog: 3 merge iterations over
+    the corpus word-frequency dictionary. Each iteration (1) counts
+    adjacent symbol pairs weighted by word frequency, (2) takes the argmax
+    pair (ties broken lexicographically), (3) merges it everywhere. The
+    merge uses sentinel-delimited symbol strings ('|a||b|'), so the greedy
+    left-to-right non-overlapping BPE merge rule is EXACTLY string
+    replace() in every engine, and the data-dependent pattern rides in as
+    a broadcast COLUMN (1-row argmax frame) — no driver-side collect
+    anywhere in the loop. Integer counts make the whole merge table
+    value-oracle-exact. Scale shape per iteration: one explode+hash-agg
+    (shuffle on pair), a LIMIT-1 TakeOrdered, and a broadcast map pass
+    over the vocab; the vocab frame is localCheckpointed each round so
+    the unrolled plan doesn't recompute round k-1 for every consumer."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        F.regexp_replace("w", "(.)", r"|$1|").alias("seq"), "freq"
+    ).localCheckpoint(eager=False)
+
+    merges = []
+    for rank in range(1, 4):
+        toks = F.split(F.btrim(F.col("seq"), F.lit("|")), r"\|\|")
+        n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+        pair = F.zip_with(
+            F.slice(toks, 1, n_pairs),
+            F.slice(toks, 2, n_pairs),
+            lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+        )
+        pcnt = (
+            vocab.select("freq", F.explode(pair).alias("pr"))
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pcnt.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merges.append(best.withColumn("merge_rank", F.lit(rank)))
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit("|"), "l", F.lit("||"), "r", F.lit("|")),
+                    F.concat(F.lit("|"), "l", "r", F.lit("|")),
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "merge_rank",
+        F.col("l").alias("merge_left"),
+        F.col("r").alias("merge_right"),
+        F.col("cnt").alias("pair_count"),
+    ).orderBy("merge_rank")
+
+
+_CMS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+truth AS (SELECT t, count(*) AS true_cnt FROM tok GROUP BY t),
+lanes AS (SELECT unnest(range(0, 4)) AS j),
+cells AS (
+  SELECT j,
+         CAST('0x' || substr(md5(j || ':' || t), 1, 8) AS BIGINT) % 512 AS bucket,
+         count(*) AS cell_cnt
+  FROM tok, lanes
+  GROUP BY 1, 2
+),
+top_tokens AS (
+  SELECT t, true_cnt FROM truth ORDER BY true_cnt DESC, t LIMIT 20
+),
+probes AS (
+  SELECT tt.t, tt.true_cnt, c.cell_cnt
+  FROM top_tokens tt
+  JOIN lanes l ON TRUE
+  JOIN cells c
+    ON c.j = l.j
+   AND c.bucket = CAST('0x' || substr(md5(l.j || ':' || tt.t), 1, 8) AS BIGINT) % 512
+)
+SELECT t AS token,
+       true_cnt,
+       min(cell_cnt)             AS cms_est,
+       min(cell_cnt) >= true_cnt AS never_underestimates
+FROM probes
+GROUP BY t, true_cnt
+ORDER BY true_cnt DESC, token
+"""
+
+
+@_register("countmin_sketch_tokens", _CMS_ORACLE)
+def countmin_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) for heavy-hitter
+    token counts — the fixed-memory answer to "frequencies of anything"
+    at 100 TB, where an exact token groupBy's key space is unbounded but
+    the sketch is 4×512 cells FOREVER, and cells are mergeable across
+    partitions/days by plain addition (same algebra as hll_sketch_rollup,
+    but for frequencies). Hash lanes are md5-derived, so unlike
+    engine-internal sketches the ENTIRE structure is portable and this
+    entry carries a full value oracle — estimate values included, not just
+    a tolerance flag. The probe side checks the CMS guarantee
+    (estimate ≥ truth, one-sided error) for the top-20 true heavy
+    hitters. Scale shape: one explode+hash-agg into ≤2048 cells (map-side
+    combine collapses almost everything), truth only for the probe set,
+    sketch and probes broadcast-sized."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("t")
+        )
+        .localCheckpoint(eager=False)
+    )
+    bucket_of = lambda j, t: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat_ws(":", j, t)), 1, 8), 16, 10)
+        .cast("long")
+        % 512
+    )
+    lanes = F.explode(F.array([F.lit(j) for j in range(4)])).alias("j")
+    cells = (
+        tok.select("t", lanes)
+        .groupBy("j", bucket_of(F.col("j"), F.col("t")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    truth = tok.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top_tokens = truth.orderBy(F.col("true_cnt").desc(), "t").limit(20)
+    probes = (
+        top_tokens.select("t", "true_cnt", lanes)
+        .withColumn("bucket", bucket_of(F.col("j"), F.col("t")))
+        .join(F.broadcast(cells), ["j", "bucket"])
+    )
+    return (
+        probes.groupBy(F.col("t").alias("token"), "true_cnt")
+        .agg(
+            F.min("cell_cnt").alias("cms_est"),
+            (F.min("cell_cnt") >= F.first("true_cnt")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy(F.col("true_cnt").desc(), "token")
+    )
+
+
+_ANN_RECALL_ORACLE = f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({_ANN_ORACLE})),
+lsh AS (SELECT query_id, neighbor_id FROM ({_lsh_oracle()}))
+SELECT b.query_id,
+       count(*)                  AS n_brute,
+       count(l.neighbor_id)      AS n_hits,
+       count(l.neighbor_id) * 20 AS recall_pct
+FROM brute b
+LEFT JOIN lsh l ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+@_register("ann_recall_eval", _ANN_RECALL_ORACLE)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVALUATION as a query: recall@5 of the
+    approximate LSH index against exact brute force, computed inside the
+    engine — the eval harness an ANN deployment runs after every index
+    build/re-bucket, promoted to a catalog entry so the recall contract
+    is itself driver-verified (recall_pct is exact integer arithmetic:
+    hits × 20). Both sides are deterministic (fixed planes, rounded-tie
+    ranking), so the per-query recall numbers — not just their shape —
+    carry a full value oracle. Scale shape: the eval set is a sample
+    (|queries| rows), so both topk passes and the hit-join stay
+    eval-set-bounded no matter the corpus size."""
+    from nyc_taxi_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    lsh = lsh_topk(emb, queries, k=5, n_planes=4).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_brute"),
+            F.count("hit").alias("n_hits"),
+            (F.count("hit") * 20).alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
