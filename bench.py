@@ -32,7 +32,14 @@ def _run(sf_dir: str) -> dict:
     from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
     from nyc_taxi_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # Shuffle/spill files go to a RAM-backed local dir when one exists:
+    # over a 158-query suite the accumulated shuffle writes otherwise hit
+    # the root disk and dirty-page writeback inflates the heavy tail
+    # queries. On a real cluster this knob points at executor-local NVMe.
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/spark-bench"
+    spark = get_spark(app_name="bench", extra_conf=extra)
 
     # warm the JVM + parquet footers so per-query numbers measure the
     # queries, not first-touch session setup
@@ -47,8 +54,15 @@ def _run(sf_dir: str) -> dict:
         # storage blocks from lazy localCheckpoints are only unpersisted
         # after the driver GCs the frame refs (ContextCleaner); over a
         # 150-query run the accumulation causes multi-x eviction spikes
-        # in later heavy queries — nudge reclamation periodically
-        if i % 10 == 9:
+        # in later heavy queries — nudge reclamation periodically. The
+        # Python collect matters as much as the JVM one: py4j only
+        # releases its JVM-side DataFrame handles after CPython reclaims
+        # the proxy objects, so System.gc() alone can't free blocks whose
+        # refs are still pinned from the Python side.
+        if i % 5 == 4:
+            import gc
+
+            gc.collect()
             spark._jvm.System.gc()
     total = round(time.perf_counter() - t_suite, 3)
     spark.stop()
