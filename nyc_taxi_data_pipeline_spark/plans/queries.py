@@ -7612,12 +7612,13 @@ def streaming_offset_log_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.orderBy("user_id")
 
 
-def _bpe_oracle(n_merges: int = 3) -> str:
-    """Unrolled n-iteration BPE oracle. Each iteration counts adjacent
-    symbol pairs (weighted by word frequency), picks the argmax (ties:
-    lexicographic), and applies the merge via sentinel-delimited string
-    replace — replace() is greedy left-to-right non-overlapping in both
-    engines, which IS the BPE merge rule."""
+def _bpe_cte_prefix(n_merges: int = 3) -> str:
+    """Shared unrolled-BPE CTE chain: word-frequency dictionary, sentinel
+    symbol strings, then n (pair-count → argmax → merge) rounds. Each
+    merge applies via sentinel-delimited string replace — replace() is
+    greedy left-to-right non-overlapping in both engines, which IS the
+    BPE merge rule. The word column rides along so downstream oracles can
+    map encoded sequences back to words."""
     parts = [
         r"""
 WITH words AS (
@@ -7626,7 +7627,8 @@ WITH words AS (
     FROM documents WHERE text IS NOT NULL
   ) GROUP BY w
 ),
-v0 AS (SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS seq, freq FROM words)"""
+v0 AS (SELECT word, regexp_replace(word, '(.)', '|\1|', 'g') AS seq, freq
+       FROM words)"""
     ]
     for k in range(1, n_merges + 1):
         parts.append(
@@ -7640,17 +7642,81 @@ p{k} AS (
 ),
 best{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
 v{k} AS (
-  SELECT replace(seq, '|' || l || '||' || r || '|', '|' || l || r || '|') AS seq,
+  SELECT word,
+         replace(seq, '|' || l || '||' || r || '|', '|' || l || r || '|') AS seq,
          freq
   FROM v{k - 1}, best{k}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT {k} AS merge_rank, l AS merge_left, r AS merge_right, cnt AS pair_count FROM best{k}"
         for k in range(1, n_merges + 1)
     )
-    parts.append(f"\nSELECT * FROM (\n{unions}\n) ORDER BY merge_rank")
-    return "".join(parts)
+    return (
+        _bpe_cte_prefix(n_merges)
+        + f"\nSELECT * FROM (\n{unions}\n) ORDER BY merge_rank"
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str, n_merges: int = 3):
+    """Spark side of the shared BPE pipeline: returns (vocab, merges)
+    where vocab is (word, seq, freq) after n merge rounds and merges is
+    the list of 1-row (l, r, cnt) argmax frames in rank order. The
+    data-dependent merge pattern rides in as a broadcast COLUMN (1-row
+    argmax frame) — no driver-side collect anywhere in the loop."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "word", F.regexp_replace("word", "(.)", r"|$1|").alias("seq"), "freq"
+    ).localCheckpoint(eager=False)
+
+    merges = []
+    for _ in range(n_merges):
+        toks = F.split(F.btrim(F.col("seq"), F.lit("|")), r"\|\|")
+        n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+        pair = F.zip_with(
+            F.slice(toks, 1, n_pairs),
+            F.slice(toks, 2, n_pairs),
+            lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+        )
+        pcnt = (
+            vocab.select("freq", F.explode(pair).alias("pr"))
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pcnt.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merges.append(best)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(
+                "word",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit("|"), "l", F.lit("||"), "r", F.lit("|")),
+                    F.concat(F.lit("|"), "l", "r", F.lit("|")),
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return vocab, merges
 
 
 @_register("bpe_merge_iterations", _bpe_oracle(3))
@@ -7669,54 +7735,11 @@ def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle on pair), a LIMIT-1 TakeOrdered, and a broadcast map pass
     over the vocab; the vocab frame is localCheckpointed each round so
     the unrolled plan doesn't recompute round k-1 for every consumer."""
-    d = _t(spark, sf_dir, "documents")
-    words = (
-        d.filter(F.col("text").isNotNull())
-        .select(
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
-            ).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    vocab = words.select(
-        F.regexp_replace("w", "(.)", r"|$1|").alias("seq"), "freq"
-    ).localCheckpoint(eager=False)
-
-    merges = []
-    for rank in range(1, 4):
-        toks = F.split(F.btrim(F.col("seq"), F.lit("|")), r"\|\|")
-        n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
-        pair = F.zip_with(
-            F.slice(toks, 1, n_pairs),
-            F.slice(toks, 2, n_pairs),
-            lambda l, r: F.struct(l.alias("l"), r.alias("r")),
-        )
-        pcnt = (
-            vocab.select("freq", F.explode(pair).alias("pr"))
-            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = (
-            pcnt.orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .localCheckpoint(eager=False)
-        )
-        merges.append(best.withColumn("merge_rank", F.lit(rank)))
-        vocab = (
-            vocab.crossJoin(F.broadcast(best.select("l", "r")))
-            .select(
-                F.replace(
-                    F.col("seq"),
-                    F.concat(F.lit("|"), "l", F.lit("||"), "r", F.lit("|")),
-                    F.concat(F.lit("|"), "l", "r", F.lit("|")),
-                ).alias("seq"),
-                "freq",
-            )
-            .localCheckpoint(eager=False)
-        )
-
+    _, merges = _bpe_learn(spark, sf_dir, n_merges=3)
+    merges = [
+        m.withColumn("merge_rank", F.lit(rank))
+        for rank, m in enumerate(merges, start=1)
+    ]
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -7867,3 +7890,283 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_BPE_ENCODE_ORACLE = _bpe_cte_prefix(3) + """,
+wmap AS (
+  SELECT word,
+         len(string_split(trim(seq, '|'), '||')) AS n_sym
+  FROM v3
+),
+docw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT d.doc_id,
+       count(*)                           AS n_words,
+       sum(w.n_sym)                       AS n_bpe_tokens,
+       min(w.n_sym)                       AS min_word_tokens
+FROM docw d JOIN wmap w ON w.word = d.word
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@_register("bpe_encode_documents", _BPE_ENCODE_ORACLE)
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of bpe_merge_iterations:
+    encode every document with the 3 learned merges and report per-doc
+    BPE token counts (the number a trainer actually budgets by, vs the
+    whitespace/regex proxies in text_stats_documents). The scale-critical
+    trick: encoding is a pure function of the WORD, so the merges apply
+    once per DISTINCT vocabulary word (bounded), not once per corpus
+    token occurrence — the encoded-word map then broadcasts onto the
+    corpus stream, making document encoding a broadcast-join map pass
+    with zero extra shuffles of the corpus. Shares _bpe_learn (and its
+    no-driver-collect merge loop) with the training entry."""
+    vocab, _ = _bpe_learn(spark, sf_dir, n_merges=3)
+    wmap = vocab.select(
+        "word",
+        F.size(F.split(F.btrim(F.col("seq"), F.lit("|")), r"\|\|")).alias(
+            "n_sym"
+        ),
+    )
+    d = _t(spark, sf_dir, "documents")
+    docw = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    return (
+        docw.join(F.broadcast(wmap), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.min("n_sym").alias("min_word_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_INCR_ROLLUP_ORACLE = """
+WITH full_agg AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(38,6))) AS total_dec
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type,
+       n_events,
+       round(CAST(total_dec AS DOUBLE), 2)                     AS total_value,
+       round(CAST(total_dec AS DOUBLE) / n_events, 4)          AS avg_value,
+       TRUE                                                    AS merge_matches_full
+FROM full_agg
+ORDER BY event_type
+"""
+
+
+@_register("incremental_rollup_merge", _INCR_ROLLUP_ORACLE)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate MERGEABILITY, the algebra every incremental /
+    streaming / cube pipeline rests on at 100 TB: yesterday's rollup plus
+    today's delta must equal a full recompute, without rescanning
+    yesterday. The entry splits events at a cutoff (day 20), aggregates
+    each side to (count, decimal sum) partials, merges the partials by
+    addition, and derives the non-mergeable measure (avg) from merged
+    components — then VERIFIES in-query that the merged result equals the
+    direct full aggregation on exact decimals (merge_matches_full). The
+    oracle computes only the direct form plus literal TRUE, so a
+    mergeability violation fails the value hash. Decimal sums make the
+    equality exact (float partials would differ by summation order —
+    precisely the bug this algebra exists to avoid)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(38,6)").alias("v"),
+        (F.dayofmonth("ts") <= 20).alias("is_base"),
+    )
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    base = partial(e.filter(F.col("is_base")))
+    delta = partial(e.filter(~F.col("is_base")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("total_dec"))
+    )
+    direct = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d_n"), F.sum("v").alias("d_s")
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("total_dec").cast("double"), 2).alias("total_value"),
+            F.round(
+                F.col("total_dec").cast("double") / F.col("n_events"), 4
+            ).alias("avg_value"),
+            (
+                (F.col("n_events") == F.col("d_n"))
+                & (F.col("total_dec") == F.col("d_s"))
+            ).alias("merge_matches_full"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_QUALITY_ENSEMBLE_ORACLE = f"""
+WITH lm AS (SELECT doc_id, score_ppm FROM ({_CHARLM_ORACLE})),
+rep AS (
+  SELECT doc_id,
+         len(t) - 1 AS total,
+         len(list_distinct([ t[i] || ' ' || t[i+1]
+                             for i in range(1, len(t)) ])) AS dis
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL)
+),
+gates AS (
+  SELECT d.source,
+         (d.n_chars >= 50 AND d.n_chars <= 5000)            AS len_ok,
+         (r.total IS NULL OR r.total < 1
+          OR (r.total - r.dis) * 10 <= r.total)             AS rep_ok,
+         coalesce(l.score_ppm >= 5700, FALSE)               AS lm_ok
+  FROM documents d
+  LEFT JOIN rep r USING (doc_id)
+  LEFT JOIN lm l USING (doc_id)
+  WHERE d.text IS NOT NULL
+)
+SELECT source,
+       count(*)                                             AS n_docs,
+       sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END)          AS n_fail_len,
+       sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END)          AS n_fail_rep,
+       sum(CASE WHEN NOT lm_ok THEN 1 ELSE 0 END)           AS n_fail_lm,
+       sum(CASE WHEN len_ok AND rep_ok AND lm_ok
+                THEN 1 ELSE 0 END)                          AS n_pass,
+       (sum(CASE WHEN len_ok AND rep_ok AND lm_ok
+                 THEN 1 ELSE 0 END) * 100) // count(*)      AS retention_pct
+FROM gates
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_register("quality_gate_ensemble", _QUALITY_ENSEMBLE_ORACLE)
+def quality_gate_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-based quality GATE ensemble a curation pipeline runs
+    before training (the reason-coded funnel report data teams actually
+    read): three independent signals — length bounds, Gopher-style
+    duplicate-bigram repetition (>10%), and the char-LM corpus-frequency
+    score (ppm < 5700, reusing charlm_freq_score's pipeline) — each
+    failure counted per source, plus the all-gates retention rate. Every
+    gate compares in exact integer arithmetic, so unlike real fastText /
+    KenLM ensembles the whole report is value-oracle-checked. Scale
+    shape: the two heavier signals are one corpus pass each (bounded
+    broadcast model for the LM, per-row array ops for repetition); the
+    funnel itself is a single hash aggregate on source."""
+    lm = charlm_freq_score(spark, sf_dir).select("doc_id", "score_ppm")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    total = F.size(t) - 1
+    n_pairs = F.greatest(total, F.lit(0))
+    bigr = F.zip_with(
+        F.slice(t, 1, n_pairs),
+        F.slice(t, 2, n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    rep = d.select(
+        "doc_id",
+        total.alias("total"),
+        F.size(F.array_distinct(bigr)).alias("dis"),
+    )
+    gates = (
+        d.select("doc_id", "source", "n_chars")
+        .join(rep, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .select(
+            "source",
+            ((F.col("n_chars") >= 50) & (F.col("n_chars") <= 5000)).alias(
+                "len_ok"
+            ),
+            (
+                F.col("total").isNull()
+                | (F.col("total") < 1)
+                | ((F.col("total") - F.col("dis")) * 10 <= F.col("total"))
+            ).alias("rep_ok"),
+            F.coalesce(F.col("score_ppm") >= 5700, F.lit(False)).alias("lm_ok"),
+        )
+    )
+    passed = F.col("len_ok") & F.col("rep_ok") & F.col("lm_ok")
+    return (
+        gates.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("len_ok")).cast("long")).alias("n_fail_len"),
+            F.sum((~F.col("rep_ok")).cast("long")).alias("n_fail_rep"),
+            F.sum((~F.col("lm_ok")).cast("long")).alias("n_fail_lm"),
+            F.sum(passed.cast("long")).alias("n_pass"),
+            F.expr(
+                "(sum(CASE WHEN len_ok AND rep_ok AND lm_ok THEN 1 ELSE 0 END)"
+                " * 100) div count(*)"
+            ).alias("retention_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SCRIPTING_ORACLE = """
+WITH ks AS (SELECT unnest(range(0, 20)) AS i),
+c AS (SELECT i, 20000 * (CAST(1 AS BIGINT) << i) AS thr FROM ks),
+counted AS (
+  SELECT i, thr,
+         (SELECT count(*) FROM orders o WHERE o.o_totalprice > c.thr) AS n_above
+  FROM c
+)
+SELECT thr AS threshold, n_above
+FROM counted WHERE n_above < 100
+ORDER BY i LIMIT 1
+"""
+
+
+@_register("sql_scripting_adaptive_threshold", _SQL_SCRIPTING_ORACLE)
+def sql_scripting_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING surface (Spark 4 compound statements): a BEGIN…END
+    block with DECLAREd state and a WHILE loop whose condition is itself
+    a query — the procedural-SQL layer the reference delegates to
+    Airflow-orchestrated Python (dags/elt_pipeline_optimized_dag.py runs
+    this kind of find-the-threshold scan imperatively). The loop doubles
+    a price threshold until fewer than 100 orders exceed it — the
+    adaptive-cutoff search every ops runbook has — entirely inside the
+    engine: no driver round-trips besides the final result, and each
+    iteration's count is one pushed-down scan-aggregate. The oracle
+    re-derives the fixpoint declaratively (smallest 20000·2^k with
+    count < 100), so the imperative and declarative forms must agree
+    exactly."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_scr_orders")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr BIGINT DEFAULT 20000;
+              WHILE (SELECT count(*) FROM v_scr_orders
+                     WHERE o_totalprice > thr) >= 100 DO
+                SET thr = thr * 2;
+              END WHILE;
+              SELECT thr AS threshold,
+                     (SELECT count(*) FROM v_scr_orders
+                      WHERE o_totalprice > thr) AS n_above;
+            END
+            """
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
