@@ -8170,3 +8170,217 @@ def sql_scripting_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+_OFFSET_LOG_WINDOW_ORACLE = """
+WITH parts AS (SELECT unnest(range(0, 4)) AS p),
+offs  AS (SELECT unnest(range(0, 150)) AS o),
+recs AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (o // 60) HOUR AS window_start,
+         CAST((p * 31 + o * 17) % 1000 AS BIGINT)                  AS amount_cents
+  FROM parts, offs
+)
+SELECT window_start,
+       count(*)          AS n_events,
+       sum(amount_cents) AS total_cents
+FROM recs
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@_register("streaming_offset_log_windowed", _OFFSET_LOG_WINDOW_ORACLE)
+def streaming_offset_log_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Kafka pipeline shape — partitioned-log source →
+    event-time watermark → tumbling window aggregation — run end-to-end
+    over the engine's own offset_log source: event time rides IN the
+    record (like a Kafka message timestamp), arrives out of order across
+    topic-partitions within each paced micro-batch, and the 1-hour
+    windows still land exactly because event-time windowing keys on the
+    data, not arrival. The watermark bounds window state exactly as it
+    would against a real broker. Record stream is seeded integer
+    arithmetic (offset → minute), so the drained windows carry a full
+    value oracle."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
+
+    register_offset_log(spark)
+    stream = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 4)
+        .option("n_rows", 150)
+        .option("rows_per_batch", 50)
+        .load()
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("amount_cents").alias("total_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_cents")
+    )
+    sink = run_stream_to_memory(agg, f"olw_{uuid.uuid4().hex[:8]}")
+    return sink.orderBy("window_start")
+
+
+_CORRUPT_AUDIT_ORACLE = """
+WITH classified AS (
+  SELECT CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS event_type,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE CAST(value AS DECIMAL(38,6)) END               AS v,
+         (event_id % 10 = 0)                                      AS is_corrupt
+  FROM events
+)
+SELECT event_type,
+       count(*)                                     AS n_rows,
+       sum(CASE WHEN is_corrupt THEN 1 ELSE 0 END)  AS n_corrupt,
+       round(CAST(coalesce(sum(v), 0) AS DOUBLE), 2) AS total_value
+FROM classified
+GROUP BY event_type
+ORDER BY event_type NULLS FIRST
+"""
+
+
+@_register("json_corrupt_records_audit", _CORRUPT_AUDIT_ORACLE)
+def json_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record accounting on the BATCH path (the streaming
+    PERMISSIVE/FAILFAST contract's batch sibling): events are serialized
+    to JSON envelopes, a deterministic tenth of them truncated mid-string
+    (the partial-write/split-record corruption object stores actually
+    produce), then parsed with from_json in PERMISSIVE mode with a
+    columnNameOfCorruptRecord — bad payloads yield NULL fields plus the
+    raw record in the corrupt column instead of failing the job, and the
+    audit rolls up row/corrupt counts per parsed type. The oracle knows
+    exactly which rows were corrupted by construction, so the value hash
+    verifies the PARSER classified every record correctly — a dropped or
+    wrongly-parsed record shifts a bucket. At 100 TB this is the
+    dead-letter accounting pass every ingest edge runs; one scan, one
+    hash aggregate."""
+    e = _t(spark, sf_dir, "events")
+    payload = F.to_json(F.struct("event_type", "value"))
+    corrupted = F.when(
+        F.col("event_id") % 10 == 0,
+        F.substring(payload, 1, F.length(payload) - 5),
+    ).otherwise(payload)
+    parsed = e.select(
+        F.from_json(
+            corrupted,
+            "event_type string, value double, _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("rec")
+    )
+    return (
+        parsed.groupBy(F.col("rec.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.col("rec._corrupt_record").isNotNull().cast("long")
+            ).alias("n_corrupt"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("rec.value").cast("decimal(38,6)")), F.lit(0)
+                ).cast("double"),
+                2,
+            ).alias("total_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+_CURRICULUM_ORACLE = """
+WITH tiers AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 150 THEN 0
+              WHEN n_chars < 250 THEN 1
+              WHEN n_chars < 350 THEN 2
+              ELSE 3 END AS tier,
+         md5(CAST(doc_id AS VARCHAR)) AS lane
+  FROM documents
+),
+ranked AS (
+  SELECT tier,
+         row_number() OVER (PARTITION BY tier ORDER BY lane, doc_id) AS r
+  FROM tiers
+),
+sizes AS (SELECT tier, count(*) AS n FROM tiers GROUP BY tier),
+offsets AS (
+  SELECT tier, n,
+         coalesce(sum(n) OVER (ORDER BY tier
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off
+  FROM sizes
+),
+pos AS (
+  SELECT r.tier, o.off + r.r AS position
+  FROM ranked r JOIN offsets o ON o.tier = r.tier
+)
+SELECT tier,
+       count(*)                               AS n_docs,
+       min(position)                          AS first_pos,
+       max(position)                          AS last_pos,
+       (max(position) - min(position) + 1 = count(*)) AS contiguous
+FROM pos
+GROUP BY tier
+ORDER BY tier
+"""
+
+
+@_register("curriculum_order_positions", _CURRICULUM_ORACLE)
+def curriculum_order_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering for training: every document gets a
+    deterministic GLOBAL position — easy tiers first, pseudo-random (md5
+    lane) order within a tier — without the global sort that would
+    serialize 100 TB through one task. The trick (same as sequence
+    packing's shard offsets): rank within each tier in parallel, then add
+    per-tier offsets from a tiny cumulative-sum frame; the result is
+    provably a permutation, which the entry verifies in-query (per-tier
+    position ranges must be contiguous and sized exactly n). Scale shape:
+    one shuffle on tier for the rank, a ≤4-row window for offsets, a
+    broadcast join to combine."""
+    d = _t(spark, sf_dir, "documents")
+    tiers = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 250, 1)
+        .when(F.col("n_chars") < 350, 2)
+        .otherwise(3)
+        .alias("tier"),
+        F.md5(F.col("doc_id").cast("string")).alias("lane"),
+    )
+    ranked = tiers.select(
+        "tier",
+        F.row_number()
+        .over(W.partitionBy("tier").orderBy("lane", "doc_id"))
+        .alias("r"),
+    )
+    sizes = tiers.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    offsets = sizes.select(
+        "tier",
+        F.coalesce(
+            F.sum("n").over(
+                W.orderBy("tier").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    pos = ranked.join(F.broadcast(offsets), "tier").select(
+        "tier", (F.col("off") + F.col("r")).alias("position")
+    )
+    return (
+        pos.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("position").alias("first_pos"),
+            F.max("position").alias("last_pos"),
+            (
+                F.max("position") - F.min("position") + 1 == F.count(F.lit(1))
+            ).alias("contiguous"),
+        )
+        .orderBy("tier")
+    )

@@ -96,8 +96,13 @@ def register_synthetic_trips(spark) -> None:
 # Deterministic record recipe shared with the oracle SQL (plans/queries.py):
 #   user_id      = (p * 1000003 + o * 7919) % 97
 #   amount_cents = (p * 31 + o * 17) % 1000
+#   ts           = 2024-01-01T00:00:00Z + offset minutes  (event time rides
+#                  IN the record like a Kafka message timestamp, so the
+#                  watermark/window entry can prove event-time semantics
+#                  over this source)
 OFFSET_LOG_SCHEMA = (
-    "partition int, offset bigint, user_id bigint, amount_cents bigint"
+    "partition int, offset bigint, user_id bigint, amount_cents bigint,"
+    " ts timestamp"
 )
 USER_MULT_P = 1000003
 USER_MULT_O = 7919
@@ -203,6 +208,9 @@ def make_offset_log_source():
             return out
 
         def read(self, partition):
+            from datetime import datetime, timedelta, timezone
+
+            epoch = datetime(2024, 1, 1, tzinfo=timezone.utc)
             p = partition.pid
             for o in range(partition.lo, partition.hi):
                 yield (
@@ -210,6 +218,7 @@ def make_offset_log_source():
                     o,
                     (p * ump + o * umo) % um,
                     (p * amp + o * amo) % am,
+                    epoch + timedelta(minutes=o),
                 )
 
         def commit(self, end):

@@ -266,3 +266,55 @@ def test_oph_signatures_match_python_reference(spark, docs):
     }
     expected = {i: ref_signature(t) for i, t in rows}
     assert got == expected
+
+
+def test_bpe_sentinel_replace_matches_reference_merge(spark):
+    """The BPE entry's core mechanic — greedy left-to-right non-overlapping
+    pair merge via sentinel-delimited string replace — pinned against an
+    independent Python reference, over every word up to length 6 on a
+    2-letter alphabet (guaranteeing heavy overlap cases like 'aaaa') and
+    three CHAINED merges whose later patterns contain multi-char symbols
+    produced by earlier rounds."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    merges = [("a", "b"), ("ab", "a"), ("b", "b")]
+
+    def ref_merge(symbols, left, right):
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == left and symbols[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        return out
+
+    words = [
+        "".join(p)
+        for n in range(1, 7)
+        for p in product("ab", repeat=n)
+    ]
+    expected = {}
+    for w in words:
+        syms = list(w)
+        for left, right in merges:
+            syms = ref_merge(syms, left, right)
+        expected[w] = syms
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    seq = F.regexp_replace("w", "(.)", r"|$1|")
+    for left, right in merges:
+        seq = F.replace(
+            seq, F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
+        )
+    got = {
+        r["w"]: r["syms"]
+        for r in df.select(
+            "w",
+            F.split(F.btrim(seq, F.lit("|")), r"\|\|").alias("syms"),
+        ).collect()
+    }
+    assert got == expected
