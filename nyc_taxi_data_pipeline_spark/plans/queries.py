@@ -8384,3 +8384,262 @@ def curriculum_order_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+_HINTS_ORACLE = """
+SELECT n.n_name,
+       count(*)  AS n_suppliers,
+       round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+         AS total_balance
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@_register("join_strategy_hints", _HINTS_ORACLE)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy CONTROL surface: the same logical join executed under
+    three explicit strategy hints — BROADCAST, SHUFFLE_MERGE, and
+    SHUFFLE_HASH — then unioned and re-aggregated; identical results
+    under every physical strategy is the correctness half (the three
+    branches must agree exactly, or the divided-back-out aggregate drifts
+    off the single-join oracle and the value hash fails), and
+    tests/test_plans.py asserts each hint actually produced its operator
+    (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin). Hints matter at 100 TB when the
+    optimizer's size estimates are wrong — a misestimated 10 GB build
+    side picked for broadcast is an OOM; these are the manual overrides.
+    The entry divides the tripled counts back out, so the output equals
+    the plain single-join aggregate and shares its oracle."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    def agg_with(hint: str) -> DataFrame:
+        return (
+            s.join(n.hint(hint), s["s_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.col("s_acctbal").cast("decimal(38,6)")).alias("b"),
+            )
+        )
+
+    branches = (
+        agg_with("broadcast")
+        .unionByName(agg_with("shuffle_merge"))
+        .unionByName(agg_with("shuffle_hash"))
+    )
+    return (
+        branches.groupBy("n_name")
+        .agg(
+            (F.sum("c") / 3).cast("long").alias("n_suppliers"),
+            F.round((F.sum("b") / 3).cast("double"), 2).alias("total_balance"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH cos AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT s1 AS a, s2 AS b FROM cos
+  WHERE w >= 2 AND (s1 * 31 + s2 * 17) % 20 = 0
+),
+wedges AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w JOIN e ON e.a = w.a AND e.b = w.c
+)
+SELECT (SELECT count(*) FROM e)      AS n_edges,
+       (SELECT count(*) FROM wedges) AS n_wedges,
+       (SELECT count(*) FROM tri)    AS n_triangles,
+       (SELECT CASE WHEN count(*) = 0 THEN 0
+               ELSE (3 * (SELECT count(*) FROM tri) * 1000000) // count(*)
+               END
+        FROM wedges)                 AS closure_ppm
+"""
+
+
+@_register("triangle_count_oriented", _TRIANGLE_ORACLE)
+def triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting by edge ORIENTATION (the algorithm behind
+    clustering-coefficient / community metrics on co-occurrence graphs):
+    orient every edge low→high so each triangle {x<y<z} is counted
+    exactly once as the closed wedge (x,y),(y,z),(x,z) — two equi-joins,
+    no cycle-symmetric triple join. Graph: suppliers co-supplying an
+    order (weight ≥ 2, then deterministically hash-thinned to keep the
+    toy-scale entry bounded — the co-supply projection is near-complete
+    at small SF; production would skip the thinning and instead orient by
+    DEGREE, which bounds every node's out-degree near sqrt(|E|) and is
+    the standard skew fix for power-law graphs; the join pattern is
+    identical). closure_ppm = 3·triangles/wedges in exact integer ppm —
+    the global clustering coefficient. Scale shape: two shuffle joins on
+    single keys plus count aggregates; the wedge frame is the watershed
+    and degree orientation is precisely what keeps it subquadratic."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("x"), li.alias("y")
+    cos = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("s1"), F.col("y.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e = (
+        cos.filter(
+            (F.col("w") >= 2)
+            & ((F.col("s1") * 31 + F.col("s2") * 17) % 20 == 0)
+        )
+        .select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    e2 = e.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    wedges = e.join(e2, e["b"] == e2["m"]).select("a", "b", "c").localCheckpoint(
+        eager=False
+    )
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("v")).select("v")
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("v")).select("v")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("v")).select("v")
+    return (
+        n_edges.select(F.col("v").alias("n_edges"))
+        .crossJoin(n_wedges.select(F.col("v").alias("n_wedges")))
+        .crossJoin(n_tri.select(F.col("v").alias("n_triangles")))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0))
+            .otherwise(
+                F.expr("(3 * n_triangles * 1000000) div n_wedges")
+            )
+            .alias("closure_ppm"),
+        )
+    )
+
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+bi AS (
+  SELECT pr['c'] AS cur, pr['n'] AS nxt FROM (
+    SELECT unnest([ {'c': t[i], 'n': t[i+1]} for i in range(1, len(t)) ]) AS pr
+    FROM toks
+  )
+),
+cnt AS (SELECT cur, nxt, count(*) AS c FROM bi GROUP BY 1, 2),
+tot AS (SELECT cur, sum(c) AS n_obs FROM cnt GROUP BY 1),
+best AS (
+  SELECT cur, nxt, c,
+         row_number() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rn
+  FROM cnt
+)
+SELECT b.cur                          AS cur_token,
+       t.n_obs,
+       b.nxt                          AS next_token,
+       b.c                            AS next_cnt,
+       (b.c * 1000000) // t.n_obs     AS p_ppm
+FROM best b JOIN tot t ON t.cur = b.cur
+WHERE b.rn = 1
+ORDER BY t.n_obs DESC, cur_token
+LIMIT 20
+"""
+
+
+@_register("bigram_next_word_model", _BIGRAM_LM_ORACLE)
+def bigram_next_word_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model estimation — the n-gram LM table (Markov over
+    TOKENS; event_transition_matrix is the same algebra over event types)
+    that underlies classic perplexity filters and autocomplete: count
+    (current, next) token transitions corpus-wide, keep each token's
+    argmax continuation with its probability in exact integer ppm, report
+    the 20 best-attested contexts. Transitions come from the zip-shifted
+    token array (one explode, no positional self-join); counting is two
+    hash aggregates sharing the bigram shuffle; the argmax is a window
+    over (cur) — all JVM-side, fully value-oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    n_pairs = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(t, 1, n_pairs),
+        F.slice(t, 2, n_pairs),
+        lambda c, n: F.struct(c.alias("cur"), n.alias("nxt")),
+    )
+    bi = d.filter(F.col("text").isNotNull()).select(
+        F.explode(pairs).alias("pr")
+    ).select("pr.cur", "pr.nxt")
+    cnt = bi.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    cnt = cnt.localCheckpoint(eager=False)
+    tot = cnt.groupBy("cur").agg(F.sum("c").alias("n_obs"))
+    w = W.partitionBy("cur").orderBy(F.col("c").desc(), "nxt")
+    best = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(tot, "cur")
+        .select(
+            F.col("cur").alias("cur_token"),
+            "n_obs",
+            F.col("nxt").alias("next_token"),
+            F.col("c").alias("next_cnt"),
+            F.expr("(c * 1000000) div n_obs").alias("p_ppm"),
+        )
+        .orderBy(F.col("n_obs").desc(), "cur_token")
+        .limit(20)
+    )
+
+
+_IDENTIFIER_ORACLE = """
+SELECT o_orderpriority AS group_key,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+         AS total_measure
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY group_key
+"""
+
+
+@_register("identifier_parameterized_query", _IDENTIFIER_ORACLE)
+def identifier_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized IDENTIFIERS (Spark 4's IDENTIFIER() clause +
+    spark.sql named args): table and column names arrive as bound
+    PARAMETERS, not string concatenation — the injection-safe form of
+    the dynamic SQL the reference's DAG builds by f-string
+    (dags/elt_pipeline_optimized_dag.py templates table names straight
+    into query text). Same Catalyst plan as the static query, so the
+    static oracle checks it; the surface under test is the binding."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_idp_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:keycol) AS group_key,
+               count(*) AS n_rows,
+               round(CAST(sum(CAST(IDENTIFIER(:valcol) AS DECIMAL(38,6)))
+                          AS DOUBLE), 2) AS total_measure
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:keycol)
+        ORDER BY group_key
+        """,
+        args={
+            "tbl": "v_idp_orders",
+            "keycol": "o_orderpriority",
+            "valcol": "o_totalprice",
+        },
+    )

@@ -283,3 +283,13 @@ def test_global_sort_uses_range_partitioning(spark):
     local_sorted.collect()
     plan = local_sorted._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "Exchange" not in plan, plan
+
+
+def test_join_strategy_hints_produce_their_operators(spark):
+    """Each strategy hint must actually control the physical join: one
+    BroadcastHashJoin, one SortMergeJoin, one ShuffledHashJoin in the
+    three-branch union."""
+    plan = _plan(spark, "join_strategy_hints")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan
