@@ -2,11 +2,13 @@
 with typed metadata (BASELINE.json north star).
 
 The Spark-side machinery — schemas, partitioning, Arrow-batched UDF
-signatures, batch shapes — is real and tested. The actual media decode is
-STUBBED (this container has no image/audio libraries): `decode_image`
-raises NotImplementedError unless `fake=True`, in which case a
-deterministic fake decoder stands in so the distributed plumbing can be
-exercised end-to-end.
+signatures, batch shapes — is real and tested. Decode comes in two tiers:
+`decode_features` STUBS the general case (this container has no
+PIL/librosa/ffmpeg; it raises NotImplementedError unless `fake=True`),
+while `decode_ppm_features` and `decode_wav_features` below run REAL
+container parsers for the two production formats that need only
+numpy + stdlib — PPM P6 images and RIFF/WAV PCM audio — proving the same
+mapInPandas plumbing carries an actual codec.
 
 Design for 100 TB of media:
   * payloads stay `binary` columns in parquet — never hit the Python side
@@ -135,3 +137,140 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders: formats decodable with numpy + stdlib only
+# ---------------------------------------------------------------------------
+#
+# The stub above exists because PIL/librosa/ffmpeg are absent — but two
+# real production formats need neither: PPM P6 (the uncompressed image
+# interchange format; header + raw RGB bytes) and RIFF/WAV PCM (header +
+# raw little-endian samples, parsed by the stdlib `wave` module). These
+# decoders run the honest path: parse the actual container bytes, reject
+# malformed payloads to a null row, extract typed features. Same
+# mapInPandas batch-iterator shape as the stub — swap-in proof that the
+# plumbing carries a real codec.
+
+_PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def decode_ppm_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL image decode: parse PPM P6 containers (magic, dimensions,
+    maxval header; raw RGB24 pixel block) with numpy only, emit per-image
+    dimensions and exact per-channel integer pixel sums. Malformed or
+    truncated payloads decode to null columns instead of failing the
+    task — the per-record dead-letter contract a 100 TB media scan
+    needs."""
+    id_name, payload_name = id_col, payload_col
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F811 — self-contained closure
+
+        def decode(payload):
+            try:
+                parts = payload.split(b"\n", 3)
+                if len(parts) != 4 or parts[0] != b"P6" or parts[2] != b"255":
+                    return None
+                w, h = (int(x) for x in parts[1].split())
+                raw = parts[3]
+                if w <= 0 or h <= 0 or len(raw) < w * h * 3:
+                    return None
+                px = np.frombuffer(raw[: w * h * 3], dtype=np.uint8)
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                return w, h, int(sums[0]), int(sums[1]), int(sums[2])
+            except (ValueError, AttributeError):
+                return None
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_name], pdf[payload_name]):
+                d = decode(payload)
+                rows.append(
+                    (mid, None, None, None, None, None) if d is None else (mid, *d)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.mapInPandas(op, schema=_PPM_SCHEMA)
+
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+    ]
+)
+
+
+def decode_wav_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL audio decode: parse RIFF/WAV PCM16 containers with the stdlib
+    `wave` module (actual chunk parsing, not byte offsets), emit sample
+    rate, frame count, duration, and exact integer signal energy Σv² —
+    the audio-curation features (silence/clipping screens key off
+    energy). Malformed payloads yield null columns."""
+    id_name, payload_name = id_col, payload_col
+
+    def op(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd  # noqa: F811 — self-contained closure
+
+        def decode(payload):
+            try:
+                with wave.open(io.BytesIO(payload)) as wf:
+                    if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                        return None
+                    rate = wf.getframerate()
+                    n = wf.getnframes()
+                    raw = wf.readframes(n)
+                v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                return (
+                    rate,
+                    int(v.size),
+                    int(v.size) * 1000 // rate,
+                    int((v * v).sum()),
+                )
+            except (wave.Error, EOFError, ValueError, AttributeError, OSError):
+                return None
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_name], pdf[payload_name]):
+                d = decode(payload)
+                rows.append(
+                    (mid, None, None, None, None) if d is None else (mid, *d)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "energy",
+                ],
+            )
+
+    return df.mapInPandas(op, schema=_WAV_SCHEMA)

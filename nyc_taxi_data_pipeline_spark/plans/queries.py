@@ -8643,3 +8643,154 @@ def identifier_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFram
             "valcol": "o_totalprice",
         },
     )
+
+
+_PPM_DECODE_ORACLE = """
+WITH media AS (SELECT doc_id AS media_id FROM documents),
+px AS (
+  SELECT m.media_id, b, (m.media_id * 7 + b * 13) % 256 AS val
+  FROM media m, (SELECT unnest(range(0, 144)) AS b)
+  WHERE m.media_id % 25 <> 0
+),
+sums AS (
+  SELECT media_id,
+         sum(CASE WHEN b % 3 = 0 THEN val END) AS sum_r,
+         sum(CASE WHEN b % 3 = 1 THEN val END) AS sum_g,
+         sum(CASE WHEN b % 3 = 2 THEN val END) AS sum_b
+  FROM px GROUP BY media_id
+)
+SELECT m.media_id,
+       CASE WHEN m.media_id % 25 = 0 THEN NULL ELSE 8 END AS width,
+       CASE WHEN m.media_id % 25 = 0 THEN NULL ELSE 6 END AS height,
+       s.sum_r, s.sum_g, s.sum_b,
+       (m.media_id % 25 <> 0) AS decoded
+FROM media m LEFT JOIN sums s ON s.media_id = m.media_id
+ORDER BY m.media_id
+"""
+
+
+@_register("multimodal_ppm_decode", _PPM_DECODE_ORACLE)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end — the honest upgrade over the
+    multimodal_decode_features stub: PPM P6 containers (magic + dims +
+    maxval header, raw RGB24 block) are BUILT JVM-side per media id (hex
+    lanes: transform/lpad(hex(..)) over a byte-index sequence, unhex to
+    binary — payload synthesis never touches Python), every 25th payload
+    truncated to exercise the malformed-record path, then decoded by an
+    actual numpy container parser in one mapInPandas pass
+    (operators/multimodal.decode_ppm_features). Features are exact
+    integer channel sums, so the whole decode — header parse, channel
+    de-interleave, dead-lettered nulls — is value-oracle-checked. At
+    100 TB the shape is unchanged: payloads stay binary in parquet and
+    cross to Python one Arrow batch at a time."""
+    from nyc_taxi_data_pipeline_spark.operators.multimodal import (
+        decode_ppm_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    pixhex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(143)),
+            lambda b: F.lpad(
+                F.hex((F.col("media_id") * 7 + b * 13) % 256), 2, "0"
+            ),
+        ),
+        "",
+    )
+    full = F.concat(
+        F.lit("P6\n8 6\n255\n").cast("binary"), F.unhex(pixhex)
+    )
+    payload = F.when(
+        F.col("media_id") % 25 == 0, F.substring(full, 1, 10)
+    ).otherwise(full)
+    media = d.select("media_id", payload.alias("payload"))
+    return (
+        decode_ppm_features(media)
+        .withColumn("decoded", F.col("width").isNotNull())
+        .orderBy("media_id")
+    )
+
+
+def _wav_header_hex(rate: int = 8000, n_frames: int = 64) -> str:
+    """Constant RIFF/WAV PCM16-mono header as a hex string (little-endian
+    fields), computed at plan-build time — deterministic, not
+    data-dependent."""
+    import struct
+
+    data_size = n_frames * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+    return hdr.hex().upper()
+
+
+_WAV_DECODE_ORACLE = """
+WITH media AS (SELECT doc_id AS media_id FROM documents),
+samp AS (
+  SELECT m.media_id, ((m.media_id * 31 + t * 17) % 2048) - 1024 AS v
+  FROM media m, (SELECT unnest(range(0, 64)) AS t)
+)
+SELECT media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(8 AS BIGINT) AS duration_ms,
+       sum(v * v) AS energy
+FROM samp
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
+@_register("multimodal_wav_decode", _WAV_DECODE_ORACLE)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: RIFF/WAV PCM16-mono containers built
+    JVM-side (constant RIFF header hex + little-endian sample lanes from
+    an integer recipe, unhex to binary) and decoded by the stdlib `wave`
+    chunk parser + numpy in one mapInPandas pass
+    (operators/multimodal.decode_wav_features) — proving the multimodal
+    plumbing carries an actual codec, not just the stub's byte folds.
+    Features are audio-curation primitives: sample rate, frame count,
+    duration, and exact integer signal energy Σv² (what silence and
+    clipping screens threshold on). Fully value-oracle-checked since the
+    signal is an integer recipe."""
+    from nyc_taxi_data_pipeline_spark.operators.multimodal import (
+        decode_wav_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    u16 = lambda v: (v + 65536) % 65536  # noqa: E731
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda t: F.concat(
+                F.substring(
+                    F.lpad(
+                        F.hex(u16(((F.col("media_id") * 31 + t * 17) % 2048) - 1024)),
+                        4,
+                        "0",
+                    ),
+                    3,
+                    2,
+                ),
+                F.substring(
+                    F.lpad(
+                        F.hex(u16(((F.col("media_id") * 31 + t * 17) % 2048) - 1024)),
+                        4,
+                        "0",
+                    ),
+                    1,
+                    2,
+                ),
+            ),
+        ),
+        "",
+    )
+    payload = F.unhex(F.concat(F.lit(_wav_header_hex()), sample_hex))
+    media = d.select("media_id", payload.alias("payload"))
+    return decode_wav_features(media).orderBy("media_id")

@@ -969,3 +969,53 @@ def test_bpe_merges_have_bpe_properties(spark):
     assert all(
         re.fullmatch(r"[a-z]+", r["merge_left"] + r["merge_right"]) for r in rows
     )
+
+
+def test_real_decoders_dead_letter_malformed_payloads(spark):
+    """The real PPM/WAV decoders must null-row (not fail) every malformed
+    container shape: wrong magic, truncated header, short pixel/sample
+    block, empty bytes, and a valid-looking prefix with garbage sizes."""
+    from nyc_taxi_data_pipeline_spark.operators.multimodal import (
+        decode_ppm_features,
+        decode_wav_features,
+    )
+
+    bad = [
+        (0, b""),
+        (1, b"P5\n8 6\n255\nxxxx"),          # wrong magic
+        (2, b"P6\n8 6\n255\n" + b"\x00" * 10),  # short pixel block
+        (3, b"P6\n-1 6\n255\n" + b"\x00" * 144),  # bad dims
+        (4, b"RIFFxxxxWAVE"),                 # truncated RIFF
+        (5, b"\x00" * 64),                    # garbage
+    ]
+    df = spark.createDataFrame(bad, "media_id long, payload binary")
+
+    ppm = decode_ppm_features(df).collect()
+    assert len(ppm) == 6
+    assert all(r["width"] is None for r in ppm)
+
+    wav = decode_wav_features(df).collect()
+    assert len(wav) == 6
+    assert all(r["sample_rate"] is None for r in wav)
+
+    # and a VALID minimal instance of each still decodes
+    import struct
+
+    ppm_ok = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    wav_ok = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 4) + struct.pack("<hh", 100, -100)
+    )
+    ok = spark.createDataFrame(
+        [(10, ppm_ok), (11, wav_ok)], "media_id long, payload binary"
+    )
+    p = {r["media_id"]: r for r in decode_ppm_features(ok).collect()}
+    assert (p[10]["width"], p[10]["height"]) == (2, 1)
+    assert (p[10]["sum_r"], p[10]["sum_g"], p[10]["sum_b"]) == (50, 70, 90)
+    w = {r["media_id"]: r for r in decode_wav_features(ok).collect()}
+    assert (w[11]["sample_rate"], w[11]["n_samples"], w[11]["energy"]) == (
+        8000,
+        2,
+        20000,
+    )
