@@ -293,3 +293,43 @@ def test_join_strategy_hints_produce_their_operators(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_semantic_dedup_pair_join_is_keyed_no_cartesian(spark):
+    """SemDeDup's within-cluster pair join must be an EQUI-join keyed on
+    centroid_id (id ordering + cosine threshold only as residual
+    conditions) — a cartesian/BNLJ there would be the corpus-quadratic
+    shape the clustering exists to avoid. (The broadcast of the centroid
+    set itself sits behind the localCheckpoint lineage boundary and is
+    asserted via PLANS.md, not reachable from the final frame's plan.)"""
+    plan = _plan(spark, "semantic_dedup_clusters")
+    assert "CartesianProduct" not in plan
+    assert "Join [centroid_id" in plan or "Join [centroid_id".lower() in plan.lower()
+
+
+def test_charlm_model_broadcasts(spark):
+    """The trigram model is a bounded-vocabulary aggregate and must
+    BROADCAST onto the scoring join — shuffling the corpus by trigram
+    would be the 100 TB mistake."""
+    plan = _plan(spark, "charlm_freq_score")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_countmin_probe_broadcasts_sketch(spark):
+    """CMS cells are <= 2048 rows; the probe join must broadcast them."""
+    plan = _plan(spark, "countmin_sketch_tokens")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_encode_broadcasts_word_map(spark):
+    """Encoded-word map is vocabulary-bounded; the corpus join must
+    broadcast it (no corpus shuffle by word)."""
+    plan = _plan(spark, "bpe_encode_documents")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """Wedge build and closure must both be equi-joins; a BNLJ would mean
+    the orientation predicate leaked out of the join keys."""
+    plan = _plan(spark, "triangle_count_oriented")
+    assert "CartesianProduct" not in plan
