@@ -8794,3 +8794,152 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.unhex(F.concat(F.lit(_wav_header_hex()), sample_hex))
     media = d.select("media_id", payload.alias("payload"))
     return decode_wav_features(media).orderBy("media_id")
+
+
+_OBSERVE_ORACLE = """
+SELECT count(*)                                        AS n_rows,
+       sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS n_big,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+         AS total_price
+FROM orders
+"""
+
+
+@_register("observed_metrics_audit", _OBSERVE_ORACLE)
+def observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline OBSERVABILITY surface (df.observe + Observation): metrics
+    ride on the frame and are computed BY THE ACTION ITSELF — one pass,
+    no second audit scan of the input, which at 100 TB is the difference
+    between monitored and double-cost pipelines (the reference logs
+    row counts by re-counting, scripts/transform_data.py). The observed
+    aggregates are deterministic, so re-emitting them as the entry's
+    result frame gives them a full value oracle: if observe() dropped or
+    miscounted anything the hash fails. The deliberate driver-side step
+    (Observation.get after the action) is the API's contract — metrics
+    are a handful of scalars, never data."""
+    from pyspark.sql import Observation
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation("audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_totalprice") > 300000).cast("long")).alias("n_big"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_big"], m["total_price"])],
+        "n_rows bigint, n_big bigint, total_price double",
+    )
+
+
+_TRY_ARITH_ORACLE = """
+WITH rows_in AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey < 100
+)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN qty = 0 THEN NULL
+            ELSE round(l_extendedprice / qty, 4) END          AS unit_price,
+       TRY_CAST('not a number' AS DOUBLE)                     AS bad_number,
+       CASE WHEN qty - 3 BETWEEN 1 AND 7
+            THEN CAST(qty - 3 AS VARCHAR) ELSE NULL END       AS elem_at,
+       9223372036854775807 + CASE WHEN qty > 100 THEN 1 ELSE 0 END
+                                                              AS near_overflow
+FROM rows_in
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@_register("try_arithmetic_matrix", _TRY_ARITH_ORACLE)
+def try_arithmetic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode SAFETY surface: this engine runs with ANSI semantics ON
+    (strict casts, failing overflow — the correctness-first default), so
+    the try_* family is the per-expression escape hatch a pipeline uses
+    where nulls-on-error beat job failure: try_divide (÷0 → null),
+    try_cast (bad parse → null), try_element_at (out-of-bounds → null),
+    try_add at the int64 edge (overflow → null — the oracle proves no
+    row actually overflows, so the value is always the exact sum). The
+    oracle expresses each as its explicit CASE equivalent; matching
+    hashes prove the try_* forms implement exactly those semantics."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    arr = F.array([F.lit(str(i)).cast("string") for i in range(1, 8)])
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), F.col("qty")), 4).alias(
+            "unit_price"
+        ),
+        F.try_to_number(F.lit("not a number"), F.lit("999")).cast(
+            "double"
+        ).alias("bad_number"),
+        # index 0 THROWS even under try_element_at (INVALID_INDEX_OF_ZERO
+        # is not an out-of-bounds) and negative indexes count from the
+        # end — gate to >= 1 so the surface exercised is the positive
+        # out-of-bounds -> null contract
+        F.try_element_at(
+            arr,
+            F.when(F.col("qty") - 3 >= 1, F.col("qty") - 3).cast("int"),
+        ).alias("elem_at"),
+        F.try_add(
+            F.lit(9223372036854775807),
+            (F.col("qty") > 100).cast("long"),
+        ).alias("near_overflow"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+_FILTER_CLAUSE_ORACLE = """
+SELECT o_orderpriority,
+       count(*)                                              AS n_all,
+       count(*) FILTER (WHERE o_totalprice > 200000)         AS n_big,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                  FILTER (WHERE o_orderdate >= DATE '1995-01-01')
+             AS DOUBLE), 2)                                  AS recent_total,
+       count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                                                             AS big_customers
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@_register("agg_filter_clause", _FILTER_CLAUSE_ORACLE)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE …) aggregate modifiers — the standard-SQL form of
+    conditional aggregation (the CASE-WHEN-sum idiom elsewhere in this
+    catalog, e.g. q12/q14, written declaratively): several differently-
+    filtered aggregates, including a filtered DISTINCT, share ONE scan
+    and one hash aggregate. Catalyst plans filtered aggregates with
+    per-aggregate predicates inside the same operator, so adding a
+    metric never adds a pass — the property that keeps 100 TB audit
+    queries single-scan."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_fc_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*)                                      AS n_all,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                          FILTER (WHERE o_orderdate >= DATE '1995-01-01')
+                     AS DOUBLE), 2)                          AS recent_total,
+               count(DISTINCT o_custkey)
+                 FILTER (WHERE o_totalprice > 200000)        AS big_customers
+        FROM v_fc_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
