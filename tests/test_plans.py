@@ -94,6 +94,8 @@ def test_q18_having_filter_before_join(spark):
 # stay JVM-side
 _PYTHON_BY_DESIGN = {
     "multimodal_decode_features",
+    "multimodal_ppm_decode",   # real PPM container parse IS the Python lane
+    "multimodal_wav_decode",   # real WAV container parse IS the Python lane
     "udtf_sliding_chunks",
     "udaf_pandas_mad",
 }
