@@ -110,16 +110,23 @@ def shingles(col: str | Column, k: int = 3) -> Column:
     )
 
 
-def fingerprint(col: str | Column) -> Column:
-    """Document fingerprint: 64-bit hash of normalized text (lowercase,
-    collapsed whitespace, stripped punctuation). Equal fingerprints ⇒
-    near-identical normalized content — the exact-dedup key."""
-    normalized = F.trim(
+def _fingerprint_normalized(col: str | Column) -> Column:
+    """The ONE normalization both fingerprint lanes hash (lowercase,
+    punctuation stripped, whitespace collapsed, trimmed). Shared so the
+    xxhash64 production lane and the md5 oracle lane can never drift —
+    the equal-grouping test between them pins this equivalence."""
+    return F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(_c(col)), r"[!-/:-@\[-`{-~]", " "), r"\s+", " "
         )
     )
-    return F.xxhash64(normalized)
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: 64-bit hash of normalized text (lowercase,
+    collapsed whitespace, stripped punctuation). Equal fingerprints ⇒
+    near-identical normalized content — the exact-dedup key."""
+    return F.xxhash64(_fingerprint_normalized(col))
 
 
 def fingerprint_portable(col: str | Column) -> Column:
@@ -128,9 +135,4 @@ def fingerprint_portable(col: str | Column) -> Column:
     engine, so fingerprint-dedup results can be oracle-verified. 32-byte
     string key vs the 8-byte long of the production lane — same shuffle
     shape, ~4x wider key."""
-    normalized = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(_c(col)), r"[!-/:-@\[-`{-~]", " "), r"\s+", " "
-        )
-    )
-    return F.md5(normalized)
+    return F.md5(_fingerprint_normalized(col))

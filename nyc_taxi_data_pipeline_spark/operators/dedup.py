@@ -907,31 +907,36 @@ def semantic_dedup_stats(
         .select("vid", "qv", "centroid_id")
         .localCheckpoint(eager=False)
     )
-    a = best.select(
-        "centroid_id", F.col("vid").alias("id_a"), F.col("qv").alias("qa")
+    # squared norms computed ONCE per vector (O(n·dim)) and carried into
+    # the pair join — recomputing them per candidate pair would redo the
+    # array fold up to cluster-size times per vector
+    n2 = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    b = best.select(
-        "centroid_id", F.col("vid").alias("id_b"), F.col("qv").alias("qb")
+    normed = best.withColumn("n2", n2)
+    a = normed.select(
+        "centroid_id",
+        F.col("vid").alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    b = normed.select(
+        "centroid_id",
+        F.col("vid").alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
     )
     dot = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     pairs = (
         a.join(b, ["centroid_id"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_b",
-            dot.alias("dot"),
-            norm("qa").alias("na"),
-            norm("qb").alias("nb"),
-        )
+        .select("id_b", dot.alias("dot"), "na", "nb")
     )
     dropped = (
         pairs.filter(

@@ -167,26 +167,61 @@ _PPM_SCHEMA = T.StructType(
 def decode_ppm_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """REAL image decode: parse PPM P6 containers (magic, dimensions,
-    maxval header; raw RGB24 pixel block) with numpy only, emit per-image
-    dimensions and exact per-channel integer pixel sums. Malformed or
-    truncated payloads decode to null columns instead of failing the
-    task — the per-record dead-letter contract a 100 TB media scan
-    needs."""
+    """REAL image decode: parse PPM P6 containers with numpy only, emit
+    per-image dimensions and exact per-channel integer pixel sums.
+    Implements the actual netpbm header grammar — '#' comment lines and
+    arbitrary whitespace between the magic / width / height / maxval
+    tokens (files from GIMP/ImageMagick carry comments), any maxval
+    1..255 (8-bit samples; 2-byte >255 samples are dead-lettered, not
+    misread), pixel block starting after EXACTLY ONE whitespace byte
+    following maxval. Malformed or truncated payloads decode to null
+    columns instead of failing the task — the per-record dead-letter
+    contract a 100 TB media scan needs."""
     id_name, payload_name = id_col, payload_col
 
     def op(batches):
         import numpy as np
         import pandas as pd  # noqa: F811 — self-contained closure
 
+        ws = b" \t\r\n\x0b\x0c"
+
+        def header_tokens(payload, n_tokens):
+            """Yield (tokens, offset_after_single_ws) per netpbm grammar:
+            tokens separated by whitespace, '#'-to-EOL comments allowed
+            anywhere whitespace is."""
+            toks, i, n = [], 0, len(payload)
+            while len(toks) < n_tokens:
+                while i < n and (payload[i : i + 1] in ws or payload[i : i + 1] == b"#"):
+                    if payload[i : i + 1] == b"#":
+                        j = payload.find(b"\n", i)
+                        i = n if j < 0 else j + 1
+                    else:
+                        i += 1
+                if i >= n:
+                    return None
+                j = i
+                while j < n and payload[j : j + 1] not in ws and payload[j : j + 1] != b"#":
+                    j += 1
+                toks.append(payload[i:j])
+                i = j
+            # exactly one whitespace byte separates maxval from raster
+            if i >= n or payload[i : i + 1] not in ws:
+                return None
+            return toks, i + 1
+
         def decode(payload):
             try:
-                parts = payload.split(b"\n", 3)
-                if len(parts) != 4 or parts[0] != b"P6" or parts[2] != b"255":
+                parsed = header_tokens(payload, 4)
+                if parsed is None:
                     return None
-                w, h = (int(x) for x in parts[1].split())
-                raw = parts[3]
-                if w <= 0 or h <= 0 or len(raw) < w * h * 3:
+                (magic, w_s, h_s, maxval_s), off = parsed
+                if magic != b"P6":
+                    return None
+                w, h, maxval = int(w_s), int(h_s), int(maxval_s)
+                raw = payload[off:]
+                if w <= 0 or h <= 0 or not 1 <= maxval <= 255:
+                    return None
+                if len(raw) < w * h * 3:
                     return None
                 px = np.frombuffer(raw[: w * h * 3], dtype=np.uint8)
                 sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
@@ -243,6 +278,10 @@ def decode_wav_features(
                     if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
                         return None
                     rate = wf.getframerate()
+                    # a corrupt-but-parseable fmt chunk can declare rate 0
+                    # — dead-letter it, don't ZeroDivide the task
+                    if rate <= 0:
+                        return None
                     n = wf.getnframes()
                     raw = wf.readframes(n)
                 v = np.frombuffer(raw, dtype="<i2").astype(np.int64)

@@ -196,10 +196,17 @@ def sequence_packing(
     toks = textfn.token_count(text_col)
     w = W.partitionBy(group_col).orderBy(id_col)
     start = (F.sum(toks).over(w) - toks).cast("long")
+    # integer `div`, not `/`: `/` is double division, and a per-shard
+    # token cumsum past 2^53 could round across a pack boundary before
+    # the long cast — the oracle's `//` is exact, so this must be too
     assigned = df.select(
         F.col(group_col).alias("grp"),
         toks.alias("__tok"),
-        (start / budget_tokens).cast("long").alias("pack_id"),
+        start.alias("__start"),
+    ).select(
+        "grp",
+        "__tok",
+        F.expr(f"__start div {int(budget_tokens)}").alias("pack_id"),
     )
     return (
         assigned.groupBy(F.col("grp").alias(group_col), "pack_id")

@@ -7533,8 +7533,7 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("datediff(ts, DATE '2024-01-01') div 7").alias("week_idx"),
     )
     daily = e.groupBy("week_idx", "day").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("day_users"),
+        F.hll_sketch_agg("user_id").alias("sk")
     )
     weekly_sketch = daily.groupBy("week_idx").agg(
         F.count(F.lit(1)).alias("n_days"),

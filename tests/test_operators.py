@@ -998,24 +998,51 @@ def test_real_decoders_dead_letter_malformed_payloads(spark):
     assert len(wav) == 6
     assert all(r["sample_rate"] is None for r in wav)
 
-    # and a VALID minimal instance of each still decodes
+    # and VALID instances still decode — including the netpbm grammar the
+    # wild actually produces: comment lines and multi-whitespace headers
     import struct
 
     ppm_ok = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    ppm_comment = (
+        b"P6\n# Created by GIMP\n2 1\n# another\n255\n"
+        + bytes([10, 20, 30, 40, 50, 60])
+    )
+    ppm_maxval15 = b"P6 2 1 15\n" + bytes([1, 2, 3, 4, 5, 6])
     wav_ok = (
         b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
         + b"data" + struct.pack("<I", 4) + struct.pack("<hh", 100, -100)
     )
+    # corrupt-but-parseable: fmt chunk declares sample rate 0 — must
+    # dead-letter, not ZeroDivisionError the task
+    wav_rate0 = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+        + b"data" + struct.pack("<I", 4) + struct.pack("<hh", 100, -100)
+    )
+    # 16-bit samples (maxval > 255) would be misread as bytes — dead-letter
+    ppm_16bit = b"P6\n2 1\n65535\n" + bytes(12)
     ok = spark.createDataFrame(
-        [(10, ppm_ok), (11, wav_ok)], "media_id long, payload binary"
+        [
+            (10, ppm_ok),
+            (11, wav_ok),
+            (12, ppm_comment),
+            (13, ppm_maxval15),
+            (14, wav_rate0),
+            (15, ppm_16bit),
+        ],
+        "media_id long, payload binary",
     )
     p = {r["media_id"]: r for r in decode_ppm_features(ok).collect()}
     assert (p[10]["width"], p[10]["height"]) == (2, 1)
     assert (p[10]["sum_r"], p[10]["sum_g"], p[10]["sum_b"]) == (50, 70, 90)
+    assert (p[12]["width"], p[12]["sum_b"]) == (2, 90)
+    assert (p[13]["width"], p[13]["sum_r"], p[13]["sum_b"]) == (2, 5, 9)
+    assert p[15]["width"] is None
     w = {r["media_id"]: r for r in decode_wav_features(ok).collect()}
     assert (w[11]["sample_rate"], w[11]["n_samples"], w[11]["energy"]) == (
         8000,
         2,
         20000,
     )
+    assert w[14]["sample_rate"] is None
