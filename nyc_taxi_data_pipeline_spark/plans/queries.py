@@ -8942,3 +8942,40 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+_SKEW_AUDIT_ORACLE = """
+WITH per_key AS (
+  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY l_suppkey
+)
+SELECT count(*)                                   AS n_keys,
+       sum(c)                                     AS total_rows,
+       max(c)                                     AS max_key_rows,
+       (max(c) * 1000000) // sum(c)               AS top1_share_ppm,
+       (max(c) * 1000000 * count(*)) // sum(c)    AS skew_ratio_ppm
+FROM per_key
+"""
+
+
+@_register("partition_skew_audit", _SKEW_AUDIT_ORACLE)
+def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew DIAGNOSTIC — the measurement that decides between a plain
+    shuffle join, AQE skew splitting, and salting (operators/skew.py):
+    per-key row counts reduced to the two dimensionless numbers that
+    matter — the hottest key's share of all rows and its ratio to the
+    mean key (1,000,000 ppm = perfectly uniform). Exact integer
+    arithmetic throughout (max·10⁶·n_keys div total), so the audit is
+    value-oracle-checked. Scale shape: one hash aggregate on the key,
+    then a 1-row rollup — the audit costs one shuffle, which is why it
+    runs BEFORE committing a 100 TB join to the wrong strategy."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.expr("(max(c) * 1000000) div sum(c)").alias("top1_share_ppm"),
+        F.expr("(max(c) * 1000000 * count(*)) div sum(c)").alias(
+            "skew_ratio_ppm"
+        ),
+    )
