@@ -575,6 +575,93 @@ def all_pairs_jaccard(
     )
 
 
+def prefix_filter_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    tau_num: int = 4,
+    tau_den: int = 5,
+) -> DataFrame:
+    """EXACT all-pairs shingle Jaccard ≥ τ via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate rule — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): order every doc's shingle set by ascending global document
+    frequency (ties by shingle string, so the order is total and
+    deterministic), keep only the first |x| - ⌈τ|x|⌉ + 1 shingles as the
+    doc's PREFIX, and generate candidates from the inverted index of
+    prefixes alone. Guarantee: J(x,y) ≥ τ ⟹ |x∩y| ≥ ⌈τ·max(|x|,|y|)⌉,
+    and two sets with ≥ ⌈τ|x|⌉ common elements under a common total order
+    must share one in these prefixes — so the candidate set is a strict
+    superset of the answer and the exact verify pass loses nothing.
+
+    vs `all_pairs_jaccard` (full inverted index): postings lists shrink
+    from every shingle to the RAREST ~(1-τ) fraction of each doc, and
+    because prefixes hold the globally rarest shingles first, the hot
+    shingles that dominate Σ postings² never enter the index — this is
+    the shape that keeps exact similarity join viable at corpus scale.
+    τ is a rational tau_num/tau_den so the prefix length and the verify
+    threshold both evaluate in exact integer arithmetic.
+
+    Shuffles: one window on the shingle (global df), one groupBy id
+    (sorted set build), the prefix self-join, and the candidate verify
+    join — each candidate-proportional past the first two."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(textfn.shingles(text_col, shingle_k)).alias("sh"),
+    )
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    ranked = ex.select(
+        "id", "s", F.count(F.lit(1)).over(W.partitionBy("s")).alias("df")
+    )
+    # ceil(tau*n) = (tau_num*n + tau_den - 1) div tau_den, all integer
+    plen = F.expr(
+        f"n - (({tau_num} * n + {tau_den} - 1) div {tau_den}) + 1"
+    )
+    docs = (
+        ranked.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("t"))
+        .select(
+            "id",
+            F.expr("transform(t, x -> x.s)").alias("sh"),
+            F.size("t").alias("n"),
+        )
+        .withColumn("prefix", F.slice(F.col("sh"), F.lit(1), plen))
+        .localCheckpoint(eager=False)  # feeds index + both verify sides
+    )
+    pre = docs.select("id", F.explode("prefix").alias("s"))
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = docs.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
+    )
+    b = docs.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
+    )
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        # integer cross-multiplied threshold: inter/(na+nb-inter) >= τ
+        .filter(
+            F.expr(f"{tau_den} * inter >= {tau_num} * (na + nb - inter)")
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (F.col("inter").cast("double")
+         / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+         ).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # winnowing (rolling-window fingerprints)
 # ---------------------------------------------------------------------------

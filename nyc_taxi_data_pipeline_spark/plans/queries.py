@@ -8979,3 +8979,403 @@ def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_ratio_ppm"
         ),
     )
+
+
+_SPAN_SCREEN_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+spans AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+4], ' ')
+                 for i in range(1, len(t) - 3)]) AS s
+  FROM toks WHERE len(t) >= 5
+),
+flagged AS (
+  SELECT doc_id,
+         (min(doc_id) OVER (PARTITION BY s)
+          <> max(doc_id) OVER (PARTITION BY s)) AS cross_doc
+  FROM spans
+),
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_spans,
+         CAST(sum(CASE WHEN cross_doc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       (1000000 * n_dup_spans) // n_spans           AS dup_ppm,
+       (1000000 * n_dup_spans) // n_spans >= 200000 AS flagged_doc
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@_register("repeated_span_screen", _SPAN_SCREEN_ORACLE)
+def repeated_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring screening (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a document is flagged
+    when a large fraction of its 5-token spans also occur verbatim in a
+    DIFFERENT document — the span-level signal that catches boilerplate
+    and templated text whole-document dedup misses. The suffix-array of
+    the paper is replaced by the shape that distributes: every span
+    position is a row, and one window over the span string computes the
+    cross-doc indicator as min(doc_id) != max(doc_id) — a single shuffle
+    on the span key, no self-join, no distinct-count state. At 100 TB the
+    span rows explode ~|tokens| wide but stay narrow (two columns) and
+    the window degenerates to a hash-partition scan; the per-doc rollup
+    is the only other shuffle. Integer ppm arithmetic end-to-end, so the
+    entry carries a full value oracle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+        )
+        .filter(F.size("t") >= 5)
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 4)).alias("i"),
+        "t",
+    ).select("doc_id", F.expr("concat_ws(' ', slice(t, i, 5))").alias("s"))
+    w = W.partitionBy("s")
+    flagged = spans.select(
+        "doc_id",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).alias("cross_doc"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("cross_doc").cast("long")).alias("n_dup_spans"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.expr("(1000000 * n_dup_spans) div n_spans").alias("dup_ppm"),
+        (F.expr("(1000000 * n_dup_spans) div n_spans") >= 200000).alias(
+            "flagged_doc"
+        ),
+    ).orderBy("doc_id")
+
+
+_DSIR_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+feats AS (
+  SELECT doc_id, lang,
+         unnest([CAST('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 6)
+                      AS BIGINT) % 1024
+                 for i in range(1, len(t))]) AS b
+  FROM toks WHERE len(t) >= 2
+),
+tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+raw AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+model AS (
+  SELECT r.b, coalesce(tg.ct, 0) AS ct, r.cr
+  FROM raw r LEFT JOIN tgt tg USING (b)
+)
+SELECT f.doc_id,
+       count(*) AS n_features,
+       CAST(sum((1000000 * (m.ct + 1)) // (m.cr + 1)) // count(*) AS BIGINT)
+         AS score_ppm
+FROM feats f JOIN model m USING (b)
+GROUP BY f.doc_id
+ORDER BY f.doc_id
+"""
+
+
+@_register("dsir_importance_ratio", _DSIR_ORACLE)
+def dsir_importance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, hashed n-gram importance
+    resampling): score every raw document by how target-like its hashed
+    bigram features are, where the target distribution is estimated from
+    the in-domain slice (lang = 'en') and the raw distribution from the
+    whole corpus. The paper's log-likelihood-ratio sum is replaced by the
+    mean per-feature frequency ratio in scaled-integer ppm (add-one
+    smoothed) — same ordering signal, but exact bigint arithmetic, so the
+    entry carries a full cross-engine value oracle; a production variant
+    would keep float log-ratios. Scale shape: features hash into 1024
+    buckets, so BOTH models are bounded aggregates that broadcast onto
+    the scoring join — the corpus is never shuffled by feature; the
+    per-doc rollup shuffles on doc_id once. Portable md5 bucket hash
+    (hex-prefix → bigint), identical on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+        )
+        .filter(F.size("t") >= 2)
+    )
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(conv(substring(md5(concat_ws(' ', slice(t, i, 2))), 1, 6),"
+            " 16, 10) AS BIGINT) % 1024"
+        ).alias("b"),
+    )
+    feats = feats.localCheckpoint(eager=False)
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    model = raw.join(tgt, "b", "left").select(
+        "b", F.coalesce("ct", F.lit(0)).alias("ct"), "cr"
+    )
+    return (
+        feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.expr(
+                "CAST(sum((1000000 * (ct + 1)) div (cr + 1)) div count(*)"
+                " AS BIGINT)"
+            ).alias("score_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Shared OLS expression text: interpolated into BOTH the Spark plan and the
+# DuckDB oracle so the double-precision expression trees are textually
+# identical — every input is an exactly-agreed decimal/bigint sum cast to
+# double, and every subsequent op is a single correctly-rounded IEEE op, so
+# the rounded outputs hash-match without any float tolerance.
+_OLS_SLOPE = "(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)"
+_OLS_R2 = (
+    "((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))"
+    " / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))"
+)
+
+_REGR_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(o_totalprice AS DECIMAL(19,4)) AS y
+  FROM orders
+),
+s AS (
+  SELECT o_orderpriority,
+         count(*)   AS n,
+         sum(x)     AS sx,
+         sum(x * x) AS sxx,
+         sum(y)     AS sy,
+         sum(x * y) AS sxy,
+         sum(y * y) AS syy
+  FROM base GROUP BY o_orderpriority
+),
+d AS (
+  SELECT o_orderpriority, n,
+         CAST(n AS DOUBLE)   AS nd,
+         CAST(sx AS DOUBLE)  AS sxd,
+         CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(sy AS DOUBLE)  AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM s
+)
+SELECT o_orderpriority, n,
+       round({_OLS_SLOPE}, 6) AS slope_per_day,
+       round((syd - ({_OLS_SLOPE}) * sxd) / nd, 4) AS intercept,
+       round({_OLS_R2}, 6) AS r2
+FROM d
+ORDER BY o_orderpriority
+"""
+
+
+@_register("regression_trend_aggregates", _REGR_ORACLE)
+def regression_trend_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (slope / intercept / R²) as a SINGLE-PASS
+    distributed aggregate: the five moment sums (Σx, Σx², Σy, Σxy, Σy²)
+    are partial-aggregate-mergeable, so the whole regression costs one
+    hash aggregate over the fact table — the shape regr_slope/regr_r2
+    use internally, built here from exact bigint/decimal sums instead of
+    engine-ordered float accumulation so the entry carries a full value
+    oracle (the builtins sum doubles in partition order and drift in the
+    last ulps across engines). The final slope/R² divisions happen once
+    per group on exactly-agreed operands via a shared expression string
+    (_OLS_SLOPE/_OLS_R2), making the doubles bit-identical cross-engine.
+    At 100 TB this is the canonical "trend per key" telemetry query: one
+    shuffle on the group key, no window, no second scan. y is
+    DECIMAL(19,4): width 19 forces DuckDB onto its int128 multiply path
+    (width ≤ 18 multiplies in int64 and overflows), and since the data
+    has 2 real decimals every product has ≤ 4 — exact under BOTH
+    engines' product-scale rules (Spark reduces 39→38 by rounding scale
+    8→7, which loses nothing here)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("x"),
+        F.col("o_totalprice").cast("decimal(19,4)").alias("y"),
+    )
+    s = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = s.select(
+        "o_orderpriority",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("syy").cast("double").alias("syyd"),
+    )
+    return d.select(
+        "o_orderpriority",
+        "n",
+        F.expr(f"round({_OLS_SLOPE}, 6)").alias("slope_per_day"),
+        F.expr(f"round((syd - ({_OLS_SLOPE}) * sxd) / nd, 4)").alias(
+            "intercept"
+        ),
+        F.expr(f"round({_OLS_R2}, 6)").alias("r2"),
+    ).orderBy("o_orderpriority")
+
+
+_BITMAP_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(date_trunc('week', ts) AS DATE) AS wk,
+         CAST(date_trunc('day', ts) AS DATE)  AS d,
+         user_id
+  FROM events
+),
+daily AS (
+  SELECT event_type, wk, d, count(DISTINCT user_id) AS day_distinct
+  FROM e GROUP BY event_type, wk, d
+),
+daily_roll AS (
+  SELECT event_type, wk,
+         count(*) AS n_days,
+         CAST(sum(day_distinct) AS BIGINT) AS daily_sum
+  FROM daily GROUP BY event_type, wk
+),
+weekly AS (
+  SELECT event_type, wk, count(DISTINCT user_id) AS exact_distinct
+  FROM e GROUP BY event_type, wk
+)
+SELECT dr.event_type, dr.wk, dr.n_days, dr.daily_sum, w.exact_distinct
+FROM daily_roll dr
+JOIN weekly w ON w.event_type = dr.event_type AND w.wk = dr.wk
+ORDER BY dr.event_type, dr.wk
+"""
+
+
+@_register("bitmap_exact_distinct", _BITMAP_ORACLE)
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via segment bitmaps (the
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count family) — the lakehouse answer to "HLL
+    merges but is approximate; count(DISTINCT) is exact but re-scans":
+    daily per-bucket bitmaps are built ONCE from the fact table, and any
+    coarser grain (here weekly) comes from OR-merging the stored daily
+    bitmaps — no second pass over raw events, and the counts stay exact.
+    Each 32768-bit bucket bounds segment size, so skewed id spaces spread
+    across buckets instead of hot-keying one row. The entry emits the
+    daily-sum (double-counting rebounders) next to the merged weekly
+    exact distinct, the pair a retention dashboard actually plots; the
+    oracle recomputes both grains with plain count(DISTINCT). user_id is
+    shifted +1 because the bitmap position contract is 1-based."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        (F.col("user_id") + 1).alias("uid"),
+    )
+    daily_seg = e.groupBy(
+        "event_type",
+        "wk",
+        "d",
+        F.bitmap_bucket_number(F.col("uid")).alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("uid"))).alias("bm")
+    )
+    daily_seg = daily_seg.localCheckpoint(eager=False)
+    daily_roll = (
+        daily_seg.groupBy("event_type", "wk", "d")
+        .agg(F.sum(F.bitmap_count("bm")).alias("day_distinct"))
+        .groupBy("event_type", "wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("day_distinct").alias("daily_sum"),
+        )
+    )
+    weekly = (
+        daily_seg.groupBy("event_type", "wk", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type", "wk")
+        .agg(F.sum(F.bitmap_count("bm")).alias("exact_distinct"))
+    )
+    return (
+        daily_roll.join(weekly, ["event_type", "wk"])
+        .select("event_type", "wk", "n_days", "daily_sum", "exact_distinct")
+        .orderBy("event_type", "wk")
+    )
+
+
+_PREFIX_FILTER_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                  AS DOUBLE), 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE 5 * len(list_intersect(a.sh, b.sh))
+      >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+ORDER BY id_a, id_b
+"""
+
+
+@_register("jaccard_prefix_filter_pairs", _PREFIX_FILTER_ORACLE)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered similarity join (Bayardo WWW'07 /
+    Xiao WWW'08): the third — and most scalable — exact path to "all
+    pairs with Jaccard ≥ 0.8", next to the bounded crossJoin baseline
+    (ngram_jaccard_topk) and the full inverted index (dedup_exact_jaccard).
+    Docs index only their |x| - ⌈τ|x|⌉ + 1 globally-RAREST shingles, so
+    hot shingles never enter the candidate join and postings shrink by
+    ~τ; an exact intersect verifies candidates with an integer
+    cross-multiplied threshold (5·∩ ≥ 4·∪). The oracle recomputes the
+    answer quadratically — two independent algorithms, identical pairs
+    (operators/dedup.prefix_filter_jaccard)."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard(
+        d, "text", "doc_id", shingle_k=3, tau_num=4, tau_den=5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")

@@ -335,3 +335,51 @@ def test_triangle_count_equi_joins_only(spark):
     the orientation predicate leaked out of the join keys."""
     plan = _plan(spark, "triangle_count_oriented")
     assert "CartesianProduct" not in plan
+
+
+def test_repeated_span_screen_single_window_no_join(spark):
+    """The cross-doc indicator is min!=max over ONE window keyed on the
+    span string — the whole screen must cost one span-shuffle plus the
+    per-doc rollup; any Join in the plan means the dup-set materialized
+    and joined back (a second shuffle of the exploded corpus)."""
+    plan = _plan(spark, "repeated_span_screen")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_dsir_model_broadcasts(spark):
+    """Both frequency models hash into 1024 buckets; the scoring join must
+    BROADCAST them — shuffling the exploded corpus by feature bucket
+    would be the 100 TB mistake."""
+    plan = _plan(spark, "dsir_importance_ratio")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_regression_trend_single_aggregate_pass(spark):
+    """All five OLS moment sums must ride ONE partial+final hash
+    aggregate: exactly one hash-partition exchange (the group key), no
+    window, no join — the single-pass property that makes per-key trend
+    fitting viable over a 100 TB fact table."""
+    plan = _plan(spark, "regression_trend_aggregates")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_bitmap_distinct_no_expand(spark):
+    """Both grains must come from the segment bitmaps (bitmap_count over
+    construct/or-merge) — an Expand node would mean a count-DISTINCT
+    fallback that re-shuffles raw events per grain."""
+    plan = _plan(spark, "bitmap_exact_distinct")
+    assert "bitmapCount" in plan  # prints as BitmapExpressionUtils.bitmapCount
+    assert "bitmap_or_agg" in plan
+    assert "Expand" not in plan
+
+
+def test_prefix_filter_no_cartesian_equi_candidates(spark):
+    """Candidate generation must be an equi-join on the prefix shingle —
+    a CartesianProduct/BNLJ would mean the similarity join degenerated
+    to the O(n²) shape prefix filtering exists to avoid."""
+    plan = _plan(spark, "jaccard_prefix_filter_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -412,6 +412,37 @@ def test_oph_signatures_fully_densified(spark):
     assert len(oph - exact) <= max(2, len(dup_b) // 2)
 
 
+def test_prefix_filter_matches_inverted_index(spark):
+    """Prefix filtering must lose NOTHING: the PPJoin-style candidate rule
+    (index only the |x| - ceil(tau*|x|) + 1 globally-rarest shingles)
+    plus exact verify must produce the identical pair set — with
+    identical Jaccard values — as the full inverted-index join, at two
+    different thresholds."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        all_pairs_jaccard,
+        prefix_filter_jaccard,
+    )
+
+    d = load_table(spark, SF, "documents")
+    for tau_num, tau_den in ((4, 5), (1, 2)):
+        full = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in all_pairs_jaccard(
+                d, "text", "doc_id", min_jaccard=tau_num / tau_den
+            ).collect()
+        }
+        pf = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in prefix_filter_jaccard(
+                d, "text", "doc_id", tau_num=tau_num, tau_den=tau_den
+            ).collect()
+        }
+        assert pf == full, (
+            f"tau={tau_num}/{tau_den}: "
+            f"missed={set(full) - set(pf)} extra={set(pf) - set(full)}"
+        )
+
+
 def test_python_datasource_partitions_cover_exactly(spark):
     """The custom source's InputPartitions must tile [0, n_rows) exactly
     (no gap/overlap) for any n_rows/partitions combination, and the scan
