@@ -100,14 +100,25 @@ def lang_id(col: str | Column) -> Column:
 def shingles(col: str | Column, k: int = 3) -> Column:
     """Word k-shingles as array<string> (lowercased, whitespace-tokenized).
     Texts shorter than k tokens yield their whole token string as the single
-    shingle. Built with transform/slice/array_join — no explode needed."""
+    shingle. Built with transform/slice/array_join — no explode needed.
+
+    The token array is BOUND ONCE per row as a lambda variable (the
+    1-element-array transform below): codegen subexpression elimination
+    does not cross lambda boundaries, so referencing the split() directly
+    inside the per-shingle lambda would re-run the regex tokenizer for
+    EVERY shingle — measured 5× slower over the documents table. Lambda
+    variables are plain attributes, so the inner references are free."""
     toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
-    n = F.size(toks)
-    # sequence of start offsets 1..n-k+1 (or just [1] for short docs)
-    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.transform(
-        starts, lambda i: F.array_join(F.slice(toks, i, k), " ")
-    )
+
+    def _over_tokens(tk: Column) -> Column:
+        n = F.size(tk)
+        # sequence of start offsets 1..n-k+1 (or just [1] for short docs)
+        starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        return F.transform(
+            starts, lambda i: F.array_join(F.slice(tk, i, k), " ")
+        )
+
+    return F.element_at(F.transform(F.array(toks), _over_tokens), 1)
 
 
 def _fingerprint_normalized(col: str | Column) -> Column:

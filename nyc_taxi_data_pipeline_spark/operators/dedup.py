@@ -17,7 +17,7 @@ collection — so each operator scales with executors:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -628,15 +628,44 @@ def prefix_filter_jaccard(
         .withColumn("prefix", F.slice(F.col("sh"), F.lit(1), plen))
         .localCheckpoint(eager=False)  # feeds index + both verify sides
     )
-    pre = docs.select("id", F.explode("prefix").alias("s"))
+    pre = docs.select(
+        "id", "n", F.posexplode("prefix").alias("pos0", "s")
+    ).select("id", "n", (F.col("pos0") + 1).alias("p"), "s")
+    # positional filter (PPJoin): a shared token at sorted positions
+    # (pa, pb) bounds the overlap by min(pa-1, pb-1) tokens before it
+    # plus min(na-pa, nb-pb) after it plus itself; J >= τ needs
+    # overlap >= τ(na+nb)/(1+τ), so any pair whose TIGHTEST bound misses
+    # that is pruned BEFORE the wide array-verify join — exact, because
+    # every bound is an upper bound on the true intersection.
     cand = (
         pre.alias("a")
         .join(
             pre.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            (
+                F.least(F.col("a.p") - 1, F.col("b.p") - 1)
+                + F.least(
+                    F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")
+                )
+                + 1
+            ).alias("bound"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("bound").alias("ub"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+        .filter(
+            F.expr(f"({tau_num} + {tau_den}) * ub >= {tau_num} * (na + nb)")
+        )
+        .drop("ub", "na", "nb")
     )
     a = docs.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
@@ -699,21 +728,31 @@ def winnowing_fingerprints(
     the whole md5 array per window position — O(tokens²) md5 calls per doc,
     measured 10-min-plus at 5k docs vs seconds for this formulation."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n_shingles = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     hash_of = (
         (lambda s: F.xxhash64(s)) if fast_hash else (lambda s: F.md5(s))
     )
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(1), n_shingles),
-        lambda i: hash_of(F.array_join(F.slice(toks, i, k), " ")),
-    )
+
+    # bind the token array ONCE as a lambda variable (subexpression
+    # elimination does not reach inside lambdas — referencing the split
+    # directly would re-tokenize per shingle; see functions/text.shingles)
+    def _hashes_and_count(tk: Column) -> Column:
+        n = F.greatest(F.size(tk) - (k - 1), F.lit(0))
+        hashes = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: hash_of(F.array_join(F.slice(tk, i, k), " ")),
+        )
+        return F.struct(hashes.alias("h"), n.alias("n"))
+
+    packed = F.element_at(F.transform(F.array(toks), _hashes_and_count), 1)
     # carry the shingle count from before the explode: it spares a second
     # (unordered max-over-partition) Window pass after the shuffle
     ex = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes.alias("__h"),
-        n_shingles.alias("__n"),
-    ).select("id", "__n", F.posexplode("__h").alias("pos", "h"))
+        F.col(id_col).alias("id"), packed.alias("__p")
+    ).select(
+        "id",
+        F.col("__p.n").alias("__n"),
+        F.posexplode("__p.h").alias("pos", "h"),
+    )
     wslide = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     return (
         ex.select(

@@ -9379,3 +9379,73 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         l_extendedprice AS price,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+cum AS (
+  SELECT flag, price, wt,
+         sum(wt) OVER (PARTITION BY flag ORDER BY price
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw,
+         sum(wt) OVER (PARTITION BY flag) AS tot
+  FROM base
+)
+SELECT flag,
+       count(*)                                        AS n_rows,
+       CAST(max(tot) AS BIGINT)                        AS total_weight,
+       min(CASE WHEN 2 * cumw >= tot THEN price END)   AS weighted_median
+FROM cum
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+@_register("weighted_median_window", _WEIGHTED_MEDIAN_ORACLE)
+def weighted_median_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (quantity-weighted price) without a
+    UDAF: one cumulative-weight window ordered by the value, then the
+    smallest value whose cumulative weight reaches half the group total —
+    the lower weighted median. Integer weights make every cumulative sum
+    exact, and the selected value is read straight off the scan (no
+    arithmetic), so the entry is hash-exact with no rounding anywhere.
+    Tie runs are safe: rows with equal price permute only within their
+    run, so the run-boundary partial sums — and therefore the crossing
+    PRICE — are order-independent. Scale shape: one hash-partition window
+    on the group key plus the per-group rollup; contrast with
+    percentile_stats (exact interpolated, collect-based percentile()) and
+    approx_percentile_sketch (the 100 TB sketch path)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    wcum = (
+        W.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("flag")
+    cum = base.select(
+        "flag",
+        "price",
+        F.sum("wt").over(wcum).alias("cumw"),
+        F.sum("wt").over(wall).alias("tot"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("tot").cast("bigint").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("tot"), F.col("price"))
+            ).alias("weighted_median"),
+        )
+        .orderBy("flag")
+    )

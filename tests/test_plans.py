@@ -383,3 +383,12 @@ def test_prefix_filter_no_cartesian_equi_candidates(spark):
     plan = _plan(spark, "jaccard_prefix_filter_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_median_single_window_shuffle(spark):
+    """Cumulative weight and group total must share ONE hash-partition
+    exchange on the group key (two Window specs, same partitioning); a
+    second exchange would mean the windows repartitioned independently."""
+    plan = _plan(spark, "weighted_median_window")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
