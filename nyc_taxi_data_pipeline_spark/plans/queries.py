@@ -9381,6 +9381,112 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_LENGTH_BUCKET_ORACLE = r"""
+WITH lens AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+bucketed AS (
+  SELECT n_tokens,
+         ntile(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
+  FROM lens
+)
+SELECT bucket,
+       count(*)                                   AS n_docs,
+       min(n_tokens)                              AS min_tokens,
+       max(n_tokens)                              AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT)              AS total_tokens,
+       (1000000 * CAST(sum(n_tokens) AS BIGINT))
+         // (count(*) * max(n_tokens))            AS padding_eff_ppm
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@_register("length_bucket_padding", _LENGTH_BUCKET_ORACLE)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING audit — the fix for padding waste when
+    batches pad to their longest member: rank documents by token count
+    into 8 equal-size (ntile) buckets and measure each bucket's padding
+    efficiency Σlen / (n·max_len) in exact ppm — uniform-length buckets
+    push this toward 1,000,000 while random batching strands it at the
+    corpus mean/max ratio. Complements sequence_packing (concat-packing)
+    with the sort-bucketing strategy trainers use when documents must
+    stay unsplit. The oracle is a literal global ntile; the Spark side
+    computes the IDENTICAL assignment without the single-partition sort
+    a global ntile plans: rank in parallel within contiguous length
+    tiers, add per-tier offsets from a tiny broadcast cumsum (the
+    curriculum_order_positions trick) to get the exact global rank, then
+    apply ntile's size arithmetic (first n%k tiles hold ⌈n/k⌉ rows)
+    arithmetically. Integer end-to-end, full value oracle."""
+    d = _t(spark, sf_dir, "documents")
+    lens = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "n_tokens"
+        ),
+    )
+    # contiguous n_tokens ranges = tiers: every tier-i row globally sorts
+    # before every tier-(i+1) row, so per-tier ranks + offsets ARE the
+    # global (n_tokens, doc_id) rank — no single-partition window
+    tiers = lens.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") < 20, 0)
+        .when(F.col("n_tokens") < 25, 1)
+        .when(F.col("n_tokens") < 30, 2)
+        .otherwise(3)
+        .alias("tier"),
+    )
+    ranked = tiers.select(
+        "tier",
+        "n_tokens",
+        F.row_number()
+        .over(W.partitionBy("tier").orderBy("n_tokens", "doc_id"))
+        .alias("r"),
+    )
+    sizes = tiers.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    offsets = sizes.select(
+        "tier",
+        F.coalesce(
+            F.sum("n").over(
+                W.orderBy("tier").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    tot = sizes.agg(F.sum("n").alias("n_total"))
+    pos = (
+        ranked.join(F.broadcast(offsets), "tier")
+        .select("n_tokens", (F.col("off") + F.col("r")).alias("rn"))
+        .crossJoin(F.broadcast(tot))
+    )
+    # ntile(k): q = n div k, r = n mod k; tiles 1..r hold q+1 rows
+    bucket = F.expr(
+        "CASE WHEN rn <= (n_total % 8) * ((n_total div 8) + 1)"
+        " THEN (rn - 1) div ((n_total div 8) + 1) + 1"
+        " ELSE (n_total % 8)"
+        "      + ((rn - (n_total % 8) * ((n_total div 8) + 1) - 1)"
+        "         div (n_total div 8)) + 1 END"
+    )
+    return (
+        pos.select("n_tokens", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr(
+                "(1000000 * sum(n_tokens)) div (count(*) * max(n_tokens))"
+            ).alias("padding_eff_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
 _WEIGHTED_MEDIAN_ORACLE = """
 WITH base AS (
   SELECT l_returnflag AS flag,

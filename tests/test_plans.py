@@ -392,3 +392,15 @@ def test_weighted_median_single_window_shuffle(spark):
     plan = _plan(spark, "weighted_median_window")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_length_bucket_no_single_partition_window(spark):
+    """The exact global ntile must come from parallel per-tier ranks +
+    broadcast offsets: the corpus-sized row_number window must partition
+    by tier (a naive global ntile would rank over an EMPTY partition
+    spec, serializing the corpus through one task). SinglePartition
+    exchanges are allowed only for the tiny offsets/total frames."""
+    plan = _plan(spark, "length_bucket_padding")
+    assert "ntile" not in plan
+    assert "windowspecdefinition(tier" in plan  # corpus rank is per-tier
+    assert plan.count("BroadcastExchange") >= 2  # offsets + n_total
