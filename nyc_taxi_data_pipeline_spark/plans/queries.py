@@ -7950,6 +7950,68 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FERTILITY_ORACLE = _bpe_cte_prefix(3) + """,
+wmap AS (
+  SELECT word,
+         len(string_split(trim(seq, '|'), '||')) AS n_sym
+  FROM v3
+),
+docw AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT d.lang,
+       count(*)                                     AS n_words,
+       CAST(sum(w.n_sym) AS BIGINT)                 AS n_bpe_tokens,
+       (1000000 * CAST(sum(w.n_sym) AS BIGINT)) // count(*)
+                                                    AS fertility_ppm
+FROM docw d JOIN wmap w ON w.word = d.word
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@_register("tokenizer_fertility_eval", _FERTILITY_ORACLE)
+def tokenizer_fertility_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY evaluation — BPE tokens emitted per word, by
+    language: THE standard tokenizer-quality metric (a tokenizer trained
+    on English-heavy data fragments other languages into more symbols,
+    inflating their effective sequence length and training cost — the
+    multilingual-fairness number every tokenizer paper reports). Reuses
+    the trained merges from bpe_merge_iterations via the same
+    encoded-word map: fertility is Σ symbols / Σ words in exact ppm, so
+    the whole eval — training included — carries a full value oracle.
+    Scale shape identical to bpe_encode_documents: bounded vocabulary
+    map broadcast onto the corpus word stream, one rollup on lang."""
+    vocab, _ = _bpe_learn(spark, sf_dir, n_merges=3)
+    wmap = vocab.select(
+        "word",
+        F.size(F.split(F.btrim(F.col("seq"), F.lit("|")), r"\|\|")).alias(
+            "n_sym"
+        ),
+    )
+    d = _t(spark, sf_dir, "documents")
+    docw = d.filter(F.col("text").isNotNull()).select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    return (
+        docw.join(F.broadcast(wmap), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.expr("(1000000 * CAST(sum(n_sym) AS BIGINT)) div count(*)").alias(
+                "fertility_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 _INCR_ROLLUP_ORACLE = """
 WITH full_agg AS (
   SELECT event_type,
