@@ -318,3 +318,58 @@ def test_bpe_sentinel_replace_matches_reference_merge(spark):
         ).collect()
     }
     assert got == expected
+
+
+@_settings
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    tau=st.sampled_from([(1, 2), (4, 5), (1, 1)]),
+)
+def test_prefix_filter_jaccard_matches_reference(spark, docs, tau):
+    """Prefix filtering + positional filter must lose NOTHING on
+    adversarial corpora: tiny/empty docs (which tokenize to the ''
+    shingle run), identical docs (J = 1), singleton-token docs, and
+    tau = 1 (prefix length collapses to 1). Checked against a direct
+    Python set-Jaccard over the same shingle sets."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import prefix_filter_jaccard
+
+    tau_num, tau_den = tau
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+
+    def shingles(text: str) -> set[str]:
+        toks = text.strip().lower().split()
+        toks = toks if toks else [""]  # split('') -> [''] in Spark
+        if len(toks) <= 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = {}
+    for i, ta in rows:
+        for j, tb in rows:
+            if i >= j:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if tau_den * inter >= tau_num * union:
+                expected[(i, j)] = round(inter / union, 9)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in prefix_filter_jaccard(
+            df, "text", "doc_id", tau_num=tau_num, tau_den=tau_den
+        ).collect()
+    }
+    assert got == expected, (
+        f"tau={tau_num}/{tau_den} missed={set(expected) - set(got)} "
+        f"extra={set(got) - set(expected)}"
+    )
