@@ -3493,6 +3493,101 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEP_BEST_ORACLE = r"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE doc_id < 500)
+),
+e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        >= 0.5
+),
+sym AS (
+  SELECT id_a AS srcn, id_b AS dstn FROM e
+  UNION ALL
+  SELECT id_b, id_a FROM e
+),
+walk(node, label) AS (
+  SELECT DISTINCT srcn, srcn FROM sym
+  UNION
+  SELECT s.srcn, w.label FROM sym s JOIN walk w ON w.node = s.dstn
+),
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+scored AS (
+  SELECT c.component, c.node AS doc_id, doc.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY doc.n_chars DESC, c.node) AS rn
+  FROM comp c JOIN documents doc ON doc.doc_id = c.node
+),
+sizes AS (SELECT component, count(*) AS n_members FROM scored GROUP BY component)
+SELECT s.component, z.n_members,
+       s.doc_id  AS kept_doc_id,
+       s.n_chars AS kept_n_chars,
+       z.n_members - 1 AS n_dropped
+FROM scored s JOIN sizes z USING (component)
+WHERE s.rn = 1
+ORDER BY s.component
+"""
+
+
+@_register("dedup_cluster_keep_best", _KEEP_BEST_ORACLE)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware CANONICAL SELECTION — what production curation does
+    after clustering near-duplicates: within each transitive duplicate
+    cluster keep the highest-quality member (here: longest, tie → lowest
+    id) and drop the rest, instead of the min-id convention the simpler
+    dedup entries use (keeping the best member measurably beats keeping
+    an arbitrary one when duplicates differ in truncation/boilerplate).
+    Reuses all_pairs_jaccard edges (≥ 0.5, doc_id < 500 slice) and
+    iterative min-label components; the oracle recomputes both with a
+    recursive CTE plus the same argmax window. Scale shape: component
+    labels join the doc metadata on id, the argmax window partitions by
+    component (clusters are small by construction), sizes are a rollup
+    on the label — all candidate-proportional past the shingle pass."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import all_pairs_jaccard
+    from nyc_taxi_data_pipeline_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    edges = all_pairs_jaccard(d, "text", "doc_id", min_jaccard=0.5)
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    scored = comp.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    ).select(
+        "component",
+        F.col("node").alias("doc_id"),
+        "n_chars",
+        F.row_number()
+        .over(
+            W.partitionBy("component").orderBy(
+                F.col("n_chars").desc(), F.col("node")
+            )
+        )
+        .alias("rn"),
+    )
+    sizes = scored.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        scored.filter(F.col("rn") == 1)
+        .join(sizes, "component")
+        .select(
+            "component",
+            "n_members",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
 _EXACT_NEARDUP_ORACLE = r"""
 WITH d AS (
   SELECT doc_id,
