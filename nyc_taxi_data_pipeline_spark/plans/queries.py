@@ -3493,6 +3493,102 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _z_interleave_sql(xcol: str, ycol: str, bits: int = 8) -> str:
+    """Bit-interleave expression text shared by the Spark plan and the
+    DuckDB oracle: z = Σ_i ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1). Written
+    as a sum of shift/mask terms so both engines evaluate identical
+    integer arithmetic."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({ycol} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(user_id % 128 AS BIGINT)        AS x,
+         CAST(event_id % 128 AS BIGINT)       AS y
+  FROM events
+),
+z AS (
+  SELECT x, y, {_z_interleave_sql('x', 'y', 7)} AS zval FROM pts
+),
+files AS (
+  SELECT 'linear' AS layout, x // 8 AS file_id,
+         min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+  FROM z GROUP BY x // 8
+  UNION ALL
+  SELECT 'zorder' AS layout, zval // 1024 AS file_id,
+         min(x), max(x), min(y), max(y)
+  FROM z GROUP BY zval // 1024
+)
+SELECT layout,
+       count(*) AS n_files,
+       CAST(sum(CASE WHEN min_x <= 15 AND max_x >= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS x_band_files,
+       CAST(sum(CASE WHEN min_y <= 15 AND max_y >= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS y_band_files
+FROM files
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+@_register("zorder_layout_audit", _ZORDER_ORACLE)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data layout audit — the multi-dimensional clustering idea
+    behind Delta/Iceberg OPTIMIZE ZORDER, reduced to its measurable
+    essence: cut the same events into equal-count "files" two ways —
+    along one column (linear) and along the interleaved-bit Morton
+    curve — and count how many files' min-max ranges a 16-wide band
+    predicate on EACH dimension must touch. That touch-count IS parquet
+    row-group / file skipping: the linear layout prunes perfectly on
+    its sort column and not at all on the other (every file spans the
+    full y range), the z-order layout prunes on BOTH. The interleave is
+    exact integer shift/mask arithmetic shared textually with the
+    oracle. Scale shape: one projection + two value-range-bounded
+    aggregates; writing the layout for real is repartitionByRange /
+    sortWithinPartitions on zval at ingest — this entry is the audit
+    that justifies that write."""
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        (F.col("user_id") % 128).cast("bigint").alias("x"),
+        (F.col("event_id") % 128).cast("bigint").alias("y"),
+    )
+    z = pts.select(
+        "x", "y", F.expr(_z_interleave_sql("x", "y", 7)).alias("zval")
+    )
+    box = [
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    ]
+    linear = (
+        z.groupBy(F.expr("x div 8").alias("file_id"))
+        .agg(*box)
+        .select(F.lit("linear").alias("layout"), "*")
+    )
+    zord = (
+        z.groupBy(F.expr("zval div 1024").alias("file_id"))
+        .agg(*box)
+        .select(F.lit("zorder").alias("layout"), "*")
+    )
+    hit_x = F.when((F.col("min_x") <= 15) & (F.col("max_x") >= 0), 1).otherwise(0)
+    hit_y = F.when((F.col("min_y") <= 15) & (F.col("max_y") >= 0), 1).otherwise(0)
+    return (
+        linear.unionByName(zord)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(hit_x).cast("bigint").alias("x_band_files"),
+            F.sum(hit_y).cast("bigint").alias("y_band_files"),
+        )
+        .orderBy("layout")
+    )
+
+
 _KEEP_BEST_ORACLE = r"""
 WITH RECURSIVE
 d AS (
