@@ -1046,3 +1046,70 @@ def test_real_decoders_dead_letter_malformed_payloads(spark):
         20000,
     )
     assert w[14]["sample_rate"] is None
+
+
+def test_zorder_zone_footer_stats(spark, tmp_path):
+    """write_zorder_zone must produce parquet files whose FOOTER min-max
+    statistics are tight on BOTH dimensions (Morton tiles), while a
+    single-column range layout is tight on its sort column and spans the
+    full range of the other — verified from the actual written footers
+    via pyarrow, plus an exact content round-trip."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+    from nyc_taxi_data_pipeline_spark.sources.io import write_zorder_zone
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        (F.col("user_id") % 128).cast("bigint").alias("x"),
+        (F.col("event_id") % 128).cast("bigint").alias("y"),
+    )
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zorder_zone(e, zpath, "x", "y", bits=7, n_files=8)
+    e.repartitionByRange(8, F.col("x")).sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(lpath)
+
+    def widths(path):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = {"x": 1 << 62, "y": 1 << 62}
+            hi = {"x": -(1 << 62), "y": -(1 << 62)}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    lo[name] = min(lo[name], st.min)
+                    hi[name] = max(hi[name], st.max)
+            row_widths = {k: hi[k] - lo[k] + 1 for k in lo}
+            row_widths.update({f"{k}_lo": lo[k] for k in lo})
+            out.append(row_widths)
+        return out
+
+    zw, lw = widths(zpath), widths(lpath)
+    assert len(zw) == 8 and len(lw) == 8
+    # linear: x tight (partitioned into 8 ranges), y spans ~everything
+    assert sum(w["x"] for w in lw) <= 160   # 8 files tile the 128-wide range
+    assert all(w["y"] > 100 for w in lw)
+
+    # the skipping claim, measured from the real footers: how many files
+    # does a 16-wide band predicate on each dimension touch? (range-
+    # sampled cuts can straddle a Morton tile, so per-file width bounds
+    # would be flaky — the band-touch count is the invariant that holds)
+    def touches(ws, dim):
+        return sum(1 for w in ws if w[f"{dim}_lo"] <= 15)
+
+    assert touches(lw, "x") <= 2      # linear prunes its sort column...
+    assert touches(lw, "y") == 8      # ...and nothing else
+    assert touches(zw, "x") <= 5      # zorder prunes BOTH dimensions
+    assert touches(zw, "y") <= 5
+    # content round-trip is exact
+    orig = e.groupBy("x", "y").count()
+    back = spark.read.parquet(zpath).groupBy("x", "y").count()
+    assert orig.exceptAll(back).count() == 0
+    assert back.exceptAll(orig).count() == 0
