@@ -108,3 +108,22 @@ SERVICE_DESCRIPTIONS = {
     1: "Yellow",
     2: "Green",
 }
+
+
+def z_interleave_sql(
+    xcol: str, ycol: str, bits: int = 8, cast_bigint: bool = False
+) -> str:
+    """Morton (Z-order) bit-interleave as shared SQL expression TEXT:
+    z = Σ_i ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1), written as a sum of
+    shift/mask terms so Spark, DuckDB, and any ANSI engine evaluate
+    identical integer arithmetic. One definition feeds BOTH the
+    zorder_layout_audit catalog entry (and its oracle) and the
+    write_zorder_zone layout writer — the audit measures exactly the
+    curve the writer lays down. `cast_bigint` wraps the inputs for
+    callers whose columns aren't already BIGINT."""
+    wrap = (lambda c: f"CAST({c} AS BIGINT)") if cast_bigint else (lambda c: c)
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({wrap(xcol)} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({wrap(ycol)} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)

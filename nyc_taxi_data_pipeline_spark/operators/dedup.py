@@ -735,12 +735,20 @@ def winnowing_fingerprints(
     # bind the token array ONCE as a lambda variable (subexpression
     # elimination does not reach inside lambdas — referencing the split
     # directly would re-tokenize per shingle; see functions/text.shingles)
+    empty = F.array().cast("array<bigint>" if fast_hash else "array<string>")
+
     def _hashes_and_count(tk: Column) -> Column:
         n = F.greatest(F.size(tk) - (k - 1), F.lit(0))
-        hashes = F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: hash_of(F.array_join(F.slice(tk, i, k), " ")),
-        )
+        # n == 0 (doc shorter than k tokens) must yield NO hashes:
+        # sequence(1, 0) infers step -1 and returns [1, 0], whose 0 would
+        # crash slice() — gate the transform instead of trusting the range
+        hashes = F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: hash_of(F.array_join(F.slice(tk, i, k), " ")),
+            ),
+        ).otherwise(empty)
         return F.struct(hashes.alias("h"), n.alias("n"))
 
     packed = F.element_at(F.transform(F.array(toks), _hashes_and_count), 1)

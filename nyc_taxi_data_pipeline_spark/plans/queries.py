@@ -3493,16 +3493,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _z_interleave_sql(xcol: str, ycol: str, bits: int = 8) -> str:
-    """Bit-interleave expression text shared by the Spark plan and the
-    DuckDB oracle: z = Σ_i ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1). Written
-    as a sum of shift/mask terms so both engines evaluate identical
-    integer arithmetic."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({xcol} >> {i}) & 1) * {1 << (2 * i)})")
-        terms.append(f"((({ycol} >> {i}) & 1) * {1 << (2 * i + 1)})")
-    return " + ".join(terms)
+# one shared Morton definition for the audit entry, its oracle, AND the
+# write_zorder_zone layout writer (functions/scalar.py)
+_z_interleave_sql = scalar.z_interleave_sql
 
 
 _ZORDER_ORACLE = f"""
@@ -9687,11 +9680,12 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = lens.select(
         "doc_id",
         "n_tokens",
-        F.when(F.col("n_tokens") < 20, 0)
-        .when(F.col("n_tokens") < 25, 1)
-        .when(F.col("n_tokens") < 30, 2)
-        .otherwise(3)
-        .alias("tier"),
+        # tier = contiguous 4-token-wide length band: monotone by
+        # construction with NO tuned cut points, so parallelism tracks
+        # the corpus's length diversity instead of constants fitted to
+        # one distribution (a single-length corpus still degenerates to
+        # one tier — the irreducible case for any length-keyed rank)
+        F.expr("n_tokens div 4").alias("tier"),
     )
     ranked = tiers.select(
         "tier",

@@ -137,13 +137,11 @@ def write_zorder_zone(
     shuffle, no extra passes."""
     from pyspark.sql import functions as F
 
-    terms = []
-    for i in range(bits):
-        terms.append(f"(((CAST({x_col} AS BIGINT) >> {i}) & 1) * {1 << (2 * i)})")
-        terms.append(
-            f"(((CAST({y_col} AS BIGINT) >> {i}) & 1) * {1 << (2 * i + 1)})"
-        )
-    zed = df.withColumn("__z", F.expr(" + ".join(terms)))
+    from nyc_taxi_data_pipeline_spark.functions.scalar import z_interleave_sql
+
+    zed = df.withColumn(
+        "__z", F.expr(z_interleave_sql(x_col, y_col, bits, cast_bigint=True))
+    )
     (
         zed.repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")

@@ -1113,3 +1113,25 @@ def test_zorder_zone_footer_stats(spark, tmp_path):
     back = spark.read.parquet(zpath).groupBy("x", "y").count()
     assert orig.exceptAll(back).count() == 0
     assert back.exceptAll(orig).count() == 0
+
+
+def test_winnowing_short_docs_yield_no_fingerprints(spark):
+    """Docs shorter than k tokens must contribute ZERO fingerprints —
+    not crash: sequence(1, 0) in Spark infers step -1 and returns [1, 0],
+    whose 0 would abort slice(). Regression for the gated transform."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    rows = [
+        (1, "one two"),            # < k tokens: no shingles
+        (2, ""),                    # empty: tokenizes to [''] (1 token)
+        (3, "a b c d e f g h"),    # normal doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fast in (False, True):
+        got = winnowing_fingerprints(
+            df, "text", "doc_id", k=3, window=4, fast_hash=fast
+        )
+        ids = {r["id"] for r in got.collect()}
+        assert ids == {3}, ids

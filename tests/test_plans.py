@@ -402,5 +402,13 @@ def test_length_bucket_no_single_partition_window(spark):
     exchanges are allowed only for the tiny offsets/total frames."""
     plan = _plan(spark, "length_bucket_padding")
     assert "ntile" not in plan
-    assert "windowspecdefinition(tier" in plan  # corpus rank is per-tier
+    # the corpus-sized row_number must partition by tier: its spec prints
+    # "windowspecdefinition(tier#N, n_tokens#M ASC ..." — an un-partitioned
+    # global rank would print "windowspecdefinition(n_tokens#..." instead
+    # (the tiny offsets window prints "windowspecdefinition(tier#N ASC",
+    # which the comma in this needle does NOT match)
+    import re
+
+    assert re.search(r"windowspecdefinition\(tier#\d+L?, n_tokens#", plan)
+    assert not re.search(r"windowspecdefinition\(n_tokens#", plan)
     assert plan.count("BroadcastExchange") >= 2  # offsets + n_total
