@@ -4017,6 +4017,144 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_defined_chunks(d, min_tokens=4).orderBy("doc_id", "chunk_id")
 
 
+def _minhash_error_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Oracle for the minhash estimate-error audit: the same portable
+    md5-lane signature + banding CTEs as _minhash_portable_oracle, then
+    per-candidate-pair lane-match counts next to exact shingle Jaccard,
+    both in exact integer ppm."""
+    rpb = num_hashes // bands
+    lanes = ",\n         ".join(
+        f"min(md5('{seed}:' || s)) AS m{seed}" for seed in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"m{b * rpb + i}" for i in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+sig AS (
+  SELECT doc_id,
+         {lanes}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+),
+m AS (
+  SELECT c.id_a, c.id_b,
+         ({matches}) AS matching_lanes,
+         len(list_intersect(ha.sh, hb.sh)) AS inter,
+         len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)) AS un
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+  JOIN shl ha ON ha.doc_id = c.id_a
+  JOIN shl hb ON hb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       CAST(matching_lanes AS BIGINT)                    AS matching_lanes,
+       CAST((matching_lanes * 1000000) // {num_hashes} AS BIGINT)
+                                                         AS est_ppm,
+       CAST((1000000 * inter) // un AS BIGINT)           AS exact_ppm,
+       CAST(abs((matching_lanes * 1000000) // {num_hashes}
+                - (1000000 * inter) // un) AS BIGINT)    AS err_ppm
+FROM m
+ORDER BY id_a, id_b
+"""
+
+
+@_register("minhash_estimate_error", _minhash_error_oracle())
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality AUDIT for the minhash family — the dedup analog
+    of ann_recall_eval: for every candidate pair the portable LSH
+    actually surfaces, put the 16-lane minhash estimate (matching lanes
+    / 16) next to the EXACT shingle Jaccard, both in integer ppm, and
+    report the absolute error. This is the number that justifies the
+    probabilistic path: E[matching lanes]/16 = J, and the audit shows
+    the realized spread at the operating point (16 lanes ⇒ σ ≈
+    √(J(1-J)/16) ≈ 115,000 ppm at J=0.5). Every stage is the portable
+    md5-lane recipe, so lane counts — not just shapes — carry a full
+    value oracle. Scale shape: candidates come from the banded join
+    (never all pairs); the exact-Jaccard verify joins shingle arrays
+    only for candidate ids, i.e. cost is candidate-proportional, which
+    is exactly why the audit can run continuously in production."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs_portable,
+        minhash_signatures_portable,
+    )
+    from nyc_taxi_data_pipeline_spark.functions import text as textfn
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(d, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
+    cand = lsh_candidate_pairs_portable(sigs, bands=4)
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(textfn.shingles("text", 3)).alias("sh"),
+    ).localCheckpoint(eager=False)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    ha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    hb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    m = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b,"
+                " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+                " 0, (acc, v) -> acc + v)"
+            ).alias("matching_lanes"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            (
+                F.size("sh_a") + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).alias("un"),
+        )
+    )
+    return m.select(
+        "id_a",
+        "id_b",
+        F.col("matching_lanes").cast("bigint").alias("matching_lanes"),
+        F.expr("CAST((matching_lanes * 1000000) div 16 AS BIGINT)").alias(
+            "est_ppm"
+        ),
+        F.expr("CAST((1000000 * inter) div un AS BIGINT)").alias("exact_ppm"),
+        F.expr(
+            "CAST(abs((matching_lanes * 1000000) div 16"
+            " - (1000000 * inter) div un) AS BIGINT)"
+        ).alias("err_ppm"),
+    ).orderBy("id_a", "id_b")
+
+
 @_register("dedup_minhash_portable", _minhash_portable_oracle())
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup removal on PORTABLE md5 lanes (lexicographic
