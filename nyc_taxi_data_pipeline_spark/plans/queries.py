@@ -4155,6 +4155,117 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _lsh_balance_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Oracle for the LSH bucket-balance audit: same signature/banding
+    CTEs, then per-band bucket-size statistics in exact integers."""
+    rpb = num_hashes // bands
+    lanes = ",\n         ".join(
+        f"min(md5('{seed}:' || s)) AS m{seed}" for seed in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"m{b * rpb + i}" for i in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+sig AS (
+  SELECT doc_id,
+         {lanes}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+bucketsz AS (
+  SELECT band, bucket, count(*) AS c FROM banded GROUP BY band, bucket
+)
+SELECT band,
+       count(*)                                          AS n_buckets,
+       CAST(sum(c) AS BIGINT)                            AS n_docs,
+       CAST(max(c) AS BIGINT)                            AS max_bucket,
+       CAST(sum(c * (c - 1) // 2) AS BIGINT)             AS pair_work,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS n_singletons
+FROM bucketsz
+GROUP BY band
+ORDER BY band
+"""
+
+
+@_register("lsh_bucket_balance_audit", _lsh_balance_oracle())
+def lsh_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-balance AUDIT — the cost model of the banded candidate
+    join, per band: bucket count, hottest bucket, singleton count, and
+    pair_work = Σ c·(c−1)/2, which IS the number of candidate rows the
+    band's self-join will emit. At 100 TB this is the number that says
+    whether the banding parameters hold up: a hot bucket turns the
+    candidate join quadratic in that bucket (the banded analog of key
+    skew — same diagnostic role as partition_skew_audit plays for plain
+    shuffles), and the fix is more bands / wider bands / salting the
+    bucket key. Runs on the same signature pass the dedup itself uses,
+    one extra bounded aggregate — audit cost is amortized into the
+    pipeline. Exact integer arithmetic, full value oracle down to the
+    per-band pair-work counts."""
+    from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        minhash_signatures_portable,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(d, "text", "doc_id")
+    bands = 4
+    num_hashes_col = F.size(F.col("signature"))
+    rows_per_band = (num_hashes_col / bands).cast("int")
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("signature"),
+                            b * rows_per_band + 1,
+                            rows_per_band,
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    bucketsz = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        bucketsz.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.max("c").cast("bigint").alias("max_bucket"),
+            F.expr("CAST(sum(c * (c - 1) div 2) AS BIGINT)").alias(
+                "pair_work"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_singletons"),
+        )
+        .orderBy("band")
+    )
+
+
 @_register("dedup_minhash_portable", _minhash_portable_oracle())
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup removal on PORTABLE md5 lanes (lexicographic
