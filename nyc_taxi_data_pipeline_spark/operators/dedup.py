@@ -210,16 +210,15 @@ def minhash_dedup_oph(
     return df.join(dups, df[id_col] == dups["__dup_id"], "left_anti")
 
 
-def lsh_candidate_pairs_portable(
-    signatures: DataFrame,
-    bands: int = 4,
-    materialize: bool = True,
-) -> DataFrame:
-    """`lsh_candidate_pairs` with md5 band buckets over string-lane
-    signatures (engine-portable, see minhash_signatures_portable)."""
+def lsh_banded_buckets(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """(id, band, bucket) rows: the portable md5 band-bucket projection of
+    string-lane signatures — THE banding recipe. Shared by the candidate
+    join (lsh_candidate_pairs_portable) and the bucket-balance audit
+    (plans/queries.lsh_bucket_balance_audit) so the audit's pair_work
+    always counts the exact candidate rows the real join emits."""
     num_hashes_col = F.size(F.col("signature"))
     rows_per_band = (num_hashes_col / bands).cast("int")
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.posexplode(
             F.transform(
@@ -235,6 +234,16 @@ def lsh_candidate_pairs_portable(
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs_portable(
+    signatures: DataFrame,
+    bands: int = 4,
+    materialize: bool = True,
+) -> DataFrame:
+    """`lsh_candidate_pairs` with md5 band buckets over string-lane
+    signatures (engine-portable, see minhash_signatures_portable)."""
+    banded = lsh_banded_buckets(signatures, bands)
     if materialize:
         banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")

@@ -1211,12 +1211,21 @@ def dedup_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_portable_oracle(
-    num_hashes: int = 16, bands: int = 4, cols: str = "doc_id, lang, source"
+# The portable minhash pipeline's lane count/band count — ONE definition
+# feeds the Spark operators (num_hashes/bands arguments), every generated
+# oracle, and the in-entry arithmetic, so the sides cannot drift.
+_MINHASH_LANES = 16
+_MINHASH_BANDS = 4
+
+
+def _minhash_cte_prefix(
+    num_hashes: int = _MINHASH_LANES, bands: int = _MINHASH_BANDS
 ) -> str:
-    """Build the DuckDB oracle for the PORTABLE minhash pipeline — md5
-    string lanes make every stage SQL-reproducible, so the oracle runs the
-    actual LSH algorithm, not a stand-in."""
+    """The shared WITH-clause prefix of every portable-minhash oracle:
+    toks → shl (distinct 3-shingles) → ex → sig (md5 lanes) → banded
+    (md5 band buckets). One definition — the dedup oracle, the
+    estimate-error oracle, and the bucket-balance oracle all validate
+    the SAME recipe the Spark operators run."""
     rpb = num_hashes // bands
     lanes = ",\n         ".join(
         f"min(md5('{seed}:' || s)) AS m{seed}" for seed in range(num_hashes)
@@ -1247,7 +1256,18 @@ sig AS (
 ),
 banded AS (
 {band_rows}
-),
+)"""
+
+
+def _minhash_portable_oracle(
+    num_hashes: int = _MINHASH_LANES,
+    bands: int = _MINHASH_BANDS,
+    cols: str = "doc_id, lang, source",
+) -> str:
+    """Build the DuckDB oracle for the PORTABLE minhash pipeline — md5
+    string lanes make every stage SQL-reproducible, so the oracle runs the
+    actual LSH algorithm, not a stand-in."""
+    return _minhash_cte_prefix(num_hashes, bands) + f""",
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
@@ -4017,46 +4037,17 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_defined_chunks(d, min_tokens=4).orderBy("doc_id", "chunk_id")
 
 
-def _minhash_error_oracle(num_hashes: int = 16, bands: int = 4) -> str:
-    """Oracle for the minhash estimate-error audit: the same portable
-    md5-lane signature + banding CTEs as _minhash_portable_oracle, then
-    per-candidate-pair lane-match counts next to exact shingle Jaccard,
-    both in exact integer ppm."""
-    rpb = num_hashes // bands
-    lanes = ",\n         ".join(
-        f"min(md5('{seed}:' || s)) AS m{seed}" for seed in range(num_hashes)
-    )
-    band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
-            b=b,
-            concat=" || ',' || ".join(f"m{b * rpb + i}" for i in range(rpb)),
-        )
-        for b in range(bands)
-    )
+def _minhash_error_oracle(
+    num_hashes: int = _MINHASH_LANES, bands: int = _MINHASH_BANDS
+) -> str:
+    """Oracle for the minhash estimate-error audit: the shared portable
+    signature + banding CTE prefix, then per-candidate-pair lane-match
+    counts next to exact shingle Jaccard, both in exact integer ppm."""
     matches = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
         for i in range(num_hashes)
     )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-  FROM documents
-),
-shl AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                       i -> array_to_string(t[i:i+2], ' '))) AS sh
-  FROM toks
-),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-sig AS (
-  SELECT doc_id,
-         {lanes}
-  FROM ex GROUP BY doc_id
-),
-banded AS (
-{band_rows}
-),
+    return _minhash_cte_prefix(num_hashes, bands) + f""",
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
@@ -4108,14 +4099,29 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_pipeline_spark.functions import text as textfn
 
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures_portable(d, "text", "doc_id").localCheckpoint(
-        eager=False
-    )
-    cand = lsh_candidate_pairs_portable(sigs, bands=4)
-    sh = d.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(textfn.shingles("text", 3)).alias("sh"),
+    sigs = minhash_signatures_portable(
+        d, "text", "doc_id", num_hashes=_MINHASH_LANES
     ).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs_portable(sigs, bands=_MINHASH_BANDS)
+    cand = cand.localCheckpoint(eager=False)  # feeds the id-prune + joins
+    # candidate-proportional verify (the verify_jaccard shape): build
+    # shingle arrays ONLY for ids that appear in some candidate pair —
+    # a broadcast semi-join prune BEFORE the shingle projection, so the
+    # exact-Jaccard side never materializes corpus-wide arrays
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        d.select(F.col("doc_id").alias("id"), F.col("text").alias("__t"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        .select(
+            "id",
+            F.array_distinct(textfn.shingles("__t", 3)).alias("sh"),
+        )
+        .localCheckpoint(eager=False)  # feeds both verify sides
+    )
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
     ha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -4133,62 +4139,43 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
                 " 0, (acc, v) -> acc + v)"
             ).alias("matching_lanes"),
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            # bigint BEFORE the *1e6 products: size() is int32 and ANSI
+            # mode faults the overflow at ~2148 distinct shingles
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("bigint")
+            .alias("inter"),
             (
                 F.size("sh_a") + F.size("sh_b")
                 - F.size(F.array_intersect("sh_a", "sh_b"))
-            ).alias("un"),
+            )
+            .cast("bigint")
+            .alias("un"),
         )
     )
     return m.select(
         "id_a",
         "id_b",
         F.col("matching_lanes").cast("bigint").alias("matching_lanes"),
-        F.expr("CAST((matching_lanes * 1000000) div 16 AS BIGINT)").alias(
-            "est_ppm"
-        ),
+        F.expr(
+            f"CAST((CAST(matching_lanes AS BIGINT) * 1000000)"
+            f" div {_MINHASH_LANES} AS BIGINT)"
+        ).alias("est_ppm"),
         F.expr("CAST((1000000 * inter) div un AS BIGINT)").alias("exact_ppm"),
         F.expr(
-            "CAST(abs((matching_lanes * 1000000) div 16"
+            f"CAST(abs((CAST(matching_lanes AS BIGINT) * 1000000)"
+            f" div {_MINHASH_LANES}"
             " - (1000000 * inter) div un) AS BIGINT)"
         ).alias("err_ppm"),
     ).orderBy("id_a", "id_b")
 
 
-def _lsh_balance_oracle(num_hashes: int = 16, bands: int = 4) -> str:
-    """Oracle for the LSH bucket-balance audit: same signature/banding
-    CTEs, then per-band bucket-size statistics in exact integers."""
-    rpb = num_hashes // bands
-    lanes = ",\n         ".join(
-        f"min(md5('{seed}:' || s)) AS m{seed}" for seed in range(num_hashes)
-    )
-    band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
-            b=b,
-            concat=" || ',' || ".join(f"m{b * rpb + i}" for i in range(rpb)),
-        )
-        for b in range(bands)
-    )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-  FROM documents
-),
-shl AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                       i -> array_to_string(t[i:i+2], ' '))) AS sh
-  FROM toks
-),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-sig AS (
-  SELECT doc_id,
-         {lanes}
-  FROM ex GROUP BY doc_id
-),
-banded AS (
-{band_rows}
-),
+def _lsh_balance_oracle(
+    num_hashes: int = _MINHASH_LANES, bands: int = _MINHASH_BANDS
+) -> str:
+    """Oracle for the LSH bucket-balance audit: the shared signature +
+    banding CTE prefix, then per-band bucket-size statistics in exact
+    integers."""
+    return _minhash_cte_prefix(num_hashes, bands) + """,
 bucketsz AS (
   SELECT band, bucket, count(*) AS c FROM banded GROUP BY band, bucket
 )
@@ -4220,32 +4207,17 @@ def lsh_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline. Exact integer arithmetic, full value oracle down to the
     per-band pair-work counts."""
     from nyc_taxi_data_pipeline_spark.operators.dedup import (
+        lsh_banded_buckets,
         minhash_signatures_portable,
     )
 
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures_portable(d, "text", "doc_id")
-    bands = 4
-    num_hashes_col = F.size(F.col("signature"))
-    rows_per_band = (num_hashes_col / bands).cast("int")
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(
-                        F.slice(
-                            F.col("signature"),
-                            b * rows_per_band + 1,
-                            rows_per_band,
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
+    sigs = minhash_signatures_portable(
+        d, "text", "doc_id", num_hashes=_MINHASH_LANES
     )
+    # the SAME banding projection the candidate join uses — pair_work
+    # counts exactly the rows lsh_candidate_pairs_portable would emit
+    banded = lsh_banded_buckets(sigs, bands=_MINHASH_BANDS)
     bucketsz = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
