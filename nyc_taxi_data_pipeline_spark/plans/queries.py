@@ -1211,6 +1211,96 @@ def dedup_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared per-dimension moment expressions (exact integer sums cast to
+# double, then single IEEE ops): interpolated into BOTH sides so the
+# doubles are bit-identical — same technique as the OLS entry.
+_DIM_MEAN = "svd / nd / 1000000.0"
+_DIM_VAR = "(nd * sqd - svd * svd) / (nd * nd) / 1000000000000.0"
+
+_EMB_DIM_ORACLE = f"""
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS vi
+  FROM embeddings
+),
+s AS (
+  SELECT dim,
+         count(*) AS n,
+         CAST(sum(vi) AS BIGINT) AS sv,
+         CAST(sum(CAST(vi * vi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+         min(vi) AS min_vi,
+         max(vi) AS max_vi
+  FROM ex GROUP BY dim
+),
+d AS (
+  SELECT dim, n, min_vi, max_vi,
+         CAST(n AS DOUBLE)  AS nd,
+         CAST(sv AS DOUBLE) AS svd,
+         CAST(sq AS DOUBLE) AS sqd
+  FROM s
+)
+SELECT dim, n, min_vi, max_vi,
+       round({_DIM_MEAN}, 8) AS mean_val,
+       round({_DIM_VAR}, 8)  AS var_val,
+       (max_vi - min_vi) < 10000 AS collapsed
+FROM d
+ORDER BY dim
+"""
+
+
+@_register("embedding_dimension_audit", _EMB_DIM_ORACLE)
+def embedding_dimension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-zone QUALITY audit, per dimension: n, min/max, mean,
+    variance, and a collapsed-dimension flag (range < 0.01) — the check
+    that catches dead dims (a projection bug zeroing a lane), scale
+    blow-ups, and normalization drift before a corpus of vectors is
+    indexed or trained on. Values are scaled to exact micro-units
+    (round(v·10⁶) — round() is identical cross-engine) so every moment
+    sum is exact integer/decimal arithmetic; the final mean/variance
+    divisions are single IEEE ops over bit-identical operands via shared
+    expression strings (_DIM_MEAN/_DIM_VAR, the OLS-entry technique).
+    Scale shape: posexplode is a narrow map; one hash aggregate on the
+    dimension index (bounded: 64 groups) with map-side combine — a
+    full-corpus audit that costs one scan, mergeable across batches."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),  # 1-based like generate_subscripts
+        F.expr(
+            "CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("vi"),
+    )
+    s = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").cast("bigint").alias("sv"),
+        F.sum(F.expr("CAST(vi * vi AS DECIMAL(38,0))")).cast(
+            "decimal(38,0)"
+        ).alias("sq"),
+        F.min("vi").alias("min_vi"),
+        F.max("vi").alias("max_vi"),
+    )
+    d = s.select(
+        "dim",
+        "n",
+        "min_vi",
+        "max_vi",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sv").cast("double").alias("svd"),
+        F.col("sq").cast("double").alias("sqd"),
+    )
+    return d.select(
+        "dim",
+        "n",
+        "min_vi",
+        "max_vi",
+        F.expr(f"round({_DIM_MEAN}, 8)").alias("mean_val"),
+        F.expr(f"round({_DIM_VAR}, 8)").alias("var_val"),
+        ((F.col("max_vi") - F.col("min_vi")) < 10000).alias("collapsed"),
+    ).orderBy("dim")
+
+
 # The portable minhash pipeline's lane count/band count — ONE definition
 # feeds the Spark operators (num_hashes/bands arguments), every generated
 # oracle, and the in-entry arithmetic, so the sides cannot drift.
