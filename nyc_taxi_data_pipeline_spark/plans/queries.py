@@ -1211,6 +1211,105 @@ def dedup_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_HEALTH_ORACLE = r"""
+WITH base AS (
+  SELECT source, lang,
+         md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'),
+             '\s+', ' ', 'g'))) AS fp,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+per_source AS (
+  SELECT source,
+         count(*)                         AS n_docs,
+         count(DISTINCT fp)               AS n_unique,
+         CAST(sum(n_tokens) AS BIGINT)    AS total_tokens
+  FROM base GROUP BY source
+),
+langs AS (
+  SELECT source, lang, count(*) AS c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY count(*) DESC, lang) AS rn
+  FROM base GROUP BY source, lang
+)
+SELECT p.source,
+       p.n_docs,
+       p.total_tokens,
+       (1000000 * (p.n_docs - p.n_unique)) // p.n_docs AS dup_ppm,
+       (1000000 * p.total_tokens) // p.n_docs          AS tokens_per_doc_ppm,
+       l.lang                                          AS top_lang,
+       (1000000 * l.c) // p.n_docs                     AS top_lang_ppm
+FROM per_source p
+JOIN langs l ON l.source = p.source AND l.rn = 1
+ORDER BY p.source
+"""
+
+
+@_register("corpus_health_by_source", _CORPUS_HEALTH_ORACLE)
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus HEALTH REPORT — the one-screen summary a
+    curation run emits per ingest: document count, token volume,
+    normalized-fingerprint duplicate rate, mean document length, and the
+    dominant language with its share (all shares in exact integer ppm).
+    This is the table that decides per-source mixing weights and flags a
+    domain gone bad (dup_ppm spike = a crawler loop; tokens_per_doc
+    collapse = truncation upstream; top_lang flip = routing bug).
+    Fingerprints reuse the engine's ONE normalization recipe
+    (functions/text._fingerprint_normalized — same regex classes on
+    both sides) so the dup rate here equals what fingerprint dedup will
+    remove. Scale shape: one scan; count(DISTINCT fp) shuffles on
+    (source, fp) with partial dedup map-side; the language argmax is a
+    bounded two-level aggregate + a tiny window — per-source rows, not
+    corpus rows. Deterministic top-lang tie-break (count desc, lang)."""
+    from nyc_taxi_data_pipeline_spark.functions.text import (
+        _fingerprint_normalized,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("text").isNotNull()).select(
+        "source",
+        "lang",
+        F.md5(_fingerprint_normalized("text")).alias("fp"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "n_tokens"
+        ),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    langs = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        per_source.join(langs.select("source", "lang", "c"), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr("(1000000 * (n_docs - n_unique)) div n_docs").alias(
+                "dup_ppm"
+            ),
+            F.expr("(1000000 * total_tokens) div n_docs").alias(
+                "tokens_per_doc_ppm"
+            ),
+            F.col("lang").alias("top_lang"),
+            F.expr("(1000000 * c) div n_docs").alias("top_lang_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 # Shared per-dimension moment expressions (exact integer sums cast to
 # double, then single IEEE ops): interpolated into BOTH sides so the
 # doubles are bit-identical — same technique as the OLS entry.
