@@ -120,8 +120,19 @@ def z_interleave_sql(
     zorder_layout_audit catalog entry (and its oracle) and the
     write_zorder_zone layout writer — the audit measures exactly the
     curve the writer lays down. `cast_bigint` wraps the inputs for
-    callers whose columns aren't already BIGINT."""
-    wrap = (lambda c: f"CAST({c} AS BIGINT)") if cast_bigint else (lambda c: c)
+    callers whose columns aren't already BIGINT.
+
+    Inputs are masked to the declared bit width BEFORE the per-bit
+    shifts: arithmetic >> on a negative BIGINT keeps the sign bit, so an
+    unmasked negative would read 1 at every position and collapse all
+    negative rows onto the max Morton key (one hot partition, useless
+    footer stats). With the mask, a signed id interleaves its low `bits`
+    bits like any other value — degraded locality, never degenerate."""
+    mask = (1 << bits) - 1
+    if cast_bigint:
+        wrap = lambda c: f"(CAST({c} AS BIGINT) & {mask})"  # noqa: E731
+    else:
+        wrap = lambda c: f"({c} & {mask})"  # noqa: E731
     terms = []
     for i in range(bits):
         terms.append(f"((({wrap(xcol)} >> {i}) & 1) * {1 << (2 * i)})")

@@ -1665,7 +1665,7 @@ _JACCARD_ORACLE = r"""
 WITH d AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         FROM documents WHERE doc_id < 100)
 ),
@@ -1816,9 +1816,14 @@ WITH t AS (
   FROM documents
 ),
 s AS (
+  -- CAST the window cumsum back to BIGINT: DuckDB widens sum(BIGINT) to
+  -- HUGEINT, and the int128 width survives into pack_id and the hash
+  -- canonicalization even though every value fits in 64 bits (the only
+  -- red driver row in round 2 was exactly this width mismatch).
   SELECT source, tok,
-         (sum(tok) OVER (PARTITION BY source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok) // 512
+         CAST((CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - tok) // 512 AS BIGINT)
            AS pack_id
   FROM t
 )
@@ -3650,7 +3655,7 @@ WITH RECURSIVE
 d AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         FROM documents WHERE doc_id < 500)
 ),
@@ -3796,7 +3801,7 @@ WITH RECURSIVE
 d AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         FROM documents WHERE doc_id < 500)
 ),
@@ -3890,7 +3895,7 @@ _EXACT_NEARDUP_ORACLE = r"""
 WITH d AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         FROM documents)
 ),
@@ -9997,7 +10002,7 @@ _PREFIX_FILTER_ORACLE = r"""
 WITH d AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
         FROM documents)
 )

@@ -1135,3 +1135,42 @@ def test_winnowing_short_docs_yield_no_fingerprints(spark):
         )
         ids = {r["id"] for r in got.collect()}
         assert ids == {3}, ids
+
+
+def test_z_interleave_masks_negative_inputs(spark):
+    """Round-2 ADVICE: arithmetic >> on a negative BIGINT keeps the sign
+    bit, so unmasked negative inputs all collapsed onto the max Morton
+    key (one hot partition). z_interleave_sql now masks inputs to the
+    declared bit width: negative ids interleave their low bits like any
+    other value — distinct negatives map to distinct keys, and no
+    negative lands on the all-ones key unless its low bits really are
+    all ones."""
+    import duckdb
+
+    from nyc_taxi_data_pipeline_spark.functions.scalar import z_interleave_sql
+    from pyspark.sql import functions as F
+
+    expr = z_interleave_sql("x", "y", bits=4, cast_bigint=True)
+    rows = [(-1, -1), (-2, -3), (-128, 5), (3, 7), (0, 0)]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", F.expr(expr).alias("z")
+    )
+    got = {(r.x, r.y): r.z for r in df.collect()}
+    max_key = (1 << 8) - 1
+    # all-ones only for inputs whose masked low bits are genuinely all ones
+    assert got[(-1, -1)] == max_key  # -1 & 0xF == 0xF on both axes
+    assert got[(-2, -3)] != max_key
+    assert got[(-128, 5)] != max_key
+    # masked-equivalent positive pair agrees: -2 & 15 == 14, -3 & 15 == 13
+    df2 = spark.createDataFrame([(14, 13)], "x long, y long").select(
+        F.expr(expr).alias("z")
+    )
+    assert df2.collect()[0].z == got[(-2, -3)]
+    # cross-engine: DuckDB evaluates the identical SQL text to the same keys
+    con = duckdb.connect()
+    duck = {
+        (x, y): con.execute(f"SELECT {expr} FROM (SELECT {x} AS x, {y} AS y)").fetchone()[0]
+        for x, y in rows
+    }
+    con.close()
+    assert duck == got

@@ -50,3 +50,78 @@ def test_registry_contract():
     oracles = ent.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 15
+
+
+# ---------------------------------------------------------------------------
+# Short-document edge corpus: the k=3 shingle oracles historically built
+# shingles via t[i] || ' ' || t[i+1] || ' ' || t[i+2], whose out-of-bounds
+# NULLs silently emptied the shingle set for docs with < 3 tokens while
+# Spark's shingles() emits the whole-text single shingle (round-2 ADVICE).
+# The oracles now use DuckDB's clamping list slice (array_to_string(
+# t[i:i+2])) which matches Spark exactly; this corpus pins that parity on
+# data the stock testdata never exercises.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_ENTRIES = [
+    "ngram_jaccard_topk",
+    "dedup_connected_components",
+    "dedup_cluster_keep_best",
+    "dedup_exact_jaccard",
+    "jaccard_prefix_filter_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def short_doc_sf_dir(tmp_path_factory):
+    """sf0.001 with the documents table replaced by a corpus containing
+    sub-3-token docs (1 and 2 tokens, duplicated so the dedup entries
+    produce pairs) plus a slice of real docs."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("shortdocs")
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", dst / f"{name}.parquet")
+
+    real = pq.read_table(f"{src}/documents.parquet").slice(0, 40)
+    shorts = pa.table(
+        {
+            "doc_id": pa.array([9001, 9002, 9003, 9004, 9005, 9006], pa.int64()),
+            "text": pa.array(
+                ["hello", "hello", "two tokens", "two tokens", "one", "  "],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 6, pa.string()),
+            "source": pa.array(["edge"] * 6, pa.string()),
+            "n_chars": pa.array([5, 5, 10, 10, 3, 2], pa.int64()),
+        }
+    )
+    merged = pa.concat_tables(
+        [real.select(shorts.column_names), shorts]
+    )
+    pq.write_table(merged, dst / "documents.parquet")
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", _SHINGLE_ENTRIES)
+def test_shingle_oracles_handle_short_docs(spark, short_doc_sf_dir, name):
+    from tests.oracle_harness import duck_connection
+
+    con = duck_connection(short_doc_sf_dir)
+    report = compare_query(spark, con, REGISTRY[name], short_doc_sf_dir)
+    con.close()
+    assert report["cols_match"]
+    assert report["spark_rows"] == report["duck_rows"], (
+        f"row count: spark={report['spark_rows']} duck={report['duck_rows']}"
+    )
+    assert report["values_match"], f"value mismatch: {report['first_mismatches']}"
+    # the duplicated short docs MUST surface as dedup pairs somewhere —
+    # guards against both engines agreeing on a silently-empty answer
+    if name in ("dedup_exact_jaccard", "jaccard_prefix_filter_pairs"):
+        assert report["spark_rows"] > 0
