@@ -7219,10 +7219,17 @@ WITH RECURSIVE sparse AS (
   SELECT CAST(ts AS DATE) AS day, value FROM events WHERE event_id % 1000 = 0
 ),
 bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM sparse),
-days(day) AS (
+weeks(wk) AS (
   SELECT lo FROM bounds
   UNION ALL
-  SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM days, bounds WHERE day < hi
+  SELECT CAST(wk + INTERVAL 7 DAY AS DATE) FROM weeks, bounds
+  WHERE CAST(wk + INTERVAL 7 DAY AS DATE) <= hi
+),
+days AS (
+  SELECT CAST(unnest(generate_series(
+           wk, least(CAST(wk + INTERVAL 6 DAY AS DATE), hi),
+           INTERVAL 1 DAY)) AS DATE) AS day
+  FROM weeks, bounds
 ),
 daily AS (
   SELECT day, count(*) AS n_events,
@@ -7245,17 +7252,26 @@ def recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates, left-joined against (deliberately sparsified) daily aggregates
     so days with NO events appear as explicit zero rows — the dense-axis
     contract dashboards and window functions need, which gapfill-LOCF
-    (timeseries_gapfill_locf) deliberately does not provide. The
-    recursion depth is the calendar span in DAYS — a property of the
-    data, not the query — so the recursion limit is raised explicitly to
-    4000 levels (~11 years) rather than silently relying on the testdata
-    span staying under Spark's 100-level default; the spine is tiny
-    however large the fact table, so the join broadcasts."""
+    (timeseries_gapfill_locf) deliberately does not provide.
+
+    The recursion is BATCHED one week per level (the recursive step
+    advances a week anchor; sequence()+explode densifies each anchor to
+    its ≤7 days): each UnionLoop level costs a fixed scheduling round
+    regardless of rows, so day-per-level recursion made depth — hence
+    wall time — equal to the calendar span in days (round-2's worst
+    bench entry, 22 s for 30 rows in-suite). Weekly batching cuts depth
+    7× while the emitted spine is row-identical; the level limit is
+    raised to 1000 (≈19 years of span) rather than silently relying on
+    the testdata span staying under Spark's 100-level default. The
+    scale-out production spine for very long spans remains the pure
+    sequence()+explode in operators/temporal.py (used by
+    timeseries_gapfill_locf); this entry exists to exercise the
+    WITH RECURSIVE surface itself."""
     from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
 
     # session conf must hold at EXECUTION time (the frame is lazy), so it
-    # is set without restore — 4000 is harmless for every other query
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "4000")
+    # is set without restore — 1000 is harmless for every other query
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql("""
       WITH RECURSIVE sparse AS (
@@ -7263,10 +7279,14 @@ def recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_id % 1000 = 0
       ),
       bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM sparse),
-      days(day) AS (
+      weeks(wk) AS (
         SELECT lo FROM bounds
         UNION ALL
-        SELECT date_add(day, 1) FROM days, bounds WHERE day < hi
+        SELECT date_add(wk, 7) FROM weeks, bounds WHERE date_add(wk, 7) <= hi
+      ),
+      days AS (
+        SELECT explode(sequence(wk, least(date_add(wk, 6), hi))) AS day
+        FROM weeks, bounds
       ),
       daily AS (
         SELECT day, count(*) AS n_events,
