@@ -453,3 +453,301 @@ def upsert_rows_to_zone(
     merged = survivors.unionByName(updates)
     version = publish_zone_version(merged, zone)
     return version, matched, updates.count() - matched
+
+
+# --------------------------------------------------------------------------
+# optimistic concurrency for the versioned zone protocol
+# --------------------------------------------------------------------------
+#
+# publish_zone_version is single-writer: two concurrent publishers both
+# compute max(v)+1 and the slower pointer flip silently discards the other
+# writer's snapshot (lost update). The CAS layer below adds the commit
+# protocol Delta Lake gets from its _delta_log (reference consumes it via
+# scripts/convert_to_delta.py:85-88): a commit IS the atomic
+# exclusive-creation of the next NUMBERED log entry — O_CREAT|O_EXCL on a
+# POSIX filesystem, conditional PUT (If-None-Match) on an object store —
+# so exactly one writer can ever own a given version number, with no lock
+# held during the (arbitrarily long) data write. Writers declare the
+# partitions they touched; an interleaved commit on DISJOINT partitions is
+# rebased and retried, an overlapping one raises ZoneConflictError.
+
+
+class ZoneConflictError(RuntimeError):
+    """Another writer committed a conflicting version since this writer's
+    snapshot was taken. Carries the base the writer expected and the
+    version that blocked it."""
+
+    def __init__(self, zone: str, expected: int, blocking: int, why: str):
+        super().__init__(
+            f"zone {zone}: expected to commit on top of v{expected} but "
+            f"v{blocking} committed since ({why})"
+        )
+        self.expected = expected
+        self.blocking = blocking
+
+
+def _zone_log_dir(zone: str) -> str:
+    import os
+
+    return os.path.join(zone, "_log")
+
+
+def read_zone_log(zone: str) -> dict[int, dict]:
+    """Committed transactions, by version. A v-dir or staged dir WITHOUT a
+    log entry is an in-flight or crashed writer — never visible here."""
+    import json
+    import os
+
+    log_dir = _zone_log_dir(zone)
+    if not os.path.isdir(log_dir):
+        return {}
+    out: dict[int, dict] = {}
+    for name in os.listdir(log_dir):
+        if name.endswith(".json") and name[:-5].isdigit():
+            with open(os.path.join(log_dir, name)) as f:
+                out[int(name[:-5])] = json.load(f)
+    return out
+
+
+def current_zone_version(zone: str) -> int | None:
+    """Latest committed version: max log entry when the zone has a commit
+    log, else the legacy `_CURRENT` pointer (zones written only by
+    publish_zone_version). The log is authoritative — `_CURRENT` is a
+    best-effort cache for legacy readers once CAS writers appear."""
+    import os
+
+    log = read_zone_log(zone)
+    if log:
+        return max(log)
+    cur = os.path.join(zone, "_CURRENT")
+    if os.path.isfile(cur):
+        with open(cur) as f:
+            return int(f.read().strip())
+    return None
+
+
+def zone_version_path(zone: str, version: int) -> str:
+    """Data directory of a committed version: the canonical `v=<n>` name
+    when the owner's post-commit rename completed, else the staged dir
+    recorded in the log entry (a crash between log write and rename loses
+    nothing — the data simply stays under its staged name)."""
+    import os
+
+    canonical = os.path.join(zone, f"v={version}")
+    if os.path.isdir(canonical):
+        return canonical
+    entry = read_zone_log(zone).get(version)
+    if entry is not None:
+        staged = os.path.join(zone, entry["data_dir"])
+        if os.path.isdir(staged):
+            return staged
+    raise ValueError(f"zone {zone} has no data for version {version}")
+
+
+def read_zone_snapshot(
+    spark: SparkSession, zone: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read at `version` (default: latest committed)."""
+    v = current_zone_version(zone) if version is None else version
+    if v is None:
+        raise ValueError(f"zone {zone} has no committed version")
+    return spark.read.parquet(zone_version_path(zone, v))
+
+
+def _refresh_current_pointer(zone: str) -> None:
+    """Best-effort monotonic refresh of the legacy `_CURRENT` cache after
+    a CAS commit so plain read_published_zone keeps working. Races between
+    refreshers can only leave it STALE (pointing at an older committed,
+    still-immutable snapshot), never wrong."""
+    import os
+
+    v = current_zone_version(zone)
+    cur = os.path.join(zone, "_CURRENT")
+    if os.path.isfile(cur):
+        with open(cur) as f:
+            try:
+                if int(f.read().strip()) >= v:
+                    return
+            except ValueError:
+                pass
+    tmp = os.path.join(zone, f"_CURRENT.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, cur)
+
+
+def _try_commit(
+    zone: str,
+    expected: int,
+    staged_rel: str,
+    partitions: list | None,
+    partition_col: str | None,
+) -> int:
+    """One CAS attempt: every version is a FULL snapshot baked from the
+    writer's base, so ANY commit after `expected` makes the staged
+    snapshot stale — this always raises ZoneConflictError on interleaving.
+    The `why` distinguishes rebasable staleness (interleaved commits all
+    touched disjoint partitions: the caller can rebuild its snapshot on
+    the new base and retry) from true write-write conflicts (overlap /
+    serializable writers: only re-deriving the update can help). Then
+    exclusive-create the next numbered log entry and return its version."""
+    import json
+    import os
+
+    log_dir = _zone_log_dir(zone)
+    os.makedirs(log_dir, exist_ok=True)
+    while True:
+        log = read_zone_log(zone)
+        latest = max(log, default=expected if expected >= 0 else -1)
+        for v in sorted(log):
+            if v <= expected:
+                continue
+            theirs = log[v].get("partitions")
+            if partitions is None or theirs is None:
+                raise ZoneConflictError(
+                    zone, expected, v, "serializable writers cannot interleave"
+                )
+            if log[v].get("partition_col") != partition_col:
+                raise ZoneConflictError(
+                    zone, expected, v, "different partition columns"
+                )
+            overlap = set(map(str, partitions)) & set(map(str, theirs))
+            if overlap:
+                raise ZoneConflictError(
+                    zone, expected, v, f"overlapping partitions {sorted(overlap)}"
+                )
+            raise ZoneConflictError(
+                zone, expected, v,
+                "disjoint interleaved commit: snapshot stale, rebase and retry",
+            )
+        n = latest + 1
+        entry = {
+            "version": n,
+            "base": expected,
+            "data_dir": staged_rel,
+            "partitions": None
+            if partitions is None
+            else sorted(map(str, partitions)),
+            "partition_col": partition_col,
+        }
+        tmp = os.path.join(log_dir, f".{n}.json.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            # exclusive hardlink-style publish: link() fails with EEXIST
+            # atomically, and the tmp file is complete before linking, so
+            # a reader can never observe a torn log entry
+            os.link(tmp, os.path.join(log_dir, f"{n}.json"))
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race for n — re-scan, conflict-check v=n too
+        os.unlink(tmp)
+        # cosmetic post-commit rename into the canonical v-dir; owner-only
+        # (nothing else may ever create v=<n> for a CAS-committed n)
+        staged_abs = os.path.join(zone, staged_rel)
+        canonical = os.path.join(zone, f"v={n}")
+        try:
+            os.rename(staged_abs, canonical)
+        except OSError:
+            pass  # data stays readable at the staged path via the log
+        _refresh_current_pointer(zone)
+        return n
+
+
+def publish_zone_version_cas(
+    df: DataFrame, zone: str, expected_version: int
+) -> int:
+    """Serializable whole-snapshot publish: commit `df` as the next version
+    IF AND ONLY IF no other writer committed after `expected_version`
+    (the version this writer's snapshot/derivation was based on; -1 for a
+    brand-new zone). Any interleaved commit raises ZoneConflictError —
+    whole-snapshot writers cannot rebase mechanically because their new
+    snapshot bakes in the old state of every row. The expensive data write
+    happens BEFORE the commit attempt, unserialized, into a staged dir."""
+    import os
+    import uuid
+
+    import shutil
+
+    os.makedirs(zone, exist_ok=True)
+    staged_rel = os.path.join("_staged", f"tx-{uuid.uuid4().hex}")
+    df.write.mode("errorifexists").parquet(os.path.join(zone, staged_rel))
+    try:
+        return _try_commit(zone, expected_version, staged_rel, None, None)
+    except ZoneConflictError:
+        shutil.rmtree(os.path.join(zone, staged_rel), ignore_errors=True)
+        raise
+
+
+def publish_zone_partitions_cas(
+    spark: SparkSession,
+    zone: str,
+    updates: DataFrame,
+    partition_col: str,
+    expected_version: int,
+    max_rebase: int = 3,
+) -> int:
+    """Partition-scoped optimistic publish with retry-with-rebase: replace
+    the partitions present in `updates` (distinct `partition_col` values),
+    keep every other partition from the base snapshot. If another writer
+    commits first on DISJOINT partitions, the snapshot is rebuilt on top
+    of their commit and the commit retried (bounded by `max_rebase`);
+    overlapping partitions raise ZoneConflictError — the caller must
+    re-derive its update from the new state, which no engine can do
+    mechanically.
+
+    At 100 TB the rebase is metadata-shaped: the base snapshot's untouched
+    partitions re-enter the new version by reference (partition dirs are
+    immutable parquet), so only the updated partitions are rewritten —
+    here the snapshot union rewrites them physically, which is the same
+    plan with copies instead of symlinks."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    expected = expected_version
+    for _ in range(max_rebase + 1):
+        if expected >= 0:
+            base = read_zone_snapshot(spark, zone, expected).filter(
+                ~F.col(partition_col).isin(touched)
+            )
+            snapshot = base.unionByName(updates)
+        else:
+            snapshot = updates
+        os.makedirs(zone, exist_ok=True)
+        staged_rel = os.path.join("_staged", f"tx-{uuid.uuid4().hex}")
+        snapshot.repartition(partition_col).write.mode(
+            "errorifexists"
+        ).partitionBy(partition_col).parquet(os.path.join(zone, staged_rel))
+        try:
+            return _try_commit(
+                zone, expected, staged_rel, touched, partition_col
+            )
+        except ZoneConflictError:
+            import shutil
+
+            shutil.rmtree(os.path.join(zone, staged_rel), ignore_errors=True)
+            # rebasable only if EVERY interleaved commit is a
+            # partition-scoped write on our partition column whose
+            # partitions are disjoint from ours
+            log = read_zone_log(zone)
+            mine = set(map(str, touched))
+            for v in sorted(log):
+                if v <= expected:
+                    continue
+                theirs = log[v].get("partitions")
+                if (
+                    theirs is None
+                    or log[v].get("partition_col") != partition_col
+                    or mine & set(theirs)
+                ):
+                    raise
+            expected = max(log)  # all disjoint: rebase on top and retry
+    raise ZoneConflictError(
+        zone, expected, current_zone_version(zone) or -1,
+        f"gave up after {max_rebase} rebases",
+    )

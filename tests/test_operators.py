@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
@@ -1174,3 +1176,175 @@ def test_z_interleave_masks_negative_inputs(spark):
     }
     con.close()
     assert duck == got
+
+
+def test_zone_cas_two_writer_race(spark, tmp_path):
+    """Optimistic concurrency (round-2 VERDICT #3): two writers derive
+    from the same base version and race to publish — exactly one wins,
+    the loser gets ZoneConflictError instead of silently reverting the
+    winner's commit (the lost update publish_zone_version allows)."""
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        ZoneConflictError,
+        current_zone_version,
+        publish_zone_version_cas,
+        read_published_zone,
+        read_zone_snapshot,
+    )
+
+    zone = str(tmp_path / "cas_zone")
+    base = spark.range(10).withColumnRenamed("id", "k")
+    v0 = publish_zone_version_cas(base, zone, expected_version=-1)
+    assert v0 == 0 and current_zone_version(zone) == 0
+
+    writer_a = read_zone_snapshot(spark, zone).filter("k < 5")
+    writer_b = read_zone_snapshot(spark, zone).filter("k >= 5")
+
+    v1 = publish_zone_version_cas(writer_a, zone, expected_version=0)
+    assert v1 == 1
+    with pytest.raises(ZoneConflictError):
+        publish_zone_version_cas(writer_b, zone, expected_version=0)
+
+    # winner's snapshot is what readers see — through BOTH read paths
+    assert current_zone_version(zone) == 1
+    assert sorted(r.k for r in read_zone_snapshot(spark, zone).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+    assert read_published_zone(spark, zone).count() == 5
+    # loser's staged data was cleaned up
+    import os
+
+    staged = os.path.join(zone, "_staged")
+    assert not os.path.isdir(staged) or os.listdir(staged) == []
+
+
+def test_zone_cas_concurrent_threads_exactly_one_wins(spark, tmp_path):
+    """True concurrency: N threads race the SAME CAS commit (the data is
+    pre-staged per thread by the API itself). Exactly one commit must win
+    version 1; every loser raises ZoneConflictError."""
+    import threading
+
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        ZoneConflictError,
+        current_zone_version,
+        publish_zone_version_cas,
+    )
+
+    zone = str(tmp_path / "cas_threads")
+    publish_zone_version_cas(
+        spark.range(4).withColumnRenamed("id", "k"), zone, expected_version=-1
+    )
+
+    results: list[str] = []
+    lock = threading.Lock()
+
+    def attempt(tag: int) -> None:
+        df = spark.range(tag * 10, tag * 10 + 3).withColumnRenamed("id", "k")
+        try:
+            v = publish_zone_version_cas(df, zone, expected_version=0)
+            with lock:
+                results.append(f"won:{v}")
+        except ZoneConflictError:
+            with lock:
+                results.append("conflict")
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert sorted(results) == ["conflict", "conflict", "conflict", "won:1"]
+    assert current_zone_version(zone) == 1
+
+
+def test_zone_cas_partition_rebase_disjoint(spark, tmp_path):
+    """Partition-scoped writers on DISJOINT partitions both land: the
+    second detects the interleaved commit, rebases its snapshot on the
+    winner's version, and retries — the final snapshot contains BOTH
+    updates (Delta-style conflict resolution for non-overlapping
+    partition writes)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        current_zone_version,
+        publish_zone_partitions_cas,
+        read_zone_log,
+        read_zone_snapshot,
+    )
+
+    zone = str(tmp_path / "cas_parts")
+    base = spark.createDataFrame(
+        [("p1", 1), ("p1", 2), ("p2", 3), ("p3", 4)], "part string, x int"
+    )
+    v0 = publish_zone_partitions_cas(spark, zone, base, "part", -1)
+    assert v0 == 0
+
+    upd_a = spark.createDataFrame([("p1", 100)], "part string, x int")
+    upd_b = spark.createDataFrame([("p2", 200), ("p2", 201)], "part string, x int")
+
+    va = publish_zone_partitions_cas(spark, zone, upd_a, "part", expected_version=0)
+    assert va == 1
+    # writer B still believes the base is v0 — must rebase over A and win v2
+    vb = publish_zone_partitions_cas(spark, zone, upd_b, "part", expected_version=0)
+    assert vb == 2 and current_zone_version(zone) == 2
+
+    final = read_zone_snapshot(spark, zone)
+    got = {
+        (r.part, r.x)
+        for r in final.select("part", F.col("x").cast("int").alias("x")).collect()
+    }
+    assert got == {("p1", 100), ("p2", 200), ("p2", 201), ("p3", 4)}
+    log = read_zone_log(zone)
+    assert log[2]["base"] == 1  # B's commit records the rebased base
+    assert log[2]["partitions"] == ["p2"]
+
+
+def test_zone_cas_partition_overlap_conflicts(spark, tmp_path):
+    """Overlapping partition writes cannot be rebased mechanically — the
+    second writer must fail loudly, and the winner's data must survive."""
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        ZoneConflictError,
+        publish_zone_partitions_cas,
+        read_zone_snapshot,
+    )
+
+    zone = str(tmp_path / "cas_overlap")
+    base = spark.createDataFrame(
+        [("p1", 1), ("p2", 3)], "part string, x int"
+    )
+    publish_zone_partitions_cas(spark, zone, base, "part", -1)
+
+    upd_a = spark.createDataFrame([("p1", 100)], "part string, x int")
+    upd_b = spark.createDataFrame([("p1", 999), ("p2", 5)], "part string, x int")
+    publish_zone_partitions_cas(spark, zone, upd_a, "part", expected_version=0)
+    with pytest.raises(ZoneConflictError, match="overlap"):
+        publish_zone_partitions_cas(spark, zone, upd_b, "part", expected_version=0)
+    got = {(r.part, r.x) for r in read_zone_snapshot(spark, zone).collect()}
+    assert got == {("p1", 100), ("p2", 3)}
+
+
+def test_zone_cas_crash_before_rename_still_readable(spark, tmp_path):
+    """A commit is the LOG ENTRY, not the v-dir rename: if the owner dies
+    between winning the log slot and renaming its staged dir, the version
+    stays readable at the staged path (zone_version_path falls back via
+    the log)."""
+    import os
+    import shutil
+
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        publish_zone_version_cas,
+        read_zone_log,
+        read_zone_snapshot,
+        zone_version_path,
+    )
+
+    zone = str(tmp_path / "cas_crash")
+    publish_zone_version_cas(
+        spark.range(7).withColumnRenamed("id", "k"), zone, expected_version=-1
+    )
+    # simulate crash-before-rename: move v=0 back to its staged name
+    entry = read_zone_log(zone)[0]
+    staged_abs = os.path.join(zone, entry["data_dir"])
+    shutil.move(os.path.join(zone, "v=0"), staged_abs)
+    assert zone_version_path(zone, 0) == staged_abs
+    assert read_zone_snapshot(spark, zone, 0).count() == 7
