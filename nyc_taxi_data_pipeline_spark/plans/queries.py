@@ -8230,6 +8230,69 @@ def streaming_offset_log_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.orderBy("user_id")
 
 
+_RATE_LIMIT_ORACLE = """
+SELECT CAST(b AS BIGINT) AS batch_id,
+       CAST(120 AS BIGINT) AS n_rows,
+       CAST(4 AS BIGINT)   AS n_partitions,
+       TRUE AS within_cap
+FROM (SELECT unnest(range(0, 5)) AS b)
+ORDER BY batch_id
+"""
+
+
+@_register("streaming_rate_limited_drain", _RATE_LIMIT_ORACLE)
+def streaming_rate_limited_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 backpressure: the reference caps ingest at
+    maxOffsetsPerTrigger=100 (streaming_to_minio_fixed.py:52); the
+    offset_log source implements the same admission control — a TOTAL
+    per-trigger offset ceiling split across partitions proportionally to
+    available lag, exactly the Kafka source's planning rule. This entry
+    drains 4 partitions x 150 offsets wanting 50/batch under a 120-offset
+    ceiling and emits the REAL per-micro-batch row counts observed by a
+    foreachBatch sink: the allocator's schedule is deterministic (30 per
+    partition per trigger -> five 120-row batches), so the oracle states
+    the exact expected batch sizes and the within-cap invariant is a
+    hard value check, not a tautology (sources/pydatasource.py
+    OffsetLogStreamReader.latestOffset)."""
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+
+    register_offset_log(spark)
+    stream = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 4)
+        .option("n_rows", 150)
+        .option("rows_per_batch", 50)
+        .option("max_offsets_per_trigger", 120)
+        .load()
+    )
+    batches: list[tuple[int, int, int]] = []
+
+    def observe(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("partition").alias("p"),
+        ).collect()[0]
+        if agg["n"] > 0:
+            batches.append((batch_id, agg["n"], agg["p"]))
+
+    q = stream.writeStream.foreachBatch(observe).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # re-number by drain order: foreachBatch ids are already sequential
+    # from 0 for a fresh (checkpoint-less) query, but sort defensively
+    rows = [
+        (int(i), int(n), int(p), bool(n <= 120))
+        for i, (bid, n, p) in enumerate(sorted(batches))
+    ]
+    return spark.createDataFrame(
+        rows, "batch_id long, n_rows long, n_partitions long, within_cap boolean"
+    ).orderBy("batch_id")
+
+
 def _bpe_cte_prefix(n_merges: int = 3) -> str:
     """Shared unrolled-BPE CTE chain: word-frequency dictionary, sentinel
     symbol strings, then n (pair-count → argmax → merge) rounds. Each

@@ -159,52 +159,101 @@ def make_offset_log_source():
             self.n_parts = max(1, int(options.get("partitions", 4)))
             self.n_rows = int(options.get("n_rows", 150))
             self.rows_per_batch = max(1, int(options.get("rows_per_batch", 50)))
+            # ST4 backpressure parity (maxOffsetsPerTrigger=100 in the
+            # reference, streaming_to_minio_fixed.py:52): a ceiling on the
+            # TOTAL offsets one micro-batch may admit across all
+            # partitions. Like the Kafka source, the budget is split
+            # proportionally to each partition's available lag (remainder
+            # to the lowest partition ids), so per-partition cursors can
+            # advance unevenly and the planned batch never exceeds the cap.
+            mot = options.get("max_offsets_per_trigger")
+            self.max_offsets = int(mot) if mot is not None else None
             # The paced high-watermark is BROKER state, not consumer state:
             # a latestOffset that restarts from zero while the checkpoint
             # holds a higher committed offset would hand Spark a regressed
             # offset to WAL, and the next batch would re-serve committed
             # ranges (duplicates in an append sink). `hwm_file` persists
             # the watermark across reader instances exactly like a broker
-            # outlives consumers; without it the in-memory cursor is only
+            # outlives consumers; without it the in-memory cursors are only
             # safe for single-run (no-restart) drains.
             self.hwm_file = options.get("hwm_file")
-            self.cursor = self._load_hwm()
+            self.cursors = self._load_hwm()
 
         def _load_hwm(self):
+            zero = {p: 0 for p in range(self.n_parts)}
             if self.hwm_file:
                 try:
                     with open(self.hwm_file) as fh:
-                        return int(fh.read().strip() or 0)
+                        raw = fh.read().strip()
+                    if not raw:
+                        return zero
+                    if raw.isdigit():  # legacy single-cursor format
+                        return {p: int(raw) for p in range(self.n_parts)}
+                    import json
+
+                    return {
+                        p: int(json.loads(raw).get(str(p), 0))
+                        for p in range(self.n_parts)
+                    }
                 except (OSError, ValueError):
-                    return 0
-            return 0
+                    return zero
+            return zero
 
         def _store_hwm(self):
             if self.hwm_file:
+                import json
+
                 with open(self.hwm_file, "w") as fh:
-                    fh.write(str(self.cursor))
+                    json.dump({str(p): c for p, c in self.cursors.items()}, fh)
 
         def initialOffset(self):
             return {str(p): 0 for p in range(self.n_parts)}
 
         def latestOffset(self):
-            self.cursor = min(self.cursor + self.rows_per_batch, self.n_rows)
+            # per-partition desired advance: broker pacing bounded by lag
+            desired = {
+                p: min(self.rows_per_batch, self.n_rows - self.cursors[p])
+                for p in range(self.n_parts)
+            }
+            total = sum(desired.values())
+            if self.max_offsets is not None and total > self.max_offsets:
+                budget = self.max_offsets
+                take = {
+                    p: desired[p] * budget // total for p in desired
+                }
+                # distribute the rounding remainder to the lowest pids
+                # that still have headroom — deterministic, like the
+                # connector's stable partition ordering
+                rem = budget - sum(take.values())
+                for p in sorted(desired):
+                    if rem == 0:
+                        break
+                    if take[p] < desired[p]:
+                        take[p] += 1
+                        rem -= 1
+            else:
+                take = desired
+            for p in take:
+                self.cursors[p] += take[p]
             self._store_hwm()
-            return {str(p): self.cursor for p in range(self.n_parts)}
+            return {str(p): self.cursors[p] for p in range(self.n_parts)}
 
         def partitions(self, start, end):
             # Restart resume: the checkpointed start can be ahead of the
-            # paced cursor — fast-forward so no committed range re-plans,
+            # paced cursors — fast-forward so no committed range re-plans,
             # and clamp so a behind `end` yields an empty batch instead of
             # a negative range.
             out = []
+            moved = False
             for p in range(self.n_parts):
                 lo = int(start.get(str(p), 0))
                 hi = max(int(end.get(str(p), 0)), lo)
-                if lo > self.cursor:
-                    self.cursor = lo
-                    self._store_hwm()
+                if lo > self.cursors[p]:
+                    self.cursors[p] = lo
+                    moved = True
                 out.append(OffsetRange(p, lo, hi))
+            if moved:
+                self._store_hwm()
             return out
 
         def read(self, partition):

@@ -833,3 +833,65 @@ def test_offset_log_exactly_once_across_restarts(spark, tmp_path):
     # phase 3: nothing new — restart must append zero rows
     _run_offset_log(spark, 150, hwm, ckpt, out)
     assert spark.read.parquet(out).count() == 600
+
+
+def test_offset_log_rate_limit_bounds_every_batch(spark, tmp_path):
+    """ST4 backpressure parity (reference maxOffsetsPerTrigger=100,
+    streaming_to_minio_fixed.py:52): with max_offsets_per_trigger=90 and
+    4 partitions wanting 40 offsets each, every planned micro-batch must
+    admit <= 90 TOTAL offsets (proportional split 23/23/22/22 — uneven
+    per-partition cursors), the drain must still deliver every offset
+    exactly once, and a capped restart must resume without re-serving."""
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+
+    register_offset_log(spark)
+    hwm = str(tmp_path / "hwm")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain(n_rows):
+        stream = (
+            spark.readStream.format("offset_log")
+            .option("partitions", 4)
+            .option("n_rows", n_rows)
+            .option("rows_per_batch", 40)
+            .option("max_offsets_per_trigger", 90)
+            .option("hwm_file", hwm)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return [
+                p["numInputRows"]
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ]
+        finally:
+            q.stop()
+
+    sizes = drain(150)
+    assert sizes and max(sizes) <= 90
+    # 600 total offsets at <=90/batch needs >= 7 batches; the allocator's
+    # schedule is six 90s then the 60 tail
+    assert sum(sizes) == 600
+    assert sorted(sizes, reverse=True)[:6] == [90] * 6
+    df = spark.read.parquet(out)
+    assert df.count() == 600
+    assert df.select("partition", "offset").distinct().count() == 600
+
+    # restart with a grown log: the capped planner must serve exactly the
+    # new [150, 180) range per partition, still under the ceiling
+    sizes2 = drain(180)
+    assert max(sizes2) <= 90
+    df2 = spark.read.parquet(out)
+    assert df2.count() == 720
+    assert df2.select("partition", "offset").distinct().count() == 720
