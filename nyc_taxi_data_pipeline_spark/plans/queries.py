@@ -10300,3 +10300,159 @@ def weighted_median_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+_BM25_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr
+  FROM documents WHERE text IS NOT NULL
+),
+lens AS (SELECT doc_id, len(arr) AS dl FROM d),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM lens
+),
+toks AS (SELECT doc_id, unnest(arr) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ('join', 'vector', 'stream')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * 2.2
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens ON lens.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
+@_register("bm25_ranked_retrieval", _BM25_ORACLE)
+def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1=1.2, b=0.75, Lucene's ln(1+x) idf)
+    over the documents table for a fixed query — the keyword half of a
+    retrieval stack next to doc_similarity_tf_cosine (dense half). Scale
+    shape: postings filtered to the QUERY terms before the tf shuffle
+    (the selection reaches the explode, so the aggregate sees |q| terms
+    per doc, not the corpus vocabulary); document-frequency and
+    length-norm stats are one tiny broadcast each; top-15 is
+    TakeOrderedAndProject, never a global sort. All inputs to the double
+    math are exact integers (tf, df, dl, N), so both engines evaluate
+    identical IEEE expressions and the 4-decimal rounding is stable."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("arr"),
+    )
+    d = d.localCheckpoint(eager=False)  # consumed by lens, stats, and toks
+    lens = d.select("doc_id", F.size("arr").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    query_terms = ["join", "vector", "stream"]
+    tf = (
+        d.select("doc_id", F.explode("arr").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.localCheckpoint(eager=False)  # feeds dfreq AND the score join
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.log(
+                F.lit(1)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.col("tf")
+            * F.lit(2.2)
+            / (
+                F.col("tf")
+                + F.lit(1.2)
+                * (
+                    F.lit(1)
+                    - F.lit(0.75)
+                    + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(15)
+
+
+_SHARD_ORACLE = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+              AS BIGINT) AS shuffle_key,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, n_tokens,
+         shuffle_key % 8 AS shard_id,
+         row_number() OVER (PARTITION BY shuffle_key % 8
+                            ORDER BY shuffle_key, doc_id) AS position
+  FROM keyed
+)
+SELECT shard_id, CAST(position AS BIGINT) AS position, doc_id, n_tokens
+FROM assigned
+ORDER BY shard_id, position
+"""
+
+
+@_register("training_shard_shuffle", _SHARD_ORACLE)
+def training_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: every document gets a
+    pseudo-random-but-reproducible shuffle key (md5 of id + seed — the
+    portable lane; production swaps xxhash64 exactly like the dedup
+    fingerprints), the key's modulus picks the output shard, and the
+    within-shard ORDER is the key order — so the 'random' permutation is
+    a pure function of (id, seed) and any rerun, resume, or engine swap
+    reproduces it bit-for-bit. This is the step that breaks source/time
+    locality before sequence packing; correlated batches are a real
+    training regression. Scale shape: ONE hash shuffle on shard_id with
+    per-shard (not global) sort — shards are independent, so 100 TB
+    shuffles as width-many parallel sorts, never a total order; shard
+    count governs downstream file sizes (operators/textstats.py is the
+    token side of the same contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("42"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("shuffle_key"),
+        F.when(F.trim(F.col("text")) == "", 0)
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = W.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("shard_id", F.col("shuffle_key") % 8)
+        .withColumn("position", F.row_number().over(w).cast("bigint"))
+        .select("shard_id", "position", "doc_id", "n_tokens")
+        .orderBy("shard_id", "position")
+    )

@@ -5,6 +5,17 @@ properties that do — scans prune and push down, small dims broadcast,
 range joins never degrade to nested loops, Python appears only in the
 operators whose purpose IS the Python surface (multimodal decode, UDTF
 chunker, pandas UDAF), top-k never global-sorts.
+
+PINNED RENDERING: several assertions match Spark 4.1's plan-STRING
+formatting (exact 'Exchange hashpartitioning' counts, the
+'BitmapExpressionUtils.bitmapCount' spelling, windowspecdefinition
+attribute syntax with an optional bigint 'L' suffix). A Spark upgrade
+that reformats plan strings or lets AQE insert an exchange can fail
+these without a real regression — if that happens, re-derive the
+needles from a fresh `.explain("formatted")` before suspecting the
+operators. `_PINNED_SPARK` makes the dependency explicit: the
+format-sensitive tests skip (loudly) on other feature versions instead
+of failing on cosmetics.
 """
 
 from __future__ import annotations
@@ -14,6 +25,16 @@ import pytest
 from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
 
 SF = "/root/testdata/sf0.01"
+
+_PINNED_SPARK = "4.1"
+
+
+def _require_pinned_spark(spark) -> None:
+    if not spark.version.startswith(_PINNED_SPARK):
+        pytest.skip(
+            f"plan-string needles pinned to Spark {_PINNED_SPARK}.x "
+            f"rendering (running {spark.version}); re-derive before trusting"
+        )
 
 
 def _plan(spark, name: str) -> str:
@@ -360,6 +381,7 @@ def test_regression_trend_single_aggregate_pass(spark):
     aggregate: exactly one hash-partition exchange (the group key), no
     window, no join — the single-pass property that makes per-key trend
     fitting viable over a 100 TB fact table."""
+    _require_pinned_spark(spark)
     plan = _plan(spark, "regression_trend_aggregates")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan
@@ -370,6 +392,7 @@ def test_bitmap_distinct_no_expand(spark):
     """Both grains must come from the segment bitmaps (bitmap_count over
     construct/or-merge) — an Expand node would mean a count-DISTINCT
     fallback that re-shuffles raw events per grain."""
+    _require_pinned_spark(spark)
     plan = _plan(spark, "bitmap_exact_distinct")
     assert "bitmapCount" in plan  # prints as BitmapExpressionUtils.bitmapCount
     assert "bitmap_or_agg" in plan
@@ -389,6 +412,7 @@ def test_weighted_median_single_window_shuffle(spark):
     """Cumulative weight and group total must share ONE hash-partition
     exchange on the group key (two Window specs, same partitioning); a
     second exchange would mean the windows repartitioned independently."""
+    _require_pinned_spark(spark)
     plan = _plan(spark, "weighted_median_window")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
@@ -400,6 +424,7 @@ def test_length_bucket_no_single_partition_window(spark):
     by tier (a naive global ntile would rank over an EMPTY partition
     spec, serializing the corpus through one task). SinglePartition
     exchanges are allowed only for the tiny offsets/total frames."""
+    _require_pinned_spark(spark)
     plan = _plan(spark, "length_bucket_padding")
     assert "ntile" not in plan
     # the corpus-sized row_number must partition by tier: its spec prints

@@ -1,0 +1,101 @@
+"""Measure the scaling CURVE instead of asserting it (round-2 VERDICT #5):
+run the most expensive catalog entries at two scale points and record the
+wall-time ratio against the data ratio. Sub-linear ratio = fixed cost
+dominates; ~linear = healthy; super-linear = a data-dependent join
+(Σ postings², pair blowup) — flagged.
+
+Usage: python tools/bench_scaling.py [small_dir big_dir data_ratio]
+Writes SCALING_LOCAL.json next to the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ENTRIES = [
+    # top-10 of BENCH_LOCAL round 2 + the data-dependent pair joins
+    "recursive_calendar_spine",
+    "recursive_graph_reachability",
+    "doc_similarity_tf_cosine",
+    "pagerank_supplier_graph",
+    "star_fact_summary",
+    "dedup_minhash_lsh",
+    "minhash_estimate_error",
+    "profile_table_onepass",
+    "ann_recall_eval",
+    "dedup_minhash_portable",
+    "ann_lsh_multiprobe_exact",
+    "ann_cosine_topk",
+    "simhash_hamming_pairs",
+    "dedup_exact_jaccard",
+    "jaccard_prefix_filter_pairs",
+    "dedup_exact_documents",
+    "q01_pricing_summary",
+    "q09_product_profit",
+]
+
+
+def timed(q, spark, sf_dir: str, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+    return best
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale/sf0.5"
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 5.0
+
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+    from nyc_taxi_data_pipeline_spark.session import get_spark
+
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/spark-scaling"
+    spark = get_spark(app_name="scaling", extra_conf=extra)
+    spark.range(1).count()
+
+    out: dict[str, dict] = {}
+    for name in ENTRIES:
+        q = REGISTRY[name]
+        try:
+            t_small = timed(q, spark, small)
+            t_big = timed(q, spark, big)
+            r = t_big / t_small if t_small > 0 else float("nan")
+            out[name] = {
+                "sec_small": round(t_small, 2),
+                "sec_big": round(t_big, 2),
+                "time_ratio": round(r, 2),
+                "data_ratio": ratio,
+                "verdict": (
+                    "superlinear" if r > ratio * 1.3
+                    else "linear" if r > 0.6 * ratio
+                    else "sublinear"
+                ),
+            }
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(name, out[name], file=sys.stderr)
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_LOCAL.json",
+    )
+    with open(path, "w") as f:
+        json.dump({"small": small, "big": big, "data_ratio": ratio,
+                   "entries": out}, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
