@@ -10456,3 +10456,122 @@ def training_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard_id", "position", "doc_id", "n_tokens")
         .orderBy("shard_id", "position")
     )
+
+
+_TF_COSINE_CAPPED_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE doc_id % 4 = 0
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm FROM tf GROUP BY doc_id
+),
+kept AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+    FROM tf
+  ) WHERE rn <= 16
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT c.doc_a, c.doc_b, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM cand c
+  JOIN tf a ON a.doc_id = c.doc_a
+  JOIN tf b ON b.doc_id = c.doc_b AND b.term = a.term
+  GROUP BY c.doc_a, c.doc_b
+),
+scored AS (
+  SELECT d.doc_a, d.doc_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b
+),
+ranked AS (
+  SELECT doc_a, doc_b, cosine,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY cosine DESC, doc_b) AS rnk
+  FROM scored
+)
+SELECT doc_a, doc_b, CAST(rnk AS INT) AS rnk, cosine
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_a, rnk
+"""
+
+
+@_register("doc_similarity_capped_postings", _TF_COSINE_CAPPED_ORACLE)
+def doc_similarity_capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of doc_similarity_tf_cosine. The round-3
+    scaling sweep MEASURED the exact sibling at 26x time for 5x data
+    (SCALING_LOCAL.json): its inverted-index join does Σ postings² work,
+    and on a bounded vocabulary postings grow with the corpus, so pair
+    work is effectively |docs|² — correct math, 100 TB death. This entry
+    implements the mitigation its docstring prescribed: impact-ordered
+    POSTING-LIST TRUNCATION (candidate generation keeps only each term's
+    top-16 postings by tf — the classic impact-ordered index move), then
+    EXACT cosine verification of the candidates over the FULL tf vectors.
+    Candidate work is Σ min(postings,16)² ≤ 256·|vocab| — linear in
+    vocabulary, independent of corpus size; verification is |candidates|
+    × doc length, not |docs|². Trade-off: top-k recall < 1 for docs whose
+    neighbors share only ultra-common terms (deterministically — both
+    engines run the identical truncation, so the entry stays a full
+    value oracle). Shares the scan/tf/norms plan with the exact sibling."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds kept + both verify sides + norms
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    wterm = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    kept = (
+        tf.withColumn("rn", F.row_number().over(wterm))
+        .filter(F.col("rn") <= 16)
+        .select("term", "doc_id")
+    )
+    cand = (
+        kept.alias("a")
+        .join(kept.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # candidate set feeds the verify join
+    )
+    a = tf.select(F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tf_a"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tf_b"))
+    dots = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    w = W.partitionBy("doc_a").orderBy(F.col("cosine").desc(), "doc_b")
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_a", "doc_b", "rnk", "cosine")
+        .orderBy("doc_a", "rnk")
+    )

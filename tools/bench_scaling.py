@@ -65,8 +65,23 @@ def main() -> None:
     spark = get_spark(app_name="scaling", extra_conf=extra)
     spark.range(1).count()
 
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_LOCAL.json",
+    )
+    # incremental + resumable: reload prior results, write after each entry
     out: dict[str, dict] = {}
+    if os.path.isfile(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+            if prior.get("small") == small and prior.get("big") == big:
+                out = prior.get("entries", {})
+        except (OSError, ValueError):
+            pass
     for name in ENTRIES:
+        if name in out and "error" not in out[name]:
+            continue
         q = REGISTRY[name]
         try:
             t_small = timed(q, spark, small)
@@ -85,15 +100,10 @@ def main() -> None:
             }
         except Exception as e:  # noqa: BLE001
             out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
-        print(name, out[name], file=sys.stderr)
-
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_LOCAL.json",
-    )
-    with open(path, "w") as f:
-        json.dump({"small": small, "big": big, "data_ratio": ratio,
-                   "entries": out}, f, indent=1)
+        print(name, out[name], file=sys.stderr, flush=True)
+        with open(path, "w") as f:
+            json.dump({"small": small, "big": big, "data_ratio": ratio,
+                       "entries": out}, f, indent=1)
     print(f"wrote {path}")
 
 

@@ -48,6 +48,10 @@ FIXED = ["region", "nation"]
 
 
 def main() -> None:
+    if "--perturb" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--perturb"]
+        perturb(args[1], int(args[0]))
+        return
     k = int(sys.argv[1])
     out = sys.argv[2]
     os.makedirs(out, exist_ok=True)
@@ -69,6 +73,69 @@ def main() -> None:
         merged = pa.concat_tables(copies)
         pq.write_table(merged, f"{out}/{name}.parquet")
         print(f"{name}: {base.num_rows} x {k} = {merged.num_rows}")
+
+
+def perturb(out_dir: str, k: int) -> None:
+    """--perturb variant: same key-shifted replication, but copy c>0 gets
+    content decorrelated from copy 0 so DUPLICATE DENSITY stays constant
+    as volume grows (the plain replication multiplies every doc/vector
+    into a k-member near-dup cluster, which inflates candidate-pair work
+    quadratically and conflates 'superlinear in volume' with 'superlinear
+    in dup density'):
+      - documents: every 3rd token is replaced by a copy-unique token, so
+        every 3-shingle crosses a replaced position and copies share NO
+        shingles (inverted-index postings split per copy);
+      - embeddings: a deterministic per-(copy,vec,dim) jitter of ~10% of
+        the value range decorrelates cosine neighborhoods across copies.
+    """
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in FIXED:
+        pq.write_table(
+            pq.read_table(f"{SRC}/{name}.parquet"), f"{out_dir}/{name}.parquet"
+        )
+    rng_base = 1_000_003
+    for name, strides in STRIDES.items():
+        base = pq.read_table(f"{SRC}/{name}.parquet")
+        copies = []
+        for c in range(k):
+            t = base
+            for col, stride in strides.items():
+                idx = t.column_names.index(col)
+                shifted = pc.add(t.column(col), pa.scalar(c * stride, pa.int64()))
+                t = t.set_column(idx, t.field(idx), shifted)
+            if c > 0 and name == "documents":
+                texts = t.column("text").to_pylist()
+                new = []
+                for ti, txt in enumerate(texts):
+                    if txt is None:
+                        new.append(None)
+                        continue
+                    toks = txt.split()
+                    for j in range(0, len(toks), 3):
+                        toks[j] = f"c{c}u{(ti * 31 + j) % 9973}"
+                    new.append(" ".join(toks))
+                idx = t.column_names.index("text")
+                t = t.set_column(idx, t.field(idx), pa.array(new, pa.string()))
+            if c > 0 and name == "embeddings":
+                embs = t.column("embedding").to_pylist()
+                arr = np.array(embs, dtype=np.float32)
+                seeds = (
+                    np.arange(arr.size, dtype=np.int64) * rng_base + c * 7919
+                ) % 104729
+                jitter = ((seeds % 2001) - 1000).astype(np.float32) / 4000.0
+                arr = arr + jitter.reshape(arr.shape)
+                idx = t.column_names.index("embedding")
+                t = t.set_column(
+                    idx,
+                    t.field(idx),
+                    pa.array([row.tolist() for row in arr], pa.list_(pa.float32())),
+                )
+            copies.append(t)
+        merged = pa.concat_tables(copies)
+        pq.write_table(merged, f"{out_dir}/{name}.parquet")
+        print(f"{name}: {base.num_rows} x {k} = {merged.num_rows} (perturbed)")
 
 
 if __name__ == "__main__":
