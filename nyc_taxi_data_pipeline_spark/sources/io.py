@@ -751,3 +751,136 @@ def publish_zone_partitions_cas(
         zone, expected, current_zone_version(zone) or -1,
         f"gave up after {max_rebase} rebases",
     )
+
+
+# --------------------------------------------------------------------------
+# Delta Lake READ path without connector jars (public protocol)
+# --------------------------------------------------------------------------
+#
+# write_delta stays jar-gated (the transactional writer genuinely needs
+# io.delta), but READING an existing Delta table requires only the
+# published Delta transaction-log protocol
+# (https://github.com/delta-io/delta/blob/master/PROTOCOL.md): the table
+# state at version V is the replay of _delta_log/<20-digit>.json commits
+# (line-delimited JSON actions) on top of the newest
+# <v>.checkpoint.parquet at or below V; the active file set is the adds
+# minus removes, last action per path winning. The resolver below walks
+# that log driver-side (it is metadata: thousands of small actions, not
+# data) and hands Spark a plain parquet scan of the active files — so a
+# user of the reference's convert_to_delta.py output
+# (scripts/convert_to_delta.py:85-88) can read every snapshot, including
+# time travel, with zero extra jars.
+
+
+def delta_table_versions(path: str) -> list[int]:
+    """Commit versions present in the table's _delta_log, ascending."""
+    import os
+    import re
+
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for f in os.listdir(log_dir)
+        if (m := re.fullmatch(r"(\d{20})\.json", f))
+    )
+
+
+def _delta_active_files(path: str, version: int) -> tuple[list[str], dict]:
+    """Replay the Delta log up to `version` (inclusive): newest checkpoint
+    at or below it, then the JSON commits after it. Returns (active
+    relative file paths, last metaData action seen)."""
+    import json
+    import os
+    import re
+    import urllib.parse
+
+    log_dir = os.path.join(path, "_delta_log")
+    ckpts = sorted(
+        int(m.group(1))
+        for f in os.listdir(log_dir)
+        if (m := re.fullmatch(r"(\d{20})\.checkpoint\.parquet", f))
+    )
+    start = 0
+    active: dict[str, bool] = {}
+    meta: dict = {}
+    base = [c for c in ckpts if c <= version]
+    if base:
+        import pyarrow.parquet as pq
+
+        ck = pq.read_table(
+            os.path.join(log_dir, f"{base[-1]:020d}.checkpoint.parquet")
+        )
+        cols = set(ck.column_names)
+        rows = ck.to_pylist()
+        for r in rows:
+            add = r.get("add") if "add" in cols else None
+            rem = r.get("remove") if "remove" in cols else None
+            md = r.get("metaData") if "metaData" in cols else None
+            if add and add.get("path"):
+                active[add["path"]] = True
+            if rem and rem.get("path"):
+                active.pop(rem["path"], None)
+            if md and (md.get("id") or md.get("partitionColumns") is not None):
+                meta = md
+        start = base[-1] + 1
+    for v in range(start, version + 1):
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.isfile(commit):
+            # commits below a checkpoint never enter this loop (start is
+            # checkpoint+1), so a gap here is a genuinely broken log
+            raise ValueError(f"delta log is missing commit {v} at {path}")
+        with open(commit) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    active[action["add"]["path"]] = True
+                elif "remove" in action:
+                    active.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+    # paths are URL-encoded relative paths per the protocol
+    return [urllib.parse.unquote(p) for p in active], meta
+
+
+def read_delta_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table snapshot (default: latest; pass `version` for
+    time travel) WITHOUT delta jars, by resolving the transaction log
+    driver-side and planning one parquet scan over the active files.
+    Partitioned tables work because Delta lays files out under
+    hive-style partition dirs: basePath recovers the partition columns.
+    Column-mapping / deletion-vector tables (reader protocol v2
+    features) are rejected rather than misread."""
+    import os
+
+    versions = delta_table_versions(path)
+    if not versions and version is None:
+        raise ValueError(f"{path} has no _delta_log — not a Delta table")
+    v = max(versions) if version is None else version
+    files, meta = _delta_active_files(path, v)
+    if meta:
+        fmt = meta.get("format", {})
+        if fmt and fmt.get("provider", "parquet") != "parquet":
+            raise NotImplementedError(
+                f"delta format provider {fmt.get('provider')} unsupported"
+            )
+        cfg = meta.get("configuration", {}) or {}
+        if cfg.get("delta.columnMapping.mode", "none") not in ("", "none"):
+            raise NotImplementedError(
+                "column-mapping Delta tables need the real reader"
+            )
+        if cfg.get("delta.enableDeletionVectors", "false") == "true":
+            raise NotImplementedError(
+                "deletion-vector Delta tables need the real reader"
+            )
+    if not files:
+        raise ValueError(f"delta snapshot v{v} of {path} has no data files")
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f) for f in files]
+    )

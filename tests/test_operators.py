@@ -1348,3 +1348,148 @@ def test_zone_cas_crash_before_rename_still_readable(spark, tmp_path):
     shutil.move(os.path.join(zone, "v=0"), staged_abs)
     assert zone_version_path(zone, 0) == staged_abs
     assert read_zone_snapshot(spark, zone, 0).count() == 7
+
+
+def _write_delta_commit(log_dir, version, actions):
+    import json
+    import os
+
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _craft_delta_table(spark, path, partitioned=False):
+    """Hand-build a Delta table per the PUBLIC protocol (PROTOCOL.md):
+    parquet data files + line-JSON commits. v0 adds f1, v1 adds f2,
+    v2 removes f1 — three readable snapshots."""
+    import glob
+    import os
+
+    def one_file(df, sub):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{path}/__tmp")
+        src = glob.glob(f"{path}/__tmp/part-*.parquet")[0]
+        os.makedirs(os.path.dirname(f"{path}/{sub}"), exist_ok=True)
+        os.replace(src, f"{path}/{sub}")
+        return sub
+
+    if partitioned:
+        f1 = one_file(spark.createDataFrame([(1, 10)], "k int, x int"), "p=a/f1.parquet")
+        f2 = one_file(spark.createDataFrame([(2, 20)], "k int, x int"), "p=b/f2.parquet")
+        pcols, pv1, pv2 = ["p"], {"p": "a"}, {"p": "b"}
+    else:
+        f1 = one_file(spark.createDataFrame([(1, 10)], "k int, x int"), "f1.parquet")
+        f2 = one_file(spark.createDataFrame([(2, 20)], "k int, x int"), "f2.parquet")
+        pcols, pv1, pv2 = [], {}, {}
+    log = f"{path}/_delta_log"
+    meta = {
+        "metaData": {
+            "id": "t-1", "format": {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": pcols, "configuration": {},
+        }
+    }
+    _write_delta_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        meta,
+        {"add": {"path": f1, "partitionValues": pv1, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    _write_delta_commit(log, 1, [
+        {"add": {"path": f2, "partitionValues": pv2, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    _write_delta_commit(log, 2, [
+        {"remove": {"path": f1, "deletionTimestamp": 0, "dataChange": True}},
+    ])
+    return f1, f2
+
+
+def test_delta_read_path_snapshots_and_time_travel(spark, tmp_path):
+    """S9 read path without jars: the resolver replays the public Delta
+    transaction log (adds minus removes, last per path wins) and plans a
+    plain parquet scan — latest snapshot and time travel both work."""
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        delta_table_versions,
+        read_delta_snapshot,
+    )
+
+    path = str(tmp_path / "dt")
+    _craft_delta_table(spark, path)
+    assert delta_table_versions(path) == [0, 1, 2]
+    assert [r.k for r in read_delta_snapshot(spark, path, 0).collect()] == [1]
+    assert sorted(
+        r.k for r in read_delta_snapshot(spark, path, 1).collect()
+    ) == [1, 2]
+    latest = read_delta_snapshot(spark, path)
+    assert [(r.k, r.x) for r in latest.collect()] == [(2, 20)]
+
+
+def test_delta_read_path_partitioned_basepath(spark, tmp_path):
+    """Partitioned Delta layout: files live under hive-style dirs, so the
+    basePath-anchored scan recovers the partition column."""
+    from nyc_taxi_data_pipeline_spark.sources.io import read_delta_snapshot
+
+    path = str(tmp_path / "dtp")
+    _craft_delta_table(spark, path, partitioned=True)
+    snap1 = read_delta_snapshot(spark, path, 1)
+    assert sorted((r.k, r.p) for r in snap1.collect()) == [(1, "a"), (2, "b")]
+    assert [r.p for r in read_delta_snapshot(spark, path).collect()] == ["b"]
+
+
+def test_delta_read_path_checkpoint_replay(spark, tmp_path):
+    """Checkpoint support: the newest <v>.checkpoint.parquet at or below
+    the requested version seeds the file set and only later JSON commits
+    replay — proven by DELETING the pre-checkpoint commits (metadata
+    cleanup, which real Delta tables do after checkpointing)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_pipeline_spark.sources.io import read_delta_snapshot
+
+    path = str(tmp_path / "dtc")
+    f1, f2 = _craft_delta_table(spark, path)
+    log = f"{path}/_delta_log"
+    # checkpoint at v2: state = {f2} (f1 was removed in commit 2)
+    add_t = pa.struct([("path", pa.string())])
+    rem_t = pa.struct([("path", pa.string())])
+    table = pa.table(
+        {
+            "add": pa.array([{"path": f2}, None], add_t),
+            "remove": pa.array([None, None], rem_t),
+        }
+    )
+    pq.write_table(table, os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    for v in (0, 1):  # metadata cleanup: pre-checkpoint commits vanish
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    # commit 3 re-adds f1
+    _write_delta_commit(log, 3, [
+        {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    assert sorted(
+        r.k for r in read_delta_snapshot(spark, path).collect()
+    ) == [1, 2]
+    assert [r.k for r in read_delta_snapshot(spark, path, 2).collect()] == [2]
+
+
+def test_delta_read_path_rejects_v2_reader_features(spark, tmp_path):
+    """Column-mapping / deletion-vector tables must be REJECTED, not
+    silently misread with physical column names."""
+    import pytest as _pytest
+
+    from nyc_taxi_data_pipeline_spark.sources.io import read_delta_snapshot
+
+    path = str(tmp_path / "dtcm")
+    _craft_delta_table(spark, path)
+    _write_delta_commit(f"{path}/_delta_log", 3, [
+        {"metaData": {
+            "id": "t-1", "format": {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }},
+    ])
+    with _pytest.raises(NotImplementedError, match="column-mapping"):
+        read_delta_snapshot(spark, path)
