@@ -283,10 +283,12 @@ def publish_zone_version(df: DataFrame, zone: str) -> int:
 
 
 def read_published_zone(spark: SparkSession, zone: str) -> DataFrame:
-    """Resolve the `_CURRENT` pointer and read that immutable snapshot."""
+    """Resolve the `_CURRENT` pointer and read that immutable snapshot.
+    CAS-committed versions live at log-recorded staged paths, legacy ones
+    at `v=<n>` — zone_version_path resolves both."""
     with open(f"{zone}/_CURRENT") as f:
         version = int(f.read().strip())
-    return spark.read.parquet(f"{zone}/v={version}")
+    return spark.read.parquet(zone_version_path(zone, version))
 
 
 def write_bucketed_table(
@@ -340,18 +342,20 @@ def audited_publish_zone(df: DataFrame, zone: str, rules) -> tuple[int | None, d
 
 
 def list_zone_versions(zone: str) -> list[int]:
-    """All snapshot versions present in the zone, ascending (the published
-    one is whatever `_CURRENT` names — a superset means rejected WAP
-    audits or rollback history)."""
+    """All snapshot versions present in the zone, ascending: legacy `v=<n>`
+    dirs plus CAS-committed log versions (whose data lives at immutable
+    staged paths). The published one is whatever `_CURRENT`/the log names
+    — a superset means rejected WAP audits or rollback history."""
     import os
 
     if not os.path.isdir(zone):
         return []
-    return sorted(
+    dirs = {
         int(d.split("=")[1])
         for d in os.listdir(zone)
         if d.startswith("v=") and d.split("=")[1].isdigit()
-    )
+    }
+    return sorted(dirs | set(read_zone_log(zone)))
 
 
 def rollback_zone(zone: str, version: int) -> None:
@@ -527,20 +531,21 @@ def current_zone_version(zone: str) -> int | None:
 
 
 def zone_version_path(zone: str, version: int) -> str:
-    """Data directory of a committed version: the canonical `v=<n>` name
-    when the owner's post-commit rename completed, else the staged dir
-    recorded in the log entry (a crash between log write and rename loses
-    nothing — the data simply stays under its staged name)."""
+    """Data directory of a committed version: the staged dir recorded in
+    the log entry for CAS-committed versions (immutable — never renamed,
+    so a path resolved once stays valid for the life of a lazy plan), or
+    the legacy `v=<n>` dir for versions published by the non-CAS
+    protocol."""
     import os
 
-    canonical = os.path.join(zone, f"v={version}")
-    if os.path.isdir(canonical):
-        return canonical
     entry = read_zone_log(zone).get(version)
     if entry is not None:
         staged = os.path.join(zone, entry["data_dir"])
         if os.path.isdir(staged):
             return staged
+    canonical = os.path.join(zone, f"v={version}")
+    if os.path.isdir(canonical):
+        return canonical
     raise ValueError(f"zone {zone} has no data for version {version}")
 
 
@@ -642,14 +647,11 @@ def _try_commit(
             os.unlink(tmp)
             continue  # lost the race for n — re-scan, conflict-check v=n too
         os.unlink(tmp)
-        # cosmetic post-commit rename into the canonical v-dir; owner-only
-        # (nothing else may ever create v=<n> for a CAS-committed n)
-        staged_abs = os.path.join(zone, staged_rel)
-        canonical = os.path.join(zone, f"v={n}")
-        try:
-            os.rename(staged_abs, canonical)
-        except OSError:
-            pass  # data stays readable at the staged path via the log
+        # NO post-commit rename into a v-dir: a concurrent rebaser may
+        # have already planned a (lazy) scan against the staged path it
+        # resolved from the log, and moving the directory under a live
+        # plan turns a benign rebase into a read failure. Data stays at
+        # its immutable staged path; the log is the naming authority.
         _refresh_current_pointer(zone)
         return n
 

@@ -1210,11 +1210,17 @@ def test_zone_cas_two_writer_race(spark, tmp_path):
         0, 1, 2, 3, 4,
     ]
     assert read_published_zone(spark, zone).count() == 5
-    # loser's staged data was cleaned up
+    # loser's staged data was cleaned up: only the COMMITTED versions'
+    # data dirs remain under _staged (v0 + the winner's v1)
     import os
 
-    staged = os.path.join(zone, "_staged")
-    assert not os.path.isdir(staged) or os.listdir(staged) == []
+    from nyc_taxi_data_pipeline_spark.sources.io import read_zone_log
+
+    committed = {
+        os.path.basename(e["data_dir"]) for e in read_zone_log(zone).values()
+    }
+    assert set(os.listdir(os.path.join(zone, "_staged"))) == committed
+    assert len(committed) == 2
 
 
 def test_zone_cas_concurrent_threads_exactly_one_wins(spark, tmp_path):
@@ -1323,31 +1329,37 @@ def test_zone_cas_partition_overlap_conflicts(spark, tmp_path):
     assert got == {("p1", 100), ("p2", 3)}
 
 
-def test_zone_cas_crash_before_rename_still_readable(spark, tmp_path):
-    """A commit is the LOG ENTRY, not the v-dir rename: if the owner dies
-    between winning the log slot and renaming its staged dir, the version
-    stays readable at the staged path (zone_version_path falls back via
-    the log)."""
+def test_zone_cas_data_dirs_immutable_and_log_resolved(spark, tmp_path):
+    """A commit is the LOG ENTRY; committed data stays at its immutable
+    staged path forever (no post-commit rename — a rename would yank the
+    directory out from under a concurrent rebaser's lazily-planned scan).
+    zone_version_path resolves CAS versions via the log, legacy versions
+    via v-dirs, and list_zone_versions sees both protocols."""
     import os
-    import shutil
 
     from nyc_taxi_data_pipeline_spark.sources.io import (
+        list_zone_versions,
+        publish_zone_version,
         publish_zone_version_cas,
         read_zone_log,
         read_zone_snapshot,
         zone_version_path,
     )
 
-    zone = str(tmp_path / "cas_crash")
-    publish_zone_version_cas(
-        spark.range(7).withColumnRenamed("id", "k"), zone, expected_version=-1
+    zone = str(tmp_path / "cas_immutable")
+    # legacy publish creates v=0; CAS commits land at staged paths
+    publish_zone_version(spark.range(3).withColumnRenamed("id", "k"), zone)
+    v = publish_zone_version_cas(
+        spark.range(7).withColumnRenamed("id", "k"), zone, expected_version=0
     )
-    # simulate crash-before-rename: move v=0 back to its staged name
-    entry = read_zone_log(zone)[0]
-    staged_abs = os.path.join(zone, entry["data_dir"])
-    shutil.move(os.path.join(zone, "v=0"), staged_abs)
-    assert zone_version_path(zone, 0) == staged_abs
-    assert read_zone_snapshot(spark, zone, 0).count() == 7
+    assert v == 1
+    entry = read_zone_log(zone)[1]
+    assert zone_version_path(zone, 1) == os.path.join(zone, entry["data_dir"])
+    assert not os.path.isdir(os.path.join(zone, "v=1"))
+    assert zone_version_path(zone, 0) == os.path.join(zone, "v=0")
+    assert read_zone_snapshot(spark, zone, 1).count() == 7
+    assert read_zone_snapshot(spark, zone, 0).count() == 3
+    assert list_zone_versions(zone) == [0, 1]
 
 
 def _write_delta_commit(log_dir, version, actions):
@@ -1493,3 +1505,59 @@ def test_delta_read_path_rejects_v2_reader_features(spark, tmp_path):
     ])
     with _pytest.raises(NotImplementedError, match="column-mapping"):
         read_delta_snapshot(spark, path)
+
+
+def test_zone_cas_partition_threads_race_rebase(spark, tmp_path):
+    """TRUE concurrency for partition-scoped writers: three threads update
+    three DISJOINT partitions from the same base version at once. The log
+    CAS serializes them into versions 1..3 in some order, each loser
+    rebases instead of failing, and the final snapshot carries all three
+    updates plus the untouched partition."""
+    import threading
+
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        current_zone_version,
+        publish_zone_partitions_cas,
+        read_zone_log,
+        read_zone_snapshot,
+    )
+
+    zone = str(tmp_path / "cas_parts_threads")
+    base = spark.createDataFrame(
+        [("p1", 1), ("p2", 2), ("p3", 3), ("p4", 4)], "part string, x int"
+    )
+    publish_zone_partitions_cas(spark, zone, base, "part", -1)
+
+    results: list[int] = []
+    errors: list[Exception] = []
+    lock = threading.Lock()
+
+    def update(part: str, val: int) -> None:
+        upd = spark.createDataFrame([(part, val)], "part string, x int")
+        try:
+            v = publish_zone_partitions_cas(
+                spark, zone, upd, "part", expected_version=0, max_rebase=5
+            )
+            with lock:
+                results.append(v)
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                errors.append(e)
+
+    threads = [
+        threading.Thread(target=update, args=(f"p{i}", i * 100))
+        for i in (1, 2, 3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    assert sorted(results) == [1, 2, 3]
+    assert current_zone_version(zone) == 3
+    final = {(r.part, r.x) for r in read_zone_snapshot(spark, zone).collect()}
+    assert final == {("p1", 100), ("p2", 200), ("p3", 300), ("p4", 4)}
+    # the log records each commit's true (rebased) base: a chain, not a fork
+    log = read_zone_log(zone)
+    assert [log[v]["base"] for v in (1, 2, 3)] == [0, 1, 2]
