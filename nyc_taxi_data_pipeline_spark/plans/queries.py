@@ -10575,3 +10575,171 @@ def doc_similarity_capped_postings(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_a", "doc_b", "rnk", "cosine")
         .orderBy("doc_a", "rnk")
     )
+
+
+_DELTA_READ_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id < 400 AND doc_id >= 100
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@_register("delta_read_snapshot_agg", _DELTA_READ_ORACLE)
+def delta_read_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 READ path, driver-verified end to end: build a Delta table by
+    writing protocol-conformant artifacts (parquet data files +
+    line-JSON _delta_log commits per delta-io PROTOCOL.md — the jarless
+    equivalent of the reference's convert_to_delta.py:85-88 output),
+    with a history that exercises the log replay: v0 adds docs
+    [0,200), v1 adds [200,400), v2 REMOVES the first file and adds
+    [100,200) back as a new file. The latest snapshot therefore holds
+    exactly docs [100,400), and the aggregation over
+    read_delta_snapshot must match DuckDB aggregating the same id range
+    straight off the source table — proving adds, removes, and
+    last-action-wins replay against an independent engine
+    (sources/io.read_delta_snapshot)."""
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.io import read_delta_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"delta_entry_{uuid.uuid4().hex[:12]}"
+    )
+    try:
+        def one_file(df, sub):
+            tmp = f"{root}/__tmp"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(f"{tmp}/part-*.parquet")[0]
+            os.replace(src, f"{root}/{sub}")
+            return sub
+
+        os.makedirs(root, exist_ok=True)
+        f0 = one_file(docs.filter("doc_id < 200"), "f0.parquet")
+        f1 = one_file(
+            docs.filter("doc_id >= 200 AND doc_id < 400"), "f1.parquet"
+        )
+        f2 = one_file(
+            docs.filter("doc_id >= 100 AND doc_id < 200"), "f2.parquet"
+        )
+        log = f"{root}/_delta_log"
+        os.makedirs(log, exist_ok=True)
+
+        def commit(v, actions):
+            with open(f"{log}/{v:020d}.json", "w") as fh:
+                for a in actions:
+                    fh.write(json.dumps(a) + "\n")
+
+        add = lambda p: {  # noqa: E731
+            "add": {"path": p, "partitionValues": {}, "size": 1,
+                    "modificationTime": 0, "dataChange": True}
+        }
+        commit(0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "d-1",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": "{}", "partitionColumns": [],
+                          "configuration": {}}},
+            add(f0),
+        ])
+        commit(1, [add(f1)])
+        commit(2, [{"remove": {"path": f0, "deletionTimestamp": 0,
+                               "dataChange": True}}, add(f2)])
+        snap = read_delta_snapshot(spark, root)
+        out = (
+            snap.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+            )
+            .orderBy("lang")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ZONE_OCC_ORACLE = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents
+WHERE (source <> 'src1' AND source <> 'src2' AND doc_id < 300)
+   OR (source = 'src1' AND doc_id >= 300 AND doc_id < 350)
+   OR (source = 'src2' AND doc_id >= 350 AND doc_id < 420)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_register("zone_occ_protocol", _ZONE_OCC_ORACLE)
+def zone_occ_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimistic-concurrency zone protocol under the driver's value
+    gate: a base snapshot (docs < 300, partitioned by source) is
+    published, then TWO partition-scoped writers both derive updates
+    from version 0 — writer A replaces partition src1 with docs
+    [300,350), writer B replaces src2 with [350,420). A commits first;
+    B's commit detects the interleaved log entry, proves disjointness,
+    REBASES onto v1 and lands as v2. The final snapshot must therefore
+    carry A's src1, B's src2, and the untouched base partitions — which
+    the oracle states as a pure predicate over the source table. Loser/
+    winner ordering is forced (sequential calls with stale
+    expected_version), so the result is deterministic
+    (sources/io.publish_zone_partitions_cas)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        publish_zone_partitions_cas,
+        read_zone_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    zone = os.path.join(
+        tempfile.gettempdir(), f"occ_entry_{uuid.uuid4().hex[:12]}"
+    )
+    try:
+        base = docs.filter("doc_id < 300")
+        publish_zone_partitions_cas(spark, zone, base, "source", -1)
+        upd_a = docs.filter(
+            "source = 'src1' AND doc_id >= 300 AND doc_id < 350"
+        )
+        upd_b = docs.filter(
+            "source = 'src2' AND doc_id >= 350 AND doc_id < 420"
+        )
+        va = publish_zone_partitions_cas(
+            spark, zone, upd_a, "source", expected_version=0
+        )
+        vb = publish_zone_partitions_cas(
+            spark, zone, upd_b, "source", expected_version=0  # stale: rebases
+        )
+        assert (va, vb) == (1, 2), (va, vb)
+        final = (
+            read_zone_snapshot(spark, zone)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").cast("bigint").alias("min_doc"),
+                F.max("doc_id").cast("bigint").alias("max_doc"),
+            )
+            .orderBy("source")
+        )
+        out = spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(zone, ignore_errors=True)
+    return out
