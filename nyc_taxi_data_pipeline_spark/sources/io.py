@@ -886,3 +886,92 @@ def read_delta_snapshot(
     return spark.read.option("basePath", path).parquet(
         *[os.path.join(path, f) for f in files]
     )
+
+
+def zone_history(zone: str) -> list[dict]:
+    """DESCRIBE HISTORY for a zone: one row per version across BOTH
+    protocols — CAS commits carry their recorded base/partitions, legacy
+    v-dirs appear with base -1 markers. Ascending by version."""
+    import os
+
+    log = read_zone_log(zone)
+    out = []
+    for v in list_zone_versions(zone):
+        e = log.get(v)
+        if e is not None:
+            out.append(
+                {
+                    "version": v,
+                    "base": e.get("base"),
+                    "partition_col": e.get("partition_col"),
+                    "partitions": e.get("partitions"),
+                    "data_dir": e.get("data_dir"),
+                    "protocol": "cas",
+                }
+            )
+        else:
+            out.append(
+                {
+                    "version": v,
+                    "base": None,
+                    "partition_col": None,
+                    "partitions": None,
+                    "data_dir": f"v={v}",
+                    "protocol": "legacy",
+                }
+            )
+    return out
+
+
+def vacuum_zone(zone: str, keep_last: int = 2) -> dict:
+    """VACUUM: reclaim disk from (a) versions older than the newest
+    `keep_last` committed ones — their data dirs AND log entries are
+    removed, so time travel past the horizon fails loudly instead of
+    resolving to missing data — and (b) ORPHANED staged dirs (crashed or
+    conflicted writers whose uuid dir no commit references). The current
+    version is always retained regardless of `keep_last`. Returns
+    {"removed_versions": [...], "removed_orphans": n}.
+
+    Safety: readers of a retained version are unaffected (their dirs are
+    immutable and untouched); readers holding a lazy plan against a
+    vacuumed version fail on next action — the same contract as Delta's
+    VACUUM versus long-running time-travel readers."""
+    import os
+    import shutil
+
+    keep_last = max(1, keep_last)
+    versions = list_zone_versions(zone)
+    if not versions:
+        return {"removed_versions": [], "removed_orphans": 0}
+    retained = set(versions[-keep_last:])
+    cur = current_zone_version(zone)
+    if cur is not None:
+        retained.add(cur)
+    log = read_zone_log(zone)
+    removed = []
+    for v in versions:
+        if v in retained:
+            continue
+        entry = log.get(v)
+        data = os.path.join(zone, entry["data_dir"]) if entry else os.path.join(
+            zone, f"v={v}"
+        )
+        shutil.rmtree(data, ignore_errors=True)
+        if entry is not None:
+            try:
+                os.unlink(os.path.join(zone, "_log", f"{v}.json"))
+            except OSError:
+                pass
+        removed.append(v)
+    # orphaned staged dirs: present on disk, referenced by no commit
+    staged_root = os.path.join(zone, "_staged")
+    orphans = 0
+    if os.path.isdir(staged_root):
+        live = {
+            os.path.basename(e["data_dir"]) for e in read_zone_log(zone).values()
+        }
+        for d in os.listdir(staged_root):
+            if d not in live:
+                shutil.rmtree(os.path.join(staged_root, d), ignore_errors=True)
+                orphans += 1
+    return {"removed_versions": removed, "removed_orphans": orphans}

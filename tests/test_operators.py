@@ -1561,3 +1561,53 @@ def test_zone_cas_partition_threads_race_rebase(spark, tmp_path):
     # the log records each commit's true (rebased) base: a chain, not a fork
     log = read_zone_log(zone)
     assert [log[v]["base"] for v in (1, 2, 3)] == [0, 1, 2]
+
+
+def test_zone_history_and_vacuum(spark, tmp_path):
+    """DESCRIBE HISTORY + VACUUM over a mixed-protocol zone: history rows
+    for legacy and CAS versions, vacuum removes pre-horizon versions and
+    orphaned staged dirs while every retained version stays readable,
+    and vacuumed time travel fails loudly."""
+    import os
+
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        ZoneConflictError,
+        current_zone_version,
+        publish_zone_version,
+        publish_zone_version_cas,
+        read_zone_snapshot,
+        vacuum_zone,
+        zone_history,
+    )
+
+    zone = str(tmp_path / "vac")
+    publish_zone_version(spark.range(2).withColumnRenamed("id", "k"), zone)
+    publish_zone_version_cas(
+        spark.range(4).withColumnRenamed("id", "k"), zone, expected_version=0
+    )
+    publish_zone_version_cas(
+        spark.range(6).withColumnRenamed("id", "k"), zone, expected_version=1
+    )
+    # a conflicted writer leaves nothing behind (cleanup on conflict)...
+    with pytest.raises(ZoneConflictError):
+        publish_zone_version_cas(
+            spark.range(9).withColumnRenamed("id", "k"), zone, expected_version=0
+        )
+    # ...but simulate a CRASHED writer: a staged dir no commit references
+    os.makedirs(os.path.join(zone, "_staged", "tx-deadbeef"), exist_ok=True)
+
+    hist = zone_history(zone)
+    assert [(h["version"], h["protocol"]) for h in hist] == [
+        (0, "legacy"), (1, "cas"), (2, "cas"),
+    ]
+    assert hist[2]["base"] == 1
+
+    rep = vacuum_zone(zone, keep_last=2)
+    assert rep["removed_versions"] == [0]
+    assert rep["removed_orphans"] == 1
+    assert current_zone_version(zone) == 2
+    assert read_zone_snapshot(spark, zone, 1).count() == 4
+    assert read_zone_snapshot(spark, zone).count() == 6
+    with pytest.raises(ValueError, match="no data"):
+        read_zone_snapshot(spark, zone, 0)
+    assert [h["version"] for h in zone_history(zone)] == [1, 2]
