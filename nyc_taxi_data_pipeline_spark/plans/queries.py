@@ -10743,3 +10743,171 @@ def zone_occ_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(zone, ignore_errors=True)
     return out
+
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CASE
+           WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 15))
+                AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 15))
+                AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT source, split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@_register("train_val_test_split", _SPLIT_ORACLE)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: split membership
+    is a pure function of md5(doc_id, salt) mod 100 — NEVER random() —
+    so any rerun, any engine, any partitioning reproduces the identical
+    split, new documents land in splits without moving old ones (the
+    property per-epoch reshuffles and sampleBy both lack), and
+    decontamination can verify val/test membership from the id alone.
+    Zero shuffles until the audit rollup (one hash agg on
+    (source, split)); the portable md5 lane mirrors the dedup
+    fingerprints — production swaps xxhash64."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("split"), F.lit("42"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    assigned = docs.select(
+        "source",
+        F.when(F.trim(F.col("text")) == "", 0)
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+_KNN_EVAL_ORACLE = """
+WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label, c.label AS cand_label,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine, c.vec_id AS cid
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, true_label, cand_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cid) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, true_label, cand_label, count(*) AS n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY count(*) DESC, cand_label) AS vote_rank
+  FROM ranked WHERE rnk <= 5
+  GROUP BY query_id, true_label, cand_label
+),
+pred AS (
+  SELECT query_id, true_label, cand_label AS pred_label
+  FROM votes WHERE vote_rank = 1
+)
+SELECT true_label, pred_label, count(*) AS n_queries
+FROM pred
+GROUP BY true_label, pred_label
+ORDER BY true_label, pred_label
+"""
+
+
+@_register("knn_label_eval", _KNN_EVAL_ORACLE)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label quality audit: 5-NN majority-vote
+    classification of a query sample against the full corpus (leave-own-
+    vector-out), reported as a confusion matrix — the standard check
+    that an embedding column actually separates its labels before
+    trusting it for semantic dedup or clustering. Exact-on-a-sample by
+    design (audits run on samples; the ANN entries are the production
+    retrieval path): broadcast query block, JVM zip_with dot products,
+    two windows (rank, then vote) on rounded cosine so both engines
+    rank identically. Ties in votes break on label id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cid"))
+        .select(
+            "query_id",
+            "true_label",
+            "cand_label",
+            "cid",
+            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("cv"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cid")
+    top5 = scored.withColumn("rnk", F.row_number().over(wrank)).filter(
+        F.col("rnk") <= 5
+    )
+    wvote = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "cand_label"
+    )
+    pred = (
+        top5.groupBy("query_id", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .withColumn("vote_rank", F.row_number().over(wvote))
+        .filter(F.col("vote_rank") == 1)
+    )
+    return (
+        pred.groupBy("true_label", F.col("cand_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .orderBy("true_label", "pred_label")
+    )
