@@ -10911,3 +10911,87 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_queries"))
         .orderBy("true_label", "pred_label")
     )
+
+
+_PSI_ORACLE = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi, max(value) AS maxv
+  FROM events
+),
+bucketed AS (
+  SELECT CASE WHEN epoch_us(ts) * 2 <= lo + hi THEN 'p1' ELSE 'p2' END AS period,
+         CAST(least(floor(value * 10 / maxv), 9) AS BIGINT) AS bucket
+  FROM events, b
+),
+counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN period = 'p1' THEN 1 ELSE 0 END) AS BIGINT) AS n_p1,
+         CAST(sum(CASE WHEN period = 'p2' THEN 1 ELSE 0 END) AS BIGINT) AS n_p2
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT sum(n_p1) AS t1, sum(n_p2) AS t2 FROM counts)
+SELECT bucket, n_p1, n_p2,
+       round(((n_p1 + 1.0) / (t1 + 10.0) - (n_p2 + 1.0) / (t2 + 10.0))
+             * ln(((n_p1 + 1.0) / (t1 + 10.0)) / ((n_p2 + 1.0) / (t2 + 10.0))),
+             6) AS psi_term
+FROM counts, tot
+ORDER BY bucket
+"""
+
+
+@_register("distribution_drift_psi", _PSI_ORACLE)
+def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit between the first and second
+    half of the event stream's time range — the standard pre-retraining
+    check that a feature's distribution hasn't shifted between data
+    vintages (PSI > 0.2 per convention = investigate). Decile buckets on
+    the value range, +1/+10 Laplace smoothing so empty buckets stay
+    finite, one scan + one tiny broadcast of the (min, max, maxv) bounds
+    + one hash agg on (bucket): mergeable and linear, the audit you can
+    afford on every ingest. The midpoint split uses integer micros
+    arithmetic (epoch_us * 2 <= lo + hi) so both engines cut the stream
+    identically; psi terms round at 6dp on identical double
+    expressions."""
+    e = _t(spark, sf_dir, "events")
+    b = F.broadcast(
+        e.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+            F.max("value").alias("maxv"),
+        )
+    )
+    bucketed = e.crossJoin(b).select(
+        F.when(
+            F.unix_micros("ts") * 2 <= F.col("lo") + F.col("hi"), "p1"
+        )
+        .otherwise("p2")
+        .alias("period"),
+        F.least(F.floor(F.col("value") * 10 / F.col("maxv")), F.lit(9))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "p1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_p1"),
+        F.sum(F.when(F.col("period") == "p2", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_p2"),
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("n_p1").alias("t1"), F.sum("n_p2").alias("t2")
+        )
+    )
+    p = (F.col("n_p1") + F.lit(1.0)) / (F.col("t1") + F.lit(10.0))
+    q = (F.col("n_p2") + F.lit(1.0)) / (F.col("t2") + F.lit(10.0))
+    return (
+        counts.crossJoin(tot)
+        .select(
+            "bucket",
+            "n_p1",
+            "n_p2",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
