@@ -1611,3 +1611,82 @@ def test_zone_history_and_vacuum(spark, tmp_path):
     with pytest.raises(ValueError, match="no data"):
         read_zone_snapshot(spark, zone, 0)
     assert [h["version"] for h in zone_history(zone)] == [1, 2]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_zone_cas_randomized_against_model(spark, tmp_path, seed):
+    """Model-based check of the OCC protocol: a seeded random sequence of
+    partition-scoped publishes — each deliberately using a possibly-STALE
+    expected_version — runs against both the real zone and an independent
+    Python model of the documented semantics (rebase iff every
+    interleaved commit touched disjoint partitions; overlap conflicts
+    leave state unchanged). After every op the zone's snapshot must equal
+    the model, and at the end the log must be a contiguous linear chain
+    of true bases."""
+    import random
+
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        ZoneConflictError,
+        current_zone_version,
+        publish_zone_partitions_cas,
+        read_zone_log,
+        read_zone_snapshot,
+    )
+
+    rng = random.Random(seed)
+    zone = str(tmp_path / f"cas_model_{seed}")
+    parts = ["a", "b", "c", "d"]
+
+    # model: partition -> tuple of values; history: version -> snapshot
+    model: dict[str, tuple] = {p: ((p, 0),) for p in parts}
+    history = {0: dict(model)}
+    base0 = spark.createDataFrame(
+        [(p, 0) for p in parts], "part string, x int"
+    )
+    publish_zone_partitions_cas(spark, zone, base0, "part", -1)
+
+    for step in range(1, 9):
+        touched = rng.sample(parts, rng.randint(1, 2))
+        rows = [(p, step * 10 + i) for i, p in enumerate(touched)]
+        # writer derived its update from a possibly-stale version
+        stale = rng.randint(max(0, max(history) - 2), max(history))
+        upd = spark.createDataFrame(rows, "part string, x int")
+        # model the documented semantics
+        interleaved = [v for v in history if v > stale]
+        rebasable = all(
+            set(history[v]["__touched"]) & set(touched) == set()
+            for v in interleaved
+            if "__touched" in history[v]
+        ) and all("__touched" in history[v] for v in interleaved)
+        try:
+            got_v = publish_zone_partitions_cas(
+                spark, zone, upd, "part", expected_version=stale, max_rebase=5
+            )
+            committed = True
+        except ZoneConflictError:
+            committed = False
+        if interleaved and not rebasable:
+            assert not committed, f"step {step}: expected conflict"
+        else:
+            assert committed, f"step {step}: expected commit"
+        if committed:
+            for p, x in rows:
+                model[p] = ((p, x),)
+            snap = dict(model)
+            snap["__touched"] = list(touched)
+            assert got_v == max(history) + 1
+            history[got_v] = snap
+        # zone state must equal the model after every op
+        got = sorted(
+            (r.part, r.x) for r in read_zone_snapshot(spark, zone).collect()
+        )
+        want = sorted(t for p in parts for t in model[p])
+        assert got == want, f"step {step}: zone={got} model={want}"
+
+    # final log: contiguous versions, each base = previous version
+    log = read_zone_log(zone)
+    versions = sorted(log)
+    assert versions == list(range(len(versions)))
+    assert current_zone_version(zone) == versions[-1]
+    for v in versions[1:]:
+        assert log[v]["base"] == v - 1
