@@ -10995,3 +10995,167 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT 'step1_view' AS step, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 'step2_click', count(*) FROM s2
+UNION ALL
+SELECT 'step3_purchase', count(*) FROM s3
+ORDER BY step
+"""
+
+
+@_register("event_funnel_conversion", _FUNNEL_ORACLE)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user counts
+    at step k only if the step-k event happens STRICTLY AFTER their
+    step-(k-1) entry time — the sequencing constraint that separates a
+    funnel from three independent counts (a user who purchased before
+    ever viewing does not convert). Shape: one filtered min-agg per step
+    joined back on user_id — k hash shuffles on the user key for a
+    k-step funnel, no window over the whole stream, no per-user event
+    sorting; at 100 TB each step's input is the events of the PREVIOUS
+    step's survivors (semi-join-pruned scan), so the work shrinks down
+    the funnel."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("step1_view").alias("step"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("step2_click").alias("step"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("step3_purchase").alias("step"), "n_users"
+        ),
+    ]
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out.orderBy("step")
+
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_trunc('week', e.ts) AS DATE) AS activity_week
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('week', cohort_week, activity_week) AS BIGINT)
+         AS weeks_since,
+       count(*) AS n_active_users
+FROM activity
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+"""
+
+
+@_register("cohort_retention_matrix", _COHORT_ORACLE)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    once per (cohort, weeks-since) cell they were active in — the
+    retention triangle every growth dashboard plots. Shape: one min-agg
+    on user (cohort assignment), one distinct on (user, week) — both
+    hash shuffles on the user key, mergeable, no windows; the cohort
+    frame joins back by user so at 100 TB it rides the same
+    partitioning as the distinct. date_trunc('week') is Monday-anchored
+    in both engines, and week arithmetic is exact integer date math."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select("user_id", "cohort_week", F.col("wk").alias("activity_week"))
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""
+
+
+@_register("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events of
+    the same user — the behavioral-model input next to the funnel's
+    fixed path. ONE window (lead over the user key, tie-broken on
+    event_id so both engines sequence identically) feeding one hash agg:
+    a 100 TB stream costs exactly one shuffle on user_id plus the tiny
+    (|types|²) rollup."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
