@@ -39,6 +39,8 @@ REGISTRY: dict[str, Query] = {}
 
 def _register(name: str, oracle: str | None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate catalog entry name: {name!r}")
         REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 
@@ -11124,38 +11126,3 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cohort_week", "weeks_since")
     )
 
-
-_TRANSITION_ORACLE = """
-WITH seq AS (
-  SELECT user_id, event_type,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS next_type
-  FROM events
-)
-SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions
-FROM seq WHERE next_type IS NOT NULL
-GROUP BY from_type, to_type
-ORDER BY from_type, to_type
-"""
-
-
-@_register("event_transition_matrix", _TRANSITION_ORACLE)
-def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition counts between consecutive events of
-    the same user — the behavioral-model input next to the funnel's
-    fixed path. ONE window (lead over the user key, tie-broken on
-    event_id so both engines sequence identically) feeding one hash agg:
-    a 100 TB stream costs exactly one shuffle on user_id plus the tiny
-    (|types|²) rollup."""
-    e = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(w).alias("to_type"),
-    )
-    return (
-        seq.filter(F.col("to_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
-        .orderBy("from_type", "to_type")
-    )
