@@ -11126,3 +11126,342 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cohort_week", "weeks_since")
     )
 
+
+
+_ISLANDS_ORACLE = """
+WITH iv AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS start_d,
+         CAST(o_orderdate AS DATE) + 7 AS end_d
+  FROM orders
+),
+m AS (
+  SELECT o_custkey, o_orderkey, start_d, end_d,
+         max(end_d) OVER (PARTITION BY o_custkey
+                          ORDER BY start_d, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_end
+  FROM iv
+),
+f AS (
+  SELECT o_custkey, o_orderkey, start_d, end_d,
+         CASE WHEN prev_max_end IS NULL OR start_d > prev_max_end
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+g AS (
+  SELECT o_custkey, start_d, end_d,
+         sum(brk) OVER (PARTITION BY o_custkey
+                        ORDER BY start_d, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island_id
+  FROM f
+),
+islands AS (
+  SELECT o_custkey, island_id,
+         min(start_d) AS island_start, max(end_d) AS island_end,
+         count(*) AS n_orders
+  FROM g GROUP BY o_custkey, island_id
+)
+SELECT o_custkey,
+       count(*) AS n_islands,
+       CAST(sum(date_diff('day', island_start, island_end)) AS BIGINT)
+         AS covered_days,
+       max(n_orders) AS max_orders_in_island
+FROM islands
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@_register("interval_islands_merge", _ISLANDS_ORACLE)
+def interval_islands_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: each order opens a 7-day
+    activity span [orderdate, orderdate+7); overlapping or touching
+    spans per customer coalesce into islands via the classic running-max
+    break test (start > max of all previous ends starts a new island),
+    then a cumulative sum of break flags numbers the islands. This is
+    the canonical 'merge overlapping intervals' operator (maintenance
+    windows, coverage gaps, contiguous-availability SLAs) done with two
+    windows over ONE (custkey, start, orderkey) shuffle+sort — Catalyst
+    plans a single Exchange for both window passes and the first
+    aggregation, because they share the partitioning key. No self-join,
+    no island loop; per-key memory is O(1) streaming through the sorted
+    partition, so a 100 TB fact costs exactly one shuffle and skewed
+    customers degrade to a long sorted run, not a blowup. All math is
+    integer date arithmetic, so cross-engine values are exact."""
+    iv = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("start_d"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("end_d"),
+    )
+    w_order = W.partitionBy("o_custkey").orderBy("start_d", "o_orderkey")
+    m = iv.withColumn(
+        "prev_max_end",
+        F.max("end_d").over(w_order.rowsBetween(W.unboundedPreceding, -1)),
+    )
+    f = m.withColumn(
+        "brk",
+        F.when(
+            F.col("prev_max_end").isNull()
+            | (F.col("start_d") > F.col("prev_max_end")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    g = f.withColumn(
+        "island_id",
+        F.sum("brk").over(w_order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    islands = g.groupBy("o_custkey", "island_id").agg(
+        F.min("start_d").alias("island_start"),
+        F.max("end_d").alias("island_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.datediff("island_end", "island_start"))
+            .cast("bigint")
+            .alias("covered_days"),
+            F.max("n_orders").alias("max_orders_in_island"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_SCD2_PIT_ORACLE = """
+WITH chg AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type <> 'purchase'
+),
+scd AS (
+  SELECT user_id, state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg WHERE prev IS NULL OR state <> prev
+),
+fact AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT coalesce(s.state, '(none)') AS state,
+       count(*) AS n_purchases,
+       CAST(round(sum(CAST(f.value AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS total_value
+FROM fact f
+LEFT JOIN scd s
+  ON f.user_id = s.user_id
+ AND f.ts >= s.valid_from
+ AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@_register("scd2_point_in_time_join", _SCD2_PIT_ORACLE)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) fact lookup against an SCD2 dimension — the
+    read side of slowly-changing-dimension versioning (the build side is
+    `scd2_dimension_build`): each purchase event joins the ONE state row
+    whose [valid_from, valid_to) validity interval contains its
+    timestamp, purchases before the user's first recorded state fall out
+    to '(none)' via the left join. The temporal predicate rides as a
+    residual filter on an equi hash join keyed on user_id, so at 100 TB
+    this is one shuffle co-partitioning facts with their key's handful
+    of dimension versions — never a broadcast-nested-loop over the range
+    condition. Monetary totals sum in DECIMAL(38,6) (order-independent)
+    before the final round, so values are bit-stable cross-engine."""
+    from nyc_taxi_data_pipeline_spark.operators.warehouse import (
+        scd2_from_changelog,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    dim = scd2_from_changelog(
+        e.filter(F.col("event_type") != "purchase"),
+        key="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+        tiebreak_col="event_id",
+    ).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = fact.join(
+        dim,
+        (fact["user_id"] == dim["d_user_id"])
+        & (fact["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (fact["ts"] < dim["valid_to"])),
+        "left",
+    )
+    return (
+        joined.groupBy(F.coalesce("state", F.lit("(none)")).alias("state"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("state")
+    )
+
+
+_QUOTA_ORACLE = r"""
+WITH tok AS (
+  SELECT source,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tok),
+shares AS (
+  SELECT source, n_tokens,
+         CAST((1000000 * n_tokens) // total AS BIGINT) AS floor_quota,
+         CAST((1000000 * n_tokens) % total AS BIGINT) AS rem
+  FROM tok, tot
+),
+ranked AS (
+  SELECT source, n_tokens, floor_quota,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         CAST(1000000 - sum(floor_quota) OVER () AS BIGINT) AS leftover
+  FROM shares
+)
+SELECT source, n_tokens,
+       CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM ranked
+ORDER BY source
+"""
+
+
+@_register("quota_allocation_largest_remainder", _QUOTA_ORACLE)
+def quota_allocation_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed training-token
+    budget across corpus sources: floor of the exact proportional share,
+    then the leftover units go one-by-one to the largest fractional
+    remainders (source-name tiebreak), so quotas always sum EXACTLY to
+    the budget — the integer-exact way to turn sampling weights into
+    per-source document quotas for a dataset mix (the rate-based sibling
+    is `dataset_mix_weighted`). The 100 TB corpus collapses to one
+    mergeable token-count aggregate (|sources| rows); all remaining
+    arithmetic — products, floor division, modulo, the remainder ranking
+    — runs on that tiny frame in exact BIGINT, so cross-engine values
+    are bit-identical. Wider-than-bigint budgets (budget × tokens >
+    2^63) would ride the same plan with DECIMAL(38,0) lanes."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import (
+        token_budget_by,
+    )
+
+    budget = F.lit(1_000_000).cast("bigint")
+    # The token-count rollup scans+tokenizes every document; it feeds three
+    # consumers (total, spent, ranked) and AQE stage reuse does not fire for
+    # derived frames — checkpoint the tiny |sources|-row result once.
+    tok = (
+        token_budget_by(_t(spark, sf_dir, "documents"), "source")
+        .select("source", F.col("total_tokens").alias("n_tokens"))
+        .localCheckpoint(eager=False)
+    )
+    tot = tok.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    shares = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (budget * F.col("n_tokens")).cast("bigint").alias("bn"),
+        "total",
+    ).select(
+        "source",
+        "n_tokens",
+        F.floor(F.col("bn") / F.col("total")).cast("bigint").alias(
+            "floor_quota"
+        ),
+        (F.col("bn") % F.col("total")).cast("bigint").alias("rem"),
+    )
+    spent = shares.agg(
+        F.sum("floor_quota").cast("bigint").alias("spent")
+    )
+    ranked = shares.crossJoin(F.broadcast(spent)).select(
+        "source",
+        "n_tokens",
+        "floor_quota",
+        F.row_number()
+        .over(W.partitionBy(F.lit(1)).orderBy(F.col("rem").desc(), "source"))
+        .alias("rk"),
+        (budget - F.col("spent")).cast("bigint").alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    ).orderBy("source")
+
+
+_YOY_ORACLE = """
+WITH yearly AS (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+         CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)
+              AS DOUBLE) AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY nation, order_year
+)
+SELECT nation, order_year, revenue,
+       round(
+         (revenue - lag(revenue) OVER (PARTITION BY nation
+                                       ORDER BY order_year))
+         / lag(revenue) OVER (PARTITION BY nation ORDER BY order_year),
+         6) AS yoy_growth
+FROM yearly
+ORDER BY nation, order_year
+"""
+
+
+@_register("yoy_revenue_growth", _YOY_ORACLE)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per nation: yearly revenue (decimal-exact
+    sums) then lag() over the per-nation year series — the standard
+    'percent change vs prior period' report as agg + window. The heavy
+    input reduces to |nations|×|years| rows before the window, so the
+    lag costs nothing at any scale; growth divides two doubles derived
+    from identical exact decimals, making the rounded ratio bit-stable
+    cross-engine. First year per nation is NULL growth by definition."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.year("o_orderdate").alias("order_year")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "order_year")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = W.partitionBy("nation").orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nation",
+        "order_year",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+    ).orderBy("nation", "order_year")

@@ -1690,3 +1690,54 @@ def test_zone_cas_randomized_against_model(spark, tmp_path, seed):
     assert current_zone_version(zone) == versions[-1]
     for v in versions[1:]:
         assert log[v]["base"] == v - 1
+
+
+def test_quota_allocation_sums_to_budget_exactly(spark):
+    """Largest-remainder apportionment must hand out EXACTLY the budget —
+    the property that distinguishes it from independent rounding."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["quota_allocation_largest_remainder"].spark(spark, SF)
+    rows = df.collect()
+    assert sum(r.quota for r in rows) == 1_000_000
+    # floor shares never exceed the exact proportional share by >1 unit
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        exact = 1_000_000 * r.n_tokens / total
+        assert exact - 1 < r.quota < exact + 1
+
+
+def test_interval_islands_invariants(spark):
+    """Merged islands: each island spans >= the base 7-day interval, and a
+    customer never has more islands than orders."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["interval_islands_merge"].spark(spark, SF)
+    orders_per_cust = {
+        r.o_custkey: r.n
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = df.collect()
+    assert rows, "no customers"
+    for r in rows:
+        assert r.covered_days >= 7 * r.n_islands
+        assert r.n_islands <= orders_per_cust[r.o_custkey]
+        assert r.max_orders_in_island >= 1
+
+
+def test_scd2_pit_join_conserves_purchases(spark):
+    """Every purchase lands in exactly one state bucket (validity intervals
+    partition time per user; pre-history purchases go to '(none)')."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["scd2_point_in_time_join"].spark(spark, SF)
+    n_bucketed = sum(r.n_purchases for r in df.collect())
+    n_purchases = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert n_bucketed == n_purchases
