@@ -11465,3 +11465,368 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
     ).orderBy("nation", "order_year")
+
+
+_CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         count(*) AS n_obs
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT segment, priority, n_obs,
+         sum(n_obs) OVER (PARTITION BY segment) AS row_tot,
+         sum(n_obs) OVER (PARTITION BY priority) AS col_tot,
+         sum(n_obs) OVER () AS grand_tot
+  FROM cells
+)
+SELECT segment, priority, n_obs,
+       round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+             / CAST(grand_tot AS DOUBLE), 6) AS expected,
+       round(
+         (CAST(n_obs AS DOUBLE)
+          - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+            / CAST(grand_tot AS DOUBLE))
+         * (CAST(n_obs AS DOUBLE)
+            - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(grand_tot AS DOUBLE))
+         / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+            / CAST(grand_tot AS DOUBLE)),
+         6) AS chi2_contrib
+FROM marg
+ORDER BY segment, priority
+"""
+
+
+@_register("chisq_independence_screen", _CHISQ_ORACLE)
+def chisq_independence_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen between two categorical columns
+    (market segment × order priority) — the drift/association test next
+    to `distribution_drift_psi`: observed cell counts vs the
+    independence expectation (row_total × col_total / N), with each
+    cell's chi² contribution so the hot cells are readable directly.
+    The fact table collapses to a |segments|×|priorities| contingency in
+    ONE hash aggregate; the three marginal sums are windows over that
+    tiny frame, so the statistic costs nothing beyond the count. All
+    inputs to the double arithmetic are exact integers, making the
+    rounded expectations bit-stable cross-engine."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    row_tot = F.sum("n_obs").over(W.partitionBy("segment"))
+    col_tot = F.sum("n_obs").over(W.partitionBy("priority"))
+    grand_tot = F.sum("n_obs").over(W.partitionBy())
+    expected = (
+        row_tot.cast("double") * col_tot.cast("double") / grand_tot.cast("double")
+    )
+    dev = F.col("n_obs").cast("double") - expected
+    return (
+        cells.select(
+            "segment",
+            "priority",
+            "n_obs",
+            F.round(expected, 6).alias("expected"),
+            F.round(dev * dev / expected, 6).alias("chi2_contrib"),
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+_INTERP_ORACLE = """
+WITH obs AS (
+  SELECT l_suppkey,
+         CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS qty
+  FROM lineitem
+  WHERE l_suppkey % 10 = 0
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT l_suppkey, min(wk) AS wk_min, max(wk) AS wk_max FROM obs
+  GROUP BY 1
+),
+spine AS (
+  SELECT b.l_suppkey, CAST(unnest(generate_series(b.wk_min, b.wk_max,
+                                  INTERVAL 7 DAY)) AS DATE) AS wk
+  FROM bounds b
+),
+j AS (
+  SELECT s.l_suppkey, s.wk, o.qty FROM spine s
+  LEFT JOIN obs o ON o.l_suppkey = s.l_suppkey AND o.wk = s.wk
+),
+ctx AS (
+  SELECT l_suppkey, wk, qty,
+         last_value(qty IGNORE NULLS) OVER (
+           PARTITION BY l_suppkey ORDER BY wk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_q,
+         last_value(CASE WHEN qty IS NOT NULL THEN wk END IGNORE NULLS) OVER (
+           PARTITION BY l_suppkey ORDER BY wk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_wk,
+         first_value(qty IGNORE NULLS) OVER (
+           PARTITION BY l_suppkey ORDER BY wk
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_q,
+         first_value(CASE WHEN qty IS NOT NULL THEN wk END IGNORE NULLS) OVER (
+           PARTITION BY l_suppkey ORDER BY wk
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_wk
+  FROM j
+)
+SELECT l_suppkey, wk,
+       CASE WHEN qty IS NOT NULL THEN 'observed' ELSE 'interpolated' END
+         AS fill_kind,
+       round(CASE
+         WHEN qty IS NOT NULL THEN qty
+         ELSE prev_q + (next_q - prev_q)
+              * (CAST(wk - prev_wk AS DOUBLE)
+                 / CAST(next_wk - prev_wk AS DOUBLE))
+       END, 4) AS qty_filled
+FROM ctx
+ORDER BY l_suppkey, wk
+"""
+
+
+@_register("timeseries_linear_interpolation", _INTERP_ORACLE)
+def timeseries_linear_interpolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear interpolation over a densified time series — the step past
+    `timeseries_gapfill_locf`: per-supplier weekly shipped quantity on a
+    sequence()+explode spine (the scale-safe spine, never a recursive
+    walk), missing weeks filled by the straight line between the nearest
+    observed neighbors. Both neighbor lookups are last/first_value
+    IGNORE NULLS windows sharing ONE (suppkey, week) shuffle+sort with
+    the spine join — no self-join, no per-gap loop; interior gaps get
+    the interpolation, edge weeks (before the first / after the last
+    observation, absent here since the spine spans min..max) would
+    degrade to LOCF/BOCF. The interpolation fraction divides exact
+    integer day counts and the endpoint quantities come from exact
+    decimal sums, so the rounded fill values are bit-identical
+    cross-engine. Spine cardinality is |series|×span — generated, never
+    shuffled wide."""
+    obs = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 10 == 0)
+        .groupBy(
+            "l_suppkey",
+            F.date_trunc("week", "l_shipdate").cast("date").alias("wk"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("qty")
+        )
+        # consumed twice (bounds + spine join) — checkpoint so the lineitem
+        # scan + aggregate run once (AQE stage reuse misses derived frames)
+        .localCheckpoint(eager=False)
+    )
+    bounds = obs.groupBy("l_suppkey").agg(
+        F.min("wk").alias("wk_min"), F.max("wk").alias("wk_max")
+    )
+    spine = bounds.select(
+        "l_suppkey",
+        F.explode(
+            F.sequence("wk_min", "wk_max", F.expr("INTERVAL 7 DAY"))
+        ).alias("wk"),
+    )
+    j = spine.join(obs, ["l_suppkey", "wk"], "left")
+    w_prev = (
+        W.partitionBy("l_suppkey")
+        .orderBy("wk")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("l_suppkey")
+        .orderBy("wk")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    wk_if_obs = F.when(F.col("qty").isNotNull(), F.col("wk"))
+    ctx = j.select(
+        "l_suppkey",
+        "wk",
+        "qty",
+        F.last("qty", ignorenulls=True).over(w_prev).alias("prev_q"),
+        F.last(wk_if_obs, ignorenulls=True).over(w_prev).alias("prev_wk"),
+        F.first("qty", ignorenulls=True).over(w_next).alias("next_q"),
+        F.first(wk_if_obs, ignorenulls=True).over(w_next).alias("next_wk"),
+    )
+    frac = F.datediff("wk", "prev_wk").cast("double") / F.datediff(
+        "next_wk", "prev_wk"
+    ).cast("double")
+    filled = F.when(F.col("qty").isNotNull(), F.col("qty")).otherwise(
+        F.col("prev_q") + (F.col("next_q") - F.col("prev_q")) * frac
+    )
+    return ctx.select(
+        "l_suppkey",
+        "wk",
+        F.when(F.col("qty").isNotNull(), F.lit("observed"))
+        .otherwise(F.lit("interpolated"))
+        .alias("fill_kind"),
+        F.round(filled, 4).alias("qty_filled"),
+    ).orderBy("l_suppkey", "wk")
+
+
+_WILSON_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         count(*) AS n_trials,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returns
+  FROM lineitem
+  GROUP BY 1
+  HAVING count(*) >= 5
+),
+scored AS (
+  SELECT l_partkey, n_trials, n_returns,
+         CAST(n_returns AS DOUBLE) / CAST(n_trials AS DOUBLE) AS p,
+         CAST(n_trials AS DOUBLE) AS n
+  FROM per_part
+)
+SELECT l_partkey, n_trials, n_returns,
+       round((p + 1.9208 / n
+              - 1.96 * sqrt((p * (1.0 - p) + 0.9604 / n) / n))
+             / (1.0 + 3.8416 / n), 6) AS wilson_lower
+FROM scored
+ORDER BY wilson_lower DESC, l_partkey
+LIMIT 50
+"""
+
+
+@_register("wilson_score_ranking", _WILSON_ORACLE)
+def wilson_score_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound ranking of return rates per part — the
+    statistically honest way to rank proportions with unequal sample
+    sizes (a 3/3 part must NOT outrank a 95/100 part; the raw ratio says
+    it does, the Wilson lower bound says otherwise). One mergeable
+    count/sum aggregate per part, then pure scalar math and a top-k —
+    nothing wide after the aggregate at any scale. z=1.96 constants are
+    pre-squared literals (1.9208 = z²/2, 0.9604 = z²/4, 3.8416 = z²);
+    sqrt is correctly-rounded IEEE in both engines and every input
+    derives from exact integer counts, so the rounded bound is
+    bit-identical cross-engine. Deterministic ordering via the partkey
+    tiebreak."""
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_trials"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returns"),
+        )
+        .filter(F.col("n_trials") >= 5)
+    )
+    p = F.col("n_returns").cast("double") / F.col("n_trials").cast("double")
+    n = F.col("n_trials").cast("double")
+    lower = (
+        p
+        + F.lit(1.9208) / n
+        - F.lit(1.96) * F.sqrt((p * (F.lit(1.0) - p) + F.lit(0.9604) / n) / n)
+    ) / (F.lit(1.0) + F.lit(3.8416) / n)
+    return (
+        per_part.select(
+            "l_partkey",
+            "n_trials",
+            "n_returns",
+            F.round(lower, 6).alias("wilson_lower"),
+        )
+        .orderBy(F.col("wilson_lower").desc(), "l_partkey")
+        .limit(50)
+    )
+
+
+_ATTRIB_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+),
+matched AS (
+  SELECT p.event_id, p.value, c.click_ts,
+         count(c.click_ts) OVER (PARTITION BY p.event_id) AS n_clicks
+  FROM purchases p
+  LEFT JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.click_ts < p.ts
+   AND c.click_ts >= p.ts - INTERVAL 7 DAY
+),
+credits AS (
+  SELECT CASE WHEN click_ts IS NULL THEN 'direct'
+              ELSE 'day_' || CAST(EXTRACT(isodow FROM click_ts) AS VARCHAR)
+         END AS channel,
+         CASE WHEN click_ts IS NULL THEN round(value, 6)
+              ELSE round(value / n_clicks, 6) END AS credit
+  FROM matched
+)
+SELECT channel,
+       count(*) AS n_credits,
+       CAST(round(sum(CAST(credit AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS credited_value
+FROM credits
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@_register("attribution_linear_credit", _ATTRIB_ORACLE)
+def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) marketing attribution: each purchase's value
+    is divided evenly across the user's clicks in the preceding 7 days;
+    purchases with no qualifying click credit a 'direct' channel —
+    the multi-touch sibling of `asof_join_attribution` (last-touch).
+    The click↔purchase match is an equi hash join on user_id with the
+    time window as a residual filter (never a time-cross-product), and
+    the per-purchase click count is a window over the join output keyed
+    by purchase id — one extra shuffle, no driver loop. Per-row credit
+    rounds BEFORE the decimal re-sum so the rollup is order-independent
+    and bit-stable cross-engine. Channels here are click weekdays
+    (ISO), standing in for the campaign dimension a real pipeline
+    would join."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    matched = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("ts"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+        "left",
+    ).select(
+        "event_id",
+        "value",
+        "click_ts",
+        F.count("click_ts").over(W.partitionBy("event_id")).alias("n_clicks"),
+    )
+    # ISO weekday: Spark's dayofweek() is 1=Sunday; derive ISO (1=Monday)
+    # portably as ((dayofweek + 5) % 7) + 1 on both engines' shared data.
+    iso_dow = ((F.dayofweek("click_ts") + F.lit(5)) % F.lit(7)) + F.lit(1)
+    channel = F.when(F.col("click_ts").isNull(), F.lit("direct")).otherwise(
+        F.concat(F.lit("day_"), iso_dow.cast("string"))
+    )
+    credit = F.when(
+        F.col("click_ts").isNull(), F.round(F.col("value"), 6)
+    ).otherwise(F.round(F.col("value") / F.col("n_clicks"), 6))
+    return (
+        matched.select(channel.alias("channel"), credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(F.sum(F.col("credit").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("credited_value"),
+        )
+        .orderBy("channel")
+    )

@@ -1741,3 +1741,63 @@ def test_scd2_pit_join_conserves_purchases(spark):
         .count()
     )
     assert n_bucketed == n_purchases
+
+
+def test_chisq_screen_conserves_observations(spark):
+    """Contingency cells must partition the joined fact exactly, and each
+    cell's expected count stays positive."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["chisq_independence_screen"].spark(spark, SF).collect()
+    n_orders = load_table(spark, SF, "orders").count()
+    assert sum(r.n_obs for r in rows) == n_orders
+    assert all(r.expected > 0 and r.chi2_contrib >= 0 for r in rows)
+
+
+def test_linear_interpolation_bounded_by_neighbors(spark):
+    """Interpolated points lie inside [min, max] of the series' observed
+    values, and observed points pass through unchanged."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["timeseries_linear_interpolation"].spark(spark, SF).collect()
+    assert rows
+    by_supp: dict[int, list] = {}
+    for r in rows:
+        by_supp.setdefault(r.l_suppkey, []).append(r)
+    for supp_rows in by_supp.values():
+        obs_vals = [r.qty_filled for r in supp_rows if r.fill_kind == "observed"]
+        assert obs_vals, "series with no observations"
+        lo, hi = min(obs_vals), max(obs_vals)
+        for r in supp_rows:
+            assert r.qty_filled is not None
+            if r.fill_kind == "interpolated":
+                assert lo - 1e-9 <= r.qty_filled <= hi + 1e-9
+
+
+def test_wilson_lower_bound_below_point_estimate(spark):
+    """The Wilson lower bound is a LOWER bound: <= the raw proportion and
+    inside [0, 1]."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["wilson_score_ranking"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        p = r.n_returns / r.n_trials
+        assert 0.0 <= r.wilson_lower <= 1.0
+        assert r.wilson_lower <= p + 1e-9
+
+
+def test_linear_attribution_conserves_value(spark):
+    """Split credits re-sum to the total purchase value (up to the
+    documented per-split rounding at 6 dp)."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["attribution_linear_credit"].spark(spark, SF).collect()
+    credited = sum(r.credited_value for r in rows)
+    total = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(credited - total) < 0.1
