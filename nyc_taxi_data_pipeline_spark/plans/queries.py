@@ -11830,3 +11830,174 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+_MOMENTS_ORACLE = """
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(9,2)) AS x
+  FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s1,
+         CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s2,
+         CAST(sum(CAST(x * x * x AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s3,
+         CAST(sum(CAST(x * x * x * x AS DECIMAL(38,8))) AS DECIMAL(38,8))
+           AS s4
+  FROM p GROUP BY 1
+),
+mom AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / n AS m1,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM sums
+)
+SELECT l_returnflag, n,
+       round(m1, 6) AS mean_qty,
+       round(r2 - m1 * m1, 6) AS var_pop,
+       round((r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1)
+             / power(r2 - m1 * m1, 1.5), 6) AS skewness,
+       round((r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+              - 3.0 * m1 * m1 * m1 * m1)
+             / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3.0, 6)
+         AS excess_kurtosis
+FROM mom
+ORDER BY l_returnflag
+"""
+
+
+@_register("distribution_moments_skew_kurt", _MOMENTS_ORACLE)
+def distribution_moments_skew_kurt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skewness and excess kurtosis per group from EXACT raw power sums —
+    the mergeable-moments shape: one hash aggregate collects Σx, Σx²,
+    Σx³, Σx⁴ in decimal (order-independent, partial-merge-safe), then
+    pure scalar double math derives the central moments. This is how a
+    100 TB profiler ships higher moments — four extra decimal sums
+    riding the aggregate it already runs, not a second variance pass and
+    never engine-ordered float accumulation (Spark's skewness()/
+    kurtosis() builtins drift with partitioning; this formulation is
+    bit-stable cross-engine because every division starts from identical
+    exact decimals). Quantity is 2-dp bounded so x⁴ fits DECIMAL(36,8)
+    without overflow on either engine's int128 path."""
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    sums = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", x.alias("x"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,8)")).cast("decimal(38,8)").alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)"))
+            .cast("decimal(38,8)")
+            .alias("s2"),
+            F.sum((F.col("x") * F.col("x") * F.col("x")).cast("decimal(38,8)"))
+            .cast("decimal(38,8)")
+            .alias("s3"),
+            F.sum(
+                (F.col("x") * F.col("x") * F.col("x") * F.col("x")).cast(
+                    "decimal(38,8)"
+                )
+            )
+            .cast("decimal(38,8)")
+            .alias("s4"),
+        )
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    var_pop = r2 - m1 * m1
+    skew = (r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(
+        var_pop, F.lit(1.5)
+    )
+    kurt = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / (var_pop * var_pop) - F.lit(3.0)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(m1, 6).alias("mean_qty"),
+        F.round(var_pop, 6).alias("var_pop"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
+
+
+_FEATSCALE_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(CAST(c_acctbal AS DECIMAL(19,4)), 2) AS DOUBLE) AS bal
+  FROM customer
+),
+stats AS (
+  SELECT c_custkey, c_mktsegment, bal,
+         min(bal) OVER (PARTITION BY c_mktsegment) AS mn,
+         max(bal) OVER (PARTITION BY c_mktsegment) AS mx,
+         rank() OVER (PARTITION BY c_mktsegment ORDER BY bal) AS rk,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM base
+)
+SELECT c_custkey, c_mktsegment, bal,
+       round(CASE WHEN mx = mn THEN 0.5
+                  ELSE (bal - mn) / (mx - mn) END, 6) AS minmax_scaled,
+       round(CASE WHEN n = 1 THEN 0.5
+                  ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END, 6)
+         AS pct_rank
+FROM stats
+ORDER BY c_custkey
+"""
+
+
+@_register("feature_scaling_matrix", _FEATSCALE_ORACLE)
+def feature_scaling_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling for ML feature prep: min-max scaling and
+    rank-based quantile transform (percent-rank with min-rank ties) per
+    market segment, side by
+    side with the raw value. All four window aggregates (min, max, rank,
+    count) share ONE (segment) shuffle — Catalyst stacks them in a
+    single Window operator pair, so the transform costs one exchange at
+    any scale; the z-score sibling lives in `outlier_zscore_by_group`.
+    Balances are 2-dp, so (bal-mn) is exact and the scaled ratios divide
+    identical doubles cross-engine; degenerate groups (constant value or
+    a single row) pin to 0.5 instead of dividing by zero."""
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal").cast("decimal(19,4)"), 2)
+        .cast("double")
+        .alias("bal"),
+    )
+    wseg = W.partitionBy("c_mktsegment")
+    worder = wseg.orderBy("bal")
+    stats = base.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal",
+        F.min("bal").over(wseg).alias("mn"),
+        F.max("bal").over(wseg).alias("mx"),
+        F.rank().over(worder).alias("rk"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    minmax = F.when(F.col("mx") == F.col("mn"), F.lit(0.5)).otherwise(
+        (F.col("bal") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    )
+    pct = F.when(F.col("n") == 1, F.lit(0.5)).otherwise(
+        (F.col("rk") - 1).cast("double") / (F.col("n") - 1).cast("double")
+    )
+    return stats.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal",
+        F.round(minmax, 6).alias("minmax_scaled"),
+        F.round(pct, 6).alias("pct_rank"),
+    ).orderBy("c_custkey")

@@ -1801,3 +1801,52 @@ def test_linear_attribution_conserves_value(spark):
         .collect()[0][0]
     )
     assert abs(credited - total) < 0.1
+
+
+def test_moments_match_scipy_reference(spark):
+    """Exact-moment skewness/kurtosis agrees with an independent Python
+    computation over the same values."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = {
+        r.l_returnflag: r
+        for r in REGISTRY["distribution_moments_skew_kurt"].spark(spark, SF).collect()
+    }
+    data = (
+        load_table(spark, SF, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    by_flag: dict[str, list[float]] = {}
+    for r in data:
+        by_flag.setdefault(r.l_returnflag, []).append(round(r.l_quantity, 2))
+    for flag, xs in by_flag.items():
+        n = len(xs)
+        m1 = sum(xs) / n
+        var = sum((x - m1) ** 2 for x in xs) / n
+        skew = (sum((x - m1) ** 3 for x in xs) / n) / var**1.5
+        kurt = (sum((x - m1) ** 4 for x in xs) / n) / var**2 - 3.0
+        got = rows[flag]
+        assert got.n == n
+        assert abs(got.mean_qty - m1) < 1e-4
+        assert abs(got.var_pop - var) < 1e-3
+        assert abs(got.skewness - skew) < 1e-4
+        assert abs(got.excess_kurtosis - kurt) < 1e-4
+
+
+def test_feature_scaling_ranges(spark):
+    """Scaled features live in [0, 1]; each segment attains both
+    endpoints of the min-max scale."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["feature_scaling_matrix"].spark(spark, SF).collect()
+    assert rows
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        assert 0.0 <= r.minmax_scaled <= 1.0
+        assert 0.0 <= r.pct_rank <= 1.0
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg_rows in by_seg.values():
+        if len(seg_rows) > 1:
+            vals = [r.minmax_scaled for r in seg_rows]
+            assert min(vals) == 0.0 and max(vals) == 1.0
