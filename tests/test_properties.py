@@ -373,3 +373,135 @@ def test_prefix_filter_jaccard_matches_reference(spark, docs, tau):
         f"tau={tau_num}/{tau_den} missed={set(expected) - set(got)} "
         f"extra={set(got) - set(expected)}"
     )
+
+
+@_settings
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key
+            st.integers(min_value=0, max_value=60),  # start day offset
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    width=st.integers(min_value=1, max_value=10),
+)
+def test_interval_islands_match_python_reference(spark, spans, width):
+    """Islands merging on adversarial small inputs (duplicate starts,
+    nested spans, single rows) matches an independent interval-merge."""
+    from pyspark.sql import Window as W
+
+    rows = [
+        (key, i, _BASE + timedelta(days=off), _BASE + timedelta(days=off + width))
+        for i, (key, off) in enumerate(spans)
+    ]
+    # independent python merge: sort, sweep, count islands + covered days
+    expected = {}
+    by_key: dict[int, list] = {}
+    for key, _i, s, e in rows:
+        by_key.setdefault(key, []).append((s, e))
+    for key, iv in by_key.items():
+        iv.sort()
+        islands = []
+        for s, e in iv:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        expected[key] = (
+            len(islands),
+            sum((e - s).days for s, e in islands),
+        )
+
+    df = spark.createDataFrame(rows, ["key", "rid", "start_d", "end_d"])
+    w = W.partitionBy("key").orderBy("start_d", "rid")
+    m = df.withColumn(
+        "prev_max_end",
+        F.max("end_d").over(w.rowsBetween(W.unboundedPreceding, -1)),
+    ).withColumn(
+        "brk",
+        F.when(
+            F.col("prev_max_end").isNull()
+            | (F.col("start_d") > F.col("prev_max_end")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island_id", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    got = {
+        r["key"]: (r["n"], r["days"])
+        for r in m.groupBy("key", "island_id")
+        .agg(F.min("start_d").alias("s"), F.max("end_d").alias("e"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.datediff("e", "s")).cast("bigint").alias("days"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+@_settings
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=12),
+    budget=st.integers(min_value=1, max_value=100_000),
+)
+def test_largest_remainder_matches_python_reference(spark, weights, budget):
+    """Hamilton apportionment: quotas sum exactly to the budget and match
+    an independent implementation (ties broken by source name)."""
+    from pyspark.sql import Window as W
+
+    if sum(weights) == 0:
+        weights = [w + 1 for w in weights]
+    total = sum(weights)
+    names = [f"s{i:02d}" for i in range(len(weights))]
+    floor_q = {n: budget * w // total for n, w in zip(names, weights)}
+    rem = {n: budget * w % total for n, w in zip(names, weights)}
+    leftover = budget - sum(floor_q.values())
+    order = sorted(names, key=lambda n: (-rem[n], n))
+    expected = {
+        n: floor_q[n] + (1 if i < leftover else 0) for i, n in enumerate(order)
+    }
+    assert sum(expected.values()) == budget
+
+    df = spark.createDataFrame(
+        list(zip(names, weights)), ["source", "n_tokens"]
+    )
+    b = F.lit(budget).cast("bigint")
+    tot = df.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    shares = (
+        df.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(b * F.col("n_tokens") / F.col("total"))
+            .cast("bigint")
+            .alias("floor_quota"),
+            ((b * F.col("n_tokens")) % F.col("total")).cast("bigint").alias("rem"),
+        )
+    )
+    spent = shares.agg(F.sum("floor_quota").cast("bigint").alias("spent"))
+    got = {
+        r["source"]: r["quota"]
+        for r in shares.crossJoin(F.broadcast(spent))
+        .select(
+            "source",
+            (
+                F.col("floor_quota")
+                + F.when(
+                    F.row_number().over(
+                        W.partitionBy(F.lit(1)).orderBy(
+                            F.col("rem").desc(), "source"
+                        )
+                    )
+                    <= b - F.col("spent"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .collect()
+    }
+    assert got == expected

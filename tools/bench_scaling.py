@@ -37,6 +37,11 @@ ENTRIES = [
     "dedup_exact_documents",
     "q01_pricing_summary",
     "q09_product_profit",
+    # round-3 continuation entries with non-trivial shapes
+    "interval_islands_merge",
+    "timeseries_linear_interpolation",
+    "scd2_point_in_time_join",
+    "attribution_linear_credit",
 ]
 
 
