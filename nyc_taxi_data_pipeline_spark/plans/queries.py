@@ -12001,3 +12001,131 @@ def feature_scaling_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(minmax, 6).alias("minmax_scaled"),
         F.round(pct, 6).alias("pct_rank"),
     ).orderBy("c_custkey")
+
+
+_FIFO_ORACLE = """
+WITH ship AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_end
+  FROM lineitem
+  WHERE l_returnflag <> 'R' AND l_partkey % 5 = 0
+),
+ret AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_end
+  FROM lineitem
+  WHERE l_returnflag = 'R' AND l_partkey % 5 = 0
+),
+matched AS (
+  SELECT r.l_partkey, r.l_orderkey AS ret_orderkey,
+         r.l_linenumber AS ret_linenumber, r.qty AS ret_qty,
+         s.l_shipdate,
+         least(s.cum_end, r.cum_end)
+           - greatest(s.cum_end - s.qty, r.cum_end - r.qty) AS matched_units
+  FROM ret r
+  JOIN ship s
+    ON s.l_partkey = r.l_partkey
+   AND s.cum_end - s.qty < r.cum_end
+   AND r.cum_end - r.qty < s.cum_end
+)
+SELECT l_partkey, ret_orderkey, ret_linenumber, ret_qty,
+       count(*) AS n_src_shipments,
+       CAST(sum(matched_units) AS BIGINT) AS matched_units,
+       min(l_shipdate) AS first_src_ship,
+       max(l_shipdate) AS last_src_ship
+FROM matched
+GROUP BY l_partkey, ret_orderkey, ret_linenumber, ret_qty
+ORDER BY l_partkey, ret_orderkey, ret_linenumber
+"""
+
+
+@_register("fifo_unit_range_matching", _FIFO_ORACLE)
+def fifo_unit_range_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation as an interval-overlap join — the inventory /
+    cost-basis matching operator (match each return's units against the
+    oldest unmatched shipped units of the same part) with NO loop and NO
+    UDF: a window cumsum turns each side's FIFO queue into half-open
+    unit ranges [cum−qty, cum) on a shared per-part number line, and
+    FIFO matching becomes range intersection — an equi hash join on
+    partkey with the overlap test as a residual filter, matched units =
+    exact integer overlap length. Each side costs ONE (part) shuffle for
+    its cumsum; the join re-uses that partitioning, so a 100 TB ledger
+    pays two window passes and one co-partitioned join. Per-key blowup
+    is bounded: a return overlaps at most (its span ÷ min shipment size)
+    shipments, the same locality a streaming FIFO matcher would have.
+    Quantities are integral by data contract (cast asserted by the ANSI
+    bigint cast), so every output is exact. Provenance per return row:
+    how many source shipments it drew from and their date span."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 5 == 0)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+
+    def ranged(df: DataFrame) -> DataFrame:
+        w = (
+            W.partitionBy("l_partkey")
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        qty = F.col("l_quantity").cast("bigint")
+        return df.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            qty.alias("qty"),
+            F.sum(qty).over(w).cast("bigint").alias("cum_end"),
+        )
+
+    ship = ranged(li.filter(F.col("l_returnflag") != "R")).select(
+        F.col("l_partkey").alias("s_partkey"),
+        F.col("l_shipdate").alias("s_shipdate"),
+        F.col("qty").alias("s_qty"),
+        F.col("cum_end").alias("s_end"),
+    )
+    ret = ranged(li.filter(F.col("l_returnflag") == "R")).select(
+        "l_partkey",
+        F.col("l_orderkey").alias("ret_orderkey"),
+        F.col("l_linenumber").alias("ret_linenumber"),
+        F.col("qty").alias("ret_qty"),
+        F.col("cum_end").alias("r_end"),
+    )
+    matched = ret.join(
+        ship,
+        (F.col("s_partkey") == F.col("l_partkey"))
+        & (F.col("s_end") - F.col("s_qty") < F.col("r_end"))
+        & (F.col("r_end") - F.col("ret_qty") < F.col("s_end")),
+    ).select(
+        "l_partkey",
+        "ret_orderkey",
+        "ret_linenumber",
+        "ret_qty",
+        "s_shipdate",
+        (
+            F.least("s_end", "r_end")
+            - F.greatest(
+                F.col("s_end") - F.col("s_qty"),
+                F.col("r_end") - F.col("ret_qty"),
+            )
+        ).alias("matched_units"),
+    )
+    return (
+        matched.groupBy(
+            "l_partkey", "ret_orderkey", "ret_linenumber", "ret_qty"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_src_shipments"),
+            F.sum("matched_units").cast("bigint").alias("matched_units"),
+            F.min("s_shipdate").alias("first_src_ship"),
+            F.max("s_shipdate").alias("last_src_ship"),
+        )
+        .orderBy("l_partkey", "ret_orderkey", "ret_linenumber")
+    )

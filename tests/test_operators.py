@@ -1850,3 +1850,37 @@ def test_feature_scaling_ranges(spark):
         if len(seg_rows) > 1:
             vals = [r.minmax_scaled for r in seg_rows]
             assert min(vals) == 0.0 and max(vals) == 1.0
+
+
+def test_fifo_matching_conserves_min_side(spark):
+    """Per part, total matched units must equal min(total shipped, total
+    returned): both cumsum chains partition [0, total) so the overlap
+    join covers exactly the common prefix."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["fifo_unit_range_matching"].spark(spark, SF).collect()
+    li = (
+        load_table(spark, SF, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") != "R", F.col("l_quantity")).otherwise(0)
+            ).cast("bigint").alias("shipped"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0)
+            ).cast("bigint").alias("returned"),
+        )
+        .collect()
+    )
+    totals = {r.l_partkey: min(r.shipped, r.returned) for r in li}
+    matched_by_part: dict[int, int] = {}
+    for r in rows:
+        matched_by_part[r.l_partkey] = (
+            matched_by_part.get(r.l_partkey, 0) + r.matched_units
+        )
+        assert 1 <= r.matched_units <= r.ret_qty
+        assert r.n_src_shipments >= 1
+        assert r.first_src_ship <= r.last_src_ship
+    for part, m in matched_by_part.items():
+        assert m == totals[part], (part, m, totals[part])
