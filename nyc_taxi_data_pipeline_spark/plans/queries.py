@@ -12129,3 +12129,200 @@ def fifo_unit_range_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey", "ret_orderkey", "ret_linenumber")
     )
+
+
+_TWAP_ORACLE = """
+WITH seg AS (
+  SELECT user_id, value,
+         CAST(date_diff('second', ts,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS BIGINT) AS dt_s
+  FROM events
+),
+held AS (
+  SELECT user_id, value, dt_s FROM seg WHERE dt_s IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_segments,
+       CAST(sum(dt_s) AS BIGINT) AS held_seconds,
+       CAST(round(
+         sum(CAST(round(value, 6) AS DECIMAL(38,6)) * dt_s)
+         / sum(dt_s), 6) AS DOUBLE) AS twap
+FROM held
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@_register("time_weighted_average", _TWAP_ORACLE)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation's value is held
+    until the user's next event, so the mean weights every value by its
+    holding duration — the correct average for irregularly-sampled
+    series (sensor readings, prices, account balances), where the plain
+    mean over-counts burst periods. ONE lead() window turns events into
+    (value, duration) segments — a single shuffle on the key — and the
+    rest is a mergeable hash aggregate; the final open-ended segment is
+    excluded by contract. Durations are exact integer seconds and values
+    quantize to DECIMAL(38,6) before the value×time products, so the
+    weighted sums are order-independent and the rounded quotient is
+    bit-stable cross-engine. At 100 TB nothing here is wider than the
+    per-key sort the lag family already pays."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (
+            F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp("ts")
+        )
+        .cast("bigint")
+        .alias("dt_s"),
+    )
+    held = seg.filter(F.col("dt_s").isNotNull())
+    vdec = F.round("value", 6).cast("decimal(38,6)")
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dt_s").cast("bigint").alias("held_seconds"),
+            F.round(
+                F.sum(vdec * F.col("dt_s")) / F.sum("dt_s"), 6
+            )
+            .cast("double")
+            .alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_JOURNEY_ORACLE = """
+WITH paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+  FROM events
+  GROUP BY user_id
+)
+SELECT journey, count(*) AS n_users
+FROM paths
+GROUP BY journey
+ORDER BY n_users DESC, journey
+LIMIT 25
+"""
+
+
+@_register("journey_path_signatures", _JOURNEY_ORACLE)
+def journey_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral journey mining: each user's full event sequence is
+    compressed to an ordered path signature ('view>click>purchase>...')
+    and identical journeys are counted — the input to funnel discovery
+    and Markov-chain UX models (`event_funnel_conversion` checks ONE
+    path; this surfaces which paths exist). The ordered concat is
+    collect_list of (ts, event_id, type) structs + array_sort +
+    transform + array_join — all JVM codegen, the struct sort giving the
+    same deterministic (ts, event_id) order DuckDB's ORDER BY string_agg
+    uses. One shuffle on user_id; per-key memory is the user's own event
+    count (the per-key bound every sessionizer already accepts), and the
+    signature rollup is a tiny second aggregate over distinct paths."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    paths = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("journey")
+        )
+    )
+    return (
+        paths.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "journey")
+        .limit(25)
+    )
+
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, x,
+         lag(x) OVER (PARTITION BY event_type ORDER BY d) AS x1,
+         lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS x7
+  FROM daily
+)
+SELECT event_type,
+       count(*) AS n_days,
+       round((count(x1) * sum(x * x1) - sum(CASE WHEN x1 IS NOT NULL THEN x END) * sum(x1))
+             / (sqrt(count(x1) * sum(CASE WHEN x1 IS NOT NULL THEN x * x END)
+                     - sum(CASE WHEN x1 IS NOT NULL THEN x END)
+                       * sum(CASE WHEN x1 IS NOT NULL THEN x END))
+                * sqrt(count(x1) * sum(x1 * x1) - sum(x1) * sum(x1))),
+             6) AS acf_lag1,
+       round((count(x7) * sum(x * x7) - sum(CASE WHEN x7 IS NOT NULL THEN x END) * sum(x7))
+             / (sqrt(count(x7) * sum(CASE WHEN x7 IS NOT NULL THEN x * x END)
+                     - sum(CASE WHEN x7 IS NOT NULL THEN x END)
+                       * sum(CASE WHEN x7 IS NOT NULL THEN x END))
+                * sqrt(count(x7) * sum(x7 * x7) - sum(x7) * sum(x7))),
+             6) AS acf_lag7
+FROM lagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("autocorrelation_lag_k", _AUTOCORR_ORACLE)
+def autocorrelation_lag_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of daily event volume per type —
+    the seasonality diagnostic that decides whether `seasonal_anomaly_
+    days`'s weekday partitioning is warranted (high lag-7 ACF = weekly
+    cycle). No self-join: lag() pairs each day with its k-back neighbor
+    in the SAME window pass, then Pearson r comes from six exact integer
+    sums per lag (the paired-moments formulation over the non-null
+    pairs) — one shuffle on the tiny per-type daily rollup, scalar math
+    after. Counts are exact integers so both engines' doubles agree
+    bit-for-bit; sqrt is IEEE correctly-rounded in both."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+
+    def acf(xl: str):
+        xlc = F.col(xl)
+        present = xlc.isNotNull()
+        n = F.count(xl)
+        sx = F.sum(F.when(present, F.col("x")))
+        sxx = F.sum(F.when(present, F.col("x") * F.col("x")))
+        sl = F.sum(xlc)
+        sll = F.sum(xlc * xlc)
+        sxl = F.sum(F.col("x") * xlc)
+        num = n * sxl - sx * sl
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * sll - sl * sl)
+        return F.round(num / den, 6)
+
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            acf("x1").alias("acf_lag1"),
+            acf("x7").alias("acf_lag7"),
+        )
+        .orderBy("event_type")
+    )

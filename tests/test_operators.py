@@ -1884,3 +1884,51 @@ def test_fifo_matching_conserves_min_side(spark):
         assert r.first_src_ship <= r.last_src_ship
     for part, m in matched_by_part.items():
         assert m == totals[part], (part, m, totals[part])
+
+
+def test_twap_bounded_by_value_range(spark):
+    """A time-weighted average is a convex combination of held values —
+    it must lie within [min, max] of the user's non-final values."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = {r.user_id: r for r in REGISTRY["time_weighted_average"].spark(spark, SF).collect()}
+    assert rows
+    e = load_table(spark, SF, "events").select("user_id", "ts", "event_id", "value").collect()
+    by_user: dict[int, list] = {}
+    for r in e:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        held = [v for _, _, v in evs[:-1]]
+        if not held or uid not in rows:
+            continue
+        got = rows[uid]
+        assert min(held) - 1e-6 <= got.twap <= max(held) + 1e-6
+        assert got.n_segments == len(held)
+
+
+def test_journey_signatures_cover_all_users(spark):
+    """Every user has exactly one journey; top-25 counts cannot exceed
+    the user population, and each journey's steps are known event types."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["journey_path_signatures"].spark(spark, SF).collect()
+    assert rows
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) <= n_users
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        assert set(r.journey.split(">")) <= types
+
+
+def test_autocorrelation_in_unit_interval(spark):
+    """Pearson autocorrelations live in [-1, 1]."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["autocorrelation_lag_k"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.acf_lag1 is not None:
+            assert -1.0 <= r.acf_lag1 <= 1.0
+        if r.acf_lag7 is not None:
+            assert -1.0 <= r.acf_lag7 <= 1.0
