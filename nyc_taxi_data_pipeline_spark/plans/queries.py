@@ -12326,3 +12326,241 @@ def autocorrelation_lag_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_FUNNEL_LATENCY_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT s1.user_id,
+         CAST(date_diff('second', s1.t1, s2.t2) AS BIGINT) AS view_to_click_s,
+         CAST(date_diff('second', s2.t2, s3.t3) AS BIGINT) AS click_to_buy_s
+  FROM s1 JOIN s2 ON s2.user_id = s1.user_id
+          JOIN s3 ON s3.user_id = s1.user_id
+)
+SELECT 'view_to_click' AS step, count(*) AS n_users,
+       CAST(min(view_to_click_s) AS BIGINT) AS min_s,
+       round(quantile_cont(view_to_click_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(view_to_click_s, 0.9), 4) AS p90_s,
+       CAST(max(view_to_click_s) AS BIGINT) AS max_s
+FROM lat
+UNION ALL
+SELECT 'click_to_buy', count(*),
+       CAST(min(click_to_buy_s) AS BIGINT),
+       round(quantile_cont(click_to_buy_s, 0.5), 4),
+       round(quantile_cont(click_to_buy_s, 0.9), 4),
+       CAST(max(click_to_buy_s) AS BIGINT)
+FROM lat
+ORDER BY step
+"""
+
+
+@_register("funnel_conversion_latency", _FUNNEL_LATENCY_ORACLE)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the ordered funnel: among users
+    who completed view→click→purchase (same sequencing constraint as
+    `event_funnel_conversion`), the per-hop latency percentiles — the
+    metric that turns a funnel COUNT into a funnel SLA ('median user
+    clicks within N minutes of first view'). Step times come from the
+    funnel's own semi-join-pruned min-aggregates (each step scans only
+    the previous step's survivors); latencies are exact integer seconds
+    and `percentile` == DuckDB `quantile_cont` (both linear
+    interpolation on exact ints), so the rounded quantiles are
+    bit-stable. The full-converter frame is |users| rows — the
+    percentile runs on a key-less aggregate of a tiny frame, not on the
+    raw stream."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = (
+        s1.join(s2, "user_id")
+        .join(s3, "user_id")
+        .select(
+            (F.unix_timestamp("t2") - F.unix_timestamp("t1"))
+            .cast("bigint")
+            .alias("view_to_click_s"),
+            (F.unix_timestamp("t3") - F.unix_timestamp("t2"))
+            .cast("bigint")
+            .alias("click_to_buy_s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def stats(col: str, label: str) -> DataFrame:
+        return lat.agg(
+            F.lit(label).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.min(col).cast("bigint").alias("min_s"),
+            F.round(F.expr(f"percentile({col}, 0.5)"), 4).alias("p50_s"),
+            F.round(F.expr(f"percentile({col}, 0.9)"), 4).alias("p90_s"),
+            F.max(col).cast("bigint").alias("max_s"),
+        )
+
+    return (
+        stats("view_to_click_s", "view_to_click")
+        .unionAll(stats("click_to_buy_s", "click_to_buy"))
+        .orderBy("step")
+    )
+
+
+_BITEMPORAL_ORACLE = """
+WITH chg AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type <> 'purchase'
+),
+scd_v0 AS (
+  SELECT user_id, state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg WHERE prev IS NULL OR state <> prev
+),
+chg1 AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type NOT IN ('purchase', 'error')
+),
+scd_v1 AS (
+  SELECT user_id, state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg1 WHERE prev IS NULL OR state <> prev
+),
+asof0 AS (
+  SELECT state, count(*) AS n_users FROM scd_v0
+  WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+  GROUP BY state
+),
+asof1 AS (
+  SELECT state, count(*) AS n_users FROM scd_v1
+  WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+  GROUP BY state
+)
+SELECT coalesce(a0.state, a1.state) AS state,
+       CAST(coalesce(a0.n_users, 0) AS BIGINT) AS n_users_tx0,
+       CAST(coalesce(a1.n_users, 0) AS BIGINT) AS n_users_tx1
+FROM asof0 a0 FULL OUTER JOIN asof1 a1 ON a1.state = a0.state
+ORDER BY state
+"""
+
+
+@_register("bitemporal_zone_query", _BITEMPORAL_ORACLE)
+def bitemporal_zone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-temporal query: VALID time (the SCD2 dimension's [valid_from,
+    valid_to) intervals) crossed with TRANSACTION time (the versioned
+    zone's immutable snapshots). The SCD2 user-state dimension is
+    published as zone v0; a retroactive data-quality correction (drop
+    'error' state transitions and recompute validity) republishes as
+    v1; then ONE valid-time instant is asked of BOTH transaction
+    versions — 'what did we believe on publish 0 vs publish 1 about who
+    was in state S at T?' — the audit/backtest query a versioned
+    lakehouse exists to answer, impossible without snapshot-isolated
+    versions. Each snapshot read is a plain pruned parquet scan of its
+    immutable v-dir; the valid-time filter is a scan predicate; the
+    final reconciliation is a tiny full-outer join on state
+    (sources/io.publish_zone_version, read_zone_snapshot; reference
+    lakehouse intent: scripts/convert_to_delta.py)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.operators.warehouse import (
+        scd2_from_changelog,
+    )
+    from nyc_taxi_data_pipeline_spark.sources.io import (
+        publish_zone_version,
+        read_zone_snapshot,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+    def scd(changes: DataFrame) -> DataFrame:
+        return scd2_from_changelog(
+            changes,
+            key="user_id",
+            ts_col="ts",
+            attr_col="event_type",
+            tiebreak_col="event_id",
+        ).select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "valid_from",
+            "valid_to",
+        )
+
+    zone = os.path.join(
+        tempfile.gettempdir(), f"bitemporal_{uuid.uuid4().hex[:12]}"
+    )
+    try:
+        v0 = publish_zone_version(
+            scd(e.filter(F.col("event_type") != "purchase")), zone
+        )
+        v1 = publish_zone_version(
+            scd(e.filter(~F.col("event_type").isin("purchase", "error"))),
+            zone,
+        )
+        t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+        def asof(version: int, out: str) -> DataFrame:
+            snap = read_zone_snapshot(spark, zone, version)
+            return (
+                snap.filter(
+                    (F.col("valid_from") <= t)
+                    & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+                )
+                .groupBy("state")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+            )
+
+        merged = (
+            asof(v0, "n_users_tx0")
+            .join(asof(v1, "n_users_tx1"), "state", "full_outer")
+            .select(
+                "state",
+                F.coalesce("n_users_tx0", F.lit(0)).cast("bigint").alias("n_users_tx0"),
+                F.coalesce("n_users_tx1", F.lit(0)).cast("bigint").alias("n_users_tx1"),
+            )
+            .orderBy("state")
+        )
+        out = spark.createDataFrame(merged.collect(), merged.schema)
+    finally:
+        shutil.rmtree(zone, ignore_errors=True)
+    return out

@@ -1932,3 +1932,33 @@ def test_autocorrelation_in_unit_interval(spark):
             assert -1.0 <= r.acf_lag1 <= 1.0
         if r.acf_lag7 is not None:
             assert -1.0 <= r.acf_lag7 <= 1.0
+
+
+def test_funnel_latency_positive_and_consistent(spark):
+    """Latency stats: strictly ordered steps imply positive latencies;
+    both hops cover the same full-converter population."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = {r.step: r for r in REGISTRY["funnel_conversion_latency"].spark(spark, SF).collect()}
+    assert set(rows) == {"view_to_click", "click_to_buy"}
+    ns = {r.n_users for r in rows.values()}
+    assert len(ns) == 1
+    for r in rows.values():
+        assert r.min_s > 0
+        assert r.min_s <= r.p50_s <= r.p90_s <= r.max_s
+
+
+def test_bitemporal_error_correction_only_shrinks_error_state(spark):
+    """Transaction v1 (error transitions dropped) must show zero 'error'
+    holders, while total population at the instant is conserved."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = {r.state: r for r in REGISTRY["bitemporal_zone_query"].spark(spark, SF).collect()}
+    assert rows
+    if "error" in rows:
+        assert rows["error"].n_users_tx1 == 0
+    # dropping transitions can only delay a user's first state, so the
+    # population holding ANY state at the instant never grows in v1
+    assert sum(r.n_users_tx1 for r in rows.values()) <= sum(
+        r.n_users_tx0 for r in rows.values()
+    )
