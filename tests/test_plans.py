@@ -437,3 +437,52 @@ def test_length_bucket_no_single_partition_window(spark):
     assert re.search(r"windowspecdefinition\(tier#\d+L?, n_tokens#", plan)
     assert not re.search(r"windowspecdefinition\(n_tokens#", plan)
     assert plan.count("BroadcastExchange") >= 2  # offsets + n_total
+
+
+def test_interval_islands_single_hash_shuffle(spark):
+    """Both windows (running-max break test, island-id cumsum) and both
+    aggregate levels must ride ONE (custkey) hash exchange; only the
+    presentation orderBy adds a range exchange."""
+    plan = _plan(spark, "interval_islands_merge")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") >= 2, plan  # break-test + island-id windows
+    assert "CartesianProduct" not in plan
+
+
+def test_twap_groupby_reuses_window_partitioning(spark):
+    """The TWAP aggregate groups on the window's own partition key, so the
+    final HashAggregate must NOT add a second hash exchange."""
+    plan = _plan(spark, "time_weighted_average")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_pit_join_is_equi_hash_not_bnlj(spark):
+    """The PIT temporal predicate must ride as a residual on an equi hash
+    join keyed on user_id — never a BroadcastNestedLoopJoin over the
+    range condition."""
+    plan = _plan(spark, "scd2_point_in_time_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_fifo_matching_copartitioned_join(spark):
+    """FIFO range-intersection join: both cumsum windows hash-partition on
+    l_partkey and the join must reuse that partitioning — the only
+    additional exchange is the wider-keyed provenance aggregate."""
+    plan = _plan(spark, "fifo_unit_range_matching")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # 2 window inputs + at most 1 post-join aggregate re-key
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_attribution_join_is_equi_with_residual_window(spark):
+    """Linear attribution: click↔purchase match must be an equi join on
+    the user key with the 7-day bound as residual — no nested loop."""
+    plan = _plan(spark, "attribution_linear_credit")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
