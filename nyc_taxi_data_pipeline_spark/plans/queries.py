@@ -12564,3 +12564,254 @@ def bitemporal_zone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(zone, ignore_errors=True)
     return out
+
+
+_CORRMAT_ORACLE = """
+WITH v AS (
+  SELECT CAST(l_quantity AS DECIMAL(19,4)) AS q,
+         CAST(l_extendedprice AS DECIMAL(19,4)) AS p,
+         CAST(l_discount AS DECIMAL(19,4)) AS d,
+         CAST(l_tax AS DECIMAL(19,4)) AS t
+  FROM lineitem
+),
+sums AS (
+  SELECT count(*) AS n,
+         CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+         CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(t) AS DOUBLE) AS st,
+         CAST(sum(q*q) AS DOUBLE) AS sqq, CAST(sum(p*p) AS DOUBLE) AS spp,
+         CAST(sum(d*d) AS DOUBLE) AS sdd, CAST(sum(t*t) AS DOUBLE) AS stt,
+         CAST(sum(q*p) AS DOUBLE) AS sqp, CAST(sum(q*d) AS DOUBLE) AS sqd,
+         CAST(sum(q*t) AS DOUBLE) AS sqt, CAST(sum(p*d) AS DOUBLE) AS spd,
+         CAST(sum(p*t) AS DOUBLE) AS spt, CAST(sum(d*t) AS DOUBLE) AS sdt
+  FROM v
+)
+SELECT col_a, col_b,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS pearson_r
+FROM sums, LATERAL (VALUES
+  ('quantity', 'extendedprice', sqp, sq, sp, sqq, spp),
+  ('quantity', 'discount',      sqd, sq, sd, sqq, sdd),
+  ('quantity', 'tax',           sqt, sq, st, sqq, stt),
+  ('extendedprice', 'discount', spd, sp, sd, spp, sdd),
+  ('extendedprice', 'tax',      spt, sp, st, spp, stt),
+  ('discount', 'tax',           sdt, sd, st, sdd, stt)
+) AS pairs(col_a, col_b, sxy, sx, sy, sxx, syy)
+ORDER BY col_a, col_b
+"""
+
+
+@_register("correlation_matrix_onepass", _CORRMAT_ORACLE)
+def correlation_matrix_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix of four measures in ONE
+    aggregate pass: the 14 exact decimal sums (4 first moments, 4
+    squares, 6 cross-products) are all partial-merge-safe, so the whole
+    4×4 matrix costs a single scan + one tiny reduce at any scale —
+    never 6 separate corr() passes, and bit-stable where float corr()
+    drifts with partition order (same recipe as
+    `distribution_moments_skew_kurt`). The unpivot to (col_a, col_b, r)
+    rows happens on the 1-row sums frame. Measures are 2-dp bounded so
+    DECIMAL(19,4) products ride DuckDB's int128 path exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {
+        "q": "l_quantity",
+        "p": "l_extendedprice",
+        "d": "l_discount",
+        "t": "l_tax",
+    }
+    v = li.select(
+        *[F.col(src).cast("decimal(19,4)").alias(k) for k, src in cols.items()]
+    )
+    pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k in cols:
+        aggs.append(F.sum(F.col(k)).cast("double").alias(f"s_{k}"))
+        aggs.append(F.sum(F.col(k) * F.col(k)).cast("double").alias(f"s_{k}{k}"))
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("double").alias(f"s_{a}{b}"))
+    sums = v.agg(*aggs)
+    label = {
+        "q": "quantity",
+        "p": "extendedprice",
+        "d": "discount",
+        "t": "tax",
+    }
+    n = F.col("n")
+    rows = []
+    for a, b in pairs:
+        sx, sy = F.col(f"s_{a}"), F.col(f"s_{b}")
+        sxx, syy = F.col(f"s_{a}{a}"), F.col(f"s_{b}{b}")
+        sxy = F.col(f"s_{a}{b}")
+        r = (n * sxy - sx * sy) / (
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        )
+        rows.append(
+            F.struct(
+                F.lit(label[a]).alias("col_a"),
+                F.lit(label[b]).alias("col_b"),
+                F.round(r, 6).alias("pearson_r"),
+            )
+        )
+    return (
+        sums.select(F.explode(F.array(*rows)).alias("cell"))
+        .select("cell.col_a", "cell.col_b", "cell.pearson_r")
+        .orderBy("col_a", "col_b")
+    )
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS first_digit
+  FROM orders
+  WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT first_digit, count(*) AS n_obs FROM digits GROUP BY first_digit
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+expected(first_digit, p_benford) AS (VALUES
+  (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+  (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+  (9, 0.045757))
+SELECT e.first_digit,
+       CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+       round(CAST(coalesce(o.n_obs, 0) AS DOUBLE) / n, 6) AS p_obs,
+       CAST(e.p_benford AS DOUBLE) AS p_benford,
+       round(abs(CAST(coalesce(o.n_obs, 0) AS DOUBLE) / n
+                 - CAST(e.p_benford AS DOUBLE)), 6) AS abs_dev
+FROM expected e
+LEFT JOIN obs o ON o.first_digit = e.first_digit
+CROSS JOIN tot
+ORDER BY e.first_digit
+"""
+
+
+@_register("benford_digit_audit", _BENFORD_ORACLE)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / unit-mixup screen for financial columns: observed
+    leading-digit shares against the log10(1+1/d) expectation, per-digit
+    absolute deviation. The Benford constants are pre-rounded LITERALS
+    (identical on both engines — no runtime log10, whose last-ulp libm
+    differences could straddle a rounding boundary), the digit extract
+    is pure integer/string math, and the whole audit is one 9-row
+    aggregate joined to a 9-row constant frame — scan-bound at any
+    scale. Synthetic uniform prices FAIL Benford loudly (real invoice
+    data approximates it), which is exactly what the audit should say
+    about uniform data."""
+    digits = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("first_digit")
+        )
+    )
+    obs = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    benford = [
+        (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        (9, 0.045757),
+    ]
+    expected = spark.createDataFrame(benford, ["first_digit", "p_benford"])
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p_obs = F.coalesce("n_obs", F.lit(0)).cast("double") / F.col("n")
+    return (
+        expected.join(F.broadcast(obs), "first_digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            F.round(p_obs, 6).alias("p_obs"),
+            "p_benford",
+            F.round(F.abs(p_obs - F.col("p_benford")), 6).alias("abs_dev"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+_WINSOR_ORACLE = """
+WITH base AS (
+  SELECT c_mktsegment,
+         CAST(round(CAST(c_acctbal AS DECIMAL(19,4)), 2) AS DOUBLE) AS bal
+  FROM customer
+),
+cuts AS (
+  SELECT c_mktsegment,
+         round(quantile_cont(bal, 0.05), 6) AS p05,
+         round(quantile_cont(bal, 0.95), 6) AS p95
+  FROM base GROUP BY c_mktsegment
+),
+clipped AS (
+  SELECT b.c_mktsegment,
+         CASE WHEN b.bal < c.p05 THEN c.p05
+              WHEN b.bal > c.p95 THEN c.p95
+              ELSE b.bal END AS wbal,
+         CASE WHEN b.bal < c.p05 OR b.bal > c.p95 THEN 1 ELSE 0 END
+           AS is_clipped
+  FROM base b JOIN cuts c ON c.c_mktsegment = b.c_mktsegment
+)
+SELECT c_mktsegment,
+       count(*) AS n,
+       CAST(sum(is_clipped) AS BIGINT) AS n_clipped,
+       CAST(round(sum(CAST(round(wbal, 6) AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS winsorized_sum,
+       round(min(wbal), 6) AS floor_val,
+       round(max(wbal), 6) AS cap_val
+FROM clipped
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@_register("winsorize_by_group", _WINSOR_ORACLE)
+def winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization per group — the robust-aggregate prep
+    that CLIPS tails instead of dropping them (the outlier entries
+    flag; this one repairs): per-segment p05/p95 cut points (exact
+    interpolated percentile, Spark `percentile` == DuckDB
+    `quantile_cont`) broadcast back onto the rows, values clamped, and
+    the winsorized aggregate re-computed with the decimal re-sum recipe
+    so totals stay order-independent. Two aggregates + one broadcast
+    join — no window over the raw rows, so the clamp costs one scan at
+    any scale. Clip counts, cut points, and winsorized totals per
+    segment make the entry self-auditing."""
+    base = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal").cast("decimal(19,4)"), 2)
+        .cast("double")
+        .alias("bal"),
+    )
+    cuts = base.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(bal, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(bal, 0.95)"), 6).alias("p95"),
+    )
+    clipped = base.join(F.broadcast(cuts), "c_mktsegment").select(
+        "c_mktsegment",
+        F.when(F.col("bal") < F.col("p05"), F.col("p05"))
+        .when(F.col("bal") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("bal"))
+        .alias("wbal"),
+        F.when(
+            (F.col("bal") < F.col("p05")) | (F.col("bal") > F.col("p95")), 1
+        )
+        .otherwise(0)
+        .alias("is_clipped"),
+    )
+    return (
+        clipped.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_clipped").cast("bigint").alias("n_clipped"),
+            F.round(F.sum(F.round("wbal", 6).cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("winsorized_sum"),
+            F.round(F.min("wbal"), 6).alias("floor_val"),
+            F.round(F.max("wbal"), 6).alias("cap_val"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1962,3 +1962,63 @@ def test_bitemporal_error_correction_only_shrinks_error_state(spark):
     assert sum(r.n_users_tx1 for r in rows.values()) <= sum(
         r.n_users_tx0 for r in rows.values()
     )
+
+
+def test_correlation_matrix_matches_python(spark):
+    """One-pass Pearson matrix agrees with an independent per-pair
+    computation, and r stays in [-1, 1]."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    got = {
+        (r.col_a, r.col_b): r.pearson_r
+        for r in REGISTRY["correlation_matrix_onepass"].spark(spark, SF).collect()
+    }
+    assert len(got) == 6
+    data = load_table(spark, SF, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    cols = {
+        "quantity": [round(r.l_quantity, 4) for r in data],
+        "extendedprice": [round(r.l_extendedprice, 4) for r in data],
+        "discount": [round(r.l_discount, 4) for r in data],
+        "tax": [round(r.l_tax, 4) for r in data],
+    }
+    n = len(data)
+    for (a, b), r in got.items():
+        assert -1.0 <= r <= 1.0
+        xs, ys = cols[a], cols[b]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        ref = (n * sxy - sx * sy) / (
+            (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+        )
+        assert abs(r - ref) < 1e-4, (a, b, r, ref)
+
+
+def test_benford_probabilities_form_distribution(spark):
+    """Observed shares sum to 1 over digits 1-9; expected shares are the
+    Benford constants (sum to ~1)."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["benford_digit_audit"].spark(spark, SF).collect()
+    assert [r.first_digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.p_obs for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_benford for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.abs_dev >= 0
+
+
+def test_winsorize_clips_five_percent_each_tail(spark):
+    """Winsorization must clip ~10% of each segment (5% per tail) and the
+    clipped aggregate must be bounded by the raw one."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["winsorize_by_group"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.floor_val <= r.cap_val
+        # interpolated percentiles leave at most ~10% strictly outside
+        assert r.n_clipped <= 0.12 * r.n + 2
+        assert r.n_clipped >= 0.04 * r.n - 2
