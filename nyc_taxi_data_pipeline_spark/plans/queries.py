@@ -12815,3 +12815,82 @@ def winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(19,4))), 2)
+              AS DOUBLE) AS r
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, r,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY r, o_custkey) AS i,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM rev
+)
+SELECT c_mktsegment,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(round(sum(CAST(round(r, 6) AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS total_revenue,
+       round(2.0 * sum(i * r) / (max(n) * sum(r))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@_register("gini_concentration_by_segment", _GINI_ORACLE)
+def gini_concentration_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini concentration of customer revenue per market segment — the
+    Lorenz-curve inequality readout ('do 10% of customers carry 90% of
+    revenue?'), the same statistic a curation pipeline uses to audit
+    source-contribution balance before fixing a dataset mix. Shape: one
+    join+agg to per-customer revenue, then ONE partitioned window pass
+    (rank within segment by revenue, custkey tiebreak) feeding the
+    closed-form rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n — no
+    pairwise |xᵢ−xⱼ| join, which is the O(n²) trap. The window
+    partitions by segment so no single-partition sort exists; a global
+    Gini would reuse `length_bucket_padding`'s tiered-rank trick.
+    Ranks are exact integers and revenues exact decimals, so the
+    rounded coefficient is bit-stable cross-engine."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(19,4)")), 2)
+            .cast("double")
+            .alias("r")
+        )
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("r", "o_custkey")
+    ranked = rev.select(
+        "c_mktsegment",
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy("c_mktsegment")).alias("n"),
+    )
+    n = F.max("n")
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            n.cast("bigint").alias("n_customers"),
+            F.round(F.sum(F.round("r", 6).cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_revenue"),
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("r")) / (n * F.sum("r"))
+                - (n + F.lit(1.0)) / n,
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -2022,3 +2022,37 @@ def test_winsorize_clips_five_percent_each_tail(spark):
         # interpolated percentiles leave at most ~10% strictly outside
         assert r.n_clipped <= 0.12 * r.n + 2
         assert r.n_clipped >= 0.04 * r.n - 2
+
+
+def test_gini_matches_python_and_bounds(spark):
+    """Gini in [0, 1); matches the mean-absolute-difference definition
+    computed independently in Python."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    got = {
+        r.c_mktsegment: r
+        for r in REGISTRY["gini_concentration_by_segment"].spark(spark, SF).collect()
+    }
+    assert got
+    rev = (
+        load_table(spark, SF, "orders")
+        .join(
+            load_table(spark, SF, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("r"))
+        .collect()
+    )
+    by_seg: dict[str, list[float]] = {}
+    for r in rev:
+        by_seg.setdefault(r.c_mktsegment, []).append(r.r)
+    for seg, xs in by_seg.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
+        ref = mad / (2 * mu)
+        g = got[seg].gini
+        assert 0.0 <= g < 1.0
+        assert abs(g - ref) < 1e-3, (seg, g, ref)
+        assert got[seg].n_customers == n
