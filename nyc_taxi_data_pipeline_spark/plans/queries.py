@@ -12894,3 +12894,137 @@ def gini_concentration_by_segment(
         )
         .orderBy("c_mktsegment")
     )
+
+
+_SRM_ORACLE = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+assigned AS (
+  SELECT user_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':exp1'),
+                                       1, 15) AS BIGINT) % 100 < 50
+              THEN 'control' ELSE 'treatment' END AS variant
+  FROM users
+),
+obs AS (SELECT variant, count(*) AS n_users FROM assigned GROUP BY variant),
+tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n FROM obs)
+SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+       round(CAST(n_users AS DOUBLE) / n, 6) AS p_obs,
+       CAST(0.5 AS DOUBLE) AS p_expected,
+       round((n_users - n * 0.5) * (n_users - n * 0.5) / (n * 0.5), 6)
+         AS chi2_contrib
+FROM obs CROSS JOIN tot
+ORDER BY variant
+"""
+
+
+@_register("ab_assignment_srm_check", _SRM_ORACLE)
+def ab_assignment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation surface: deterministic 50/50 variant assignment by
+    salted md5 bucket (the same portable hash lane the split/sampling
+    entries use — rerun- and engine-stable, no RNG) plus the
+    sample-ratio-mismatch health check every A/B platform runs before
+    trusting a readout: observed variant shares and per-variant chi²
+    contribution against the designed split. Assignment is a pure
+    per-row expression (scan-bound; at 100 TB it rides whatever scan
+    already touches the users), and the SRM test reduces to a 2-row
+    aggregate. Exact integer counts feed the chi² doubles, so values
+    are bit-stable cross-engine."""
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    assigned = users.select(
+        F.when(bucket < 50, "control").otherwise("treatment").alias("variant")
+    )
+    obs = assigned.groupBy("variant").agg(F.count(F.lit(1)).alias("n_users"))
+    tot = obs.agg(F.sum("n_users").cast("bigint").alias("n"))
+    dev = F.col("n_users") - F.col("n") * 0.5
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "variant",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(F.col("n_users").cast("double") / F.col("n"), 6).alias(
+                "p_obs"
+            ),
+            F.lit(0.5).alias("p_expected"),
+            F.round(dev * dev / (F.col("n") * 0.5), 6).alias("chi2_contrib"),
+        )
+        .orderBy("variant")
+    )
+
+
+_AUDIENCE_OVERLAP_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM ut a JOIN ut b ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(CAST(p.n_both AS DOUBLE) / (sa.n + sb.n - p.n_both), 6)
+         AS jaccard
+FROM pairs p JOIN sizes sa ON sa.event_type = p.type_a
+             JOIN sizes sb ON sb.event_type = p.type_b
+ORDER BY type_a, type_b
+"""
+
+
+@_register("audience_overlap_matrix", _AUDIENCE_OVERLAP_ORACLE)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between behaviors: for every pair of event types,
+    how many users do BOTH, with the Jaccard affinity — the
+    segment-overlap matrix marketing/feature teams read before merging
+    audiences (and the exact-set ground truth the minhash estimators
+    approximate). Shape: dedup to (user, type) once (checkpointed —
+    consumed by the pair join and the size rollup), self-join keyed on
+    user_id with the triangular filter, two tiny broadcast joins for the
+    set sizes. Pair cardinality per user is C(types,2) ≤ 10 here and
+    |types|² regardless of volume, so the only wide cost is the one
+    distinct shuffle any audience system already pays."""
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2056,3 +2056,30 @@ def test_gini_matches_python_and_bounds(spark):
         assert 0.0 <= g < 1.0
         assert abs(g - ref) < 1e-3, (seg, g, ref)
         assert got[seg].n_customers == n
+
+
+def test_srm_assignment_partitions_users(spark):
+    """Variant counts partition the distinct-user population; shares sum
+    to 1; assignment is deterministic across reruns."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    q = REGISTRY["ab_assignment_srm_check"]
+    rows1 = q.spark(spark, SF).collect()
+    rows2 = q.spark(spark, SF).collect()
+    assert rows1 == rows2  # deterministic hash assignment
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows1) == n_users
+    assert abs(sum(r.p_obs for r in rows1) - 1.0) < 1e-5
+
+
+def test_audience_overlap_bounds(spark):
+    """Overlap cannot exceed either audience; Jaccard consistent with the
+    inclusion-exclusion denominator."""
+    from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["audience_overlap_matrix"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_both <= min(r.n_a, r.n_b)
+        ref = r.n_both / (r.n_a + r.n_b - r.n_both)
+        assert abs(r.jaccard - ref) < 1e-6
