@@ -42,6 +42,12 @@ ENTRIES = [
     "timeseries_linear_interpolation",
     "scd2_point_in_time_join",
     "attribution_linear_credit",
+    "fifo_unit_range_matching",
+    "time_weighted_average",
+    "journey_path_signatures",
+    "correlation_matrix_onepass",
+    "gini_concentration_by_segment",
+    "audience_overlap_matrix",
 ]
 
 
