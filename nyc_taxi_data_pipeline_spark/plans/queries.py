@@ -1312,11 +1312,39 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared per-dimension moment expressions (exact integer sums cast to
-# double, then single IEEE ops): interpolated into BOTH sides so the
-# doubles are bit-identical — same technique as the OLS entry.
-_DIM_MEAN = "svd / nd / 1000000.0"
-_DIM_VAR = "(nd * sqd - svd * svd) / (nd * nd) / 1000000000000.0"
+# Shared per-dimension moment expressions: the mean/variance are ROUNDED
+# IN EXACT INTEGER/DECIMAL ARITHMETIC ((2a+b) intdiv (2b) = round-half-up
+# of a/b for a >= 0, mirrored for negative a) and only the final exact
+# integer is cast to double — round() over doubles ties at terminating
+# decimal boundaries (sv/2e9 terminates within 10 digits) and the two
+# engines break such ties differently, which the sf0.1 sweep caught.
+# The only dialect difference is the integer-division spelling, threaded
+# through as {d} ("div" in Spark, "//" in DuckDB).
+
+
+def _dim_mean_e8(d: str) -> str:
+    return (
+        f"CAST(CASE WHEN sv >= 0 THEN (200 * sv + n) {d} (2 * n) "
+        f"ELSE -((200 * (-sv) + n) {d} (2 * n)) END AS BIGINT)"
+    )
+
+
+def _dim_var_e8(d: str) -> str:
+    # varnum = n*sq - sv^2 >= 0 (Cauchy-Schwarz), widths ride DECIMAL(38,0).
+    # DuckDB's // on DECIMAL operands is NOT integer division (it returns
+    # the fractional quotient, and a later CAST would round, not floor), so
+    # the DuckDB lane spells floor(a/b) explicitly; Spark's div truncates,
+    # identical for the non-negative operands here.
+    num = (
+        "2 * (CAST(n AS DECIMAL(38,0)) * sq "
+        "- CAST(sv AS DECIMAL(38,0)) * CAST(sv AS DECIMAL(38,0))) "
+        "+ CAST(10000 AS DECIMAL(38,0)) * n * n"
+    )
+    den = "2 * CAST(10000 AS DECIMAL(38,0)) * n * n"
+    if d == "div":
+        return f"CAST(({num}) div ({den}) AS BIGINT)"
+    return f"CAST(floor(({num}) / ({den})) AS BIGINT)"
+
 
 _EMB_DIM_ORACLE = f"""
 WITH ex AS (
@@ -1333,19 +1361,12 @@ s AS (
          min(vi) AS min_vi,
          max(vi) AS max_vi
   FROM ex GROUP BY dim
-),
-d AS (
-  SELECT dim, n, min_vi, max_vi,
-         CAST(n AS DOUBLE)  AS nd,
-         CAST(sv AS DOUBLE) AS svd,
-         CAST(sq AS DOUBLE) AS sqd
-  FROM s
 )
 SELECT dim, n, min_vi, max_vi,
-       round({_DIM_MEAN}, 8) AS mean_val,
-       round({_DIM_VAR}, 8)  AS var_val,
+       CAST({_dim_mean_e8('//')} AS DOUBLE) / 100000000.0 AS mean_val,
+       CAST({_dim_var_e8('//')} AS DOUBLE) / 100000000.0  AS var_val,
        (max_vi - min_vi) < 10000 AS collapsed
-FROM d
+FROM s
 ORDER BY dim
 """
 
@@ -1358,9 +1379,12 @@ def embedding_dimension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-ups, and normalization drift before a corpus of vectors is
     indexed or trained on. Values are scaled to exact micro-units
     (round(v·10⁶) — round() is identical cross-engine) so every moment
-    sum is exact integer/decimal arithmetic; the final mean/variance
-    divisions are single IEEE ops over bit-identical operands via shared
-    expression strings (_DIM_MEAN/_DIM_VAR, the OLS-entry technique).
+    sum is exact integer/decimal arithmetic, and the mean/variance are
+    rounded to 8 dp IN INTEGER ARITHMETIC ((2a+b) intdiv (2b), shared
+    expression builders _dim_mean_e8/_dim_var_e8) before the one cast
+    to double — double-side round() ties at terminating-decimal
+    boundaries and the engines break ties differently (found by the
+    sf0.1 parity sweep; sf0.01 never hit a boundary).
     Scale shape: posexplode is a narrow map; one hash aggregate on the
     dimension index (bounded: 64 groups) with map-side combine — a
     full-corpus audit that costs one scan, mergeable across batches."""
@@ -1382,22 +1406,17 @@ def embedding_dimension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vi").alias("min_vi"),
         F.max("vi").alias("max_vi"),
     )
-    d = s.select(
+    return s.select(
         "dim",
         "n",
         "min_vi",
         "max_vi",
-        F.col("n").cast("double").alias("nd"),
-        F.col("sv").cast("double").alias("svd"),
-        F.col("sq").cast("double").alias("sqd"),
-    )
-    return d.select(
-        "dim",
-        "n",
-        "min_vi",
-        "max_vi",
-        F.expr(f"round({_DIM_MEAN}, 8)").alias("mean_val"),
-        F.expr(f"round({_DIM_VAR}, 8)").alias("var_val"),
+        F.expr(
+            f"CAST({_dim_mean_e8('div')} AS DOUBLE) / 100000000.0"
+        ).alias("mean_val"),
+        F.expr(
+            f"CAST({_dim_var_e8('div')} AS DOUBLE) / 100000000.0"
+        ).alias("var_val"),
         ((F.col("max_vi") - F.col("min_vi")) < 10000).alias("collapsed"),
     ).orderBy("dim")
 
@@ -9585,12 +9604,16 @@ def observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRY_ARITH_ORACLE = """
 WITH rows_in AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-         CAST(l_quantity AS BIGINT) AS qty
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 1000) AS BIGINT) AS pm
   FROM lineitem WHERE l_orderkey < 100
 )
 SELECT l_orderkey, l_linenumber,
        CASE WHEN qty = 0 THEN NULL
-            ELSE round(l_extendedprice / qty, 4) END          AS unit_price,
+            ELSE CAST((20 * pm + qty) // (2 * qty) AS DOUBLE) / 10000.0
+       END                                                    AS unit_price,
+       CASE WHEN l_linenumber = 1 OR qty = 0 THEN NULL
+            ELSE pm END                                       AS guarded_price_mills,
        TRY_CAST('not a number' AS DOUBLE)                     AS bad_number,
        CASE WHEN qty - 3 BETWEEN 1 AND 7
             THEN CAST(qty - 3 AS VARCHAR) ELSE NULL END       AS elem_at,
@@ -9606,12 +9629,18 @@ def try_arithmetic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-mode SAFETY surface: this engine runs with ANSI semantics ON
     (strict casts, failing overflow — the correctness-first default), so
     the try_* family is the per-expression escape hatch a pipeline uses
-    where nulls-on-error beat job failure: try_divide (÷0 → null),
-    try_cast (bad parse → null), try_element_at (out-of-bounds → null),
-    try_add at the int64 edge (overflow → null — the oracle proves no
-    row actually overflows, so the value is always the exact sum). The
-    oracle expresses each as its explicit CASE equivalent; matching
-    hashes prove the try_* forms implement exactly those semantics."""
+    where nulls-on-error beat job failure: try_divide (÷0 → null,
+    exercised with a denominator that REALLY hits zero on every first
+    line), try_cast (bad parse → null), try_element_at (out-of-bounds →
+    null), try_add at the int64 edge (overflow → null — the oracle
+    proves no row actually overflows, so the value is always the exact
+    sum). The oracle expresses each as its explicit CASE equivalent;
+    matching hashes prove the try_* forms implement exactly those
+    semantics. unit_price rounds IN INTEGER ARITHMETIC ((2a+b) intdiv
+    (2b) over exact price-mills) before one cast to double — round()
+    over the raw double quotient ties at terminating decimals (3-dp
+    price ÷ 4 ends in ...5) and the engines break the tie differently
+    (found by the sf0.1 parity sweep)."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") < 100)
@@ -9620,15 +9649,28 @@ def try_arithmetic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "l_extendedprice",
             F.col("l_quantity").cast("bigint").alias("qty"),
+            F.expr("CAST(round(l_extendedprice * 1000) AS BIGINT)").alias("pm"),
         )
     )
     arr = F.array([F.lit(str(i)).cast("string") for i in range(1, 8)])
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.try_divide(F.col("l_extendedprice"), F.col("qty")), 4).alias(
-            "unit_price"
-        ),
+        F.when(
+            F.col("qty") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.expr("CAST((20 * pm + qty) div (2 * qty) AS DOUBLE)")
+            / F.lit(10000.0)
+        ).alias("unit_price"),
+        F.when(
+            F.try_divide(
+                F.col("l_extendedprice"),
+                F.when(F.col("l_linenumber") == 1, 0).otherwise(F.col("qty")),
+            ).isNull(),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(F.col("pm"))
+        .alias("guarded_price_mills"),
         F.try_to_number(F.lit("not a number"), F.lit("999")).cast(
             "double"
         ).alias("bad_number"),
@@ -13027,4 +13069,625 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("type_a", "type_b")
+    )
+
+
+# ===========================================================================
+# Round-3 additions: portable pruning/sketch structures + quantized ANN.
+# Each is a scale pattern the catalog lacked: a build/probe bloom filter
+# (the runtime-filter semi-join prune), a KMV distinct sketch (the
+# mergeable-and-PORTABLE alternative to HLL whose estimate itself value-
+# checks), and product quantization with ADC scoring (the IVF+PQ memory
+# shape real 100 TB vector indexes use).
+# ===========================================================================
+
+_BLOOM_ORACLE = """
+WITH build AS (
+  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+lanes AS (SELECT unnest(range(0, 3)) AS j),
+build_bits AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(j || ':' || key), 1, 8) AS BIGINT)
+           % 16384 AS pos
+  FROM build, lanes
+),
+words AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+  FROM build_bits GROUP BY 1
+),
+probe_bits AS (
+  SELECT p.key, l.j,
+         CAST('0x' || substr(md5(l.j || ':' || p.key), 1, 8) AS BIGINT)
+           % 16384 AS pos
+  FROM probe p, lanes l
+),
+probe_hits AS (
+  SELECT b.key,
+         bool_and(COALESCE((w.word >> CAST(b.pos % 32 AS INTEGER)) & 1, 0) = 1)
+           AS bloom_pass
+  FROM probe_bits b
+  LEFT JOIN words w ON w.word_idx = b.pos // 32
+  GROUP BY b.key
+),
+labeled AS (
+  SELECT h.key, h.bloom_pass,
+         (bl.key IS NOT NULL) AS is_member
+  FROM probe_hits h LEFT JOIN build bl ON bl.key = h.key
+)
+SELECT bloom_pass, is_member,
+       count(*) AS n_keys,
+       bool_and(bloom_pass OR NOT is_member) AS no_false_negatives
+FROM labeled
+GROUP BY bloom_pass, is_member
+ORDER BY bloom_pass, is_member
+"""
+
+
+@_register("bloom_filter_prune_join", _BLOOM_ORACLE)
+def bloom_filter_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable build/probe bloom filter — the runtime-filter semi-join
+    prune (Spark's own InjectRuntimeFilter / bloom_filter_agg, rebuilt
+    from public md5 arithmetic so the WHOLE structure value-checks
+    cross-engine): the build side (one customer segment) hashes each key
+    into k=3 positions of an m=16384-bit filter packed 32 bits per
+    BIGINT word (≤512 words — broadcast-size forever, independent of
+    fact volume); the probe side (distinct order custkeys) tests all k
+    bits via a BROADCAST join on word index, never shuffling the fact
+    side on the join key — the point of a bloom prune is that fact rows
+    that fail are dropped BEFORE the expensive shuffle join. The output
+    is the 2×2 (bloom_pass × is_member) confusion table with the bloom
+    contract asserted per row: false positives allowed (tunable via m/k;
+    ~(1-e^(-kn/m))^k), false negatives IMPOSSIBLE. Scale shape: build =
+    one hash-agg into ≤512 words (map-side combine collapses the k·n
+    bit stream), probe = broadcast join + bool_and per key; both stay in
+    whole-stage codegen."""
+    cust = _t(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    probe = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    lanes = F.explode(F.array([F.lit(j) for j in range(3)])).alias("j")
+    pos_of = lambda j, key: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat_ws(":", j, key)), 1, 8), 16, 10)
+        .cast("long")
+        % 16384
+    )
+    words = (
+        build.select("key", lanes)
+        .select(pos_of(F.col("j"), F.col("key")).alias("pos"))
+        .distinct()
+        .groupBy(F.expr("pos div 32").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            ).alias("word")
+        )
+    )
+    probe_bits = probe.select("key", lanes).withColumn(
+        "pos", pos_of(F.col("j"), F.col("key"))
+    )
+    probe_hits = (
+        probe_bits.withColumn("word_idx", F.expr("pos div 32"))
+        .join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.expr(
+                    "shiftright(word, CAST(pos % 32 AS INT)) & CAST(1 AS BIGINT)"
+                ),
+                F.lit(0).cast("long"),
+            )
+            == 1,
+        )
+        .groupBy("key")
+        .agg(F.bool_and("hit").alias("bloom_pass"))
+    )
+    labeled = probe_hits.join(
+        F.broadcast(build.withColumn("is_member", F.lit(True))), "key", "left"
+    ).withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(False)))
+    return (
+        labeled.groupBy("bloom_pass", "is_member")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.bool_and(
+                F.col("bloom_pass") | ~F.col("is_member")
+            ).alias("no_false_negatives"),
+        )
+        .orderBy("bloom_pass", "is_member")
+    )
+
+
+_KMV_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+           AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (
+  SELECT event_type, count(*) AS n_kept, max(hv) AS h_k
+  FROM ranked WHERE rn <= 64 GROUP BY event_type
+),
+daily AS (
+  SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+           AS hv
+  FROM events
+),
+daily_ranked AS (
+  SELECT event_type, d, hv,
+         row_number() OVER (PARTITION BY event_type, d ORDER BY hv) AS rn
+  FROM daily
+),
+merged AS (
+  SELECT DISTINCT event_type, hv FROM daily_ranked WHERE rn <= 64
+),
+merged_ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM merged
+),
+msk AS (
+  SELECT event_type, max(hv) AS h_k_merged
+  FROM merged_ranked WHERE rn <= 64 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type,
+       e.exact_distinct,
+       CASE WHEN s.n_kept < 64 THEN s.n_kept
+            ELSE (63 * 281474976710656) // s.h_k END AS kmv_est,
+       CASE WHEN s.n_kept < 64 THEN s.n_kept
+            ELSE (63 * 281474976710656) // s.h_k END - e.exact_distinct
+         AS est_delta,
+       abs(CASE WHEN s.n_kept < 64 THEN s.n_kept
+                ELSE (63 * 281474976710656) // s.h_k END
+           - e.exact_distinct) * 2 <= e.exact_distinct AS within_50pct,
+       m.h_k_merged = s.h_k AS merged_equals_direct
+FROM sk s
+JOIN msk m ON m.event_type = s.event_type
+JOIN exact e ON e.event_type = s.event_type
+ORDER BY s.event_type
+"""
+
+
+@_register("kmv_distinct_sketch", _KMV_ORACLE)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64 — the fully
+    PORTABLE mergeable distinct estimator (Bar-Yossef et al. 2002;
+    Beyer et al. 2007 est = (k-1)·M/h_k): unlike engine-internal HLL
+    registers, the sketch is just the k smallest 48-bit md5 values, so
+    the ESTIMATE itself carries a value oracle, not merely a tolerance
+    flag (companion to `hll_sketch_rollup`/`approx_distinct_sketch`).
+    Mergeability is executed, not asserted: daily per-type sketches are
+    unioned and re-minned, and `merged_equals_direct` proves the merged
+    h_k is IDENTICAL to the single-pass sketch (min-k of a union of
+    per-day min-ks == global min-k — the lattice property that makes
+    KMV an incremental-rollup citizen). Scale shape: the top-k per
+    group is two-level — a salted (group, h%32) rank prunes to ≤64·32
+    rows per group BEFORE the per-group rank, so no single task ever
+    sorts a whole group's hash stream; everything else is broadcast-
+    size. within_50pct is a hard sanity bound (k=64 ⇒ rsd ≈ 12.7%)."""
+    ev = _t(spark, sf_dir, "events")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    h = ev.select("event_type", hv).distinct()
+    w_salt = W.partitionBy("event_type", F.pmod(F.col("hv"), F.lit(32))).orderBy(
+        "hv"
+    )
+    w_type = W.partitionBy("event_type").orderBy("hv")
+    pruned = (
+        h.withColumn("srn", F.row_number().over(w_salt))
+        .filter(F.col("srn") <= 64)
+        .drop("srn")
+    )
+    sk = (
+        pruned.withColumn("rn", F.row_number().over(w_type))
+        .filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("h_k"))
+    )
+    daily = ev.select(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d"), hv
+    ).distinct()
+    w_day = W.partitionBy("event_type", "d").orderBy("hv")
+    merged = (
+        daily.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= 64)
+        .select("event_type", "hv")
+        .distinct()
+    )
+    msk = (
+        merged.withColumn("rn", F.row_number().over(w_type))
+        .filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("h_k_merged"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(F.col("n_kept") < 64, F.col("n_kept")).otherwise(
+        F.expr("(63 * 281474976710656) div h_k")
+    )
+    return (
+        sk.join(msk, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            est.alias("kmv_est"),
+            (est - F.col("exact_distinct")).alias("est_delta"),
+            (
+                F.abs(est - F.col("exact_distinct")) * 2
+                <= F.col("exact_distinct")
+            ).alias("within_50pct"),
+            (F.col("h_k_merged") == F.col("h_k")).alias("merged_equals_direct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PQ_ORACLE = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+subs AS (SELECT unnest(range(0, 8)) AS sub_id),
+cb AS (
+  SELECT s.sub_id, q.vec_id AS code_id,
+         q.qv[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS cv
+  FROM qz q, subs s WHERE q.vec_id < 16
+),
+corpus AS (
+  SELECT q.vec_id, s.sub_id,
+         q.qv[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS sv
+  FROM qz q, subs s
+),
+enc_d AS (
+  SELECT c.vec_id, c.sub_id, b.code_id,
+         list_sum([ (c.sv[i] - b.cv[i]) * (c.sv[i] - b.cv[i])
+                    for i in range(1, 9) ]) AS d2
+  FROM corpus c JOIN cb b ON b.sub_id = c.sub_id
+),
+enc AS (
+  SELECT vec_id, sub_id, code_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                     ORDER BY d2, code_id) AS rn
+        FROM enc_d)
+  WHERE rn = 1
+),
+qsubs AS (
+  SELECT q.vec_id AS query_id, s.sub_id,
+         q.qv[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS qsv
+  FROM qz q, subs s WHERE q.vec_id % 100 = 0
+),
+adc AS (
+  SELECT qs.query_id, qs.sub_id, b.code_id,
+         list_sum([ (qs.qsv[i] - b.cv[i]) * (qs.qsv[i] - b.cv[i])
+                    for i in range(1, 9) ]) AS pdist
+  FROM qsubs qs JOIN cb b ON b.sub_id = qs.sub_id
+),
+scored AS (
+  SELECT a.query_id, e.vec_id AS neighbor_id,
+         CAST(sum(a.pdist) AS BIGINT) AS adc_d2
+  FROM enc e
+  JOIN adc a ON a.sub_id = e.sub_id AND a.code_id = e.code_id
+  GROUP BY 1, 2
+),
+top5 AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         CAST(rn AS INTEGER) AS rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS rn
+        FROM scored)
+  WHERE rn <= 5
+)
+SELECT t.query_id, t.rank, t.neighbor_id, t.adc_d2,
+       CAST(list_sum([ (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])
+                       for i in range(1, 65) ]) AS BIGINT) AS exact_d2
+FROM top5 t
+JOIN qz a ON a.vec_id = t.query_id
+JOIN qz b ON b.vec_id = t.neighbor_id
+ORDER BY t.query_id, t.rank
+"""
+
+
+@_register("pq_adc_topk", _PQ_ORACLE)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation (ADC)
+    — Jégou et al. 2011, the memory layout real billion-vector indexes
+    (FAISS IVF-PQ) use: each 64-dim vector is encoded as m=8 one-byte
+    codes (one per 8-dim subspace, nearest of 16 codebook entries), a
+    64× compression that lets the candidate set live in RAM at 100 TB;
+    queries score candidates by summing m precomputed query-to-centroid
+    table entries instead of touching raw vectors. All arithmetic is
+    exact micro-unit integer L2², so encode argmins and ADC rankings
+    are bit-stable and the entry carries a full value oracle (the
+    demo codebook is the first 16 vectors per subspace — production
+    trains it with the k-means step in `centroid_assign_quantized`).
+    Scale shape: codebooks pack to 8 rows (broadcast); corpus ENCODE is
+    a broadcast join + higher-order-function argmin — ZERO shuffles over
+    the corpus; ADC tables are |Q|·m·16 rows (broadcast); the only wide
+    stage is the per-(query, candidate) partial-distance rollup, linear
+    in candidates·m. exact_d2 for the surfaced top-5 quantifies the
+    quantization error ADC trades for memory."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qemb = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000000).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    sub_ids = F.explode(F.array([F.lit(s) for s in range(8)])).alias("sub_id")
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cb = (
+        qemb.filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("code_id"), "qv", sub_ids)
+        .select("code_id", "sub_id", F.expr("slice(qv, sub_id*8+1, 8)").alias("cv"))
+    )
+    cb_packed = (
+        cb.groupBy("sub_id")
+        .agg(F.sort_array(F.collect_list(F.struct("code_id", "cv"))).alias("codes"))
+        .localCheckpoint(eager=False)
+    )
+    corpus = qemb.select("vec_id", "qv", sub_ids).select(
+        "vec_id", "sub_id", F.expr("slice(qv, sub_id*8+1, 8)").alias("sv")
+    )
+    enc = (
+        corpus.join(F.broadcast(cb_packed), "sub_id")
+        .select(
+            "vec_id",
+            "sub_id",
+            F.array_min(
+                F.transform(
+                    F.col("codes"),
+                    lambda c: F.struct(
+                        _d2(F.col("sv"), c["cv"]).alias("d2"),
+                        c["code_id"].alias("code_id"),
+                    ),
+                )
+            )["code_id"].alias("code_id"),
+        )
+    )
+    qsubs = (
+        qemb.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), "qv", sub_ids)
+        .select("query_id", "sub_id", F.expr("slice(qv, sub_id*8+1, 8)").alias("qsv"))
+    )
+    adc = (
+        qsubs.join(F.broadcast(cb_packed), "sub_id")
+        .select("query_id", "sub_id", "qsv", F.explode("codes").alias("c"))
+        .select(
+            "query_id",
+            "sub_id",
+            F.col("c.code_id").alias("code_id"),
+            _d2(F.col("qsv"), F.col("c.cv")).alias("pdist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    top5 = (
+        enc.join(F.broadcast(adc), ["sub_id", "code_id"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").cast("long").alias("adc_d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    qa = qemb.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("a_qv"))
+    qb = qemb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("b_qv")
+    )
+    return (
+        top5.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "adc_d2",
+            _d2(F.col("a_qv"), F.col("b_qv")).cast("long").alias("exact_d2"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_JL_ORACLE = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(0, 64)) AS d),
+outdims AS (SELECT unnest(range(0, 16)) AS p),
+r AS (
+  SELECT d, p,
+         CASE CAST('0x' || substr(md5(d || ':' || p), 1, 8) AS BIGINT) % 6
+              WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS rv
+  FROM dims, outdims
+),
+proj AS (
+  SELECT q.vec_id, r.p,
+         CAST(sum(q.qv[r.d + 1] * r.rv) AS BIGINT) AS y
+  FROM qz q JOIN r ON r.rv <> 0
+  GROUP BY q.vec_id, r.p
+),
+pvec AS (
+  SELECT vec_id, list(y ORDER BY p) AS pv FROM proj GROUP BY vec_id
+),
+queries AS (SELECT vec_id AS query_id, pv AS qpv FROM pvec
+            WHERE vec_id % 100 = 0),
+proj_top AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_sum([ (q.qpv[i] - c.pv[i]) * (q.qpv[i] - c.pv[i])
+                                 for i in range(1, 17) ]), c.vec_id) AS rn
+    FROM queries q CROSS JOIN pvec c
+  ) WHERE rn <= 5
+),
+exact_top AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_sum([ (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])
+                                 for i in range(1, 65) ]), b.vec_id) AS rn
+    FROM qz a CROSS JOIN qz b
+    WHERE a.vec_id % 100 = 0
+  ) WHERE rn <= 5
+)
+SELECT e.query_id,
+       count(*)                       AS n_exact,
+       count(p.neighbor_id)           AS n_hits,
+       count(p.neighbor_id) * 20      AS recall_pct
+FROM exact_top e
+LEFT JOIN proj_top p ON p.query_id = e.query_id
+                    AND p.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@_register("jl_projection_recall", _JL_ORACLE)
+def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims with the
+    Achlioptas (2003) sparse matrix — entries {+1, −1, 0} with
+    P(±1)=1/6, md5-derived so BOTH engines build the identical matrix —
+    then top-5 neighbor recall of the projected space against exact
+    full-dimension L2. The LLM-pipeline use: 4× cheaper distance math
+    and 4× smaller vectors for the candidate-generation tier of
+    embedding dedup/ANN (a denser-math alternative to the hyperplane
+    LSH family already in `operators/similarity`), with quality
+    REPORTED as measured recall instead of asserted. Integer micro-unit
+    arithmetic end-to-end makes ranks bit-stable (ties broken by id) so
+    even the recall percentages carry a full value oracle. Scale shape:
+    the projection matrix is 1024 literal-derived rows (broadcast,
+    ~2/3 pruned as zero); projecting is one narrow join + a
+    (vec, out-dim) rollup — linear in corpus size; the demo scoring
+    tier is brute-force over the projected vectors (queries broadcast),
+    standing in for the LSH/IVF candidate tiers benchmarked in their
+    own entries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qemb = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000000).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    r = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("d"))
+        .crossJoin(spark.range(16).select(F.col("id").cast("int").alias("p")))
+        .select(
+            "d",
+            "p",
+            F.expr(
+                "CASE CAST(conv(substr(md5(d || ':' || p), 1, 8), 16, 10)"
+                " AS BIGINT) % 6 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END"
+            ).alias("rv"),
+        )
+        .filter(F.col("rv") != 0)
+    )
+    proj = (
+        qemb.select("vec_id", F.posexplode("qv").alias("d", "x"))
+        .join(F.broadcast(r), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("rv")).cast("long").alias("y"))
+    )
+    pvec = (
+        proj.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "y"))), lambda s: s["y"]
+            ).alias("pv")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    queries = pvec.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("pv").alias("qpv")
+    )
+    wq = W.partitionBy("query_id").orderBy("pd2", "neighbor_id")
+    proj_top = (
+        pvec.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _d2(F.col("qpv"), F.col("pv")).alias("pd2"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    exact_q = qemb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("a_qv")
+    )
+    we = W.partitionBy("query_id").orderBy("ed2", "neighbor_id")
+    exact_top = (
+        qemb.crossJoin(F.broadcast(exact_q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _d2(F.col("a_qv"), F.col("qv")).alias("ed2"),
+        )
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = proj_top.select(
+        F.col("query_id").alias("p_query"),
+        F.col("neighbor_id").alias("p_neighbor"),
+    )
+    return (
+        exact_top.join(
+            hits,
+            (F.col("query_id") == F.col("p_query"))
+            & (F.col("neighbor_id") == F.col("p_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("p_neighbor").alias("n_hits"),
+            (F.count("p_neighbor") * 20).alias("recall_pct"),
+        )
+        .orderBy("query_id")
     )

@@ -2,7 +2,15 @@
 CORRECTNESS gate (tests/oracle_harness.compare_query) and write
 PARITY_LOCAL.json: one row per entry with rows/schema/values match flags.
 
-Usage:  python tools/run_parity.py [sf_dir]    (default /root/testdata/sf0.01)
+Usage:  python tools/run_parity.py [sf_dir] [out_name]
+        (defaults: /root/testdata/sf0.01, PARITY_LOCAL.json)
+
+Run it at TWO scale points — sf0.01 (the driver's gate) and sf0.1
+(`python tools/run_parity.py /root/testdata/sf0.1 PARITY_SF01_LOCAL.json`):
+the larger point catches value bugs the small one can't reach — decimal
+rounding TIES (round() over doubles at terminating-decimal boundaries
+breaks differently per engine) and width overflows both first appeared
+only at sf0.1.
 
 This is the machine-readable companion to ORACLE_MANIFEST.json: the
 manifest says every entry HAS a value oracle; this artifact records the
@@ -59,13 +67,13 @@ def main() -> None:
         "wall_seconds": round(time.time() - t0, 1),
         "entries": results,
     }
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "PARITY_LOCAL.json"
     out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "PARITY_LOCAL.json",
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), out_name
     )
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
-    print(f"wrote PARITY_LOCAL.json: {n_pass}/{len(results)} values_match")
+    print(f"wrote {out_name}: {n_pass}/{len(results)} values_match")
 
 
 if __name__ == "__main__":
