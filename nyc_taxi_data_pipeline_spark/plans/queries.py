@@ -13691,3 +13691,126 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_THETA_ORACLE = """
+WITH aud AS (
+  SELECT DISTINCT o_orderpriority AS aud, o_custkey AS uid FROM orders
+),
+h AS (
+  SELECT aud,
+         CAST('0x' || substr(md5(CAST(uid AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+  FROM aud
+),
+ranked AS (
+  SELECT aud, hv, row_number() OVER (PARTITION BY aud ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (SELECT aud, hv FROM ranked WHERE rn <= 64),
+hk AS (SELECT aud, max(hv) AS h_k FROM sk GROUP BY aud),
+pairs AS (
+  SELECT a.aud AS aud_a, b.aud AS aud_b,
+         least(ha.h_k, hb.h_k) AS theta,
+         count(*) FILTER (WHERE a.hv < least(ha.h_k, hb.h_k)) AS n_common
+  FROM sk a
+  JOIN sk b ON b.hv = a.hv AND a.aud < b.aud
+  JOIN hk ha ON ha.aud = a.aud
+  JOIN hk hb ON hb.aud = b.aud
+  GROUP BY 1, 2, 3
+),
+exact AS (
+  SELECT a.aud AS aud_a, b.aud AS aud_b, count(*) AS exact_both
+  FROM aud a JOIN aud b ON b.uid = a.uid AND a.aud < b.aud
+  GROUP BY 1, 2
+)
+SELECT e.aud_a, e.aud_b, e.exact_both,
+       COALESCE(p.n_common * 281474976710656 // p.theta, 0) AS theta_est,
+       COALESCE(p.n_common * 281474976710656 // p.theta, 0) - e.exact_both
+         AS est_delta,
+       abs(COALESCE(p.n_common * 281474976710656 // p.theta, 0)
+           - e.exact_both) * 2 <= e.exact_both AS within_50pct
+FROM exact e
+LEFT JOIN pairs p ON p.aud_a = e.aud_a AND p.aud_b = e.aud_b
+ORDER BY e.aud_a, e.aud_b
+"""
+
+
+@_register("theta_sketch_intersection", _THETA_ORACLE)
+def theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set INTERSECTION estimate (Dasgupta et al. 2016 —
+    the DataSketches theta family): audiences (customers per order
+    priority) are sketched as their k=64 minimum 48-bit md5 values;
+    |A∩B| is estimated as |{h ∈ sk(A)∩sk(B), h < θ}| · M/θ with
+    θ = min(h_k(A), h_k(B)) — the set-algebra capability KMV/HLL
+    distinct counts alone don't give (no raw-data re-scan per pair:
+    P audiences → P sketches → P² pairwise overlap estimates from
+    64-row structures). Exact-integer arithmetic end-to-end, so the
+    estimates themselves carry a full value oracle next to the exact
+    ground truth (`audience_overlap_matrix`'s pattern at sketch cost).
+    Scale shape: one distinct shuffle over the membership fact, the
+    salted two-level per-audience top-k from `kmv_distinct_sketch`,
+    then ALL pair algebra runs on ≤ P·64-row broadcast frames; the
+    exact side (for the oracle's ground truth) is the one keyed
+    self-join any exact overlap already costs. within_50pct is the
+    hard sanity band (measured relerr ≤ ±0.33 at both SFs)."""
+    aud = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("aud"), F.col("o_custkey").alias("uid"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = aud.select(
+        "aud",
+        F.conv(F.substring(F.md5(F.col("uid").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    w_salt = W.partitionBy("aud", F.pmod(F.col("hv"), F.lit(32))).orderBy("hv")
+    w_aud = W.partitionBy("aud").orderBy("hv")
+    sk = (
+        h.withColumn("srn", F.row_number().over(w_salt))
+        .filter(F.col("srn") <= 64)
+        .withColumn("rn", F.row_number().over(w_aud))
+        .filter(F.col("rn") <= 64)
+        .select("aud", "hv")
+        .localCheckpoint(eager=False)
+    )
+    hk = sk.groupBy("aud").agg(F.max("hv").alias("h_k"))
+    sa = sk.select(F.col("aud").alias("aud_a"), "hv")
+    sb = sk.select(F.col("aud").alias("aud_b"), F.col("hv").alias("hv_b"))
+    ha = hk.select(F.col("aud").alias("aud_a"), F.col("h_k").alias("h_k_a"))
+    hb = hk.select(F.col("aud").alias("aud_b"), F.col("h_k").alias("h_k_b"))
+    pairs = (
+        sa.join(F.broadcast(sb), (F.col("hv") == F.col("hv_b")) & (F.col("aud_a") < F.col("aud_b")))
+        .join(F.broadcast(ha), "aud_a")
+        .join(F.broadcast(hb), "aud_b")
+        .withColumn("theta", F.least("h_k_a", "h_k_b"))
+        .groupBy("aud_a", "aud_b", "theta")
+        .agg(
+            F.count(F.when(F.col("hv") < F.col("theta"), 1)).alias("n_common")
+        )
+    )
+    ea = aud.select(F.col("aud").alias("aud_a"), "uid")
+    eb = aud.select(F.col("aud").alias("aud_b"), F.col("uid").alias("uid_b"))
+    exact = (
+        ea.join(eb, (F.col("uid") == F.col("uid_b")) & (F.col("aud_a") < F.col("aud_b")))
+        .groupBy("aud_a", "aud_b")
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    est = F.coalesce(
+        F.expr("n_common * 281474976710656 div theta"), F.lit(0).cast("long")
+    )
+    return (
+        exact.join(F.broadcast(pairs), ["aud_a", "aud_b"], "left")
+        .select(
+            "aud_a",
+            "aud_b",
+            "exact_both",
+            est.alias("theta_est"),
+            (est - F.col("exact_both")).alias("est_delta"),
+            (
+                F.abs(est - F.col("exact_both")) * 2 <= F.col("exact_both")
+            ).alias("within_50pct"),
+        )
+        .orderBy("aud_a", "aud_b")
+    )

@@ -96,3 +96,17 @@ def test_jl_recall_is_meaningful(spark):
         assert r.recall_pct == r.n_hits * 20
         assert r.n_hits >= 1  # self-match survives any projection
     assert any(r.n_hits > 1 for r in rows), "no non-self neighbor survived"
+
+
+def test_theta_intersection_is_bounded_and_complete(spark):
+    """All C(5,2)=10 priority pairs must appear, estimates within the
+    hard 50% band, and the estimate must be symmetric-by-construction
+    (each unordered pair appears exactly once, aud_a < aud_b)."""
+    rows = REGISTRY["theta_sketch_intersection"].spark(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.aud_a < r.aud_b
+        assert r.exact_both > 0
+        assert r.theta_est >= 0
+        assert r.within_50pct, r
+        assert r.est_delta == r.theta_est - r.exact_both

@@ -48,6 +48,12 @@ ENTRIES = [
     "correlation_matrix_onepass",
     "gini_concentration_by_segment",
     "audience_overlap_matrix",
+    # round-3 sketch/pruning + quantized-ANN wave
+    "bloom_filter_prune_join",
+    "kmv_distinct_sketch",
+    "theta_sketch_intersection",
+    "pq_adc_topk",
+    "jl_projection_recall",
 ]
 
 
