@@ -13814,3 +13814,123 @@ def theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("aud_a", "aud_b")
     )
+
+
+_STREAM_KMV_ORACLE = """
+WITH parts AS (SELECT unnest(range(0, 4)) AS p),
+offs AS (SELECT unnest(range(0, 150)) AS o),
+recs AS (
+  SELECT CAST((p * 1000003 + o * 7919) % 97 AS BIGINT) AS user_id
+  FROM parts, offs
+),
+h AS (
+  SELECT DISTINCT
+      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+  FROM recs
+),
+ranked AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+sk AS (SELECT count(*) AS n_kept, max(hv) AS h_k FROM ranked WHERE rn <= 64),
+exact AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM recs)
+SELECT CAST(3 AS BIGINT) AS n_batches,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       CASE WHEN s.n_kept < 64 THEN s.n_kept
+            ELSE (63 * 281474976710656) // s.h_k END AS kmv_est,
+       TRUE AS merged_equals_direct
+FROM sk s, exact e
+"""
+
+
+@_register("streaming_kmv_sketch_merge", _STREAM_KMV_ORACLE)
+def streaming_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch mergeability under the STREAMING execution model — the
+    incremental-distinct shape that makes sketches the 100 TB answer:
+    each micro-batch of the offset_log drain (4 partitions × 150
+    offsets at 50/batch = 3 batches) materializes its own 64-row KMV
+    sketch (the per-batch state a production job would persist to a
+    sketch zone), and after the drain the batch sketches are UNION-and-
+    re-minned and proven IDENTICAL to the sketch computed over the
+    whole log in one batch pass (`kmv_distinct_sketch`'s lattice
+    property, here executed across real micro-batch boundaries — no
+    unbounded distinct state held in the stream). The log is seeded
+    integer arithmetic, so exact count, estimate, and the equality all
+    carry a full value oracle. The per-batch collect is 64 rows — the
+    sketch itself, which IS the materialization a sketch store writes."""
+    import uuid as _uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+
+    register_offset_log(spark)
+    stream = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 4)
+        .option("n_rows", 150)
+        .option("rows_per_batch", 50)
+        .load()
+    )
+    hv_of = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    batch_sketches: list[tuple[int, int]] = []
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.select(hv_of(F.col("user_id")))
+            .distinct()
+            .orderBy("hv")
+            .limit(64)
+            .collect()
+        )
+        for r in rows:
+            batch_sketches.append((int(batch_id), int(r.hv)))
+
+    q = stream.writeStream.foreachBatch(sketch_batch).queryName(
+        f"kmv_{_uuid.uuid4().hex[:8]}"
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_batches = len({b for b, _ in batch_sketches})
+    merged_df = spark.createDataFrame(batch_sketches, "batch_id long, hv long")
+    merged = (
+        merged_df.select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(64)
+        .agg(F.count(F.lit(1)).alias("m_kept"), F.max("hv").alias("h_k_merged"))
+    )
+    recs = (
+        spark.range(4)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(150).select(F.col("id").alias("o")))
+        .select(((F.col("p") * 1000003 + F.col("o") * 7919) % 97).alias("user_id"))
+        .localCheckpoint(eager=False)
+    )
+    direct = (
+        recs.select(hv_of(F.col("user_id")))
+        .distinct()
+        .orderBy("hv")
+        .limit(64)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("h_k"))
+    )
+    exact = recs.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    est = F.when(F.col("n_kept") < 64, F.col("n_kept")).otherwise(
+        F.expr("(63 * 281474976710656) div h_k")
+    )
+    return (
+        direct.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(n_batches).cast("long").alias("n_batches"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            est.alias("kmv_est"),
+            (
+                (F.col("h_k_merged") == F.col("h_k"))
+                & (F.col("m_kept") == F.col("n_kept"))
+            ).alias("merged_equals_direct"),
+        )
+    )
