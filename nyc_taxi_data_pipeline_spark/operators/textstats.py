@@ -371,3 +371,114 @@ def decontaminate_overlap(
             ).alias("contaminated"),
         )
     )
+
+
+def decontaminate_overlap_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_overlap_frac: float = 0.5,
+    m_bits: int = 262144,
+) -> DataFrame:
+    """`decontaminate_overlap` with a bloom-prefiltered probe side — the
+    composition that makes decontamination viable at 100 TB: the EVAL
+    shingle set (small — benchmarks are thousands of docs, training
+    corpora are billions) builds an m-bit bloom filter (k=2 positions
+    derived from ONE 48-bit md5 per shingle — the Kirsch-Mitzenmauer
+    double-hash trick, so the giant train side pays a single hash per
+    posting), and train postings that miss the filter are dropped
+    BEFORE the inverted-index shuffle. No false negatives ⇒ the flag
+    columns are IDENTICAL to the exact path (false positives only add
+    candidates the equality join discards anyway); the bloom words
+    (≤ m/32 BIGINTs) broadcast to every executor. Returns the exact
+    path's columns plus the measured probe stats
+    (n_train_postings, n_train_pass) proving the prune happened."""
+    word_bits = 32
+
+    def sh(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(textfn.shingles(text_col, shingle_k))
+            ).alias("__s"),
+        )
+
+    h_of = (
+        F.conv(F.substring(F.md5(F.col("__s")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("__h")
+    )
+    ev = sh(eval_df, "eval_id").localCheckpoint(eager=False)
+    ev_keys = ev.select("__s").distinct().select("__s", h_of)
+    pos0 = F.expr(f"__h % {m_bits}")
+    pos1 = F.expr(f"(__h div {m_bits}) % {m_bits}")
+    bits = ev_keys.select(pos0.alias("__pos")).unionAll(
+        ev_keys.select(pos1.alias("__pos"))
+    )
+    words = (
+        bits.groupBy(F.expr(f"__pos div {word_bits}").alias("__w"))
+        .agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(__pos % {word_bits} AS INT))"
+                )
+            ).alias("__word")
+        )
+        .localCheckpoint(eager=False)
+    )
+    trh = sh(train, "train_id").select("train_id", "__s", h_of)
+    trh = trh.localCheckpoint(eager=False)
+
+    def probe(df: DataFrame, pos_expr, lane: int) -> DataFrame:
+        w = words.select(
+            F.col("__w").alias(f"__w{lane}"), F.col("__word").alias(f"__word{lane}")
+        )
+        return (
+            df.withColumn(f"__pos{lane}", pos_expr)
+            .join(
+                F.broadcast(w),
+                F.expr(f"__pos{lane} div {word_bits}") == F.col(f"__w{lane}"),
+            )
+            .filter(
+                F.expr(
+                    f"(shiftright(__word{lane}, CAST(__pos{lane} % {word_bits}"
+                    f" AS INT)) & CAST(1 AS BIGINT)) = 1"
+                )
+            )
+            .drop(f"__w{lane}", f"__word{lane}", f"__pos{lane}")
+        )
+
+    tr_pass = probe(probe(trh, pos0, 0), pos1, 1).select("train_id", "__s")
+    stats = (
+        trh.agg(F.count(F.lit(1)).alias("n_train_postings"))
+        .crossJoin(
+            F.broadcast(tr_pass.agg(F.count(F.lit(1)).alias("n_train_pass")))
+        )
+    )
+    ev_sizes = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        ev.join(tr_pass, "__s")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .groupBy("eval_id")
+        .agg(F.max("__shared").alias("__max_shared"))
+    )
+    return (
+        ev_sizes.join(shared, "eval_id", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "eval_id",
+            "n_shingles",
+            F.round(
+                F.coalesce(F.col("__max_shared"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("max_overlap_frac"),
+            (
+                F.coalesce(F.col("__max_shared"), F.lit(0)) / F.col("n_shingles")
+                >= min_overlap_frac
+            ).alias("contaminated"),
+            F.col("n_train_postings").cast("bigint").alias("n_train_postings"),
+            F.col("n_train_pass").cast("bigint").alias("n_train_pass"),
+        )
+    )

@@ -13934,3 +13934,98 @@ def streaming_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_equals_direct"),
         )
     )
+
+
+_DECONTAM_BLOOM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks
+),
+ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM shl WHERE doc_id % 5 = 0),
+ev_keys AS (
+  SELECT s, CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h
+  FROM (SELECT DISTINCT s FROM ev)
+),
+bits AS (
+  SELECT h % 262144 AS pos FROM ev_keys
+  UNION ALL
+  SELECT (h // 262144) % 262144 AS pos FROM ev_keys
+),
+words AS (
+  SELECT pos // 32 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+  FROM bits GROUP BY 1
+),
+trh AS (
+  SELECT train_id, s, CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h
+  FROM (SELECT doc_id AS train_id, unnest(sh) AS s
+        FROM shl WHERE doc_id % 5 <> 0)
+),
+trpass AS (
+  SELECT t.train_id, t.s
+  FROM trh t
+  JOIN words w0
+    ON w0.w = (t.h % 262144) // 32
+   AND ((w0.word >> CAST((t.h % 262144) % 32 AS INTEGER)) & 1) = 1
+  JOIN words w1
+    ON w1.w = ((t.h // 262144) % 262144) // 32
+   AND ((w1.word >> CAST(((t.h // 262144) % 262144) % 32 AS INTEGER)) & 1) = 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM trh)    AS n_train_postings,
+         (SELECT count(*) FROM trpass) AS n_train_pass
+),
+sizes AS (SELECT eval_id, count(*) AS n_shingles FROM ev GROUP BY eval_id),
+pair_shared AS (
+  SELECT e.eval_id, p.train_id, count(*) AS c
+  FROM ev e JOIN trpass p ON p.s = e.s
+  GROUP BY 1, 2
+),
+shared AS (SELECT eval_id, max(c) AS mx FROM pair_shared GROUP BY eval_id)
+SELECT s.eval_id,
+       s.n_shingles,
+       round(CAST(coalesce(h.mx, 0) AS DOUBLE) / s.n_shingles, 6)
+         AS max_overlap_frac,
+       (CAST(coalesce(h.mx, 0) AS DOUBLE) / s.n_shingles) >= 0.5
+         AS contaminated,
+       CAST(st.n_train_postings AS BIGINT) AS n_train_postings,
+       CAST(st.n_train_pass AS BIGINT)     AS n_train_pass
+FROM sizes s
+LEFT JOIN shared h ON h.eval_id = s.eval_id, stats st
+ORDER BY s.eval_id
+"""
+
+
+@_register("decontamination_bloom_prefilter", _DECONTAM_BLOOM_ORACLE)
+def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`decontamination_ngram_overlap` composed with the bloom prune —
+    the shape that survives a 100 TB training corpus: the eval shingle
+    set (always the small side) builds a 2¹⁸-bit bloom filter with k=2
+    positions derived from ONE 48-bit md5 per shingle (double-hashing:
+    the giant train side pays a single hash per posting), and train
+    postings that miss the filter never enter the inverted-index
+    shuffle. The bloom has no false negatives, so the per-eval flag
+    columns are PROVABLY IDENTICAL to the exact entry's (false
+    positives only add candidates the equality join discards); the
+    measured probe stats (n_train_postings vs n_train_pass) ride along
+    to show the prune is real, and the oracle replicates the filter
+    bit-for-bit. Scale shape: filter build is one agg over the small
+    side into ≤8192 words (broadcast); the probe is two broadcast
+    word-lookups per posting, all JVM expressions; the expensive
+    shingle shuffle then carries only surviving postings."""
+    from nyc_taxi_data_pipeline_spark.operators.textstats import (
+        decontaminate_overlap_bloom,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    ev = d.filter(F.col("doc_id") % 5 == 0)
+    return decontaminate_overlap_bloom(train, ev, "text", "doc_id").orderBy(
+        "eval_id"
+    )

@@ -110,3 +110,21 @@ def test_theta_intersection_is_bounded_and_complete(spark):
         assert r.theta_est >= 0
         assert r.within_50pct, r
         assert r.est_delta == r.theta_est - r.exact_both
+
+
+def test_decontamination_bloom_prefilter_matches_exact(spark):
+    """The bloom prune must be invisible in the results (no false
+    negatives ⇒ identical flags/fractions to the exact entry) and
+    visible in the probe stats (it must actually drop postings)."""
+    exact = {
+        r.eval_id: (r.n_shingles, r.max_overlap_frac, r.contaminated)
+        for r in REGISTRY["decontamination_ngram_overlap"].spark(spark, SF).collect()
+    }
+    rows = REGISTRY["decontamination_bloom_prefilter"].spark(spark, SF).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert exact[r.eval_id] == (r.n_shingles, r.max_overlap_frac, r.contaminated)
+    st = rows[0]
+    assert st.n_train_pass < st.n_train_postings, (
+        f"bloom pruned nothing: {st.n_train_pass}/{st.n_train_postings}"
+    )
