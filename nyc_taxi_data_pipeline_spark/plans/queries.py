@@ -13144,51 +13144,22 @@ def bloom_filter_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash-agg into ≤512 words (map-side combine collapses the k·n
     bit stream), probe = broadcast join + bool_and per key; both stay in
     whole-stage codegen."""
+    from nyc_taxi_data_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
     cust = _t(spark, sf_dir, "customer")
     build = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("key")
-    )
+    ).localCheckpoint(eager=False)
     probe = (
         _t(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("key"))
         .distinct()
     )
-    lanes = F.explode(F.array([F.lit(j) for j in range(3)])).alias("j")
-    pos_of = lambda j, key: (  # noqa: E731
-        F.conv(F.substring(F.md5(F.concat_ws(":", j, key)), 1, 8), 16, 10)
-        .cast("long")
-        % 16384
-    )
-    words = (
-        build.select("key", lanes)
-        .select(pos_of(F.col("j"), F.col("key")).alias("pos"))
-        .distinct()
-        .groupBy(F.expr("pos div 32").alias("word_idx"))
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-            ).alias("word")
-        )
-    )
-    probe_bits = probe.select("key", lanes).withColumn(
-        "pos", pos_of(F.col("j"), F.col("key"))
-    )
-    probe_hits = (
-        probe_bits.withColumn("word_idx", F.expr("pos div 32"))
-        .join(F.broadcast(words), "word_idx", "left")
-        .withColumn(
-            "hit",
-            F.coalesce(
-                F.expr(
-                    "shiftright(word, CAST(pos % 32 AS INT)) & CAST(1 AS BIGINT)"
-                ),
-                F.lit(0).cast("long"),
-            )
-            == 1,
-        )
-        .groupBy("key")
-        .agg(F.bool_and("hit").alias("bloom_pass"))
-    )
+    words = bloom_build(build, "key", m_bits=16384, k=3)
+    probe_hits = bloom_probe(probe, words, "key", m_bits=16384, k=3)
     labeled = probe_hits.join(
         F.broadcast(build.withColumn("is_member", F.lit(True))), "key", "left"
     ).withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(False)))
@@ -13282,41 +13253,20 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per group BEFORE the per-group rank, so no single task ever
     sorts a whole group's hash stream; everything else is broadcast-
     size. within_50pct is a hard sanity bound (k=64 ⇒ rsd ≈ 12.7%)."""
+    from nyc_taxi_data_pipeline_spark.operators.sketch import kmv_topk
+
     ev = _t(spark, sf_dir, "events")
-    hv = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
-        .cast("long")
-        .alias("hv")
+    sk = kmv_topk(ev, ["event_type"], "user_id", k=64).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("h_k")
     )
-    h = ev.select("event_type", hv).distinct()
-    w_salt = W.partitionBy("event_type", F.pmod(F.col("hv"), F.lit(32))).orderBy(
-        "hv"
+    with_day = ev.withColumn(
+        "d", F.date_trunc("day", F.col("ts")).cast("date")
     )
-    w_type = W.partitionBy("event_type").orderBy("hv")
-    pruned = (
-        h.withColumn("srn", F.row_number().over(w_salt))
-        .filter(F.col("srn") <= 64)
-        .drop("srn")
-    )
-    sk = (
-        pruned.withColumn("rn", F.row_number().over(w_type))
-        .filter(F.col("rn") <= 64)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("h_k"))
-    )
-    daily = ev.select(
-        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d"), hv
-    ).distinct()
-    w_day = W.partitionBy("event_type", "d").orderBy("hv")
-    merged = (
-        daily.withColumn("rn", F.row_number().over(w_day))
-        .filter(F.col("rn") <= 64)
-        .select("event_type", "hv")
-        .distinct()
+    daily_sk = kmv_topk(with_day, ["event_type", "d"], "user_id", k=64).select(
+        "event_type", "hv"
     )
     msk = (
-        merged.withColumn("rn", F.row_number().over(w_type))
-        .filter(F.col("rn") <= 64)
+        kmv_topk(daily_sk, ["event_type"], "hv", k=64, prehashed=True)
         .groupBy("event_type")
         .agg(F.max("hv").alias("h_k_merged"))
     )
@@ -13759,22 +13709,9 @@ def theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    h = aud.select(
-        "aud",
-        F.conv(F.substring(F.md5(F.col("uid").cast("string")), 1, 12), 16, 10)
-        .cast("long")
-        .alias("hv"),
-    )
-    w_salt = W.partitionBy("aud", F.pmod(F.col("hv"), F.lit(32))).orderBy("hv")
-    w_aud = W.partitionBy("aud").orderBy("hv")
-    sk = (
-        h.withColumn("srn", F.row_number().over(w_salt))
-        .filter(F.col("srn") <= 64)
-        .withColumn("rn", F.row_number().over(w_aud))
-        .filter(F.col("rn") <= 64)
-        .select("aud", "hv")
-        .localCheckpoint(eager=False)
-    )
+    from nyc_taxi_data_pipeline_spark.operators.sketch import kmv_topk
+
+    sk = kmv_topk(aud, ["aud"], "uid", k=64).localCheckpoint(eager=False)
     hk = sk.groupBy("aud").agg(F.max("hv").alias("h_k"))
     sa = sk.select(F.col("aud").alias("aud_a"), "hv")
     sb = sk.select(F.col("aud").alias("aud_b"), F.col("hv").alias("hv_b"))
@@ -13861,6 +13798,8 @@ def streaming_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_offset_log,
     )
 
+    from nyc_taxi_data_pipeline_spark.operators.sketch import kmv_hash
+
     register_offset_log(spark)
     stream = (
         spark.readStream.format("offset_log")
@@ -13869,11 +13808,7 @@ def streaming_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rows_per_batch", 50)
         .load()
     )
-    hv_of = lambda c: (  # noqa: E731
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10)
-        .cast("long")
-        .alias("hv")
-    )
+    hv_of = lambda c: kmv_hash(c).alias("hv")  # noqa: E731
     batch_sketches: list[tuple[int, int]] = []
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:

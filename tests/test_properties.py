@@ -505,3 +505,78 @@ def test_largest_remainder_matches_python_reference(spark, weights, budget):
         .collect()
     }
     assert got == expected
+
+
+@_settings
+@given(
+    members=st.sets(st.integers(0, 10**9), min_size=1, max_size=30),
+    probes=st.sets(st.integers(0, 10**9), min_size=1, max_size=30),
+)
+def test_bloom_probe_never_misses_a_member(spark, members, probes):
+    """bloom_build/bloom_probe contract on arbitrary key sets: every
+    probed key that IS a member must pass (no false negatives, any m/k),
+    and bloom_pass is defined (non-null) for every probe row."""
+    from nyc_taxi_data_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    mdf = spark.createDataFrame([(m,) for m in members], "key long")
+    pdf = spark.createDataFrame([(p,) for p in probes | members], "key long")
+    words = bloom_build(mdf, "key", m_bits=512, k=2)
+    got = {
+        r["key"]: r["bloom_pass"]
+        for r in bloom_probe(pdf, words, "key", m_bits=512, k=2).collect()
+    }
+    assert set(got) == probes | members
+    for key, ok in got.items():
+        assert ok is not None
+        if key in members:
+            assert ok, f"member {key} failed the filter"
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(1, 8),
+)
+def test_kmv_topk_matches_python_reference(spark, rows, k):
+    """kmv_topk == sorted(set(md5-48bit(key)))[:k] per group, computed
+    independently in Python — including the salted two-level pruning
+    path and the merge (union of per-half sketches re-minned equals the
+    direct sketch)."""
+    import hashlib
+
+    from nyc_taxi_data_pipeline_spark.operators.sketch import kmv_topk
+
+    def hv(u: int) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+
+    df = spark.createDataFrame(rows, "g int, u long")
+    got: dict[int, list[int]] = {}
+    for r in kmv_topk(df, ["g"], "u", k=k, salt=4).collect():
+        got.setdefault(r["g"], []).append(r["hv"])
+    want: dict[int, list[int]] = {}
+    for g in {g for g, _ in rows}:
+        want[g] = sorted({hv(u) for gg, u in rows if gg == g})[:k]
+    assert {g: sorted(v) for g, v in got.items()} == want
+    # merge property: split rows in half, sketch each, union, re-min
+    half = len(rows) // 2
+    parts = [rows[:half], rows[half:]]
+    union_rows = []
+    for part in parts:
+        if not part:
+            continue
+        pdf = spark.createDataFrame(part, "g int, u long")
+        union_rows.extend(
+            (r["g"], r["hv"]) for r in kmv_topk(pdf, ["g"], "u", k=k).collect()
+        )
+    mdf = spark.createDataFrame(union_rows, "g int, hv long")
+    merged: dict[int, list[int]] = {}
+    for r in kmv_topk(mdf, ["g"], "hv", k=k, prehashed=True).collect():
+        merged.setdefault(r["g"], []).append(r["hv"])
+    assert {g: sorted(v) for g, v in merged.items()} == want
