@@ -54,6 +54,7 @@ ENTRIES = [
     "theta_sketch_intersection",
     "pq_adc_topk",
     "jl_projection_recall",
+    "decontamination_bloom_prefilter",
 ]
 
 
