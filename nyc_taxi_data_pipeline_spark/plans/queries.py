@@ -13328,7 +13328,7 @@ enc AS (
 qsubs AS (
   SELECT q.vec_id AS query_id, s.sub_id,
          q.qv[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS qsv
-  FROM qz q, subs s WHERE q.vec_id % 100 = 0
+  FROM qz q, subs s WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000
 ),
 adc AS (
   SELECT qs.query_id, qs.sub_id, b.code_id,
@@ -13376,7 +13376,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     trains it with the k-means step in `centroid_assign_quantized`).
     Scale shape: codebooks pack to 8 rows (broadcast); corpus ENCODE is
     a broadcast join + higher-order-function argmin — ZERO shuffles over
-    the corpus; ADC tables are |Q|·m·16 rows (broadcast); the only wide
+    the corpus; the query panel is a FIXED id set (vec_id % 100 == 0
+    AND vec_id < 2000) so scoring stays linear in the corpus; ADC
+    tables are |Q|·m·16 rows (broadcast); the only wide
     stage is the per-(query, candidate) partial-distance rollup, linear
     in candidates·m. exact_d2 for the surfaced top-5 quantifies the
     quantization error ADC trades for memory."""
@@ -13427,7 +13429,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qsubs = (
-        qemb.filter(F.col("vec_id") % 100 == 0)
+        qemb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
         .select(F.col("vec_id").alias("query_id"), "qv", sub_ids)
         .select("query_id", "sub_id", F.expr("slice(qv, sub_id*8+1, 8)").alias("qsv"))
     )
@@ -13492,7 +13494,7 @@ pvec AS (
   SELECT vec_id, list(y ORDER BY p) AS pv FROM proj GROUP BY vec_id
 ),
 queries AS (SELECT vec_id AS query_id, pv AS qpv FROM pvec
-            WHERE vec_id % 100 = 0),
+            WHERE vec_id % 100 = 0 AND vec_id < 2000),
 proj_top AS (
   SELECT query_id, neighbor_id
   FROM (
@@ -13513,7 +13515,7 @@ exact_top AS (
              ORDER BY list_sum([ (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])
                                  for i in range(1, 65) ]), b.vec_id) AS rn
     FROM qz a CROSS JOIN qz b
-    WHERE a.vec_id % 100 = 0
+    WHERE a.vec_id % 100 = 0 AND a.vec_id < 2000
   ) WHERE rn <= 5
 )
 SELECT e.query_id,
@@ -13546,7 +13548,10 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec, out-dim) rollup — linear in corpus size; the demo scoring
     tier is brute-force over the projected vectors (queries broadcast),
     standing in for the LSH/IVF candidate tiers benchmarked in their
-    own entries."""
+    own entries. The query panel is a FIXED id set (vec_id % 100 == 0
+    AND vec_id < 2000): recall estimation needs a constant-size sample,
+    not a panel that grows with the corpus, so scoring stays
+    O(corpus · |panel|) — linear at 5× volume instead of quadratic."""
     emb = _t(spark, sf_dir, "embeddings")
     qemb = emb.select(
         "vec_id",
@@ -13592,7 +13597,9 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    queries = pvec.filter(F.col("vec_id") % 100 == 0).select(
+    queries = pvec.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("pv").alias("qpv")
     )
     wq = W.partitionBy("query_id").orderBy("pd2", "neighbor_id")
@@ -13607,7 +13614,9 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
     )
-    exact_q = qemb.filter(F.col("vec_id") % 100 == 0).select(
+    exact_q = qemb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("a_qv")
     )
     we = W.partitionBy("query_id").orderBy("ed2", "neighbor_id")
