@@ -13973,3 +13973,471 @@ def decontamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
     return decontaminate_overlap_bloom(train, ev, "text", "doc_id").orderBy(
         "eval_id"
     )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, CAST(1 + n_chars % 8 AS BIGINT) AS weight
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, weight,
+         list_min([md5(doc_id || ':' || r)
+                   for r in range(1, weight + 1)]) AS sel_key
+  FROM w
+)
+SELECT CAST(row_number() OVER (ORDER BY sel_key, doc_id) AS INTEGER) AS rank,
+       doc_id, weight, sel_key
+FROM keyed
+ORDER BY sel_key, doc_id
+LIMIT 20
+"""
+
+
+@_register("weighted_sample_race", _WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted sampling without replacement via a deterministic
+    hash race — the integer-arithmetic form of Efraimidis & Spirakis
+    (2006) weighted reservoir sampling: each document with integer
+    weight w races w independent md5 tickets and keeps its MINIMUM; the
+    global top-k by ascending race key is a weighted sample without
+    replacement (the item whose minimum ticket wins carries probability
+    w_i / Σw — min of w iid uniforms is an exponential race with rate
+    w). Every float-free step (md5 hex compares bytewise identically in
+    both engines) makes the SAMPLE ITSELF value-oracle-checkable — the
+    usual weighted-sampling implementations (rand()^(1/w)) are neither
+    reproducible across engines nor mergeable. LLM-pipeline use:
+    quality-weighted corpus subsampling where reruns, engine swaps, and
+    shard-parallel merges must pick the IDENTICAL sample. Scale shape:
+    per-row work is ≤8 md5 calls inside one codegen'd projection (no
+    UDF), and the global top-k is TakeOrderedAndProject — no shuffle,
+    no window over the corpus; the race key is mergeable (min), so
+    per-shard top-k then re-min composes at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        (F.lit(1) + F.col("n_chars") % 8).cast("long").alias("weight"),
+    ).withColumn(
+        "sel_key",
+        F.expr(
+            "array_min(transform(sequence(1L, weight),"
+            " r -> md5(concat(CAST(doc_id AS STRING), ':',"
+            " CAST(r AS STRING)))))"
+        ),
+    )
+    top = keyed.orderBy("sel_key", "doc_id").limit(20)
+    wr = W.orderBy("sel_key", "doc_id")
+    return top.select(
+        F.row_number().over(wr).alias("rank"), "doc_id", "weight", "sel_key"
+    ).orderBy("rank")
+
+
+_SPATIAL_GRID_ORACLE = """
+WITH pts AS (
+  SELECT event_id,
+         CAST('0x' || substr(md5('x:' || event_id), 1, 6) AS BIGINT)
+           % 1000000 AS px,
+         CAST('0x' || substr(md5('y:' || event_id), 1, 6) AS BIGINT)
+           % 1000000 AS py
+  FROM events
+),
+rects AS (
+  SELECT n_nationkey AS zone_key,
+         ((n_nationkey * 37) % 20) * 45000 AS x0,
+         ((n_nationkey * 53) % 20) * 45000 AS y0,
+         ((n_nationkey * 37) % 20) * 45000
+           + 30000 + (n_nationkey % 7) * 15000 AS x1,
+         ((n_nationkey * 53) % 20) * 45000
+           + 30000 + (n_nationkey % 5) * 20000 AS y1
+  FROM nation
+)
+SELECT r.zone_key,
+       count(p.event_id)                      AS n_points,
+       CAST(coalesce(sum(p.px), 0) AS BIGINT) AS sum_px,
+       CAST(coalesce(sum(p.py), 0) AS BIGINT) AS sum_py
+FROM rects r
+LEFT JOIN pts p
+  ON p.px BETWEEN r.x0 AND r.x1 AND p.py BETWEEN r.y0 AND r.y1
+GROUP BY r.zone_key
+ORDER BY r.zone_key
+"""
+
+
+@_register("spatial_grid_join", _SPATIAL_GRID_ORACLE)
+def spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial point-in-rectangle join via GRID BUCKETING — the shape
+    that replaces the reference's single zone-lookup CSV when the
+    geometry is real (taxi pickup coordinates → zone polygons): each
+    rectangle is exploded to the fixed-size grid cells it overlaps
+    (≤12 cells at this cell size), points key to their cell in O(1),
+    and candidates meet in an EQUI-join on cell id — never a
+    theta-join/BNLJ over points × zones — with exact containment as a
+    cheap residual filter. Coordinates are md5-derived micro-degree
+    integers and zones are literal-arithmetic rectangles, so the
+    whole join carries a full value oracle (which states the NAIVE
+    containment join — the grid path must reproduce it exactly;
+    double-count hazard: a rect spanning k cells meets each point
+    once because a point lives in exactly ONE cell). Scale shape:
+    zones×cells is tiny (broadcast); the point side never shuffles
+    (broadcast hash join on cell, then partial agg); zero-match zones
+    come back via a broadcast left join of the 25-row zone frame
+    against the aggregate."""
+    cell = 50000
+    k = F.col("n_nationkey").cast("long")
+    rects = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            k.alias("zone_key"),
+            (((k * 37) % 20) * 45000).alias("x0"),
+            (((k * 53) % 20) * 45000).alias("y0"),
+            (((k * 37) % 20) * 45000 + 30000 + (k % 7) * 15000).alias("x1"),
+            (((k * 53) % 20) * 45000 + 30000 + (k % 5) * 20000).alias("y1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rect_cells = rects.select(
+        "zone_key",
+        "x0",
+        "x1",
+        "y0",
+        "y1",
+        F.explode(F.expr(f"sequence(x0 div {cell}, x1 div {cell})")).alias(
+            "cx"
+        ),
+    ).select(
+        "*",
+        F.explode(F.expr(f"sequence(y0 div {cell}, y1 div {cell})")).alias(
+            "cy"
+        ),
+    )
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "CAST(conv(substr(md5(concat('x:', CAST(event_id AS STRING))),"
+            " 1, 6), 16, 10) AS BIGINT) % 1000000"
+        ).alias("px"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('y:', CAST(event_id AS STRING))),"
+            " 1, 6), 16, 10) AS BIGINT) % 1000000"
+        ).alias("py"),
+    )
+    hits = (
+        pts.withColumn("cx", F.expr(f"px div {cell}"))
+        .withColumn("cy", F.expr(f"py div {cell}"))
+        .join(F.broadcast(rect_cells), ["cx", "cy"])
+        .filter(
+            F.col("px").between(F.col("x0"), F.col("x1"))
+            & F.col("py").between(F.col("y0"), F.col("y1"))
+        )
+        .groupBy("zone_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("px").alias("sum_px"),
+            F.sum("py").alias("sum_py"),
+        )
+    )
+    return (
+        rects.select("zone_key")
+        .join(F.broadcast(hits), "zone_key", "left")
+        .select(
+            "zone_key",
+            F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
+            F.coalesce(F.col("sum_px"), F.lit(0)).cast("long").alias("sum_px"),
+            F.coalesce(F.col("sum_py"), F.lit(0)).cast("long").alias("sum_py"),
+        )
+        .orderBy("zone_key")
+    )
+
+
+_STREAM_OUTER_JOIN_ORACLE = """
+WITH offs AS (SELECT unnest(range(0, 90)) AS o),
+l AS (SELECT CAST(o AS BIGINT) AS l_off FROM offs),
+r AS (SELECT CAST(CASE WHEN o % 3 = 0 AND o < 60 THEN -1 ELSE o END
+              AS BIGINT) AS k,
+             CAST(o AS BIGINT) AS r_off
+      FROM offs)
+SELECT l.l_off, r.r_off, r.r_off IS NOT NULL AS matched
+FROM l LEFT JOIN r ON r.k = l.l_off
+ORDER BY l.l_off
+"""
+
+
+@_register("streaming_interval_join_outer", _STREAM_OUTER_JOIN_ORACLE)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the inner
+    interval join (tests/test_streaming.py) cannot express: a left row
+    with NO match within the time bound must still be emitted, with
+    nulls, and that emission can only happen once the WATERMARK proves
+    no matching right row can still arrive. Two paced `offset_log`
+    drains stand in for two Kafka topics (left = partition 0, right =
+    partition 1 with every third key under offset 60 diverted so it
+    never matches); the join is keyed + bounded to ±5 minutes of event
+    time with a 10-minute watermark. All unmatched left rows sit ≥30
+    minutes below the final watermark, so the drained sink is exactly
+    the BATCH left-outer join over the full log — which the oracle
+    states in plain SQL, making null emission itself value-checked.
+    Scale shape: state is bounded by the interval condition (eviction
+    proven in tests/test_streaming.py); each no-match row costs one
+    state-store entry until its watermark expiry, never unbounded."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
+
+    register_offset_log(spark)
+
+    def load() -> DataFrame:
+        return (
+            spark.readStream.format("offset_log")
+            .option("partitions", 2)
+            .option("n_rows", 90)
+            .option("rows_per_batch", 30)
+            .load()
+        )
+
+    left = (
+        load()
+        .filter(F.col("partition") == 0)
+        .select(
+            F.col("offset").alias("l_off"),
+            F.col("ts").cast("timestamp").alias("lts"),
+        )
+        .withWatermark("lts", "10 minutes")
+    )
+    right = (
+        load()
+        .filter(F.col("partition") == 1)
+        .select(
+            F.when(
+                (F.col("offset") % 3 == 0) & (F.col("offset") < 60), F.lit(-1)
+            )
+            .otherwise(F.col("offset"))
+            .cast("long")
+            .alias("k"),
+            F.col("offset").alias("r_off"),
+            F.col("ts").cast("timestamp").alias("rts"),
+        )
+        .withWatermark("rts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("l_off") == F.col("k"))
+        & (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    ).select("l_off", "r_off", F.col("r_off").isNotNull().alias("matched"))
+    sink = run_stream_to_memory(joined, f"soj_{uuid.uuid4().hex[:8]}")
+    return sink.orderBy("l_off")
+
+
+_RENDEZVOUS_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+a AS (
+  SELECT doc_id,
+         struct_extract(list_max([{'h': md5(doc_id || '|' || s), 's': s}
+                                  for s in range(0, 8)]), 's') AS old_shard,
+         struct_extract(list_max([{'h': md5(doc_id || '|' || s), 's': s}
+                                  for s in range(0, 9)]), 's') AS new_shard
+  FROM d
+)
+SELECT CAST(old_shard AS BIGINT) AS old_shard,
+       CAST(new_shard AS BIGINT) AS new_shard,
+       count(*)                  AS n_docs,
+       (old_shard = new_shard OR new_shard = 8) AS only_moves_to_new
+FROM a
+GROUP BY old_shard, new_shard
+ORDER BY old_shard, new_shard
+"""
+
+
+@_register("rendezvous_shard_rebalance", _RENDEZVOUS_ORACLE)
+def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — Thaler & Ravishankar
+    1996, the shard-assignment scheme whose REBALANCE cost is minimal:
+    each key scores every shard with md5(key|shard) and lives on the
+    argmax, so growing 8 → 9 shards moves ONLY the keys whose new
+    shard-8 ticket wins (~1/9 of keys, in expectation) and NEVER
+    shuffles a key between surviving shards — `pmod(hash, k)` resharding
+    would move ~8/9 of 100 TB instead. The entry emits the full
+    (old_shard, new_shard) transition matrix with the only-moves-to-new
+    invariant as a per-row value check; md5 argmax (ties impossible in
+    practice, broken by shard id via struct compare) makes the matrix
+    bit-identical cross-engine. Scale shape: one codegen'd projection
+    (k md5 calls per key, no UDF, no shuffle) + one tiny aggregate —
+    assignment is embarrassingly parallel, which is exactly why HRW is
+    the right scheme for routing documents to index/dedup shards."""
+    d = _t(spark, sf_dir, "documents")
+
+    def shard(k: int) -> F.Column:
+        return F.expr(
+            f"array_max(transform(sequence(0, {k - 1}),"
+            " s -> struct(md5(concat(CAST(doc_id AS STRING), '|',"
+            " CAST(s AS STRING))) AS h, s AS s))).s"
+        ).cast("long")
+
+    a = d.select(shard(8).alias("old_shard"), shard(9).alias("new_shard"))
+    return (
+        a.groupBy("old_shard", "new_shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "old_shard",
+            "new_shard",
+            "n_docs",
+            (
+                (F.col("old_shard") == F.col("new_shard"))
+                | (F.col("new_shard") == 8)
+            ).alias("only_moves_to_new"),
+        )
+        .orderBy("old_shard", "new_shard")
+    )
+
+
+_STRATIFIED_ORACLE = """
+WITH c AS (
+  SELECT source, count(*) AS n_docs, (count(*) + 9) // 10 AS quota
+  FROM documents GROUP BY source
+),
+h AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(doc_id || ':strat'), 1, 12) AS BIGINT) AS hv
+  FROM documents
+),
+r AS (
+  SELECT h.*, row_number() OVER (PARTITION BY source
+                                 ORDER BY hv, doc_id) AS rn
+  FROM h
+),
+s AS (
+  SELECT r.source, count(*) AS n_sampled, sum(r.doc_id) AS sum_ids
+  FROM r JOIN c USING (source)
+  WHERE r.rn <= c.quota
+  GROUP BY r.source
+)
+SELECT c.source, c.n_docs, CAST(c.quota AS BIGINT) AS quota,
+       s.n_sampled, CAST(s.sum_ids AS BIGINT) AS sum_sampled_ids
+FROM c JOIN s USING (source)
+ORDER BY c.source
+"""
+
+
+@_register("stratified_sample_exact", _STRATIFIED_ORACLE)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size stratified sampling — per-stratum sample counts hit
+    their quota exactly (here ceil(10%) per source), where
+    `df.sampleBy` is Bernoulli and only approximates its fractions.
+    Selection is rank-by-md5 within the stratum, so the sample is a
+    pure function of (doc_id, source): rerun-deterministic,
+    engine-portable (full value oracle down to the sampled-id
+    checksum), and decontamination-auditable. Scale shape: quotas come
+    from one tiny rollup (broadcast back); selection is the SALTED
+    two-level rank from `operators/sketch.kmv_topk` — a (source,
+    hv%16) pre-rank bounds every task's sort before the per-source
+    rank, so no task ever sorts a whole stratum of a 100 TB corpus —
+    one logical shuffle on the stratum key."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("(count(1) + 9) div 10").alias("quota"),
+    )
+    h = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':strat')),"
+            " 1, 12), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    ).join(F.broadcast(counts), "source")
+    w_salt = W.partitionBy("source", F.pmod(F.col("hv"), F.lit(16))).orderBy(
+        "hv", "doc_id"
+    )
+    w_grp = W.partitionBy("source").orderBy("hv", "doc_id")
+    sampled = (
+        h.withColumn("__srn", F.row_number().over(w_salt))
+        .filter(F.col("__srn") <= F.col("quota"))
+        .withColumn("rn", F.row_number().over(w_grp))
+        .filter(F.col("rn") <= F.col("quota"))
+    )
+    agg = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sum_sampled_ids"),
+    )
+    return (
+        counts.join(agg, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("quota").cast("long").alias("quota"),
+            "n_sampled",
+            "sum_sampled_ids",
+        )
+        .orderBy("source")
+    )
+
+
+_SCD2_BUILD_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_type, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+v AS (
+  SELECT user_id, event_type AS state,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT)
+           AS version_n,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to_us
+  FROM ch
+)
+SELECT user_id, version_n, state, valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM v
+ORDER BY user_id, version_n
+"""
+
+
+@_register("scd2_build_from_changes", _SCD2_BUILD_ORACLE)
+def scd2_build_from_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of SCD2 — building the versioned dimension history
+    that `scd2_point_in_time_join` reads: a change log (events as the
+    CDC stand-in: user_id, ts, event_type-as-tracked-attribute)
+    becomes validity-interval rows by (1) collapsing consecutive
+    no-op changes (lag() equality — real CDC feeds re-emit unchanged
+    rows), (2) numbering surviving versions, and (3) closing each
+    interval at the NEXT change's timestamp (lead(); null = current
+    row). Validity bounds ride as epoch microseconds (unix_micros /
+    epoch_us — the cross-engine-stable timestamp lane). Scale shape:
+    ONE shuffle on the dimension key serves all three windows (same
+    partitioning + ordering ⇒ one sort); per-key history is the only
+    ordering unit, so 100 TB of change log parallelizes across keys.
+    Reference parity: this is the dbt snapshot / MERGE pattern the
+    reference's star schema would need for dimension history."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    wk = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        e.withColumn("prev", F.lag("event_type").over(wk))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    v = ch.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.row_number().over(wk).cast("long").alias("version_n"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(wk).alias("valid_to_us"),
+    )
+    return v.select(
+        "user_id",
+        "version_n",
+        "state",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+    ).orderBy("user_id", "version_n")

@@ -1,0 +1,187 @@
+"""Invariant tests for the weighted hash-race sampler, the grid-bucketed
+spatial join, and the stream-stream left-outer interval join — the
+structural guarantees beyond cross-engine parity (which
+test_queries_oracle.py already checks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
+from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _race_key(doc_id: int, weight: int) -> str:
+    return min(
+        hashlib.md5(f"{doc_id}:{r}".encode()).hexdigest()
+        for r in range(1, weight + 1)
+    )
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """The Spark top-20 must equal an independent Python md5 race over the
+    same corpus — the sample is a pure function of (doc_id, n_chars)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    ref = sorted(
+        (_race_key(r.doc_id, 1 + r.n_chars % 8), r.doc_id) for r in docs
+    )[:20]
+    got = REGISTRY["weighted_sample_race"].spark(spark, SF).collect()
+    assert [(r.sel_key, r.doc_id) for r in got] == ref
+    assert [r.rank for r in got] == list(range(1, 21))
+
+
+def test_weighted_race_probability_is_proportional():
+    """The math the entry rests on: P(item with weight w wins the race)
+    = w / Σw. Pure-Python check over 400 salted repetitions of a 2-item
+    race with weights 1 and 7 — the weight-7 item must win ~7/8 of the
+    time (binomial σ ≈ 0.0165; allow 4σ)."""
+    wins = 0
+    n = 400
+    for salt in range(n):
+        k_heavy = min(
+            hashlib.md5(f"h{salt}:{r}".encode()).hexdigest() for r in range(7)
+        )
+        k_light = hashlib.md5(f"l{salt}:0".encode()).hexdigest()
+        wins += k_heavy < k_light
+    assert abs(wins / n - 7 / 8) < 4 * 0.0165, wins / n
+
+
+def test_spatial_grid_equals_naive_containment(spark):
+    """The grid-bucketed path must reproduce the naive containment join
+    exactly: a point lives in exactly one cell, so a rect spanning k
+    cells still meets each point once (no double counting), and the
+    cell cover is complete (no missed boundary points)."""
+    k = F.col("n_nationkey").cast("long")
+    rects = load_table(spark, SF, "nation").select(
+        k.alias("zone_key"),
+        (((k * 37) % 20) * 45000).alias("x0"),
+        (((k * 53) % 20) * 45000).alias("y0"),
+        (((k * 37) % 20) * 45000 + 30000 + (k % 7) * 15000).alias("x1"),
+        (((k * 53) % 20) * 45000 + 30000 + (k % 5) * 20000).alias("y1"),
+    )
+    pts = load_table(spark, SF, "events").select(
+        "event_id",
+        F.expr(
+            "CAST(conv(substr(md5(concat('x:', CAST(event_id AS STRING))),"
+            " 1, 6), 16, 10) AS BIGINT) % 1000000"
+        ).alias("px"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('y:', CAST(event_id AS STRING))),"
+            " 1, 6), 16, 10) AS BIGINT) % 1000000"
+        ).alias("py"),
+    )
+    naive = {
+        (r.zone_key, r.n_points, r.sum_px, r.sum_py)
+        for r in rects.join(
+            pts,
+            F.col("px").between(F.col("x0"), F.col("x1"))
+            & F.col("py").between(F.col("y0"), F.col("y1")),
+            "left",
+        )
+        .groupBy("zone_key")
+        .agg(
+            F.count("event_id").alias("n_points"),
+            F.coalesce(F.sum("px"), F.lit(0)).cast("long").alias("sum_px"),
+            F.coalesce(F.sum("py"), F.lit(0)).cast("long").alias("sum_py"),
+        )
+        .collect()
+    }
+    grid = {
+        (r.zone_key, r.n_points, r.sum_px, r.sum_py)
+        for r in REGISTRY["spatial_grid_join"].spark(spark, SF).collect()
+    }
+    assert grid == naive
+    assert any(n > 0 for (_, n, _, _) in grid), "no rect contains any point"
+
+
+def test_spatial_grid_join_is_equi_not_bnlj(spark):
+    """The candidate join must be an equi hash join on the grid cell —
+    BroadcastNestedLoopJoin over points × zones is the 100 TB failure
+    the grid exists to prevent."""
+    df = REGISTRY["spatial_grid_join"].spark(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rendezvous_rebalance_moves_only_to_new_shard(spark):
+    """HRW's minimal-movement property on data: growing 8 → 9 shards,
+    every moved key lands on the NEW shard (never between survivors),
+    and the moved fraction is near the 1/9 expectation."""
+    rows = REGISTRY["rendezvous_shard_rebalance"].spark(spark, SF).collect()
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.n_docs for r in rows if r.old_shard != r.new_shard)
+    assert all(r.only_moves_to_new for r in rows)
+    for r in rows:
+        if r.old_shard != r.new_shard:
+            assert r.new_shard == 8, r
+    # 500 docs, E[moved] = 500/9 ≈ 56; allow a wide band (binomial 4σ ≈ 28)
+    assert total == 500
+    assert 25 <= moved <= 90, moved
+
+
+def _strat_hv(doc_id: int) -> int:
+    return int(hashlib.md5(f"{doc_id}:strat".encode()).hexdigest()[:12], 16)
+
+
+def test_stratified_sample_hits_quota_exactly(spark):
+    """Per-stratum sample size equals its ceil-10% quota EXACTLY (the
+    contract Bernoulli sampleBy cannot make), and the sampled-id
+    checksum matches an independent Python md5-rank selection."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "source").collect()
+    by_src: dict[str, list[int]] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    want = {}
+    for src, ids in by_src.items():
+        quota = (len(ids) + 9) // 10
+        picked = sorted(ids, key=lambda i: (_strat_hv(i), i))[:quota]
+        want[src] = (len(ids), quota, quota, sum(picked))
+    got = {
+        r.source: (r.n_docs, r.quota, r.n_sampled, r.sum_sampled_ids)
+        for r in REGISTRY["stratified_sample_exact"].spark(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_scd2_build_intervals_are_contiguous(spark):
+    """SCD2 integrity: per key, versions number 1..n, each interval
+    closes exactly where the next opens, exactly one current row, and
+    no two consecutive versions carry the same state (no-op changes
+    collapsed)."""
+    rows = REGISTRY["scd2_build_from_changes"].spark(spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version_n)
+        assert [v.version_n for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(v.is_current for v in vs) == 1
+        assert vs[-1].is_current and vs[-1].valid_to_us is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_us == b.valid_from_us, (user, a, b)
+            assert a.state != b.state, (user, a, b)
+
+
+def test_streaming_outer_join_emits_unmatched_exactly(spark):
+    """Null emission is exact: the diverted keys (offset % 3 == 0 under
+    60) come back unmatched after the watermark passes; every other left
+    row carries its equal-offset match."""
+    rows = (
+        REGISTRY["streaming_interval_join_outer"].spark(spark, SF).collect()
+    )
+    assert len(rows) == 90
+    for r in rows:
+        want_unmatched = r.l_off % 3 == 0 and r.l_off < 60
+        assert r.matched != want_unmatched, r
+        if r.matched:
+            assert r.r_off == r.l_off, r
+        else:
+            assert r.r_off is None, r
