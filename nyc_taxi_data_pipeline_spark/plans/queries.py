@@ -14441,3 +14441,326 @@ def scd2_build_from_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to_us",
         F.col("valid_to_us").isNull().alias("is_current"),
     ).orderBy("user_id", "version_n")
+
+
+_FS_LINKAGE_ORACLE = """
+WITH a AS (
+  SELECT c_custkey AS akey, c_nationkey AS nation,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         c_mktsegment AS seg
+  FROM customer
+),
+b AS (
+  SELECT akey + 1000000 AS bkey,
+         CASE WHEN CAST('0x' || substr(md5(akey || ':n'), 1, 6) AS BIGINT)
+                   % 10 = 0
+              THEN (nation + 1) % 25 ELSE nation END AS nation,
+         bal_cents
+           + CAST('0x' || substr(md5(akey || ':b'), 1, 6) AS BIGINT) % 61
+           - 30 AS bal_cents,
+         CASE WHEN CAST('0x' || substr(md5(akey || ':s'), 1, 6) AS BIGINT)
+                   % 20 = 0
+              THEN 'PERTURBED' ELSE seg END AS seg
+  FROM a
+),
+cand AS (
+  SELECT a.akey, b.bkey, a.bal_cents AS abal, b.bal_cents AS bbal,
+         a.seg AS aseg, b.seg AS bseg
+  FROM a JOIN b
+    ON a.nation = b.nation
+   AND (a.bal_cents + 1000000) // 10000 = (b.bal_cents + 1000000) // 10000
+),
+scored AS (
+  SELECT akey, bkey, (bkey - 1000000 = akey) AS is_true,
+         (CASE WHEN abs(abal - bbal) <= 30 THEN 220 ELSE -160 END
+        + CASE WHEN aseg = bseg THEN 120 ELSE -90 END) AS score
+  FROM cand
+),
+cls AS (
+  SELECT *,
+         CASE WHEN score >= 300 THEN 'match'
+              WHEN score <= -200 THEN 'non_match'
+              ELSE 'possible' END AS decision
+  FROM scored
+),
+truth AS (SELECT count(*) AS n_true_total FROM a)
+SELECT d.decision,
+       d.n_pairs,
+       d.n_true_pairs,
+       t.n_true_total
+FROM (
+  SELECT decision, count(*) AS n_pairs,
+         CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_pairs
+  FROM cls GROUP BY decision
+  UNION ALL
+  SELECT 'candidate_pairs', count(*),
+         CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+  FROM scored
+) d, truth t
+ORDER BY d.decision
+"""
+
+
+@_register("record_linkage_fs_scoring", _FS_LINKAGE_ORACLE)
+def record_linkage_fs_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969) with KNOWN
+    ground truth: a deterministically-dirtied copy of the customer
+    table (md5-derived perturbations — 10% nation typos, ±30-cent
+    balance noise, 5% segment corruption) is re-linked to the
+    original, so precision/recall of every decision class is an exact
+    measured number, not an assertion. Pipeline: (1) BLOCKING on
+    (nation, $100 balance band) — the step that turns O(|A|·|B|) into
+    bounded per-block candidate sets; true pairs lost to blocking
+    (nation typo or band-edge noise) show up as
+    n_true_total − candidate n_true_pairs, the classic
+    blocking-recall tradeoff, measured; (2) field-agreement scoring
+    with integer log-likelihood-ratio weights (literal scaled
+    log(m/u) constants, so scores are exact ints); (3) three-way
+    decision (match / possible / non-match) by score thresholds.
+    Scale shape: the candidate join is equi on the block key (never a
+    cross join), per-block size is bounded by the band width, scoring
+    is one codegen'd projection, and the confusion rollup is a tiny
+    aggregate."""
+    a = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("akey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+    def h6(suffix: str) -> F.Column:
+        return F.expr(
+            "CAST(conv(substr(md5(concat(CAST(akey AS STRING),"
+            f" '{suffix}')), 1, 6), 16, 10) AS BIGINT)"
+        )
+
+    b = a.select(
+        (F.col("akey") + 1000000).alias("bkey"),
+        F.when((h6(":n") % 10) == 0, (F.col("nation") + 1) % 25)
+        .otherwise(F.col("nation"))
+        .alias("nation"),
+        (F.col("bal_cents") + h6(":b") % 61 - 30).alias("bal_cents"),
+        F.when((h6(":s") % 20) == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+    )
+    cand = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.nation") == F.col("b.nation"))
+        & (
+            F.expr("(a.bal_cents + 1000000) div 10000")
+            == F.expr("(b.bal_cents + 1000000) div 10000")
+        ),
+    )
+    scored = cand.select(
+        F.col("a.akey").alias("akey"),
+        F.col("b.bkey").alias("bkey"),
+        (F.col("b.bkey") - 1000000 == F.col("a.akey")).alias("is_true"),
+        (
+            F.when(
+                F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) <= 30,
+                F.lit(220),
+            ).otherwise(F.lit(-160))
+            + F.when(F.col("a.seg") == F.col("b.seg"), F.lit(120)).otherwise(
+                F.lit(-90)
+            )
+        ).alias("score"),
+    ).localCheckpoint(eager=False)
+    cls = scored.withColumn(
+        "decision",
+        F.when(F.col("score") >= 300, "match")
+        .when(F.col("score") <= -200, "non_match")
+        .otherwise("possible"),
+    )
+    by_class = cls.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true_pairs"),
+    )
+    cand_row = scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true_pairs"),
+    ).select(
+        F.lit("candidate_pairs").alias("decision"), "n_pairs", "n_true_pairs"
+    )
+    truth = a.agg(F.count(F.lit(1)).alias("n_true_total"))
+    return (
+        by_class.unionByName(cand_row)
+        .crossJoin(F.broadcast(truth))
+        .orderBy("decision")
+    )
+
+
+_DP_BOUNDED_ORACLE = """
+WITH ranked AS (
+  SELECT event_type,
+         least(greatest(CAST(round(value * 100) AS BIGINT), 0), 2000)
+           AS clamped_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+bounded AS (SELECT * FROM ranked WHERE rn <= 5),
+agg AS (
+  SELECT event_type,
+         count(*) AS n_contributions,
+         sum(clamped_cents) AS clamped_sum
+  FROM bounded GROUP BY event_type
+)
+SELECT event_type,
+       n_contributions,
+       CAST(clamped_sum AS BIGINT) AS clamped_sum,
+       CAST('0x' || substr(md5('noise:' || event_type), 1, 8) AS BIGINT)
+         % 201 - 100 AS noise,
+       CAST(clamped_sum AS BIGINT)
+         + CAST('0x' || substr(md5('noise:' || event_type), 1, 8) AS BIGINT)
+           % 201 - 100 AS released_sum,
+       CAST(10000 AS BIGINT) AS sensitivity
+FROM agg
+ORDER BY event_type
+"""
+
+
+@_register("dp_bounded_contribution_agg", _DP_BOUNDED_ORACLE)
+def dp_bounded_contribution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The differential-privacy AGGREGATION MECHANICS (the shape of
+    BigQuery/Tumult DP-SQL): before any noise can carry an ε
+    guarantee, the query must bound each user's influence — (1)
+    VALUE CLIPPING (per-event value clamped to [0, 2000] cents) and
+    (2) CONTRIBUTION BOUNDING (each user's first 5 events by event
+    time; a per-user rank, NOT a global sample) — giving a provable
+    L1 sensitivity of 5 × 2000 = 10000 per user, emitted as a
+    column. The noise term here is a DETERMINISTIC md5-derived
+    stand-in (real ε-DP requires cryptographic randomness drawn at
+    release time — a driver-side concern, deliberately outside the
+    plan) so the whole release pipeline value-checks cross-engine;
+    swapping the stand-in for discrete-Laplace noise changes one
+    expression. Scale shape: the rank is one window on user_id, the
+    rollup is mergeable, nothing touches the driver."""
+    e = _t(spark, sf_dir, "events")
+    wk = W.partitionBy("user_id").orderBy("ts", "event_id")
+    bounded = (
+        e.select(
+            "event_type",
+            "user_id",
+            "ts",
+            "event_id",
+            F.least(
+                F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(0)),
+                F.lit(2000),
+            ).alias("clamped_cents"),
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 5)
+    )
+    agg = bounded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_contributions"),
+        F.sum("clamped_cents").cast("long").alias("clamped_sum"),
+    )
+    noise = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('noise:', event_type)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+        % 201
+        - 100
+    )
+    return agg.select(
+        "event_type",
+        "n_contributions",
+        "clamped_sum",
+        noise.alias("noise"),
+        (F.col("clamped_sum") + noise).alias("released_sum"),
+        F.lit(10000).cast("long").alias("sensitivity"),
+    ).orderBy("event_type")
+
+
+_LATE_DATA_ORACLE = """
+WITH offs AS (SELECT unnest(range(0, 120)) AS o),
+r AS (
+  SELECT o, o // 30 AS k,
+         CASE WHEN o % 7 = 0 AND o >= 75 THEN o - 70 ELSE o END AS t_eff
+  FROM offs
+),
+m AS (SELECT k, max(t_eff) AS mx FROM r GROUP BY k),
+fw AS (
+  SELECT ks.k, max(m.mx) - 10 AS fwm
+  FROM (SELECT DISTINCT k FROM r) ks
+  LEFT JOIN m ON m.k <= ks.k - 2
+  GROUP BY ks.k
+),
+j AS (
+  SELECT r.o, r.t_eff, ((r.t_eff // 10) + 1) * 10 AS w_end, fw.fwm
+  FROM r JOIN fw ON fw.k = r.k
+),
+kept AS (SELECT * FROM j WHERE fwm IS NULL OR w_end > fwm),
+final_wm AS (SELECT max(mx) - 10 AS fin FROM m)
+SELECT CAST(w_end - 10 AS BIGINT) AS window_start_min,
+       count(*)                   AS n_rows
+FROM kept, final_wm
+WHERE w_end <= fin
+GROUP BY w_end
+ORDER BY w_end
+"""
+
+
+@_register("streaming_late_data_accounting", _LATE_DATA_ORACLE)
+def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-ROW DROP semantics made value-checkable: a paced
+    offset_log drain where every 7th offset (from 75 up) arrives with
+    its event time shifted 70 minutes into the past — late against a
+    10-minute watermark — feeds a 10-minute tumbling windowed count in
+    APPEND mode. The rule this entry pins down EMPIRICALLY (probed on
+    Spark 4.1 and encoded in the oracle, because the docs don't state
+    it): Spark runs TWO watermarks one batch apart — the late filter
+    in micro-batch k drops a row iff its window end ≤ the watermark
+    computed from data through batch k−2, while state EVICTION /
+    append emission at the end of batch k uses the one through batch
+    k−1 (a row later than the filter boundary still MERGES into its
+    window if that window hasn't been evicted — 3 of the 7 late rows
+    here do exactly that; the other 4 drop). All boundaries land ≡9
+    mod 10 against window ends ≡0 mod 10, so the simulation has no
+    tie-sensitivity. ST5 quantified: which rows a 100 TB pipeline
+    silently loses to lateness is an exact function of batch pacing
+    and the delay — this entry makes that function an oracle-checked
+    spec instead of an accident."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
+
+    register_offset_log(spark)
+    stream = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 1)
+        .option("n_rows", 120)
+        .option("rows_per_batch", 30)
+        .load()
+    )
+    ev = stream.select(
+        F.when(
+            (F.col("offset") % 7 == 0) & (F.col("offset") >= 75),
+            F.col("ts") - F.expr("INTERVAL 70 MINUTES"),
+        )
+        .otherwise(F.col("ts"))
+        .cast("timestamp")
+        .alias("t_eff")
+    ).withWatermark("t_eff", "10 minutes")
+    agg = ev.groupBy(F.window("t_eff", "10 minutes")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    sink = run_stream_to_memory(
+        agg, f"late_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    return sink.select(
+        (
+            (F.unix_timestamp(F.col("window.start")) - F.unix_timestamp(base))
+            / 60
+        )
+        .cast("long")
+        .alias("window_start_min"),
+        "n_rows",
+    ).orderBy("window_start_min")

@@ -169,7 +169,10 @@ def run_stream_upsert_parquet(
 
 
 def run_stream_to_memory(
-    df: DataFrame, name: str, state_partitions: int | None = 8
+    df: DataFrame,
+    name: str,
+    state_partitions: int | None = 8,
+    output_mode: str | None = None,
 ) -> DataFrame:
     """ST7 harness, determinism-fixed: drain all available input
     (processAllAvailable), stop, return the materialized sink as a batch
@@ -183,7 +186,11 @@ def run_stream_to_memory(
     throughput — inheriting a batch session's wide shuffle default just
     multiplies state-store open/commit overhead. Results are identical at
     any width; pass None to keep the session setting. The pin is read once
-    at query START, so it cannot leak into the query after restore."""
+    at query START, so it cannot leak into the query after restore.
+
+    `output_mode` overrides the default (complete for aggregations,
+    append otherwise) — pass "append" for a watermarked aggregation whose
+    point IS append semantics (closed-window emission, late-row drop)."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
@@ -192,7 +199,10 @@ def run_stream_to_memory(
         q = (
             df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete" if _has_aggregation(df) else "append")
+            .outputMode(
+                output_mode
+                or ("complete" if _has_aggregation(df) else "append")
+            )
             .start()
         )
     finally:

@@ -170,6 +170,69 @@ def test_scd2_build_intervals_are_contiguous(spark):
             assert a.state != b.state, (user, a, b)
 
 
+def test_fs_linkage_confusion_is_sane(spark):
+    """Ground truth is known (bkey − 1M == akey), so the confusion
+    matrix must be coherent: every true pair lands in exactly one
+    decision class, non_match contains no true pairs, match is
+    high-precision, and blocking loses some true pairs (the measured
+    tradeoff — candidates < truth)."""
+    rows = {
+        r.decision: r
+        for r in REGISTRY["record_linkage_fs_scoring"].spark(spark, SF).collect()
+    }
+    cand = rows["candidate_pairs"]
+    assert cand.n_true_pairs < cand.n_true_total  # blocking loses some
+    assert cand.n_true_pairs > cand.n_true_total * 7 // 10  # but not most
+    decision_true = sum(
+        r.n_true_pairs for d, r in rows.items() if d != "candidate_pairs"
+    )
+    assert decision_true == cand.n_true_pairs
+    if "non_match" in rows:
+        assert rows["non_match"].n_true_pairs == 0
+    m = rows["match"]
+    assert m.n_true_pairs >= m.n_pairs * 9 // 10  # precision >= 90%
+
+
+def test_dp_bounded_contribution_caps_users(spark):
+    """Contribution bounding on data: no user contributes more than 5
+    events to the release, values are clamped to [0, 2000], and the
+    released sum differs from the clamped sum by exactly the stated
+    noise (|noise| <= 100 = the stand-in scale)."""
+    rows = REGISTRY["dp_bounded_contribution_agg"].spark(spark, SF).collect()
+    assert rows
+    ev = load_table(spark, SF, "events")
+    n_users = ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r.n_contributions <= 5 * n_users
+        assert r.released_sum - r.clamped_sum == r.noise
+        assert abs(r.noise) <= 100
+        assert r.sensitivity == 10000
+        assert 0 <= r.clamped_sum <= r.n_contributions * 2000
+
+
+def test_late_data_accounting_drops_exactly_four(spark):
+    """The two-watermark rule on data: of the 7 late rows, the 4 whose
+    window end falls at or below the lagged filter watermark are
+    dropped; the 3 others merge into already-open windows. Total kept
+    rows across emitted windows reflects exactly that."""
+    rows = REGISTRY["streaming_late_data_accounting"].spark(spark, SF).collect()
+    counts = {r.window_start_min: r.n_rows for r in rows}
+    # late rows: o in {77,84,91,98,105,112,119} -> t_eff {7,14,21,28,35,42,49}
+    # dropped: 77 (w_end 10 <= 19), 91/98/105 (w_end 30/30/40 <= 49)
+    # kept-late: 84 -> window 10; 112 -> window 40; 119 -> window 40
+    assert counts[10] == 11  # 10 on-time + o=84
+    assert counts[40] == 12  # 10 on-time + o=112 + o=119
+    assert counts[0] == 10 and counts[20] == 10 and counts[30] == 10
+    assert counts[50] == 10 and counts[60] == 10
+    # source windows lose their every-7th member to the time shift:
+    # 70 loses o=77, 80 loses o=84, 90 loses BOTH o=91 and o=98
+    assert counts[70] == 9 and counts[80] == 9 and counts[90] == 8
+    assert 100 not in counts and 110 not in counts  # past final watermark
+    # 120 offsets − 4 dropped − 17 rows still in open windows (t_eff>=100
+    # on-time rows minus shifted-out members) = 99 emitted
+    assert sum(counts.values()) == 99
+
+
 def test_streaming_outer_join_emits_unmatched_exactly(spark):
     """Null emission is exact: the diverted keys (offset % 3 == 0 under
     60) come back unmatched after the watermark passes; every other left
