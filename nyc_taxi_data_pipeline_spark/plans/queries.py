@@ -4532,7 +4532,8 @@ deduped AS (
 SELECT source,
        count(*) AS n_docs,
        sum(n_tokens) AS total_tokens,
-       round(avg(quality_score), 6) AS avg_quality
+       round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_quality
 FROM deduped
 GROUP BY source
 ORDER BY source
@@ -4581,7 +4582,16 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            # decimal sum -> one double division: order-independent, so the
+            # 6-dp rounding cannot flip with partitioning (quality_score is
+            # itself a 6-dp grid value — a float avg ties on that grid)
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )
@@ -14764,3 +14774,226 @@ def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("window_start_min"),
         "n_rows",
     ).orderBy("window_start_min")
+
+
+_JOIN_SIZE_ORACLE = """
+WITH lanes AS (SELECT unnest(range(0, 4)) AS lane),
+a AS (
+  SELECT l.lane,
+         CAST('0x' || substr(md5(l.lane || ':' || e.user_id), 1, 8)
+              AS BIGINT) % 256 AS bucket,
+         count(*) AS c
+  FROM events e, lanes l
+  WHERE e.event_type = 'view'
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT l.lane,
+         CAST('0x' || substr(md5(l.lane || ':' || e.user_id), 1, 8)
+              AS BIGINT) % 256 AS bucket,
+         count(*) AS c
+  FROM events e, lanes l
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT a.lane, CAST(sum(a.c * b.c) AS BIGINT) AS lane_estimate
+  FROM a JOIN b ON a.lane = b.lane AND a.bucket = b.bucket
+  GROUP BY a.lane
+),
+exact AS (
+  SELECT CAST(sum(av.c * bv.c) AS BIGINT) AS exact_size
+  FROM (SELECT user_id, count(*) AS c FROM events
+        WHERE event_type = 'view' GROUP BY user_id) av
+  JOIN (SELECT user_id, count(*) AS c FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id) bv
+    ON av.user_id = bv.user_id
+),
+best AS (SELECT min(lane_estimate) AS cms_estimate FROM est)
+SELECT e.lane, e.lane_estimate, x.exact_size, bst.cms_estimate,
+       e.lane_estimate >= x.exact_size AS never_underestimates
+FROM est e, exact x, best bst
+ORDER BY e.lane
+"""
+
+
+@_register("join_size_sketch_estimate", _JOIN_SIZE_ORACLE)
+def join_size_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE (cardinality) estimation from mergeable count sketches
+    — the query optimizer's core problem, answered WITHOUT running the
+    join: each side's per-key counts collapse into a 4-lane × 256-bucket
+    count-min row (md5 lanes, so the sketch is engine-portable), and
+    |A ⋈ B| on the key is estimated by the bucketwise inner product per
+    lane, taking the min lane (Cormode-Muthukrishnan 2005 §4.2). The
+    inner-product estimate can only OVERCOUNT (hash collisions add
+    cross-terms, never remove true ones) — that no-underestimate
+    contract is emitted as a per-lane value-checked column next to the
+    exact join size (here view-events ⋈ purchase-events on user_id,
+    Σ_u views·purchases). Scale shape: each side reduces to ≤1024
+    mergeable counters in one partial-aggregated pass — the sketches
+    union across shards/days, so a 100 TB planner can keep running
+    join-size estimates without ever touching two tables at once; the
+    inner product and the exact-side audit rollups are tiny."""
+    e = _t(spark, sf_dir, "events")
+    lanes = F.explode(F.array([F.lit(i) for i in range(4)])).alias("lane")
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .select("user_id", lanes)
+            .select(
+                "lane",
+                F.expr(
+                    "CAST(conv(substr(md5(concat(CAST(lane AS STRING), ':',"
+                    " CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                    " % 256"
+                ).alias("bucket"),
+            )
+            .groupBy("lane", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    a, b = side("view"), side("purchase")
+    est = (
+        a.alias("a")
+        .join(b.alias("b"), ["lane", "bucket"])
+        .groupBy("lane")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("lane_estimate"))
+        .localCheckpoint(eager=False)
+    )
+
+    def keyed(event_type: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    exact = (
+        keyed("view")
+        .alias("av")
+        .join(keyed("purchase").alias("bv"), "user_id")
+        .agg(
+            F.sum(F.col("av.c") * F.col("bv.c")).cast("long").alias("exact_size")
+        )
+    )
+    best = est.agg(F.min("lane_estimate").alias("cms_estimate"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(best))
+        .select(
+            "lane",
+            "lane_estimate",
+            "exact_size",
+            "cms_estimate",
+            (F.col("lane_estimate") >= F.col("exact_size")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy("lane")
+    )
+
+
+_SEASONAL_NAIVE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+  FROM events
+  GROUP BY 1, 2
+),
+bounds AS (SELECT max(d) AS dmax FROM daily),
+lagged AS (
+  SELECT event_type, d, c,
+         lag(c, 7) OVER (PARTITION BY event_type ORDER BY d) AS forecast,
+         lag(c, 1) OVER (PARTITION BY event_type ORDER BY d) AS prev
+  FROM daily
+),
+test AS (
+  SELECT l.* FROM lagged l, bounds b WHERE l.d > b.dmax - 7
+),
+train AS (
+  SELECT l.* FROM lagged l, bounds b
+  WHERE l.d <= b.dmax - 7 AND l.prev IS NOT NULL
+),
+err AS (
+  SELECT event_type,
+         count(*) AS n_test_days,
+         CAST(sum(abs(c - forecast)) AS BIGINT) AS sum_abs_err
+  FROM test GROUP BY event_type
+),
+denom AS (
+  SELECT event_type,
+         count(*) AS n_train_steps,
+         CAST(sum(abs(c - prev)) AS BIGINT) AS sum_abs_naive
+  FROM train GROUP BY event_type
+)
+SELECT e.event_type, e.n_test_days, e.sum_abs_err,
+       d.n_train_steps, d.sum_abs_naive,
+       (e.sum_abs_err * d.n_train_steps * 1000000)
+         // (d.sum_abs_naive * e.n_test_days) AS mase_ppm
+FROM err e JOIN denom d USING (event_type)
+ORDER BY e.event_type
+"""
+
+
+@_register("seasonal_naive_forecast_eval", _SEASONAL_NAIVE_ORACLE)
+def seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality evaluation with the SEASONAL-NAIVE baseline —
+    the benchmark every production forecast must beat (Hyndman's MASE,
+    2006): forecast each of the last 7 days' per-type event counts with
+    the value from 7 days earlier, and scale the test-window mean
+    absolute error by the training-window mean absolute one-step-naive
+    error. MASE < 1e6 ppm means weekly seasonality carries real signal
+    over a random-walk guess. All error sums are exact integers and the
+    ratio is one floor division in ppm, so the evaluation metric itself
+    carries a full value oracle — float MAE/MAPE pipelines can't be
+    cross-checked this tightly. Scale shape: the daily rollup is one
+    partial-aggregated pass; both lag() windows share one (event_type)
+    shuffle over a frame that is |types|×|days| — per-series state
+    never leaves its partition, the shape that holds for millions of
+    series at 100 TB."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    wk = W.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "c",
+        F.lag("c", 7).over(wk).alias("forecast"),
+        F.lag("c", 1).over(wk).alias("prev"),
+    ).crossJoin(F.broadcast(daily.agg(F.max("d").alias("dmax"))))
+    test = lagged.filter(F.col("d") > F.date_sub(F.col("dmax"), 7))
+    train = lagged.filter(
+        (F.col("d") <= F.date_sub(F.col("dmax"), 7))
+        & F.col("prev").isNotNull()
+    )
+    err = test.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test_days"),
+        F.sum(F.abs(F.col("c") - F.col("forecast"))).cast("long").alias(
+            "sum_abs_err"
+        ),
+    )
+    denom = train.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_train_steps"),
+        F.sum(F.abs(F.col("c") - F.col("prev"))).cast("long").alias(
+            "sum_abs_naive"
+        ),
+    )
+    return (
+        err.join(denom, "event_type")
+        .select(
+            "event_type",
+            "n_test_days",
+            "sum_abs_err",
+            "n_train_steps",
+            "sum_abs_naive",
+            F.expr(
+                "(sum_abs_err * n_train_steps * 1000000)"
+                " div (sum_abs_naive * n_test_days)"
+            ).alias("mase_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -233,6 +233,35 @@ def test_late_data_accounting_drops_exactly_four(spark):
     assert sum(counts.values()) == 99
 
 
+def test_join_size_sketch_never_underestimates(spark):
+    """The CMS inner-product contract: collisions only ADD cross-terms,
+    so every lane's estimate >= the exact join size, and the released
+    estimate is the min lane."""
+    rows = REGISTRY["join_size_sketch_estimate"].spark(spark, SF).collect()
+    assert len(rows) == 4
+    exact = rows[0].exact_size
+    assert exact > 0
+    for r in rows:
+        assert r.never_underestimates and r.lane_estimate >= exact
+    assert all(r.cms_estimate == min(x.lane_estimate for x in rows) for r in rows)
+    # 256 buckets vs ~100 keys: the min-lane estimate should be tight
+    assert rows[0].cms_estimate <= exact * 3
+
+
+def test_seasonal_naive_eval_is_self_consistent(spark):
+    """MASE ppm is exactly the floor-division of the emitted exact sums,
+    and the test window is the full trailing week."""
+    rows = REGISTRY["seasonal_naive_forecast_eval"].spark(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_test_days == 7
+        assert r.sum_abs_naive > 0 and r.n_train_steps > 0
+        want = (r.sum_abs_err * r.n_train_steps * 1000000) // (
+            r.sum_abs_naive * r.n_test_days
+        )
+        assert r.mase_ppm == want
+
+
 def test_streaming_outer_join_emits_unmatched_exactly(spark):
     """Null emission is exact: the diverted keys (offset % 3 == 0 under
     60) come back unmatched after the watermark passes; every other left

@@ -55,6 +55,16 @@ ENTRIES = [
     "pq_adc_topk",
     "jl_projection_recall",
     "decontamination_bloom_prefilter",
+    # round-3 sampling / spatial / linkage / SCD2 wave
+    "weighted_sample_race",
+    "spatial_grid_join",
+    "rendezvous_shard_rebalance",
+    "stratified_sample_exact",
+    "scd2_build_from_changes",
+    "record_linkage_fs_scoring",
+    "dp_bounded_contribution_agg",
+    "join_size_sketch_estimate",
+    "seasonal_naive_forecast_eval",
 ]
 
 
