@@ -14997,3 +14997,194 @@ def seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_SSSP_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 20 = 0
+),
+edges AS (
+  SELECT src, dst,
+         1 + CAST('0x' || substr(md5(src || '>' || dst), 1, 4) AS BIGINT)
+             % 9 AS w
+  FROM (SELECT src, dst FROM e0
+        UNION
+        SELECT dst AS src, src AS dst FROM e0)
+),
+seed AS (SELECT min(src) AS s FROM edges),
+walk(node, d, steps) AS (
+  SELECT s, CAST(0 AS BIGINT), 0 FROM seed
+  UNION ALL
+  SELECT e.dst, w.d + e.w, w.steps + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.steps < 3
+)
+SELECT node, min(d) AS dist
+FROM walk GROUP BY node
+ORDER BY dist, node
+"""
+
+
+@_register("sssp_weighted_frontier", _SSSP_ORACLE)
+def sssp_weighted_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source SHORTEST PATH with integer edge weights — bounded
+    Bellman-Ford as the IMPERATIVE frontier loop (the production shape:
+    per-round relax join + min-aggregate + localCheckpoint, exactly the
+    PageRank iteration skeleton), value-checked against a recursive-CTE
+    oracle that enumerates ≤3-edge paths and min-aggregates. Both sides
+    run EXACTLY k=3 relaxation rounds, so dist(v) = min weight over
+    paths of ≤3 edges is identical even where the graph hasn't
+    converged — the bounded-k trick that gives iterative graph
+    algorithms full value oracles (same as the scaled-integer
+    PageRank). Edge weights are md5-derived integers 1..9, so weighted
+    relaxation genuinely reorders paths vs hop-count BFS
+    (recursive_graph_reachability). Scale shape: each round is one
+    frontier⋈edges equi-join + one min-agg — the frontier frame is
+    checkpointed per round to cut lineage; rounds are sequential but
+    each is fully distributed; unbounded closures belong to the
+    imperative CC loop with convergence detection."""
+    from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .withColumn(
+            "w",
+            1
+            + F.expr(
+                "CAST(conv(substr(md5(concat(src, '>', dst)), 1, 4),"
+                " 16, 10) AS BIGINT)"
+            )
+            % 9,
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        edges.agg(F.min("src").alias("node"))
+        .select("node", F.lit(0).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(3):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(
+                edges["dst"].alias("node"),
+                (dist["d"] + edges["w"]).alias("d"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("node", F.col("d").alias("dist")).orderBy(
+        "dist", "node"
+    )
+
+
+_STREAM_SESSION_ORACLE = """
+WITH offs AS (SELECT unnest(range(0, 120)) AS o),
+r AS (
+  SELECT o % 3 AS user_id,
+         o + (o // 12) * 30 AS t_min,
+         o // 12 AS block
+  FROM offs
+),
+sess AS (
+  SELECT user_id, block,
+         CAST(min(t_min) AS BIGINT) AS session_start_min,
+         max(t_min) + 10 AS session_end_min,
+         count(*) AS n_events
+  FROM r GROUP BY user_id, block
+),
+wm AS (SELECT max(t_min) - 10 AS fin FROM r)
+SELECT CAST(s.user_id AS BIGINT) AS user_id,
+       s.session_start_min,
+       s.n_events
+FROM sess s, wm
+WHERE s.session_end_min <= wm.fin
+ORDER BY user_id, session_start_min
+"""
+
+
+@_register("streaming_session_windows", _STREAM_SESSION_ORACLE)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION WINDOWS on a real stream with a full value
+    oracle: a paced offset_log drain (40-offset micro-batches) whose
+    event times jump 30 minutes every 12 offsets, sessionized per user
+    with a 10-minute gap in APPEND mode. Two semantics are exercised
+    and value-checked: (1) sessions that SPAN micro-batch boundaries
+    (the 12-offset activity blocks are misaligned with the 40-offset
+    batches) must MERGE in the state store before emission — the
+    operation fixed windows never need; (2) append emits exactly the
+    sessions the final watermark has closed (end = last event + gap ≤
+    max event time − delay), so the last activity block stays open and
+    out of the sink. The construction puts every session boundary ≥22
+    minutes from the watermark cut, far from any tie. The batch
+    equivalent is `sessionization_stats`; this entry proves the
+    STREAMING state machine produces the batch answer."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
+
+    register_offset_log(spark)
+    stream = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 1)
+        .option("n_rows", 120)
+        .option("rows_per_batch", 40)
+        .load()
+    )
+    ev = stream.select(
+        (F.col("offset") % 3).alias("user_id"),
+        (
+            F.col("ts")
+            + F.expr("(offset div 12) * INTERVAL '30' MINUTE")
+        )
+        .cast("timestamp")
+        .alias("t_eff"),
+    ).withWatermark("t_eff", "10 minutes")
+    agg = ev.groupBy(
+        "user_id", F.session_window("t_eff", "10 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sink = run_stream_to_memory(
+        agg, f"sess_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    return sink.select(
+        "user_id",
+        (
+            (
+                F.unix_timestamp(F.col("session_window.start"))
+                - F.unix_timestamp(base)
+            )
+            / 60
+        )
+        .cast("long")
+        .alias("session_start_min"),
+        "n_events",
+    ).orderBy("user_id", "session_start_min")

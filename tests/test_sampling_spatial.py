@@ -262,6 +262,61 @@ def test_seasonal_naive_eval_is_self_consistent(spark):
         assert r.mase_ppm == want
 
 
+def test_sssp_matches_python_bellman_ford(spark):
+    """The 3-round frontier loop equals an independent Python
+    Bellman-Ford over the same md5-weighted edge list."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM"
+        f" read_parquet('{SF}/orders.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM"
+        f" read_parquet('{SF}/lineitem.parquet')"
+    )
+    raw = con.sql("""
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey % 20 = 0
+    """).fetchall()
+    edges = {}
+    for s, d in raw:
+        for a, b in ((s, d), (d, s)):
+            w = 1 + int(hashlib.md5(f"{a}>{b}".encode()).hexdigest()[:4], 16) % 9
+            edges[(a, b)] = w
+    seed = min(a for a, _ in edges)
+    dist = {seed: 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for (a, b), w in edges.items():
+            if a in dist and dist[a] + w < nxt.get(b, 1 << 60):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    got = {
+        r.node: r.dist
+        for r in REGISTRY["sssp_weighted_frontier"].spark(spark, SF).collect()
+    }
+    assert got == dist
+    assert got[seed] == 0 and len(got) > 1
+
+
+def test_streaming_session_windows_merge_across_batches(spark):
+    """27 closed sessions (9 activity blocks x 3 users; the last block
+    stays open), each with exactly 4 events, at the arithmetic start
+    positions — including sessions whose events arrived in different
+    micro-batches (blocks misaligned with the 40-offset pacing), which
+    only a merging session-state machine can produce."""
+    rows = REGISTRY["streaming_session_windows"].spark(spark, SF).collect()
+    assert len(rows) == 27
+    got = {(r.user_id, r.session_start_min) for r in rows}
+    want = {(u, 42 * b + u) for b in range(9) for u in range(3)}
+    assert got == want
+    assert all(r.n_events == 4 for r in rows)
+
+
 def test_streaming_outer_join_emits_unmatched_exactly(spark):
     """Null emission is exact: the diverted keys (offset % 3 == 0 under
     60) come back unmatched after the watermark passes; every other left
