@@ -65,6 +65,7 @@ ENTRIES = [
     "dp_bounded_contribution_agg",
     "join_size_sketch_estimate",
     "seasonal_naive_forecast_eval",
+    "sssp_weighted_frontier",
 ]
 
 
