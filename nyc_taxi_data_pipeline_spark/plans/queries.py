@@ -15188,3 +15188,125 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("session_start_min"),
         "n_events",
     ).orderBy("user_id", "session_start_min")
+
+
+_DECAYED_TOPK_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+anchor AS (SELECT max(d) AS dmax FROM daily),
+scored AS (
+  SELECT user_id,
+         CAST(sum(c * (CAST(1 AS BIGINT)
+                       << (30 - datediff('day', d, a.dmax)))) AS BIGINT)
+           AS decayed_score,
+         CAST(sum(c) AS BIGINT) AS raw_events,
+         count(*) AS active_days
+  FROM daily, anchor a
+  GROUP BY user_id
+)
+SELECT CAST(row_number() OVER (ORDER BY decayed_score DESC, user_id)
+            AS INTEGER) AS rank,
+       user_id, decayed_score, raw_events, active_days
+FROM scored
+ORDER BY decayed_score DESC, user_id
+LIMIT 10
+"""
+
+
+@_register("decayed_topk_trending", _DECAYED_TOPK_ORACLE)
+def decayed_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRENDING top-k with exponential time decay — the
+    recency-weighted leaderboard (feed ranking, trending hashtags,
+    hot-partition detection) done in EXACT integer arithmetic: a
+    1-day half-life weight 2^(−age_days) is applied as the integer
+    shift c·2^(30−age), so the decayed scores are bit-identical
+    cross-engine and the ranking itself carries a full value oracle —
+    float exp() decay pipelines can't be cross-checked and their sums
+    drift with partitioning. Raw totals ride along to show the decay
+    genuinely reorders users vs lifetime counts. Scale shape: one
+    (user, day) partial-aggregated rollup, the anchor date broadcast,
+    one mergeable weighted sum per user, TakeOrderedAndProject for the
+    top-10 — no global sort, no window over the corpus; the decayed
+    sum is mergeable across shards/days because the weight depends
+    only on (day, anchor)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    anchor = daily.agg(F.max("d").alias("dmax"))
+    scored = (
+        daily.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("c")
+                * F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), 30 - datediff(dmax, d))"
+                )
+            )
+            .cast("long")
+            .alias("decayed_score"),
+            F.sum("c").cast("long").alias("raw_events"),
+            F.count(F.lit(1)).alias("active_days"),
+        )
+    )
+    top = scored.orderBy(F.col("decayed_score").desc(), "user_id").limit(10)
+    wr = W.orderBy(F.col("decayed_score").desc(), "user_id")
+    return top.select(
+        F.row_number().over(wr).alias("rank"),
+        "user_id",
+        "decayed_score",
+        "raw_events",
+        "active_days",
+    ).orderBy("rank")
+
+
+_SIMPSON_ORACLE = """
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(n * n) AS BIGINT) AS sum_sq,
+         count(*) AS n_langs
+  FROM c GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       (n_docs * n_docs - sum_sq) * 1000000 // (n_docs * n_docs)
+         AS simpson_diversity_ppm
+FROM tot
+ORDER BY source
+"""
+
+
+@_register("diversity_simpson_by_source", _SIMPSON_ORACLE)
+def diversity_simpson_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson diversity index per corpus source — 1 − Σp² (the
+    probability two random docs differ in language), the standard
+    corpus-composition diversity report next to
+    `corpus_health_by_source`'s top-lang share. Computed as the exact
+    integer (n² − Σc²)·10⁶ div n², so the index needs no logarithms
+    (unlike Shannon entropy) and carries a full value oracle. Scale
+    shape: one (source, lang) partial-aggregated count, one tiny
+    per-source rollup — both mergeable; nothing touches the driver."""
+    c = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.expr(
+            "(n_docs * n_docs - sum_sq) * 1000000 div (n_docs * n_docs)"
+        ).alias("simpson_diversity_ppm"),
+    ).orderBy("source")

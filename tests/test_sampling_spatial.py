@@ -317,6 +317,49 @@ def test_streaming_session_windows_merge_across_batches(spark):
     assert all(r.n_events == 4 for r in rows)
 
 
+def test_decayed_trending_matches_python(spark):
+    """The shift-weighted decayed scores equal an independent Python
+    computation over (user, day) counts, and ranks are strictly
+    score-descending."""
+    from collections import defaultdict
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r.user_id, r.d)] += 1
+    dmax = max(d for _, d in daily)
+    score = defaultdict(int)
+    for (u, d), c in daily.items():
+        score[u] += c * (1 << (30 - (dmax - d).days))
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = REGISTRY["decayed_topk_trending"].spark(spark, SF).collect()
+    assert [(r.user_id, r.decayed_score) for r in got] == want
+    scores = [r.decayed_score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_simpson_diversity_bounds_and_python(spark):
+    """0 <= index < 1e6 ppm, and each value equals the closed form over
+    the per-(source, lang) counts."""
+    from collections import defaultdict
+
+    docs = load_table(spark, SF, "documents").select("source", "lang").collect()
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in docs:
+        counts[r.source][r.lang] += 1
+    got = {
+        r.source: (r.n_docs, r.n_langs, r.simpson_diversity_ppm)
+        for r in REGISTRY["diversity_simpson_by_source"].spark(spark, SF).collect()
+    }
+    for src, langs in counts.items():
+        n = sum(langs.values())
+        want = (n * n - sum(c * c for c in langs.values())) * 1000000 // (n * n)
+        assert got[src] == (n, len(langs), want)
+        assert 0 <= want < 1000000
+
+
 def test_streaming_outer_join_emits_unmatched_exactly(spark):
     """Null emission is exact: the diverted keys (offset % 3 == 0 under
     60) come back unmatched after the watermark passes; every other left
