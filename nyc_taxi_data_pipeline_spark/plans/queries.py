@@ -10869,7 +10869,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_EVAL_ORACLE = """
 WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE vec_id % 25 = 0),
+           FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2000),
 c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 scored AS (
   SELECT q.vec_id AS query_id, q.label AS true_label, c.label AS cand_label,
@@ -10908,11 +10908,15 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     that an embedding column actually separates its labels before
     trusting it for semantic dedup or clustering. Exact-on-a-sample by
     design (audits run on samples; the ANN entries are the production
-    retrieval path): broadcast query block, JVM zip_with dot products,
+    retrieval path): the query panel is a FIXED id set (vec_id % 25 == 0
+    AND vec_id < 2000) so cost stays O(corpus · |panel|) as the corpus
+    grows; broadcast query block, JVM zip_with dot products,
     two windows (rank, then vote) on rounded cosine so both engines
     rank identically. Ties in votes break on label id."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+    q = emb.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("qv"),
