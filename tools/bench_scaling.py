@@ -66,6 +66,9 @@ ENTRIES = [
     "join_size_sketch_estimate",
     "seasonal_naive_forecast_eval",
     "sssp_weighted_frontier",
+    "knn_label_eval",
+    "decayed_topk_trending",
+    "diversity_simpson_by_source",
 ]
 
 
