@@ -15314,3 +15314,685 @@ def diversity_simpson_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_docs * n_docs - sum_sq) * 1000000 div (n_docs * n_docs)"
         ).alias("simpson_diversity_ppm"),
     ).orderBy("source")
+
+
+# ===========================================================================
+# Wave: exact-integer monitoring / nonparametric stats / graph rounds / ML
+# eval — change-point screen, rank-sum AUC, label propagation, k-core,
+# one-rule classifier, temperature dataset mixing.
+# ===========================================================================
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ref AS (
+  SELECT event_type,
+         CAST(sum(c) // count(*) AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.d, r.k, r.n_days,
+         CAST(sum(d.c - r.k)
+              OVER (PARTITION BY d.event_type ORDER BY d.d) AS BIGINT) AS ct
+  FROM daily d JOIN ref r ON r.event_type = d.event_type
+),
+s AS (
+  SELECT event_type, d, k, n_days,
+         CAST(ct - least(CAST(0 AS BIGINT),
+                         min(ct) OVER (PARTITION BY event_type ORDER BY d))
+              AS BIGINT) AS st
+  FROM dev
+)
+SELECT event_type, n_days, k AS ref_daily,
+       st AS cusum_peak, d AS peak_day,
+       CASE WHEN st >= 3 * k THEN 1 ELSE 0 END AS alarm
+FROM s
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY st DESC, d) = 1
+ORDER BY event_type
+"""
+
+
+@_register("cusum_changepoint_screen", _CUSUM_ORACLE)
+def cusum_changepoint_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point screen over per-event-type daily
+    volumes — the drift detector that catches a sustained upward shift
+    a plain threshold misses. The recursion S_t = max(0, S_{t-1} +
+    (x_t − k)) is rewritten into its closed window form S_t = C_t −
+    min(0, min_{j≤t} C_j) (C = running cumsum of deviations from the
+    integer reference rate k = floor(mean daily count)), so the whole
+    screen is TWO window passes sharing one (event_type) shuffle —
+    no recursion, no UDF, and every value is exact BIGINT arithmetic,
+    giving the detector itself a full value oracle. Emits per stream
+    the peak CUSUM statistic, the day it peaks (earliest on ties), and
+    an alarm flag at the 3k threshold. Scale shape: the corpus
+    collapses to one (event_type, day) partial-aggregated rollup;
+    windows run per event_type over |days| rows — bounded frames, no
+    global sort."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ref = daily.groupBy("event_type").agg(
+        F.expr("sum(c) div count(*)").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dev = daily.join(ref, "event_type").select(
+        "event_type",
+        "d",
+        "k",
+        "n_days",
+        F.sum(F.col("c") - F.col("k")).over(wcum).cast("long").alias("ct"),
+    )
+    s = dev.select(
+        "event_type",
+        "d",
+        "k",
+        "n_days",
+        (
+            F.col("ct")
+            - F.least(F.lit(0).cast("long"), F.min("ct").over(wcum))
+        )
+        .cast("long")
+        .alias("st"),
+    )
+    wpk = W.partitionBy("event_type").orderBy(F.col("st").desc(), "d")
+    return (
+        s.withColumn("rk", F.row_number().over(wpk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("k").alias("ref_daily"),
+            F.col("st").alias("cusum_peak"),
+            F.col("d").alias("peak_day"),
+            F.when(F.col("st") >= 3 * F.col("k"), 1).otherwise(0).alias(
+                "alarm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RANKSUM_ORACLE = """
+WITH binned AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY 1, 2
+),
+vals AS (
+  SELECT v, CAST(sum(n_ev) AS BIGINT) AS n_v FROM binned GROUP BY v
+),
+ranked AS (
+  SELECT v, n_v,
+         CAST(sum(n_v) OVER (ORDER BY v) - n_v AS BIGINT) AS cum_before
+  FROM vals
+),
+per_group AS (
+  SELECT b.event_type,
+         CAST(sum(b.n_ev) AS BIGINT) AS n_self,
+         CAST(sum(b.n_ev * (2 * r.cum_before + r.n_v + 1)) AS BIGINT) AS r2
+  FROM binned b JOIN ranked r ON r.v = b.v
+  GROUP BY b.event_type
+),
+tot AS (SELECT CAST(sum(n_self) AS BIGINT) AS n_all FROM per_group)
+SELECT event_type, n_self,
+       CAST(n_all - n_self AS BIGINT) AS n_rest,
+       CAST(r2 - n_self * (n_self + 1) AS BIGINT) AS u2,
+       CAST((r2 - n_self * (n_self + 1)) * 500000
+            // (n_self * (n_all - n_self)) AS BIGINT) AS auc_ppm
+FROM per_group, tot
+ORDER BY event_type
+"""
+
+
+@_register("rank_sum_auc_by_event_type", _RANKSUM_ORACLE)
+def rank_sum_auc_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test, one-vs-rest per event stream, with
+    the common-language effect size (= AUC: the probability a random
+    value from this stream exceeds a random value from the rest).
+    Exact to the bit: tie-averaged ranks are carried DOUBLED (rank2 =
+    2·cum_before + n_ties + 1, always integer), so U-statistics and
+    the AUC in ppm are pure BIGINT — the nonparametric drift test next
+    to `chisq_independence_screen`'s categorical one. Values are
+    binned to integer units first, which is what makes the scale
+    shape: the corpus collapses to a (event_type, bin) mergeable
+    rollup (bounded bins), the rank window runs over the tiny distinct-
+    bin frame only, and the U aggregation is one more mergeable pass —
+    the global sort a naive rank() over raw doubles would need never
+    happens. u2·10⁶ stays in BIGINT up to ~sf1; beyond that the same
+    plan rides DECIMAL(38,0) lanes."""
+    binned = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor("value").cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+        .localCheckpoint(eager=False)
+    )
+    vals = binned.groupBy("v").agg(F.sum("n_ev").cast("long").alias("n_v"))
+    # the distinct-bin frame is bounded (integer units of `value`), so a
+    # single-partition cumulative window over it is deliberate and tiny
+    wv = (
+        W.partitionBy(F.lit(1))
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = vals.select(
+        "v",
+        "n_v",
+        (F.sum("n_v").over(wv) - F.col("n_v")).cast("long").alias(
+            "cum_before"
+        ),
+    )
+    per_group = (
+        binned.join(ranked, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ev").cast("long").alias("n_self"),
+            F.sum(
+                F.col("n_ev")
+                * (2 * F.col("cum_before") + F.col("n_v") + 1)
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    tot = per_group.agg(F.sum("n_self").cast("long").alias("n_all"))
+    u2 = F.col("r2") - F.col("n_self") * (F.col("n_self") + 1)
+    return (
+        per_group.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_self",
+            (F.col("n_all") - F.col("n_self")).cast("long").alias("n_rest"),
+            u2.cast("long").alias("u2"),
+            F.expr(
+                "CAST((r2 - n_self * (n_self + 1)) * 500000"
+                " div (n_self * (n_all - n_self)) AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_LPA_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 20 = 0
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst AS src, src AS dst FROM e0
+),
+lab0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+v1 AS (
+  SELECT e.dst AS node, l.lbl, count(*) AS c
+  FROM edges e JOIN lab0 l ON l.node = e.src
+  GROUP BY 1, 2
+),
+lab1 AS (
+  SELECT node, lbl FROM v1
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1
+),
+v2 AS (
+  SELECT e.dst AS node, l.lbl, count(*) AS c
+  FROM edges e JOIN lab1 l ON l.node = e.src
+  GROUP BY 1, 2
+),
+lab2 AS (
+  SELECT node, lbl FROM v2
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1
+),
+v3 AS (
+  SELECT e.dst AS node, l.lbl, count(*) AS c
+  FROM edges e JOIN lab2 l ON l.node = e.src
+  GROUP BY 1, 2
+),
+lab3 AS (
+  SELECT node, lbl FROM v3
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1
+)
+SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       min(node) AS first_member
+FROM lab3 GROUP BY lbl
+ORDER BY n_members DESC, community
+LIMIT 25
+"""
+
+
+@_register("label_propagation_communities", _LPA_ORACLE)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synchronous label propagation (community detection) on the
+    customer-supplier co-purchase graph: every node starts as its own
+    label; each round a node adopts the label most frequent among its
+    neighbors (smallest label on ties — the determinism rule that
+    makes LPA oracle-able; textbook LPA random-ties cannot be
+    cross-checked). Both engines run EXACTLY 3 synchronous rounds —
+    the bounded-k trick (same as `sssp_weighted_frontier` /
+    `pagerank_supplier_graph`) that turns an iterative algorithm into
+    a full value oracle even where it has not converged. Spark side is
+    the production shape: per-round neighbor-label count (one
+    equi-join + one partial-agg) and a per-node argmax window, frames
+    localCheckpoint'ed per round to cut lineage; rounds are sequential
+    but each is fully distributed. The oracle unrolls the identical 3
+    rounds as CTEs. Top communities by size; hub suppliers absorb
+    their customer neighborhoods within 2 rounds."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    wmaj = W.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(3):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(edges["dst"].alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(wmaj))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").alias("first_member"),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(25)
+    )
+
+
+_KCORE_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 20 = 0
+),
+edges0 AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst AS src, src AS dst FROM e0
+),
+deg0 AS (SELECT src AS node, count(*) AS deg FROM edges0 GROUP BY 1),
+surv1 AS (SELECT node FROM deg0 WHERE deg >= 2),
+edges1 AS (
+  SELECT e.src, e.dst FROM edges0 e
+  WHERE e.src IN (SELECT node FROM surv1)
+    AND e.dst IN (SELECT node FROM surv1)
+),
+deg1 AS (SELECT src AS node, count(*) AS deg FROM edges1 GROUP BY 1),
+surv2 AS (SELECT node FROM deg1 WHERE deg >= 2),
+edges2 AS (
+  SELECT e.src, e.dst FROM edges1 e
+  WHERE e.src IN (SELECT node FROM surv2)
+    AND e.dst IN (SELECT node FROM surv2)
+),
+deg2 AS (SELECT src AS node, count(*) AS deg FROM edges2 GROUP BY 1),
+surv3 AS (SELECT node FROM deg2 WHERE deg >= 2),
+edges3 AS (
+  SELECT e.src, e.dst FROM edges2 e
+  WHERE e.src IN (SELECT node FROM surv3)
+    AND e.dst IN (SELECT node FROM surv3)
+),
+deg3 AS (SELECT src AS node, count(*) AS deg FROM edges3 GROUP BY 1)
+SELECT CAST(deg AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS first_node
+FROM deg3 GROUP BY deg
+ORDER BY degree
+"""
+
+
+@_register("kcore_decomposition", _KCORE_ORACLE)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling on the co-purchase graph: iteratively delete
+    nodes of degree < 2 (with their edges) — the standard prune before
+    any community/cycle analysis, and the graph analog of dead-code
+    elimination. Both engines run EXACTLY 3 peel rounds (bounded-k, so
+    the intermediate state is value-oracle-checkable even if the peel
+    has not reached fixpoint); each round is one degree partial-agg +
+    two LEFT SEMI joins restricting the edge list to surviving
+    endpoints — no row ever leaves the JVM, the edge frame is
+    localCheckpoint'ed per round. Output is the degree histogram of
+    the surviving core (min node per degree as a witness). At 100 TB
+    the peel is the same join loop per round; convergence detection
+    (count unchanged) bounds total rounds by the graph's degeneracy
+    ordering depth."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(3):
+        surv = (
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("node")
+            # consumed by BOTH semi joins below; AQE stage reuse does not
+            # fire for derived frames, so pin it once
+            .localCheckpoint(eager=False)
+        )
+        edges = (
+            edges.join(
+                surv, edges["src"] == surv["node"], "left_semi"
+            )
+            .join(
+                surv.select(F.col("node").alias("node2")),
+                F.col("dst") == F.col("node2"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        deg.groupBy(F.col("deg").cast("long").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").alias("first_node"),
+        )
+        .orderBy("degree")
+    )
+
+
+_ONE_RULE_ORACLE = """
+WITH feats AS (
+  SELECT doc_id, lang, 'source' AS feature, source AS fval FROM documents
+  UNION ALL
+  SELECT doc_id, lang, 'len_bucket' AS feature,
+         CAST(n_chars // 200 AS VARCHAR) AS fval
+  FROM documents
+),
+train AS (SELECT * FROM feats WHERE doc_id % 2 = 0),
+test  AS (SELECT * FROM feats WHERE doc_id % 2 = 1),
+maj AS (
+  SELECT feature, fval, lang AS pred, count(*) AS c
+  FROM train GROUP BY 1, 2, 3
+  QUALIFY row_number()
+          OVER (PARTITION BY feature, fval ORDER BY c DESC, lang) = 1
+),
+gmaj AS (
+  SELECT feature, lang AS gpred, count(*) AS c
+  FROM train GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY feature ORDER BY c DESC, lang) = 1
+),
+scored AS (
+  SELECT t.feature,
+         CASE WHEN coalesce(m.pred, g.gpred) = t.lang THEN 1 ELSE 0 END AS ok
+  FROM test t
+  LEFT JOIN maj m ON m.feature = t.feature AND m.fval = t.fval
+  JOIN gmaj g ON g.feature = t.feature
+)
+SELECT feature, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(ok) AS BIGINT) AS n_correct,
+       CAST(sum(ok) * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+FROM scored GROUP BY feature
+ORDER BY feature
+"""
+
+
+@_register("one_rule_classifier_eval", _ONE_RULE_ORACLE)
+def one_rule_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holte's 1R classifier with a real train/test protocol, entirely
+    in exact counting arithmetic: split documents by doc_id parity,
+    learn the majority language per feature value on train (smallest
+    language on ties — the determinism rule), back off to the train-
+    global majority for unseen values, score held-out accuracy per
+    candidate feature in ppm. This is the baseline every learned
+    quality/language classifier must beat, and because training IS a
+    grouped count + argmax, the whole train-predict-evaluate loop has
+    a full value oracle — the same protocol `knn_label_eval` applies
+    to embeddings, here for categorical/bucketed features. Scale
+    shape: train collapses to a (feature, value, lang) mergeable count
+    rollup; the learned rule tables are tiny and broadcast into the
+    test-side join; one final mergeable accuracy aggregate. No Python,
+    no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.lit("source").alias("feature"),
+        F.col("source").alias("fval"),
+    ).unionByName(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.lit("len_bucket").alias("feature"),
+            F.expr("CAST(n_chars div 200 AS STRING)").alias("fval"),
+        )
+    ).localCheckpoint(eager=False)
+    train = feats.filter(F.col("doc_id") % 2 == 0)
+    test = feats.filter(F.col("doc_id") % 2 == 1)
+    wv = W.partitionBy("feature", "fval").orderBy(F.col("c").desc(), "lang")
+    maj = (
+        train.groupBy("feature", "fval", F.col("lang").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(
+            W.partitionBy("feature", "fval").orderBy(
+                F.col("c").desc(), "pred"
+            )
+        ))
+        .filter(F.col("rk") == 1)
+        .select("feature", "fval", "pred")
+    )
+    gmaj = (
+        train.groupBy("feature", F.col("lang").alias("gpred"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(
+            W.partitionBy("feature").orderBy(F.col("c").desc(), "gpred")
+        ))
+        .filter(F.col("rk") == 1)
+        .select("feature", "gpred")
+    )
+    scored = (
+        test.join(F.broadcast(maj), ["feature", "fval"], "left")
+        .join(F.broadcast(gmaj), "feature")
+        .select(
+            "feature",
+            F.when(
+                F.coalesce(F.col("pred"), F.col("gpred")) == F.col("lang"),
+                1,
+            )
+            .otherwise(0)
+            .alias("ok"),
+        )
+    )
+    return (
+        scored.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("ok").cast("long").alias("n_correct"),
+            F.expr(
+                "CAST(sum(ok) * 1000000 div count(*) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+        )
+        .orderBy("feature")
+    )
+
+
+_MIX_TEMP_ORACLE = """
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs,
+         CASE
+           WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1
+           WHEN s0 * s0 > n_docs THEN s0 - 1
+           ELSE s0
+         END AS wt
+  FROM (
+    SELECT source, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0
+    FROM src
+  )
+),
+tot AS (
+  SELECT CAST(sum(wt) AS BIGINT) AS tot_w,
+         CAST(sum(n_docs) AS BIGINT) AS tot_docs
+  FROM w
+),
+shares AS (
+  SELECT source, n_docs, wt,
+         CAST((100000 * wt) // tot_w AS BIGINT) AS floor_quota,
+         CAST((100000 * wt) % tot_w AS BIGINT) AS rem,
+         tot_docs
+  FROM w, tot
+),
+ranked AS (
+  SELECT source, n_docs, wt, floor_quota, tot_docs,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         CAST(100000 - sum(floor_quota) OVER () AS BIGINT) AS leftover
+  FROM shares
+)
+SELECT source, n_docs, CAST(wt AS BIGINT) AS weight_isqrt,
+       CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota,
+       CAST(n_docs * 1000000 // tot_docs AS BIGINT) AS prop_share_ppm,
+       CAST((floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+            * 10 AS BIGINT) AS mix_share_ppm
+FROM ranked
+ORDER BY source
+"""
+
+
+@_register("dataset_mix_temperature", _MIX_TEMP_ORACLE)
+def dataset_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened dataset mixing (τ = 2): per-source
+    sampling weights ∝ n^(1/τ) = isqrt(n), apportioned to a fixed
+    100k-sample budget by largest remainder — the multilingual-
+    pretraining recipe (upsample the tail, downsample the head)
+    made exact: the integer square root is floor(sqrt(n)) CORRECTED
+    by neighbor-square checks, so a last-ulp libm sqrt can never skew
+    a weight, and quotas sum exactly to budget (Hamilton, as in
+    `quota_allocation_largest_remainder` — that entry is τ = 1, this
+    is the τ = 2 flattening next to it; compare prop_share_ppm vs
+    mix_share_ppm to see head sources shed share to tail sources).
+    Scale shape: one mergeable per-source count, all remaining
+    arithmetic on the |sources|-row frame."""
+    budget = F.lit(100_000).cast("long")
+    src = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = (
+        src.withColumn(
+            "s0",
+            F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                "CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1 "
+                "WHEN s0 * s0 > n_docs THEN s0 - 1 ELSE s0 END"
+            )
+            .cast("long")
+            .alias("wt"),
+        )
+        # tiny |sources|-row frame consumed by tot, shares, and ranked —
+        # pin it once (AQE stage reuse does not fire for derived frames)
+        .localCheckpoint(eager=False)
+    )
+    tot = w.agg(
+        F.sum("wt").cast("long").alias("tot_w"),
+        F.sum("n_docs").cast("long").alias("tot_docs"),
+    )
+    shares = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "wt",
+        F.expr("CAST((100000 * wt) div tot_w AS BIGINT)").alias(
+            "floor_quota"
+        ),
+        F.expr("CAST((100000 * wt) % tot_w AS BIGINT)").alias("rem"),
+        "tot_docs",
+    )
+    spent = shares.agg(F.sum("floor_quota").cast("long").alias("spent"))
+    ranked = shares.crossJoin(F.broadcast(spent)).select(
+        "source",
+        "n_docs",
+        "wt",
+        "floor_quota",
+        "tot_docs",
+        F.row_number()
+        .over(W.partitionBy(F.lit(1)).orderBy(F.col("rem").desc(), "source"))
+        .alias("rk"),
+        (budget - F.col("spent")).cast("long").alias("leftover"),
+    )
+    quota = (
+        F.col("floor_quota")
+        + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    ).cast("long")
+    return ranked.select(
+        "source",
+        "n_docs",
+        F.col("wt").cast("long").alias("weight_isqrt"),
+        quota.alias("quota"),
+        F.expr("CAST(n_docs * 1000000 div tot_docs AS BIGINT)").alias(
+            "prop_share_ppm"
+        ),
+        (quota * 10).cast("long").alias("mix_share_ppm"),
+    ).orderBy("source")
