@@ -15763,8 +15763,8 @@ WITH feats AS (
          CAST(n_chars // 200 AS VARCHAR) AS fval
   FROM documents
 ),
-train AS (SELECT * FROM feats WHERE doc_id % 2 = 0),
-test  AS (SELECT * FROM feats WHERE doc_id % 2 = 1),
+train AS (SELECT * FROM feats WHERE (doc_id // 20) % 2 = 0),
+test  AS (SELECT * FROM feats WHERE (doc_id // 20) % 2 = 1),
 maj AS (
   SELECT feature, fval, lang AS pred, count(*) AS c
   FROM train GROUP BY 1, 2, 3
@@ -15794,7 +15794,9 @@ ORDER BY feature
 @_register("one_rule_classifier_eval", _ONE_RULE_ORACLE)
 def one_rule_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holte's 1R classifier with a real train/test protocol, entirely
-    in exact counting arithmetic: split documents by doc_id parity,
+    in exact counting arithmetic: split documents by the source-decorrelated key (doc_id div 20) % 2
+    (plain doc_id parity would alias the split with source = doc_id % 20,
+    leaving every test-side source value unseen),
     learn the majority language per feature value on train (smallest
     language on ties — the determinism rule), back off to the train-
     global majority for unseen values, score held-out accuracy per
@@ -15821,8 +15823,8 @@ def one_rule_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_chars div 200 AS STRING)").alias("fval"),
         )
     ).localCheckpoint(eager=False)
-    train = feats.filter(F.col("doc_id") % 2 == 0)
-    test = feats.filter(F.col("doc_id") % 2 == 1)
+    train = feats.filter(F.expr("(doc_id div 20) % 2") == 0)
+    test = feats.filter(F.expr("(doc_id div 20) % 2") == 1)
     wv = W.partitionBy("feature", "fval").orderBy(F.col("c").desc(), "lang")
     maj = (
         train.groupBy("feature", "fval", F.col("lang").alias("pred"))
@@ -15996,3 +15998,754 @@ def dataset_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (quota * 10).cast("long").alias("mix_share_ppm"),
     ).orderBy("source")
+
+
+# ===========================================================================
+# Wave: exact-integer ML evaluation + survival + market-basket + link
+# analysis — Naive Bayes eval, Nelson-Aalen hazard, Apriori triples, HITS,
+# calibration bins, Gini-gain feature ranking.
+# ===========================================================================
+
+_NB_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, lang, source,
+         CAST(n_chars // 300 AS BIGINT) AS lb
+  FROM documents
+),
+train AS (SELECT * FROM docs WHERE (doc_id // 20) % 2 = 0),
+test  AS (SELECT * FROM docs WHERE (doc_id // 20) % 2 = 1),
+nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM train GROUP BY 1),
+ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM train),
+v1 AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS nv1 FROM train),
+v2 AS (SELECT CAST(count(DISTINCT lb) AS BIGINT) AS nv2 FROM train),
+c1 AS (
+  SELECT lang AS cl1, source AS s1, CAST(count(*) AS BIGINT) AS cs
+  FROM train GROUP BY 1, 2
+),
+c2 AS (
+  SELECT lang AS cl2, lb AS b2, CAST(count(*) AS BIGINT) AS cb
+  FROM train GROUP BY 1, 2
+),
+langs AS (
+  SELECT lang AS cand, n_lang,
+         CAST(n_lang * 1000000 // n_train AS BIGINT) AS prior_e6,
+         nv1, nv2
+  FROM nl, ntr, v1, v2
+),
+scored AS (
+  SELECT t.doc_id, t.lang AS true_lang, g.cand,
+         CAST(g.prior_e6
+              * ((coalesce(c1.cs, 0) + 1) * 1000000 // (g.n_lang + g.nv1))
+              * ((coalesce(c2.cb, 0) + 1) * 1000000 // (g.n_lang + g.nv2))
+              AS BIGINT) AS score
+  FROM test t
+  CROSS JOIN langs g
+  LEFT JOIN c1 ON c1.cl1 = g.cand AND c1.s1 = t.source
+  LEFT JOIN c2 ON c2.cl2 = g.cand AND c2.b2 = t.lb
+),
+pred AS (
+  SELECT doc_id, true_lang, cand AS pred_lang FROM scored
+  QUALIFY row_number()
+          OVER (PARTITION BY doc_id ORDER BY score DESC, cand) = 1
+)
+SELECT true_lang AS lang,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+FROM pred GROUP BY 1
+ORDER BY lang
+"""
+
+
+@_register("naive_bayes_lang_eval", _NB_ORACLE)
+def naive_bayes_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier with a real
+    train/predict/evaluate protocol, entirely in BIGINT arithmetic:
+    split documents by the source-decorrelated key (doc_id div 20) % 2
+    (plain doc_id parity would alias the split with source = doc_id % 20,
+    leaving every test-side source value unseen), learn Laplace-smoothed
+    conditional probabilities p(feature|lang) for two features
+    (source, 300-char length bucket) plus the class prior on train —
+    every probability carried as an exact ppm integer
+    ((c+1)·10⁶ div (n_lang+V)) — and score held-out docs by the
+    3-factor product prior·p₁·p₂ (≤ 10¹⁸, inside BIGINT), argmax
+    with smallest-language tie-break. Per-language held-out accuracy
+    in ppm. The probabilistic sibling of `one_rule_classifier_eval`
+    (same split, same backoff discipline — unseen values get the
+    pure-smoothing mass 1·10⁶ div (n_lang+V) via the LEFT JOIN
+    coalesce). Scale shape: training collapses to (lang, value)
+    mergeable count rollups; the learned model (|langs|·|values| rows)
+    is broadcast into the test-side scoring join; the 5-way
+    cross-join-with-candidates is a broadcast nested loop over a
+    5-row frame, then one window argmax per doc and one mergeable
+    accuracy aggregate. No Python, no global sort."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 300").cast("long").alias("lb"),
+    )
+    train = docs.filter(F.expr("(doc_id div 20) % 2") == 0).localCheckpoint(eager=False)
+    test = docs.filter(F.expr("(doc_id div 20) % 2") == 1)
+    nl = train.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_lang"))
+    ntr = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    v1 = train.agg(F.countDistinct("source").cast("long").alias("nv1"))
+    v2 = train.agg(F.countDistinct("lb").cast("long").alias("nv2"))
+    langs = (
+        nl.crossJoin(F.broadcast(ntr))
+        .crossJoin(F.broadcast(v1))
+        .crossJoin(F.broadcast(v2))
+        .select(
+            F.col("lang").alias("cand"),
+            "n_lang",
+            F.expr("CAST(n_lang * 1000000 div n_train AS BIGINT)").alias(
+                "prior_e6"
+            ),
+            "nv1",
+            "nv2",
+        )
+    )
+    c1 = train.groupBy(
+        F.col("lang").alias("cl1"), F.col("source").alias("s1")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    c2 = train.groupBy(
+        F.col("lang").alias("cl2"), F.col("lb").alias("b2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    scored = (
+        test.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(c1),
+            (F.col("cl1") == F.col("cand")) & (F.col("s1") == F.col("source")),
+            "left",
+        )
+        .join(
+            F.broadcast(c2),
+            (F.col("cl2") == F.col("cand")) & (F.col("b2") == F.col("lb")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            "cand",
+            F.expr(
+                "CAST(prior_e6"
+                " * ((coalesce(cs, 0) + 1) * 1000000 div (n_lang + nv1))"
+                " * ((coalesce(cb, 0) + 1) * 1000000 div (n_lang + nv2))"
+                " AS BIGINT)"
+            ).alias("score"),
+        )
+    )
+    wdoc = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    pred = (
+        scored.withColumn("rk", F.row_number().over(wdoc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "true_lang", F.col("cand").alias("pred_lang"))
+    )
+    ok = F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("true_lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(ok).cast("long").alias("n_correct"),
+            F.expr(
+                "CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NA_HAZARD_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+                        CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS span,
+         CAST(max(o_orderdate) AS DATE) AS last_d
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(last_d) AS mxd, CAST(count(*) AS BIGINT) AS n_total FROM cust),
+lab AS (
+  SELECT c.span,
+         CASE WHEN c.last_d < m.mxd - INTERVAL 30 DAY THEN 1 ELSE 0 END AS ev,
+         m.n_total
+  FROM cust c, mx m
+),
+byt AS (
+  SELECT span, n_total,
+         CAST(sum(ev) AS BIGINT) AS d_events,
+         CAST(count(*) AS BIGINT) AS m_at
+  FROM lab GROUP BY span, n_total
+),
+risk AS (
+  SELECT span, d_events,
+         CAST(n_total - (sum(m_at) OVER (ORDER BY span) - m_at)
+              AS BIGINT) AS n_at_risk
+  FROM byt
+),
+haz AS (
+  SELECT span, d_events, n_at_risk,
+         CAST(CASE WHEN d_events > 0
+                   THEN d_events * 1000000 // n_at_risk ELSE 0 END
+              AS BIGINT) AS inc_ppm
+  FROM risk
+)
+, cum AS (
+  SELECT span, d_events, n_at_risk, inc_ppm,
+         CAST(sum(inc_ppm) OVER (ORDER BY span) AS BIGINT) AS cum_ppm
+  FROM haz
+)
+SELECT span AS span_days, n_at_risk, d_events,
+       inc_ppm AS hazard_inc_ppm, cum_ppm AS cum_hazard_ppm
+FROM cum
+WHERE d_events > 0
+ORDER BY span_days
+"""
+
+
+@_register("nelson_aalen_hazard", _NA_HAZARD_ORACLE)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over customer order-
+    activity lifetimes — the survival curve behind churn/retention
+    analysis, chosen over Kaplan-Meier because its estimator is a SUM
+    of per-event-time rationals (Σ d_i/n_i), not a product, so carried
+    as exact floor-div ppm integers it gets a full value oracle.
+    Lifetime = days between a customer's first and last order; a
+    customer whose last order predates the global max by >30 days is
+    an observed churn event, the rest are right-censored (the standard
+    censoring construction when observation simply ends). Risk set
+    n_i (customers with lifetime ≥ t_i) falls out of ONE descending
+    cumulative count — no per-time self-join. Scale shape: the corpus
+    collapses to a per-customer mergeable min/max aggregate, then a
+    (distinct lifetime)-row frame — bounded by the calendar span in
+    days — on which the two cumulative windows run single-partition by
+    construction (documented tiny-frame exception, same class as
+    `rank_sum_auc_by_event_type`'s rank window)."""
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            .cast("long")
+            .alias("span"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+    )
+    mx = cust.agg(
+        F.max("last_d").alias("mxd"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    lab = cust.crossJoin(F.broadcast(mx)).select(
+        "span",
+        F.when(F.col("last_d") < F.date_sub(F.col("mxd"), 30), 1)
+        .otherwise(0)
+        .alias("ev"),
+        "n_total",
+    )
+    byt = lab.groupBy("span", "n_total").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.count(F.lit(1)).cast("long").alias("m_at"),
+    )
+    # tiny distinct-lifetime frame (bounded by calendar days): the
+    # single-partition cumulative windows below are deliberate
+    wasc = (
+        W.partitionBy(F.lit(1))
+        .orderBy("span")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = byt.select(
+        "span",
+        "d_events",
+        (F.col("n_total") - (F.sum("m_at").over(wasc) - F.col("m_at")))
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    haz = risk.select(
+        "span",
+        "d_events",
+        "n_at_risk",
+        F.expr(
+            "CAST(CASE WHEN d_events > 0"
+            " THEN d_events * 1000000 div n_at_risk ELSE 0 END AS BIGINT)"
+        ).alias("inc_ppm"),
+    )
+    return (
+        haz.select(
+            F.col("span").alias("span_days"),
+            "n_at_risk",
+            "d_events",
+            F.col("inc_ppm").alias("hazard_inc_ppm"),
+            F.sum("inc_ppm").over(wasc).cast("long").alias(
+                "cum_hazard_ppm"
+            ),
+        )
+        .filter(F.col("d_events") > 0)
+        .orderBy("span_days")
+    )
+
+
+_APRIORI_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey % 50 AS BIGINT) AS cat
+  FROM lineitem
+),
+nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM b),
+ms AS (SELECT greatest(CAST(1 AS BIGINT), n_baskets // 1500) AS minsup,
+              n_baskets
+       FROM nb),
+t AS (
+  SELECT b1.cat AS item_a, b2.cat AS item_b, b3.cat AS item_c,
+         CAST(count(*) AS BIGINT) AS support
+  FROM b b1
+  JOIN b b2 ON b2.o = b1.o AND b2.cat > b1.cat
+  JOIN b b3 ON b3.o = b1.o AND b3.cat > b2.cat
+  GROUP BY 1, 2, 3
+)
+SELECT t.item_a, t.item_b, t.item_c, t.support,
+       CAST(t.support * 1000000 // m.n_baskets AS BIGINT) AS support_ppm
+FROM t, ms m
+WHERE t.support >= m.minsup
+ORDER BY t.support DESC, t.item_a, t.item_b, t.item_c
+LIMIT 25
+"""
+
+
+@_register("apriori_frequent_triples", _APRIORI_ORACLE)
+def apriori_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-wise Apriori over order baskets (items = part-category
+    l_partkey % 50): frequent 1-itemsets → frequent pairs → candidate
+    triples generated by prefix-joining frequent pairs and PRUNED by
+    the downward-closure property (every 2-subset must be frequent)
+    BEFORE any counting touches the data — the candidate set, not the
+    data, bounds the expensive final count. The relative support
+    threshold (n_baskets div 1500, threaded in as a broadcast column,
+    never a driver collect) keeps the entry scale-invariant. The
+    ORACLE deliberately states the naive all-triples enumeration +
+    filter: Apriori's pruning provably returns the identical set, and
+    the cross-engine match executes that proof. Scale shape: L1/L2 are
+    mergeable count rollups; candidate generation and subset pruning
+    run on the tiny frequent-pair frame (broadcast); the triple count
+    is the in-basket 3-way self-equi-join on order id restricted by a
+    broadcast semi-join to surviving candidates — per-basket work is
+    C(|basket|,3) bounded, no cross join anywhere."""
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            (F.col("l_partkey") % 50).cast("long").alias("cat"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nb = b.agg(F.countDistinct("o").cast("long").alias("n_baskets"))
+    ms = nb.select(
+        F.greatest(F.lit(1).cast("long"), F.expr("n_baskets div 1500")).alias(
+            "minsup"
+        ),
+        "n_baskets",
+    )
+    l1 = (
+        b.groupBy("cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .select("cat")
+    )
+    bf = b.join(F.broadcast(l1), "cat", "left_semi").localCheckpoint(
+        eager=False
+    )
+    b1 = bf.select("o", F.col("cat").alias("ca"))
+    b2 = bf.select("o", F.col("cat").alias("cb"))
+    l2 = (
+        b1.join(b2, "o")
+        .filter(F.col("cb") > F.col("ca"))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .select("ca", "cb")
+        .localCheckpoint(eager=False)
+    )
+    # candidate triples: prefix join (a,b)+(a,c) with b<c, then the
+    # downward-closure prune — (b,c) must itself be a frequent pair
+    cand = (
+        l2.select(F.col("ca").alias("item_a"), F.col("cb").alias("item_b"))
+        .join(
+            l2.select(
+                F.col("ca").alias("item_a"), F.col("cb").alias("item_c")
+            ),
+            "item_a",
+        )
+        .filter(F.col("item_c") > F.col("item_b"))
+        .join(
+            F.broadcast(
+                l2.select(
+                    F.col("ca").alias("item_b"), F.col("cb").alias("item_c")
+                )
+            ),
+            ["item_b", "item_c"],
+            "left_semi",
+        )
+    )
+    t3 = (
+        bf.select("o", F.col("cat").alias("item_a"))
+        .join(bf.select("o", F.col("cat").alias("item_b")), "o")
+        .filter(F.col("item_b") > F.col("item_a"))
+        .join(bf.select("o", F.col("cat").alias("item_c")), "o")
+        .filter(F.col("item_c") > F.col("item_b"))
+        .join(F.broadcast(cand), ["item_a", "item_b", "item_c"], "left_semi")
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return (
+        t3.crossJoin(F.broadcast(ms))
+        .filter(F.col("support") >= F.col("minsup"))
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            "support",
+            F.expr("CAST(support * 1000000 div n_baskets AS BIGINT)").alias(
+                "support_ppm"
+            ),
+        )
+        .orderBy(F.col("support").desc(), "item_a", "item_b", "item_c")
+        .limit(25)
+    )
+
+
+_HITS_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 10 = 0
+),
+a1 AS (
+  SELECT s, CAST(count(*) * 1000000 AS BIGINT) AS a FROM e GROUP BY s
+),
+a1n AS (
+  SELECT s, CAST(a * 1000000 // (SELECT max(a) FROM a1) AS BIGINT) AS an
+  FROM a1
+),
+h1 AS (
+  SELECT e.c, CAST(sum(n.an) AS BIGINT) AS h
+  FROM e JOIN a1n n ON n.s = e.s GROUP BY e.c
+),
+h1n AS (
+  SELECT c, CAST(h * 1000000 // (SELECT max(h) FROM h1) AS BIGINT) AS hn
+  FROM h1
+),
+a2 AS (
+  SELECT e.s, CAST(sum(n.hn) AS BIGINT) AS a,
+         CAST(count(*) AS BIGINT) AS indeg
+  FROM e JOIN h1n n ON n.c = e.c GROUP BY e.s
+)
+SELECT s AS suppkey, indeg,
+       CAST(a * 1000000 // (SELECT max(a) FROM a2) AS BIGINT) AS authority_e6
+FROM a2
+ORDER BY authority_e6 DESC, suppkey
+LIMIT 15
+"""
+
+
+@_register("hits_hub_authority", _HITS_ORACLE)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg's HITS on the customer→supplier purchase graph: two
+    mutual-reinforcement rounds (authority = Σ hub scores of pointing
+    customers, hub = Σ authority of pointed-to suppliers), each round
+    max-normalized to the 10⁶ grid by BIGINT floor division — the
+    scaled-integer discipline that makes an iterative eigenvector-ish
+    algorithm bit-exact cross-engine (same trick as
+    `pagerank_supplier_graph`; HITS differs in being bipartite-dual,
+    so hubs and authorities are distinct score vectors). Top
+    authorities with in-degree alongside — degree and authority
+    DISAGREE where a supplier's customers are themselves
+    low-hub-score, which is the point of the algorithm. Scale shape:
+    each half-round is one equi-join + one mergeable partial-agg; the
+    normalizing max is a 1-row broadcast aggregate; rounds are
+    sequential, each fully distributed; the edge frame is
+    localCheckpoint'ed once and reused by all four half-rounds."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a1 = e.groupBy("s").agg(
+        (F.count(F.lit(1)) * 1_000_000).cast("long").alias("a")
+    )
+    a1 = a1.localCheckpoint(eager=False)
+    a1n = a1.crossJoin(F.broadcast(a1.agg(F.max("a").alias("mxa")))).select(
+        "s", F.expr("CAST(a * 1000000 div mxa AS BIGINT)").alias("an")
+    )
+    h1 = (
+        e.join(a1n, "s")
+        .groupBy("c")
+        .agg(F.sum("an").cast("long").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    h1n = h1.crossJoin(F.broadcast(h1.agg(F.max("h").alias("mxh")))).select(
+        "c", F.expr("CAST(h * 1000000 div mxh AS BIGINT)").alias("hn")
+    )
+    a2 = (
+        e.join(h1n, "c")
+        .groupBy("s")
+        .agg(
+            F.sum("hn").cast("long").alias("a"),
+            F.count(F.lit(1)).cast("long").alias("indeg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return (
+        a2.crossJoin(F.broadcast(a2.agg(F.max("a").alias("mxa2"))))
+        .select(
+            F.col("s").alias("suppkey"),
+            "indeg",
+            F.expr("CAST(a * 1000000 div mxa2 AS BIGINT)").alias(
+                "authority_e6"
+            ),
+        )
+        .orderBy(F.col("authority_e6").desc(), "suppkey")
+        .limit(15)
+    )
+
+
+_CALIBRATION_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+train AS (SELECT * FROM docs WHERE (doc_id // 20) % 2 = 0),
+test  AS (SELECT * FROM docs WHERE (doc_id // 20) % 2 = 1),
+rate AS (
+  SELECT source,
+         CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS p_ppm
+  FROM train GROUP BY 1
+),
+grate AS (
+  SELECT CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS g_ppm FROM train
+),
+scored AS (
+  SELECT t.y, coalesce(r.p_ppm, g.g_ppm) AS pred_ppm
+  FROM test t LEFT JOIN rate r ON r.source = t.source CROSS JOIN grate g
+)
+SELECT least(pred_ppm // 100000, CAST(9 AS BIGINT)) AS bin,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(pred_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS obs_pos_ppm,
+       CAST(abs(sum(pred_ppm) // count(*)
+                - sum(y) * 1000000 // count(*)) AS BIGINT) AS abs_gap_ppm
+FROM scored
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@_register("calibration_reliability_bins", _CALIBRATION_ORACLE)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) for a probabilistic
+    classifier, in exact counting arithmetic: train an empirical
+    per-source P(lang='en') on the (doc_id div 20) % 2 == 0 half
+    (source-decorrelated split; ppm integers), score the
+    held-out half, bucket predictions into deciles, and compare mean
+    predicted probability against the observed positive rate per bin —
+    |gap| is each bin's expected-calibration-error contribution. A
+    well-calibrated scorer puts obs≈pred in every bin; this empirical-
+    rate scorer is calibrated BY construction on train, so the gaps
+    measure pure train/test drift — the quality-score-audit pattern
+    (is the model's '0.9' actually 90%?) every LLM data-filtering
+    pipeline needs before thresholding on a learned score. Unseen
+    sources back off to the train-global rate (LEFT JOIN + coalesce,
+    same discipline as `one_rule_classifier_eval`). Scale shape: the
+    rate table is a mergeable per-source rollup broadcast into the
+    test scan; binning + the final rollup is one mergeable aggregate;
+    integer floor-div everywhere — the curve itself value-checks."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    train = docs.filter(F.expr("(doc_id div 20) % 2") == 0).localCheckpoint(eager=False)
+    test = docs.filter(F.expr("(doc_id div 20) % 2") == 1)
+    rate = train.groupBy("source").agg(
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias("p_ppm")
+    )
+    grate = train.agg(
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias("g_ppm")
+    )
+    scored = (
+        test.join(F.broadcast(rate), "source", "left")
+        .crossJoin(F.broadcast(grate))
+        .select(
+            "y", F.coalesce(F.col("p_ppm"), F.col("g_ppm")).alias("pred_ppm")
+        )
+    )
+    return (
+        scored.groupBy(
+            F.least(
+                F.expr("pred_ppm div 100000"), F.lit(9).cast("long")
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr("CAST(sum(pred_ppm) div count(*) AS BIGINT)").alias(
+                "mean_pred_ppm"
+            ),
+            F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias(
+                "obs_pos_ppm"
+            ),
+            F.expr(
+                "CAST(abs(sum(pred_ppm) div count(*)"
+                " - sum(y) * 1000000 div count(*)) AS BIGINT)"
+            ).alias("abs_gap_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+_GINI_GAIN_ORACLE = """
+WITH feats AS (
+  SELECT 'source' AS feature, source AS fval, lang FROM documents
+  UNION ALL
+  SELECT 'len_bucket', CAST(n_chars // 200 AS VARCHAR), lang FROM documents
+  UNION ALL
+  SELECT 'id_noise', CAST(doc_id % 7 AS VARCHAR), lang FROM documents
+),
+parent AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c) AS BIGINT) AS sq
+  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang)
+),
+pg AS (
+  SELECT n, CAST((n * n - sq) * 1000000 // (n * n) AS BIGINT) AS parent_ppm
+  FROM parent
+),
+cell AS (
+  SELECT feature, fval, CAST(count(*) AS BIGINT) AS c
+  FROM feats GROUP BY feature, fval, lang
+),
+pv AS (
+  SELECT feature, fval,
+         CAST(sum(c) AS BIGINT) AS n_v,
+         CAST(sum(c * c) AS BIGINT) AS sq_v
+  FROM cell GROUP BY 1, 2
+),
+child AS (
+  SELECT p.feature,
+         CAST(count(*) AS BIGINT) AS n_values,
+         CAST(sum((p.n_v * p.n_v - p.sq_v) * 1000000
+                  // (g.n * p.n_v)) AS BIGINT) AS child_gini_ppm
+  FROM pv p, pg g
+  GROUP BY p.feature, g.n
+)
+SELECT c.feature, c.n_values, g.parent_ppm AS parent_gini_ppm,
+       c.child_gini_ppm,
+       CAST(g.parent_ppm - c.child_gini_ppm AS BIGINT) AS gain_ppm,
+       CAST(row_number()
+            OVER (ORDER BY g.parent_ppm - c.child_gini_ppm DESC, c.feature)
+            AS BIGINT) AS rank
+FROM child c, pg g
+ORDER BY rank
+"""
+
+
+@_register("gini_gain_feature_ranking", _GINI_GAIN_ORACLE)
+def gini_gain_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree-style feature ranking by exact Gini impurity
+    reduction for predicting document language — the split-quality
+    measure that needs NO logarithms (Gini = (n²−Σc²)/n² is pure
+    integer rational, unlike entropy/information-gain, so the ranking
+    itself carries a full value oracle; `chisq_independence_screen` is
+    the hypothesis-test cousin). Candidate features: source,
+    200-char length bucket, and doc_id % 7 as a deliberate NOISE
+    CONTROL establishing the overfitting floor: any feature whose gain
+    sits at that floor carries no real signal. In this corpus `source`
+    clears the floor by >3×, while `len_bucket` lands AT it (length is
+    independent of language) — and the floor itself is NONZERO and
+    grows with feature cardinality (Gini gain's classic
+    more-values-more-gain bias: 7-value hash noise out-gains the
+    3-value signal-free bucket), which is exactly what the control
+    column makes visible.
+    Weighted child impurity is Σ_v (n_v²−Σ_l c_vl²)·10⁶ div (n·n_v):
+    per-value floor-div terms summed in BIGINT, deterministic on both
+    engines. Scale shape: one long-format featurization scan, a
+    (feature, value, lang) mergeable count rollup, then all arithmetic
+    on the tiny distinct-value frame; the parent impurity is a 1-row
+    broadcast. BIGINT holds to ~sf10 (n²·10⁶ ≤ 2.5·10¹⁷); beyond that
+    the identical plan rides DECIMAL(38,0) lanes."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = (
+        docs.select(
+            F.lit("source").alias("feature"),
+            F.col("source").alias("fval"),
+            "lang",
+        )
+        .unionByName(
+            docs.select(
+                F.lit("len_bucket").alias("feature"),
+                F.expr("CAST(n_chars div 200 AS STRING)").alias("fval"),
+                "lang",
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.lit("id_noise").alias("feature"),
+                F.expr("CAST(doc_id % 7 AS STRING)").alias("fval"),
+                "lang",
+            )
+        )
+    )
+    parent = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+        )
+        .select(
+            "n",
+            F.expr(
+                "CAST((n * n - sq) * 1000000 div (n * n) AS BIGINT)"
+            ).alias("parent_ppm"),
+        )
+    )
+    cell = feats.groupBy("feature", "fval", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pv = cell.groupBy("feature", "fval").agg(
+        F.sum("c").cast("long").alias("n_v"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq_v"),
+    )
+    child = (
+        pv.crossJoin(F.broadcast(parent))
+        .groupBy("feature", "parent_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum(
+                F.expr("(n_v * n_v - sq_v) * 1000000 div (n * n_v)")
+            )
+            .cast("long")
+            .alias("child_gini_ppm"),
+        )
+    )
+    wrank = W.partitionBy(F.lit(1)).orderBy(
+        (F.col("parent_ppm") - F.col("child_gini_ppm")).desc(), "feature"
+    )
+    return child.select(
+        "feature",
+        "n_values",
+        F.col("parent_ppm").alias("parent_gini_ppm"),
+        "child_gini_ppm",
+        (F.col("parent_ppm") - F.col("child_gini_ppm")).cast("long").alias(
+            "gain_ppm"
+        ),
+        F.row_number().over(wrank).cast("long").alias("rank"),
+    ).orderBy("rank")

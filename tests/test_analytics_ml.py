@@ -162,8 +162,9 @@ def test_kcore_matches_python_reference(spark):
 
 
 def test_one_rule_accuracy_matches_python_reference(spark):
-    """Train majority-per-feature-value on even doc_ids, score odd
-    doc_ids with global-majority backoff — accuracy must match exactly."""
+    """Train majority-per-feature-value on the (doc_id div 20) % 2 == 0
+    half (source-decorrelated split), score the other half with
+    global-majority backoff — accuracy must match exactly."""
     docs = load_table(spark, SF, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     ).collect()
@@ -174,8 +175,8 @@ def test_one_rule_accuracy_matches_python_reference(spark):
     got = {r.feature: r for r in
            REGISTRY["one_rule_classifier_eval"].spark(spark, SF).collect()}
     for fname, fv in feats.items():
-        train = [r for r in docs if r.doc_id % 2 == 0]
-        test = [r for r in docs if r.doc_id % 2 == 1]
+        train = [r for r in docs if (r.doc_id // 20) % 2 == 0]
+        test = [r for r in docs if (r.doc_id // 20) % 2 == 1]
         per_val = defaultdict(Counter)
         gcnt = Counter()
         for r in train:
