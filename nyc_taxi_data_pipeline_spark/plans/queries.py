@@ -16749,3 +16749,753 @@ def gini_gain_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(wrank).cast("long").alias("rank"),
     ).orderBy("rank")
+
+
+# ===========================================================================
+# Wave: drift testing, rule mining, distributed bootstrap, storage cost
+# modelling, causal estimators — KS two-sample, association rules, Poisson
+# bootstrap CI, Elias-gamma delta audit, DiD, stratified ATE.
+# ===========================================================================
+
+_KS_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+         CASE WHEN epoch_us(ts) <
+                   (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                    FROM events)
+              THEN 1 ELSE 0 END AS early
+  FROM events
+),
+binned AS (
+  SELECT event_type, v,
+         CAST(sum(early) AS BIGINT) AS c1,
+         CAST(sum(1 - early) AS BIGINT) AS c2
+  FROM e GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2
+  FROM binned GROUP BY 1
+),
+cum AS (
+  SELECT b.event_type, b.v, t.n1, t.n2,
+         CAST(sum(b.c1) OVER (PARTITION BY b.event_type ORDER BY b.v)
+              AS BIGINT) AS c1cum,
+         CAST(sum(b.c2) OVER (PARTITION BY b.event_type ORDER BY b.v)
+              AS BIGINT) AS c2cum
+  FROM binned b JOIN tot t ON t.event_type = b.event_type
+),
+dstat AS (
+  SELECT event_type, n1, n2, v,
+         CAST(abs(c1cum * n2 - c2cum * n1) AS BIGINT) AS dn
+  FROM cum
+),
+best AS (
+  SELECT event_type, n1, n2, dn AS d_num, v AS d_at_value
+  FROM dstat
+  QUALIFY row_number()
+          OVER (PARTITION BY event_type ORDER BY dn DESC, v) = 1
+)
+SELECT event_type,
+       n1 AS n_early, n2 AS n_late, d_num,
+       CAST(d_num * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm,
+       d_at_value,
+       CASE WHEN CAST(d_num AS DECIMAL(19,0)) * CAST(d_num AS DECIMAL(19,0))
+                 * 10000
+               > CAST(18496 AS DECIMAL(19,0)) * CAST(n1 + n2 AS DECIMAL(19,0))
+                 * CAST(n1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))
+            THEN 1 ELSE 0 END AS alarm_05
+FROM best
+ORDER BY event_type
+"""
+
+
+@_register("ks_test_two_sample", _KS_ORACLE)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event stream,
+    early half vs late half of the time range (split at the epoch-
+    microsecond midpoint — identical integers on both engines):
+    D = max_v |F̂₁(v) − F̂₂(v)| over integer-binned values, carried as
+    the EXACT cross-multiplied numerator max|c1cum·n2 − c2cum·n1| so
+    no rational ever becomes a float — the distribution-shape
+    companion to `rank_sum_auc_by_event_type` (location shift) and
+    `distribution_drift_psi` (binned divergence). The α=0.05 alarm
+    avoids the sqrt in D > 1.36·√((n1+n2)/(n1·n2)) by comparing
+    SQUARES in DECIMAL(19,0)→(38,0) lanes: D_num²·10⁴ >
+    18496·(n1+n2)·n1·n2 — exact on both engines. Scale shape: the
+    corpus collapses to a (event_type, integer-bin) mergeable rollup;
+    cumulative windows run per stream over the bounded distinct-bin
+    frame; one argmax window picks the D-attaining value (earliest on
+    ties)."""
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("mid_us")
+    )
+    e = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.floor("value").cast("long").alias("v"),
+        F.when(F.unix_micros("ts") < F.col("mid_us"), 1)
+        .otherwise(0)
+        .alias("early"),
+    )
+    binned = e.groupBy("event_type", "v").agg(
+        F.sum("early").cast("long").alias("c1"),
+        F.sum(1 - F.col("early")).cast("long").alias("c2"),
+    ).localCheckpoint(eager=False)
+    tot = binned.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = binned.join(tot, "event_type").select(
+        "event_type",
+        "v",
+        "n1",
+        "n2",
+        F.sum("c1").over(wcum).cast("long").alias("c1cum"),
+        F.sum("c2").over(wcum).cast("long").alias("c2cum"),
+    )
+    dstat = cum.select(
+        "event_type",
+        "n1",
+        "n2",
+        "v",
+        F.abs(F.col("c1cum") * F.col("n2") - F.col("c2cum") * F.col("n1"))
+        .cast("long")
+        .alias("dn"),
+    )
+    wbest = W.partitionBy("event_type").orderBy(F.col("dn").desc(), "v")
+    best = (
+        dstat.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.col("dn").alias("d_num"),
+            F.col("v").alias("d_at_value"),
+        )
+    )
+    return best.select(
+        "event_type",
+        F.col("n1").alias("n_early"),
+        F.col("n2").alias("n_late"),
+        "d_num",
+        F.expr("CAST(d_num * 1000000 div (n1 * n2) AS BIGINT)").alias(
+            "d_ppm"
+        ),
+        "d_at_value",
+        F.expr(
+            "CASE WHEN CAST(d_num AS DECIMAL(19,0))"
+            " * CAST(d_num AS DECIMAL(19,0)) * 10000"
+            " > CAST(18496 AS DECIMAL(19,0)) * CAST(n1 + n2 AS DECIMAL(19,0))"
+            " * CAST(n1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))"
+            " THEN 1 ELSE 0 END"
+        ).alias("alarm_05"),
+    ).orderBy("event_type")
+
+
+_ASSOC_RULES_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey % 50 AS BIGINT) AS cat
+  FROM lineitem
+),
+nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM b),
+ms AS (SELECT greatest(CAST(1 AS BIGINT), n_baskets // 1500) AS minsup,
+              n_baskets
+       FROM nb),
+i1 AS (SELECT cat, CAST(count(*) AS BIGINT) AS sup FROM b GROUP BY 1),
+p2 AS (
+  SELECT b1.cat AS pa, b2.cat AS pb, CAST(count(*) AS BIGINT) AS sup
+  FROM b b1 JOIN b b2 ON b2.o = b1.o AND b2.cat > b1.cat
+  GROUP BY 1, 2
+),
+t3 AS (
+  SELECT b1.cat AS a, b2.cat AS bb, b3.cat AS c,
+         CAST(count(*) AS BIGINT) AS sup3
+  FROM b b1
+  JOIN b b2 ON b2.o = b1.o AND b2.cat > b1.cat
+  JOIN b b3 ON b3.o = b1.o AND b3.cat > b2.cat
+  GROUP BY 1, 2, 3
+),
+ft AS (SELECT t.* FROM t3 t, ms m WHERE t.sup3 >= m.minsup),
+rules AS (
+  SELECT a AS ante_a, bb AS ante_b, c AS conseq, sup3 FROM ft
+  UNION ALL
+  SELECT a, c, bb, sup3 FROM ft
+  UNION ALL
+  SELECT bb, c, a, sup3 FROM ft
+),
+scored AS (
+  SELECT r.ante_a, r.ante_b, r.conseq, r.sup3,
+         p.sup AS sup_ante, i.sup AS sup_conseq,
+         CAST(r.sup3 * 1000000 // p.sup AS BIGINT) AS confidence_ppm,
+         CAST((r.sup3 * 1000000 // p.sup) * m.n_baskets // i.sup
+              AS BIGINT) AS lift_ppm
+  FROM rules r
+  JOIN p2 p ON p.pa = least(r.ante_a, r.ante_b)
+           AND p.pb = greatest(r.ante_a, r.ante_b)
+  JOIN i1 i ON i.cat = r.conseq
+  CROSS JOIN ms m
+)
+SELECT ante_a, ante_b, conseq, sup3 AS support,
+       confidence_ppm, lift_ppm
+FROM scored
+ORDER BY confidence_ppm DESC, ante_a, ante_b, conseq
+LIMIT 20
+"""
+
+
+@_register("association_rules_from_triples", _ASSOC_RULES_ORACLE)
+def association_rules_from_triples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association rules {a,b}→c mined from the frequent triples of
+    `apriori_frequent_triples` (same baskets, same relative support
+    threshold): every frequent triple unpivots into its three
+    2-antecedent rules, scored by exact integer confidence
+    (sup(abc)·10⁶ div sup(ab) — downward closure guarantees the
+    antecedent pair exists in the pair-support table) and lift
+    (confidence·n_baskets div sup(c), i.e. how much the consequent's
+    probability is raised over its base rate; 10⁶ = independence).
+    Top 20 rules by confidence. Scale shape: pair/triple supports are
+    the same bounded in-basket self-equi-joins as the Apriori entry;
+    the unpivot runs on the tiny frequent-triple frame; rule scoring
+    joins two broadcast support tables; TakeOrderedAndProject caps the
+    output. The recommendation/bundling surface on top of the
+    frequent-itemset machinery."""
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            (F.col("l_partkey") % 50).cast("long").alias("cat"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nb = b.agg(F.countDistinct("o").cast("long").alias("n_baskets"))
+    ms = nb.select(
+        F.greatest(F.lit(1).cast("long"), F.expr("n_baskets div 1500")).alias(
+            "minsup"
+        ),
+        "n_baskets",
+    )
+    i1 = b.groupBy("cat").agg(F.count(F.lit(1)).cast("long").alias("sup"))
+    p2 = (
+        b.select("o", F.col("cat").alias("pa"))
+        .join(b.select("o", F.col("cat").alias("pb")), "o")
+        .filter(F.col("pb") > F.col("pa"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+    )
+    t3 = (
+        b.select("o", F.col("cat").alias("a"))
+        .join(b.select("o", F.col("cat").alias("bb")), "o")
+        .filter(F.col("bb") > F.col("a"))
+        .join(b.select("o", F.col("cat").alias("c")), "o")
+        .filter(F.col("c") > F.col("bb"))
+        .groupBy("a", "bb", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup3"))
+    )
+    ft = (
+        t3.crossJoin(F.broadcast(ms))
+        .filter(F.col("sup3") >= F.col("minsup"))
+        .select("a", "bb", "c", "sup3", "n_baskets")
+        .localCheckpoint(eager=False)
+    )
+    rules = (
+        ft.select(
+            F.col("a").alias("ante_a"),
+            F.col("bb").alias("ante_b"),
+            F.col("c").alias("conseq"),
+            "sup3",
+            "n_baskets",
+        )
+        .unionByName(
+            ft.select(
+                F.col("a").alias("ante_a"),
+                F.col("c").alias("ante_b"),
+                F.col("bb").alias("conseq"),
+                "sup3",
+                "n_baskets",
+            )
+        )
+        .unionByName(
+            ft.select(
+                F.col("bb").alias("ante_a"),
+                F.col("c").alias("ante_b"),
+                F.col("a").alias("conseq"),
+                "sup3",
+                "n_baskets",
+            )
+        )
+    )
+    scored = (
+        rules.join(
+            F.broadcast(p2),
+            (F.col("pa") == F.least("ante_a", "ante_b"))
+            & (F.col("pb") == F.greatest("ante_a", "ante_b")),
+        )
+        .join(
+            F.broadcast(i1.withColumnRenamed("sup", "sup_conseq")),
+            F.col("cat") == F.col("conseq"),
+        )
+        .select(
+            "ante_a",
+            "ante_b",
+            "conseq",
+            F.col("sup3").alias("support"),
+            F.expr("CAST(sup3 * 1000000 div sup AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST((sup3 * 1000000 div sup) * n_baskets div sup_conseq"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("confidence_ppm").desc(), "ante_a", "ante_b", "conseq"
+    ).limit(20)
+
+
+_BOOTSTRAP_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS priority, o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+rep AS (
+  SELECT b.priority, b.cents, r.b AS rep_id,
+         CAST('0x' || substr(md5(CAST(b.k AS VARCHAR) || ':'
+                                 || CAST(r.b AS VARCHAR)), 1, 12)
+              AS BIGINT) % 10000 AS m
+  FROM base b CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+),
+w AS (
+  SELECT priority, cents, rep_id,
+         CASE WHEN m < 3679 THEN 0 WHEN m < 7358 THEN 1
+              WHEN m < 9197 THEN 2 WHEN m < 9810 THEN 3
+              WHEN m < 9963 THEN 4 WHEN m < 9994 THEN 5
+              WHEN m < 9999 THEN 6 ELSE 7 END AS wt
+  FROM rep
+),
+means AS (
+  SELECT priority, rep_id,
+         CAST(sum(wt * cents) // sum(wt) AS BIGINT) AS mean_b
+  FROM w GROUP BY 1, 2
+),
+ranked AS (
+  SELECT priority, mean_b,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY mean_b, rep_id) AS rk
+  FROM means
+),
+ci AS (
+  SELECT priority,
+         max(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo_cents,
+         max(CASE WHEN rk = 63 THEN mean_b END) AS ci_hi_cents
+  FROM ranked GROUP BY 1
+),
+pt AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+  FROM base GROUP BY 1
+)
+SELECT p.priority, p.n_orders, p.mean_cents,
+       CAST(c.ci_lo_cents AS BIGINT) AS ci_lo_cents,
+       CAST(c.ci_hi_cents AS BIGINT) AS ci_hi_cents,
+       CAST(c.ci_hi_cents - c.ci_lo_cents AS BIGINT) AS ci_width_cents
+FROM pt p JOIN ci c ON c.priority = p.priority
+ORDER BY p.priority
+"""
+
+
+@_register("poisson_bootstrap_ci", _BOOTSTRAP_ORACLE)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE distributed bootstrap: 64 Poisson(1) resampling replicates
+    of the mean order value per priority class, with a 2nd/63rd
+    order-statistic ~95% confidence interval. Classic bootstrap
+    resampling needs the global n per draw (undistributable);
+    Poisson bootstrap replaces each row's multinomial count with an
+    independent Poisson(1) weight, so a replicate is ONE weighted
+    aggregate — embarrassingly parallel and streaming-mergeable. The
+    weights are DETERMINISTIC here: md5(orderkey:replicate) mod 10⁴
+    inverted through the literal Poisson(1) CDF (3679, 7358, 9197,
+    9810, 9963, 9994, 9999 — capped at 7), which is what gives a
+    Monte-Carlo method a full cross-engine value oracle; replicate
+    means are exact integer cents (weighted sum floor-div weighted
+    count). Scale shape: the 64× row expansion is a JVM-side explode
+    feeding ONE partial-aggregated shuffle to (priority, replicate) —
+    64·|priorities| groups; the CI rank window runs on the 64-row
+    per-priority frame; point estimates ride a separate tiny rollup,
+    broadcast-joined."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    rep = base.select(
+        "priority",
+        "cents",
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("rep_id"),
+    ).select(
+        "priority",
+        "cents",
+        "rep_id",
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(k AS STRING), ':',"
+            " CAST(rep_id AS STRING))), 1, 12), 16, 10) AS BIGINT) % 10000"
+        ).alias("m"),
+    )
+    w = rep.select(
+        "priority",
+        "cents",
+        "rep_id",
+        F.expr(
+            "CASE WHEN m < 3679 THEN 0 WHEN m < 7358 THEN 1"
+            " WHEN m < 9197 THEN 2 WHEN m < 9810 THEN 3"
+            " WHEN m < 9963 THEN 4 WHEN m < 9994 THEN 5"
+            " WHEN m < 9999 THEN 6 ELSE 7 END"
+        )
+        .cast("long")
+        .alias("wt"),
+    )
+    means = w.groupBy("priority", "rep_id").agg(
+        F.expr("CAST(sum(wt * cents) div sum(wt) AS BIGINT)").alias("mean_b")
+    )
+    wrk = W.partitionBy("priority").orderBy("mean_b", "rep_id")
+    ranked = means.withColumn("rk", F.row_number().over(wrk))
+    ci = ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_b"))).alias(
+            "ci_lo_cents"
+        ),
+        F.max(F.when(F.col("rk") == 63, F.col("mean_b"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+    pt = base.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias(
+            "mean_cents"
+        ),
+    )
+    return (
+        pt.join(F.broadcast(ci), "priority")
+        .select(
+            "priority",
+            "n_orders",
+            "mean_cents",
+            F.col("ci_lo_cents").cast("long").alias("ci_lo_cents"),
+            F.col("ci_hi_cents").cast("long").alias("ci_hi_cents"),
+            (F.col("ci_hi_cents") - F.col("ci_lo_cents"))
+            .cast("long")
+            .alias("ci_width_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+_DELTA_ENC_ORACLE = """
+WITH ids AS (
+  SELECT event_type, event_id,
+         event_id - lag(event_id)
+             OVER (PARTITION BY event_type ORDER BY event_id) AS delta
+  FROM events
+),
+costs AS (
+  SELECT event_type, delta,
+         CAST(2 * (length(bin(delta)) - 1) + 1 AS BIGINT) AS gamma_bits
+  FROM ids WHERE delta IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_deltas,
+       CAST(sum(gamma_bits) AS BIGINT) AS gamma_total_bits,
+       CAST(count(*) * (length(bin(max(delta))) - 1 + 1)
+            AS BIGINT) AS fixed_width_bits,
+       CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+       CAST(sum(gamma_bits) * 1000000 // (count(*) * 64)
+            AS BIGINT) AS gamma_ratio_ppm
+FROM costs
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("delta_encoding_compression_audit", _DELTA_ENC_ORACLE)
+def delta_encoding_compression_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Storage-layout cost model for sorted-id columns: per event
+    stream, delta-encode the sorted event ids and price each gap with
+    the Elias-γ code (2·⌊log₂ d⌋ + 1 bits — the prefix-free code
+    behind posting-list and parquet DELTA_BINARY_PACKED-style
+    compression), against the fixed-width alternative (every delta at
+    ⌊log₂ max_delta⌋+1 bits) and raw 64-bit storage. ⌊log₂⌋ is
+    computed EXACTLY as length(bin(d))−1 — a string length, not libm —
+    so the cost model itself carries a full value oracle. This is the
+    audit that says whether sorting by id before writing a zone buys
+    compression (interleaved streams → large gaps → γ loses to
+    fixed-width; dense runs → γ wins). Scale shape: one lag window
+    per stream (a single keyed shuffle), then a mergeable per-stream
+    rollup; no data leaves the JVM."""
+    ids = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.col("event_id")
+            - F.lag("event_id").over(
+                W.partitionBy("event_type").orderBy("event_id")
+            )
+        ).alias("delta"),
+    )
+    costs = ids.filter(F.col("delta").isNotNull()).select(
+        "event_type",
+        "delta",
+        F.expr("CAST(2 * (length(bin(delta)) - 1) + 1 AS BIGINT)").alias(
+            "gamma_bits"
+        ),
+    )
+    return (
+        costs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_deltas"),
+            F.sum("gamma_bits").cast("long").alias("gamma_total_bits"),
+            F.expr(
+                "CAST(count(*) * (length(bin(max(delta))) - 1 + 1)"
+                " AS BIGINT)"
+            ).alias("fixed_width_bits"),
+            (F.count(F.lit(1)) * 64).cast("long").alias("raw_bits"),
+            F.expr(
+                "CAST(sum(gamma_bits) * 1000000 div (count(*) * 64)"
+                " AS BIGINT)"
+            ).alias("gamma_ratio_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DID_ORACLE = """
+WITH mid AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us FROM events
+),
+e AS (
+  SELECT event_type,
+         CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN epoch_us(ts) >= m.mid_us THEN 1 ELSE 0 END AS post,
+         CAST(round(value * 1000000) AS BIGINT) AS y
+  FROM events, mid m
+),
+cells AS (
+  SELECT event_type, treated, post,
+         CAST(sum(y) // count(*) AS BIGINT) AS mean_micro
+  FROM e GROUP BY 1, 2, 3
+),
+wide AS (
+  SELECT event_type,
+         max(CASE WHEN treated = 1 AND post = 0 THEN mean_micro END) AS t_pre,
+         max(CASE WHEN treated = 1 AND post = 1 THEN mean_micro END) AS t_post,
+         max(CASE WHEN treated = 0 AND post = 0 THEN mean_micro END) AS c_pre,
+         max(CASE WHEN treated = 0 AND post = 1 THEN mean_micro END) AS c_post
+  FROM cells GROUP BY 1
+)
+SELECT event_type,
+       CAST(t_pre AS BIGINT) AS treated_pre_micro,
+       CAST(t_post AS BIGINT) AS treated_post_micro,
+       CAST(c_pre AS BIGINT) AS control_pre_micro,
+       CAST(c_post AS BIGINT) AS control_post_micro,
+       CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_micro
+FROM wide
+ORDER BY event_type
+"""
+
+
+@_register("difference_in_differences", _DID_ORACLE)
+def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences causal estimator per event stream:
+    treated cohort = user_id % 5 == 0 (a deterministic synthetic
+    assignment), intervention at the epoch-microsecond midpoint of the
+    stream, outcome = event value in exact micro-units
+    (round(value·10⁶) — both engines round half away from zero).
+    DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) removes both the
+    time-invariant cohort gap and the cohort-invariant time trend; on
+    this synthetic assignment the true effect is 0, so the reported
+    did_micro is the estimator's finite-sample noise floor — the A/A
+    test every experimentation pipeline should run before trusting a
+    real readout. Cell means are floor-div integers (bias identical
+    on both engines, bounded by 1 micro-unit). Scale shape: one
+    mergeable (stream, treated, post) rollup — 4 cells per stream —
+    then a 4-way conditional pivot on the tiny frame; the midpoint is
+    a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("mid_us")
+    )
+    e = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(F.col("user_id") % 5 == 0, 1).otherwise(0).alias("treated"),
+        F.when(F.unix_micros("ts") >= F.col("mid_us"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("y"),
+    )
+    cells = e.groupBy("event_type", "treated", "post").agg(
+        F.expr("CAST(sum(y) div count(*) AS BIGINT)").alias("mean_micro")
+    )
+    wide = cells.groupBy("event_type").agg(
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("post") == 0),
+                   F.col("mean_micro"))
+        ).alias("t_pre"),
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("post") == 1),
+                   F.col("mean_micro"))
+        ).alias("t_post"),
+        F.max(
+            F.when((F.col("treated") == 0) & (F.col("post") == 0),
+                   F.col("mean_micro"))
+        ).alias("c_pre"),
+        F.max(
+            F.when((F.col("treated") == 0) & (F.col("post") == 1),
+                   F.col("mean_micro"))
+        ).alias("c_post"),
+    )
+    return wide.select(
+        "event_type",
+        F.col("t_pre").cast("long").alias("treated_pre_micro"),
+        F.col("t_post").cast("long").alias("treated_post_micro"),
+        F.col("c_pre").cast("long").alias("control_pre_micro"),
+        F.col("c_post").cast("long").alias("control_post_micro"),
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        )
+        .cast("long")
+        .alias("did_micro"),
+    ).orderBy("event_type")
+
+
+_STRAT_ATE_ORACLE = """
+WITH li AS (
+  SELECT CAST(l_partkey % 50 AS BIGINT) AS stratum,
+         CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS treated,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+cells AS (
+  SELECT stratum, treated,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) // count(*) AS BIGINT) AS mean_cents
+  FROM li GROUP BY 1, 2
+),
+wide AS (
+  SELECT stratum,
+         max(CASE WHEN treated = 1 THEN mean_cents END) AS mt,
+         max(CASE WHEN treated = 0 THEN mean_cents END) AS mc,
+         CAST(sum(n) AS BIGINT) AS n_s
+  FROM cells GROUP BY 1
+),
+ok AS (SELECT * FROM wide WHERE mt IS NOT NULL AND mc IS NOT NULL),
+g_all AS (
+  SELECT CAST(sum(CASE WHEN treated = 1 THEN y END)
+              // sum(CASE WHEN treated = 1 THEN 1 END) AS BIGINT) AS mt_all,
+         CAST(sum(CASE WHEN treated = 0 THEN y END)
+              // sum(CASE WHEN treated = 0 THEN 1 END) AS BIGINT) AS mc_all
+  FROM li
+)
+SELECT CAST((SELECT count(*) FROM wide) AS BIGINT) AS n_strata,
+       CAST((SELECT count(*) FROM wide) - count(*) AS BIGINT)
+         AS n_dropped_strata,
+       CAST(g.mt_all AS BIGINT) AS mean_treated_cents,
+       CAST(g.mc_all AS BIGINT) AS mean_control_cents,
+       CAST(g.mt_all - g.mc_all AS BIGINT) AS naive_diff_cents,
+       CAST(sum(o.n_s * (o.mt - o.mc)) // sum(o.n_s) AS BIGINT)
+         AS adjusted_diff_cents
+FROM ok o, g_all g
+GROUP BY g.mt_all, g.mc_all
+"""
+
+
+@_register("stratified_ate_adjustment", _STRAT_ATE_ORACLE)
+def stratified_ate_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (exact-matching) average-treatment-effect estimator:
+    treatment = deep discount (l_discount > 0.05), outcome = line
+    revenue in exact cents, confounder = part category (l_partkey %
+    50). The naive treated-vs-control mean gap is confounded by
+    category mix; the adjusted estimate reweights the WITHIN-stratum
+    gaps by stratum size (Σ n_s·(ȳ_Ts − ȳ_Cs) div Σ n_s) — the
+    nonparametric backbone that propensity/IPW methods approximate,
+    made exact here because every quantity is a count or a floor-div
+    integer mean. Strata missing either arm are dropped (the
+    positivity requirement) and COUNTED — silently ignoring them is
+    the classic estimator bug. Scale shape: one mergeable (stratum,
+    arm) rollup — 100 cells — then all estimator algebra on the tiny
+    frame; the naive global means ride the same scan via conditional
+    aggregates."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 50).cast("long").alias("stratum"),
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("treated"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    ).localCheckpoint(eager=False)
+    cells = li.groupBy("stratum", "treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(y) div count(*) AS BIGINT)").alias("mean_cents"),
+    )
+    wide = cells.groupBy("stratum").agg(
+        F.max(F.when(F.col("treated") == 1, F.col("mean_cents"))).alias(
+            "mt"
+        ),
+        F.max(F.when(F.col("treated") == 0, F.col("mean_cents"))).alias(
+            "mc"
+        ),
+        F.sum("n").cast("long").alias("n_s"),
+    ).localCheckpoint(eager=False)
+    ok = wide.filter(F.col("mt").isNotNull() & F.col("mc").isNotNull())
+    glob = li.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN treated = 1 THEN y END)"
+            " div sum(CASE WHEN treated = 1 THEN 1 END) AS BIGINT)"
+        ).alias("mt_all"),
+        F.expr(
+            "CAST(sum(CASE WHEN treated = 0 THEN y END)"
+            " div sum(CASE WHEN treated = 0 THEN 1 END) AS BIGINT)"
+        ).alias("mc_all"),
+    )
+    n_strata = wide.agg(F.count(F.lit(1)).cast("long").alias("n_strata"))
+    return (
+        ok.agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.expr(
+                "CAST(sum(n_s * (mt - mc)) div sum(n_s) AS BIGINT)"
+            ).alias("adjusted_diff_cents"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(n_strata))
+        .select(
+            "n_strata",
+            (F.col("n_strata") - F.col("n_kept")).cast("long").alias(
+                "n_dropped_strata"
+            ),
+            F.col("mt_all").cast("long").alias("mean_treated_cents"),
+            F.col("mc_all").cast("long").alias("mean_control_cents"),
+            (F.col("mt_all") - F.col("mc_all")).cast("long").alias(
+                "naive_diff_cents"
+            ),
+            "adjusted_diff_cents",
+        )
+    )
