@@ -17499,3 +17499,708 @@ def stratified_ate_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adjusted_diff_cents",
         )
     )
+
+
+# ===========================================================================
+# Wave: trend testing, categorical association, privacy risk, hybrid
+# retrieval fusion, cooperative-game attribution — Mann-Kendall/Theil-Sen,
+# Cramér's V², k-anonymity, RRF, Shapley channels.
+# ===========================================================================
+
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn,
+         CAST((b.c - a.c) * 1000000
+              // date_diff('day', a.d, b.d) AS BIGINT) AS slope_e6,
+         a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.d > a.d
+),
+stat AS (
+  SELECT event_type,
+         CAST(sum(sgn) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1
+),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS corr
+  FROM (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS t
+    FROM daily GROUP BY event_type, c
+  )
+  WHERE t > 1
+  GROUP BY event_type
+),
+sen AS (
+  SELECT event_type, slope_e6 AS sen_slope_e6
+  FROM (
+    SELECT event_type, slope_e6,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY slope_e6, d1, d2) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS m
+    FROM pairs
+  )
+  WHERE rk = (m + 1) // 2
+)
+SELECT s.event_type, n.n_days, s.n_pairs, s.s_stat,
+       CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+            - coalesce(t.corr, 0) AS BIGINT) AS var18,
+       CASE WHEN s.s_stat * s.s_stat * 180000
+               > 38416 * (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                          - coalesce(t.corr, 0))
+            THEN 1 ELSE 0 END AS alarm_05,
+       se.sen_slope_e6
+FROM stat s
+JOIN nd n ON n.event_type = s.event_type
+LEFT JOIN ties t ON t.event_type = s.event_type
+JOIN sen se ON se.event_type = s.event_type
+ORDER BY s.event_type
+"""
+
+
+@_register("mann_kendall_theil_sen", _MK_ORACLE)
+def mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Theil-Sen robust slope per
+    event stream's daily volumes — the trend sibling of
+    `cusum_changepoint_screen` (level shift) and
+    `seasonal_naive_forecast_eval` (cyclic structure). S = Σ sign
+    over all day pairs and the tie-corrected variance
+    var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) are pure integers; the
+    α=0.05 alarm compares squares (S²·18·10⁴ > 1.96²·10⁴·var18) so
+    no sqrt is evaluated. Theil-Sen is the LOWER MEDIAN of all
+    pairwise slopes carried as (Δc·10⁶ div Δdays) integers (both
+    engines truncate negative quotients toward zero identically).
+    Scale shape: the corpus collapses to the (stream, day) rollup
+    first; the O(days²) pair join runs on that bounded frame
+    (60 days → 1770 pairs per stream), keyed by stream — never on
+    raw events; this is the documented tiny-frame-quadratic class
+    (same as `audience_overlap_matrix`)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d2") > F.col("d1"))
+        .select(
+            "event_type",
+            F.when(F.col("c2") > F.col("c1"), 1)
+            .when(F.col("c2") < F.col("c1"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+            F.expr(
+                "CAST((c2 - c1) * 1000000 div datediff(d2, d1) AS BIGINT)"
+            ).alias("slope_e6"),
+            "d1",
+            "d2",
+        )
+        .localCheckpoint(eager=False)
+    )
+    stat = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("corr")
+        )
+    )
+    wsen = W.partitionBy("event_type").orderBy("slope_e6", "d1", "d2")
+    wcnt = W.partitionBy("event_type")
+    sen = (
+        pairs.select(
+            "event_type",
+            "slope_e6",
+            F.row_number().over(wsen).alias("rk"),
+            F.count(F.lit(1)).over(wcnt).alias("m"),
+        )
+        .filter(F.col("rk") == (F.col("m") + 1) / 2)
+        .select("event_type", F.col("slope_e6").alias("sen_slope_e6"))
+    )
+    var18 = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.coalesce(F.col("corr"), F.lit(0).cast("long"))
+    ).cast("long")
+    return (
+        stat.join(nd, "event_type")
+        .join(ties, "event_type", "left")
+        .join(sen, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            var18.alias("var18"),
+            F.when(
+                F.col("s_stat") * F.col("s_stat") * 180000 > 38416 * var18,
+                1,
+            )
+            .otherwise(0)
+            .alias("alarm_05"),
+            "sen_slope_e6",
+        )
+        .orderBy("event_type")
+    )
+
+
+_CRAMERS_ORACLE = """
+WITH feats AS (
+  SELECT doc_id, 'lang' AS f, lang AS v FROM documents
+  UNION ALL
+  SELECT doc_id, 'len_bucket', CAST(n_chars // 200 AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT doc_id, 'source', source FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+obs AS (
+  SELECT f1.f AS fx, f2.f AS fy, f1.v AS vx, f2.v AS vy,
+         CAST(count(*) AS BIGINT) AS o
+  FROM feats f1 JOIN feats f2 ON f2.doc_id = f1.doc_id AND f2.f > f1.f
+  GROUP BY 1, 2, 3, 4
+),
+rowm AS (
+  SELECT fx, fy, vx, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1, 2, 3
+),
+colm AS (
+  SELECT fx, fy, vy, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT r.fx, r.fy, r.vx, cm.vy, r.r, cm.c,
+         CAST(coalesce(o.o, 0) AS BIGINT) AS o
+  FROM rowm r
+  JOIN colm cm ON cm.fx = r.fx AND cm.fy = r.fy
+  LEFT JOIN obs o ON o.fx = r.fx AND o.fy = r.fy
+                 AND o.vx = r.vx AND o.vy = cm.vy
+),
+terms AS (
+  SELECT g.fx, g.fy,
+         CAST((g.o * 1000 - greatest(g.r * g.c * 1000 // nn.n, 1))
+              * (g.o * 1000 - greatest(g.r * g.c * 1000 // nn.n, 1))
+              // greatest(g.r * g.c * 1000 // nn.n, 1) AS BIGINT) AS term
+  FROM grid g, n nn
+),
+chi AS (
+  SELECT fx, fy, CAST(sum(term) AS BIGINT) AS chi2_micro
+  FROM terms GROUP BY 1, 2
+),
+lv AS (
+  SELECT fx, fy,
+         CAST(count(DISTINCT vx) AS BIGINT) AS r_levels,
+         CAST(count(DISTINCT vy) AS BIGINT) AS c_levels
+  FROM grid GROUP BY 1, 2
+)
+SELECT c.fx AS feature_x, c.fy AS feature_y, nn.n AS n_rows,
+       l.r_levels, l.c_levels, c.chi2_micro,
+       CAST(c.chi2_micro * 1000
+            // (nn.n * least(l.r_levels - 1, l.c_levels - 1))
+            AS BIGINT) AS v2_ppm
+FROM chi c JOIN lv l ON l.fx = c.fx AND l.fy = c.fy, n nn
+ORDER BY feature_x, feature_y
+"""
+
+
+@_register("cramers_v2_matrix", _CRAMERS_ORACLE)
+def cramers_v2_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cramér's V² association matrix over the document
+    metadata features (lang, length bucket, source) — the
+    bounded-[0,1] normalization of chi-square that makes association
+    strengths COMPARABLE across tables of different shapes (reported
+    squared: V² avoids the sqrt, keeping the full value oracle; V² =
+    χ²/(n·min(r−1,c−1))). The contingency grid is the FULL cross
+    product of observed marginals — zero cells contribute (0−E)²/E =
+    E, the term naive observed-cells-only implementations drop.
+    Expected counts ride a milli-scaled integer lane (E_milli =
+    max(R·C·1000 div n, 1)) so every term is a BIGINT floor-div —
+    NOTE: Spark `div` on DECIMAL(38) silently wraps through bigint,
+    so the arithmetic is deliberately kept inside int64 (holds to
+    ~sf10; diff_milli² ≤ (n·10³)²). Scale shape: one long-format
+    featurization scan, a (pair, vx, vy) mergeable rollup, then all
+    grid algebra on tiny marginal frames."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = (
+        docs.select("doc_id", F.lit("lang").alias("f"), F.col("lang").alias("v"))
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit("len_bucket").alias("f"),
+                F.expr("CAST(n_chars div 200 AS STRING)").alias("v"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                "doc_id", F.lit("source").alias("f"), F.col("source").alias("v")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    f1 = feats.select("doc_id", F.col("f").alias("fx"), F.col("v").alias("vx"))
+    f2 = feats.select("doc_id", F.col("f").alias("fy"), F.col("v").alias("vy"))
+    obs = (
+        f1.join(f2, "doc_id")
+        .filter(F.col("fy") > F.col("fx"))
+        .groupBy("fx", "fy", "vx", "vy")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rowm = obs.groupBy("fx", "fy", "vx").agg(F.sum("o").cast("long").alias("r"))
+    colm = obs.groupBy("fx", "fy", "vy").agg(F.sum("o").cast("long").alias("c"))
+    grid = (
+        rowm.join(colm, ["fx", "fy"])
+        .join(obs, ["fx", "fy", "vx", "vy"], "left")
+        .select(
+            "fx",
+            "fy",
+            "vx",
+            "vy",
+            "r",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0).cast("long")).alias("o"),
+        )
+        .crossJoin(F.broadcast(n))
+        .localCheckpoint(eager=False)
+    )
+    terms = grid.select(
+        "fx",
+        "fy",
+        F.expr(
+            "CAST((o * 1000 - greatest(r * c * 1000 div n, 1))"
+            " * (o * 1000 - greatest(r * c * 1000 div n, 1))"
+            " div greatest(r * c * 1000 div n, 1) AS BIGINT)"
+        ).alias("term"),
+    )
+    chi = terms.groupBy("fx", "fy").agg(
+        F.sum("term").cast("long").alias("chi2_micro")
+    )
+    lv = grid.groupBy("fx", "fy").agg(
+        F.countDistinct("vx").cast("long").alias("r_levels"),
+        F.countDistinct("vy").cast("long").alias("c_levels"),
+    )
+    return (
+        chi.join(lv, ["fx", "fy"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("fx").alias("feature_x"),
+            F.col("fy").alias("feature_y"),
+            F.col("n").alias("n_rows"),
+            "r_levels",
+            "c_levels",
+            "chi2_micro",
+            F.expr(
+                "CAST(chi2_micro * 1000"
+                " div (n * least(r_levels - 1, c_levels - 1)) AS BIGINT)"
+            ).alias("v2_ppm"),
+        )
+        .orderBy("feature_x", "feature_y")
+    )
+
+
+_KANON_ORACLE = """
+WITH q AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS sens
+  FROM customer
+),
+cls AS (
+  SELECT nation, seg, bal_band,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(count(DISTINCT sens) AS BIGINT) AS l_div
+  FROM q GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_rows_total FROM cls),
+bucketed AS (
+  SELECT CASE WHEN k = 1 THEN 1 WHEN k < 5 THEN 2
+              WHEN k < 10 THEN 3 ELSE 4 END AS bucket_order,
+         CASE WHEN k = 1 THEN 'k=1 re-identified'
+              WHEN k < 5 THEN 'k in 2-4 high risk'
+              WHEN k < 10 THEN 'k in 5-9 medium'
+              ELSE 'k>=10 low' END AS k_bucket,
+         k, l_div
+  FROM cls
+)
+SELECT bucket_order, k_bucket,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(sum(k) * 1000000 // t.n_rows_total AS BIGINT) AS rows_share_ppm,
+       CAST(min(l_div) AS BIGINT) AS min_l_diversity
+FROM bucketed, tot t
+GROUP BY bucket_order, k_bucket, t.n_rows_total
+ORDER BY bucket_order
+"""
+
+
+@_register("kanonymity_risk_audit", _KANON_ORACLE)
+def kanonymity_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity re-identification risk audit over the
+    customer table: quasi-identifier = (nation, market segment,
+    $1000 balance band), sensitive attribute = exact balance.
+    Equivalence classes whose QI combination is unique (k=1) are
+    re-identifiable by linkage; the report buckets classes by k
+    (1 / 2-4 / 5-9 / ≥10), shares of rows at risk in exact ppm, and
+    the MINIMUM l-diversity per bucket — a k-anonymous class where
+    every member shares one sensitive value (l=1) still leaks via the
+    homogeneity attack, which is why k alone is not the metric. The
+    privacy-audit complement to `dp_bounded_contribution_agg` (that
+    entry protects a release; this one measures raw linkage risk
+    before any release). Scale shape: ONE mergeable rollup to QI
+    classes (count + distinct-sensitive), then bucketing on the class
+    frame; the total is a 1-row broadcast."""
+    q = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "CAST(round(c_acctbal * 100) AS BIGINT) div 100000"
+        ).alias("bal_band"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("sens"),
+    )
+    cls = q.groupBy("nation", "seg", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct("sens").cast("long").alias("l_div"),
+    )
+    tot = cls.agg(F.sum("k").cast("long").alias("n_rows_total"))
+    bucketed = cls.select(
+        F.when(F.col("k") == 1, 1)
+        .when(F.col("k") < 5, 2)
+        .when(F.col("k") < 10, 3)
+        .otherwise(4)
+        .alias("bucket_order"),
+        F.when(F.col("k") == 1, "k=1 re-identified")
+        .when(F.col("k") < 5, "k in 2-4 high risk")
+        .when(F.col("k") < 10, "k in 5-9 medium")
+        .otherwise("k>=10 low")
+        .alias("k_bucket"),
+        "k",
+        "l_div",
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("bucket_order", "k_bucket", "n_rows_total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.expr(
+                "CAST(sum(k) * 1000000 div n_rows_total AS BIGINT)"
+            ).alias("rows_share_ppm"),
+            F.min("l_div").cast("long").alias("min_l_diversity"),
+        )
+        .select(
+            "bucket_order",
+            "k_bucket",
+            "n_classes",
+            "n_rows",
+            "rows_share_ppm",
+            "min_l_diversity",
+        )
+        .orderBy("bucket_order")
+    )
+
+
+_RRF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term,
+         len(regexp_extract_all(lower(text), '[a-z]+', 0)) AS dl
+  FROM documents WHERE text IS NOT NULL
+),
+matched AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS tot_tf,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(max(dl) AS BIGINT) AS dl
+  FROM toks WHERE term IN ('join', 'vector', 'stream')
+  GROUP BY doc_id
+),
+a AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tot_tf DESC, doc_id) AS rank_tf
+  FROM matched
+  QUALIFY rank_tf <= 50
+),
+b AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_terms DESC, dl, doc_id)
+           AS rank_coverage
+  FROM matched
+  QUALIFY rank_coverage <= 50
+),
+fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.rank_tf, b.rank_coverage,
+         CAST(coalesce(1000000 // (60 + a.rank_tf), 0)
+              + coalesce(1000000 // (60 + b.rank_coverage), 0)
+              AS BIGINT) AS rrf_score_e6
+  FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id
+)
+SELECT doc_id, CAST(rank_tf AS BIGINT) AS rank_tf,
+       CAST(rank_coverage AS BIGINT) AS rank_coverage, rrf_score_e6
+FROM fused
+ORDER BY rrf_score_e6 DESC, doc_id
+LIMIT 15
+"""
+
+
+@_register("reciprocal_rank_fusion", _RRF_ORACLE)
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, the hybrid-search standard for
+    merging keyword and semantic result lists): two retrieval rankings
+    for the same query — by total term frequency, and by query-term
+    coverage with shorter-doc preference — are fused purely on RANKS:
+    score = Σ 1/(60+rank), carried as exact 10⁶ div (60+rank)
+    integers, so the fusion itself value-checks (RRF's defining
+    property: it needs no score calibration between engines, exactly
+    why it wins in production hybrid stacks; k=60 per the original
+    Cormack et al. constant). Documents present in only one list get
+    only that list's contribution (the other rank stays NULL). Scale
+    shape: the per-doc match stats are one mergeable rollup over
+    postings pre-filtered to the query terms; each ranking is a
+    top-50 TakeOrderedAndProject followed by a row_number over the
+    50-row frame (never a global sort); the fusion is a full outer
+    join of two 50-row frames."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("arr"),
+    )
+    matched = (
+        d.select(
+            "doc_id",
+            F.size("arr").cast("long").alias("dl"),
+            F.explode("arr").alias("term"),
+        )
+        .filter(F.col("term").isin(["join", "vector", "stream"]))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tot_tf"),
+            F.countDistinct("term").cast("long").alias("n_terms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a50 = (
+        matched.orderBy(F.col("tot_tf").desc(), "doc_id")
+        .limit(50)
+        .localCheckpoint(eager=False)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(
+                W.partitionBy(F.lit(1)).orderBy(
+                    F.col("tot_tf").desc(), "doc_id"
+                )
+            )
+            .alias("rank_tf"),
+        )
+    )
+    b50 = (
+        matched.orderBy(F.col("n_terms").desc(), "dl", "doc_id")
+        .limit(50)
+        .localCheckpoint(eager=False)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(
+                W.partitionBy(F.lit(1)).orderBy(
+                    F.col("n_terms").desc(), "dl", "doc_id"
+                )
+            )
+            .alias("rank_coverage"),
+        )
+    )
+    fused = (
+        a50.join(b50, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("rank_tf").cast("long").alias("rank_tf"),
+            F.col("rank_coverage").cast("long").alias("rank_coverage"),
+            (
+                F.coalesce(
+                    F.expr("1000000 div (60 + rank_tf)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000 div (60 + rank_coverage)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_score_e6"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score_e6").desc(), "doc_id").limit(15)
+
+
+_SHAPLEY_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+cls AS (
+  SELECT CAST(a + 2 * b + 4 * c AS BIGINT) AS mask,
+         CAST(sum(conv) AS BIGINT) AS n_conv,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM u GROUP BY 1
+),
+coal AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS s),
+v AS (
+  SELECT co.s, CAST(coalesce(sum(cl.n_conv), 0) AS BIGINT) AS vs
+  FROM coal co LEFT JOIN cls cl ON (cl.mask & (7 - co.s)) = 0
+  GROUP BY co.s
+),
+ch AS (
+  SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                        ('view', CAST(2 AS BIGINT)),
+                        ('signup', CAST(4 AS BIGINT))) AS t(channel, bit)
+),
+terms AS (
+  SELECT ch.channel, ch.bit,
+         (CASE WHEN v0.s = 0 THEN 2
+               WHEN v0.s IN (3, 5, 6) THEN 2 ELSE 1 END)
+           * (v1.vs - v0.vs) AS wterm
+  FROM ch
+  JOIN v v0 ON (v0.s & ch.bit) = 0
+  JOIN v v1 ON v1.s = v0.s + ch.bit
+),
+touched AS (
+  SELECT ch.channel, CAST(sum(cl.n_users) AS BIGINT) AS users_touched
+  FROM ch JOIN cls cl ON (cl.mask & ch.bit) <> 0
+  GROUP BY ch.channel
+),
+vfull AS (SELECT vs AS total_conversions FROM v WHERE s = 7)
+SELECT t.channel, tu.users_touched, vf.total_conversions,
+       CAST(sum(t.wterm) * 1000000 // 6 AS BIGINT) AS shapley_e6
+FROM terms t
+JOIN touched tu ON tu.channel = t.channel
+CROSS JOIN vfull vf
+GROUP BY t.channel, tu.users_touched, vf.total_conversions
+ORDER BY t.channel
+"""
+
+
+@_register("shapley_channel_attribution", _SHAPLEY_ORACLE)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution over three touch channels
+    (click/view/signup; conversion = any purchase): the coalition
+    value v(S) counts conversions of users whose touched-channel set
+    is CONTAINED in S, and each channel's credit is the exact Shapley
+    average of its marginal contributions — for 3 players the
+    permutation weights are sixths (2,1,1,2 over |S|=0..2 scaled by
+    6), so shapley_e6 = Σ w·(v(S∪i)−v(S))·10⁶ div 6 is pure BIGINT
+    and the game-theoretic attribution itself carries a full value
+    oracle (the principled alternative to `attribution_linear_credit`'s
+    equal split; satisfies efficiency: credits sum to v(N)−v(∅)).
+    Scale shape: the corpus collapses to per-user channel bitmasks
+    (one mergeable rollup), then to the 8-row mask-class frame; ALL
+    coalition algebra (subset sums via mask & complement, the 3×4
+    marginal terms) runs on broadcast-tiny frames."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("b"),
+            F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("c"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    cls = (
+        u.groupBy(
+            (F.col("a") + 2 * F.col("b") + 4 * F.col("c"))
+            .cast("long")
+            .alias("mask")
+        )
+        .agg(
+            F.sum("conv").cast("long").alias("n_conv"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    coal = spark.range(8).select(F.col("id").cast("long").alias("s"))
+    v = (
+        coal.join(
+            cls,
+            (F.col("mask").bitwiseAND(F.lit(7) - F.col("s"))) == 0,
+            "left",
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("vs")
+        )
+        .localCheckpoint(eager=False)
+    )
+    ch = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "array(named_struct('channel', 'click', 'bit', CAST(1 AS BIGINT)),"
+                " named_struct('channel', 'view', 'bit', CAST(2 AS BIGINT)),"
+                " named_struct('channel', 'signup', 'bit', CAST(4 AS BIGINT)))"
+            )
+        ).alias("x")
+    ).select("x.channel", "x.bit")
+    v0 = v.select(F.col("s").alias("s0"), F.col("vs").alias("vs0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("vs").alias("vs1"))
+    terms = (
+        ch.join(v0, F.col("s0").bitwiseAND(F.col("bit")) == 0)
+        .join(v1, F.col("s1") == F.col("s0") + F.col("bit"))
+        .select(
+            "channel",
+            (
+                F.when(F.col("s0") == 0, 2)
+                .when(F.col("s0").isin([3, 5, 6]), 2)
+                .otherwise(1)
+                * (F.col("vs1") - F.col("vs0"))
+            ).alias("wterm"),
+        )
+    )
+    touched = (
+        ch.join(cls, F.col("mask").bitwiseAND(F.col("bit")) != 0)
+        .groupBy("channel")
+        .agg(F.sum("n_users").cast("long").alias("users_touched"))
+    )
+    vfull = v.filter(F.col("s") == 7).select(
+        F.col("vs").alias("total_conversions")
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(
+            F.expr("CAST(sum(wterm) * 1000000 div 6 AS BIGINT)").alias(
+                "shapley_e6"
+            )
+        )
+        .join(F.broadcast(touched), "channel")
+        .crossJoin(F.broadcast(vfull))
+        .select(
+            "channel", "users_touched", "total_conversions", "shapley_e6"
+        )
+        .orderBy("channel")
+    )
