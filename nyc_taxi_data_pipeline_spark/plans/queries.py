@@ -18204,3 +18204,472 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ===========================================================================
+# Wave: experimentation significance, survey design, shuffle diagnostics,
+# influence propagation — two-proportion z-test, Neyman allocation,
+# partition skew audit, deterministic independent cascade.
+# ===========================================================================
+
+_AB_TEST_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab7'), 1, 6)
+              AS BIGINT) % 2 AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value > 450
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM u
+),
+rates AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         CAST(conv_a * 1000000 // n_a AS BIGINT) AS p_a_ppm,
+         CAST(conv_b * 1000000 // n_b AS BIGINT) AS p_b_ppm,
+         CAST((conv_a + conv_b) * 1000000 // (n_a + n_b) AS BIGINT)
+           AS p_pool_ppm
+  FROM agg
+)
+SELECT n_a, n_b, conv_a, conv_b, p_a_ppm, p_b_ppm,
+       CAST(p_a_ppm - p_b_ppm AS BIGINT) AS diff_ppm,
+       CAST(((p_a_ppm - p_b_ppm) * (p_a_ppm - p_b_ppm) // 10000)
+            * n_a * n_b
+            // (greatest(p_pool_ppm * (1000000 - p_pool_ppm) // 1000000, 1)
+               * (n_a + n_b)) AS BIGINT) AS z2_centi,
+       CASE WHEN ((p_a_ppm - p_b_ppm) * (p_a_ppm - p_b_ppm) // 10000)
+                 * n_a * n_b
+                 // (greatest(p_pool_ppm * (1000000 - p_pool_ppm)
+                              // 1000000, 1)
+                    * (n_a + n_b)) > 384
+            THEN 1 ELSE 0 END AS significant_05
+FROM rates
+"""
+
+
+@_register("two_proportion_ab_test", _AB_TEST_ORACLE)
+def two_proportion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment readout — the
+    significance gate behind every conversion experiment, next to
+    `ab_assignment_srm_check` (which validates the assignment itself).
+    Variant = deterministic salted md5 of the user id; outcome = any
+    high-value purchase (value > 450 — away from the 0/1 saturation a
+    plain any-purchase outcome hits, where pooled variance collapses
+    to 0; the denominator is additionally greatest(...,1)-guarded). The z statistic is never evaluated as a float:
+    z² = diff²·n_a·n_b / (p̄(1−p̄)·N) is carried as a floor-div chain
+    on ppm-scaled integers (z2_centi = 100·z², compared against 384 ≈
+    1.96²·100), so significance itself value-checks. On a hash-split
+    A/A population the expected readout is NOT significant — the
+    entry doubles as the assignment's independence audit. BIGINT
+    holds to ~sf1 (diff_ppm²·n_a·n_b ≤ 10¹⁰·n²); DECIMAL lanes
+    beyond. Scale shape: one per-user mergeable rollup, then a single
+    4-counter global aggregate; all test algebra on a 1-row frame."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 450),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(user_id AS STRING),"
+                " ':ab7')), 1, 6), 16, 10) AS BIGINT) % 2"
+            ).alias("variant"),
+            "conv",
+        )
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    rates = agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("CAST(conv_a * 1000000 div n_a AS BIGINT)").alias("p_a_ppm"),
+        F.expr("CAST(conv_b * 1000000 div n_b AS BIGINT)").alias("p_b_ppm"),
+        F.expr(
+            "CAST((conv_a + conv_b) * 1000000 div (n_a + n_b) AS BIGINT)"
+        ).alias("p_pool_ppm"),
+    )
+    z2 = (
+        "((p_a_ppm - p_b_ppm) * (p_a_ppm - p_b_ppm) div 10000)"
+        " * n_a * n_b"
+        " div (greatest(p_pool_ppm * (1000000 - p_pool_ppm) div 1000000, 1)"
+        " * (n_a + n_b))"
+    )
+    return rates.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        "p_a_ppm",
+        "p_b_ppm",
+        (F.col("p_a_ppm") - F.col("p_b_ppm")).cast("long").alias("diff_ppm"),
+        F.expr(f"CAST({z2} AS BIGINT)").alias("z2_centi"),
+        F.expr(f"CASE WHEN {z2} > 384 THEN 1 ELSE 0 END").alias(
+            "significant_05"
+        ),
+    )
+
+
+_NEYMAN_ORACLE = """
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(n_chars) AS BIGINT) AS sy,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_s,
+         CASE
+           WHEN (s0 + 1) * (s0 + 1) <= ss THEN s0 + 1
+           WHEN s0 * s0 > ss THEN s0 - 1
+           ELSE s0
+         END AS w_s
+  FROM (
+    SELECT source, n_s, n_s * syy - sy * sy AS ss,
+           CAST(floor(sqrt(CAST(n_s * syy - sy * sy AS DOUBLE)))
+                AS BIGINT) AS s0
+    FROM s
+  )
+),
+tot AS (
+  SELECT CAST(sum(w_s) AS BIGINT) AS tot_w,
+         CAST(sum(n_s) AS BIGINT) AS tot_n
+  FROM w
+),
+shares AS (
+  SELECT source, n_s, w_s,
+         CAST(10000 * w_s // tot_w AS BIGINT) AS floor_quota,
+         CAST((10000 * w_s) % tot_w AS BIGINT) AS rem,
+         tot_n
+  FROM w, tot
+),
+ranked AS (
+  SELECT source, n_s, w_s, floor_quota, tot_n,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         CAST(10000 - sum(floor_quota) OVER () AS BIGINT) AS leftover
+  FROM shares
+)
+SELECT source, n_s, w_s AS neyman_weight,
+       CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS n_sample,
+       CAST(n_s * 10000 // tot_n AS BIGINT) AS proportional_n
+FROM ranked
+ORDER BY source
+"""
+
+
+@_register("neyman_allocation_plan", _NEYMAN_ORACLE)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: split a 10,000-
+    row sampling budget across sources proportionally to N_s·σ_s —
+    the allocation that minimizes the stratified mean's variance
+    (variable strata get more budget than proportional allocation;
+    compare n_sample vs proportional_n). The weight avoids floats
+    entirely: N_s·σ_s = √(N_s·Σy² − (Σy)²) exactly, via the neighbor-
+    corrected integer square root (isqrt trick shared with
+    `dataset_mix_temperature` — a last-ulp libm sqrt can never skew a
+    weight), and quotas are Hamilton largest-remainder apportioned so
+    they sum EXACTLY to budget. The survey-design upgrade of
+    `stratified_sample_exact` (which executes quotas this entry
+    plans). Scale shape: one mergeable moments rollup per source
+    (count/Σy/Σy²), then all allocation algebra on the |sources|-row
+    frame."""
+    s = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_s"),
+            F.sum("n_chars").cast("long").alias("sy"),
+            F.sum(F.col("n_chars") * F.col("n_chars"))
+            .cast("long")
+            .alias("syy"),
+        )
+    )
+    w = (
+        s.withColumn("ss", F.col("n_s") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .withColumn(
+            "s0", F.floor(F.sqrt(F.col("ss").cast("double"))).cast("long")
+        )
+        .select(
+            "source",
+            "n_s",
+            F.expr(
+                "CASE WHEN (s0 + 1) * (s0 + 1) <= ss THEN s0 + 1"
+                " WHEN s0 * s0 > ss THEN s0 - 1 ELSE s0 END"
+            )
+            .cast("long")
+            .alias("w_s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = w.agg(
+        F.sum("w_s").cast("long").alias("tot_w"),
+        F.sum("n_s").cast("long").alias("tot_n"),
+    )
+    shares = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        "w_s",
+        F.expr("CAST(10000 * w_s div tot_w AS BIGINT)").alias("floor_quota"),
+        F.expr("CAST((10000 * w_s) % tot_w AS BIGINT)").alias("rem"),
+        "tot_n",
+    )
+    spent = shares.agg(F.sum("floor_quota").cast("long").alias("spent"))
+    ranked = shares.crossJoin(F.broadcast(spent)).select(
+        "source",
+        "n_s",
+        "w_s",
+        "floor_quota",
+        "tot_n",
+        F.row_number()
+        .over(W.partitionBy(F.lit(1)).orderBy(F.col("rem").desc(), "source"))
+        .alias("rk"),
+        (F.lit(10000).cast("long") - F.col("spent")).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_s",
+        F.col("w_s").alias("neyman_weight"),
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_sample"),
+        F.expr("CAST(n_s * 10000 div tot_n AS BIGINT)").alias(
+            "proportional_n"
+        ),
+    ).orderBy("source")
+
+
+_PARTITIONER_BALANCE_ORACLE = """
+WITH k AS (SELECT l_suppkey AS key FROM lineitem),
+lanes AS (
+  SELECT 'key_mod' AS partitioner, key % 32 AS bucket FROM k
+  UNION ALL
+  SELECT 'hash_md5',
+         CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 6) AS BIGINT) % 32
+  FROM k
+),
+bc AS (
+  SELECT partitioner, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM lanes GROUP BY 1, 2
+)
+SELECT partitioner,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(min(c) AS BIGINT) AS min_bucket,
+       CAST(max(c) * 32 * 1000000 // sum(c) AS BIGINT) AS max_over_ideal_ppm
+FROM bc
+GROUP BY partitioner
+ORDER BY partitioner
+"""
+
+
+@_register("partitioner_balance_audit", _PARTITIONER_BALANCE_ORACLE)
+def partitioner_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition skew diagnostic: assign every lineitem row to
+    32 buckets under two partitioners — naive key mod 32 (inherits any
+    stride/pattern in the key domain) and an md5 hash lane (the
+    behavior a proper hash partitioner should deliver) — and report
+    per-partitioner max/min bucket occupancy and max-over-ideal in
+    ppm (10⁶ = perfectly balanced). This is the audit you run BEFORE
+    blaming AQE for a straggler: a hot bucket under key_mod that
+    disappears under hash_md5 is a key-pattern problem, one that
+    persists under both is true value skew (a heavy hitter) that
+    needs salting — the partitioner-level companion to
+    `partition_skew_audit` (per-key heavy-hitter shares) and the
+    skew-salting / AQE-skew-join entries. Scale shape: one mergeable (partitioner,
+    bucket) rollup — 64 groups — then a 2-row report; the md5 lane
+    is portable so the audit itself value-checks cross-engine."""
+    k = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("key"))
+    lanes = k.select(
+        F.lit("key_mod").alias("partitioner"),
+        (F.col("key") % 32).cast("long").alias("bucket"),
+    ).unionByName(
+        k.select(
+            F.lit("hash_md5").alias("partitioner"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(key AS STRING)), 1, 6), 16, 10)"
+                " AS BIGINT) % 32"
+            ).alias("bucket"),
+        )
+    )
+    bc = lanes.groupBy("partitioner", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        bc.groupBy("partitioner")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_bucket"),
+            F.min("c").cast("long").alias("min_bucket"),
+            F.expr(
+                "CAST(max(c) * 32 * 1000000 div sum(c) AS BIGINT)"
+            ).alias("max_over_ideal_ppm"),
+        )
+        .orderBy("partitioner")
+    )
+
+
+_CASCADE_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 20 = 0
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst, src FROM e0
+),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+  FROM edges GROUP BY 1
+),
+seeds AS (
+  SELECT node FROM deg
+  QUALIFY row_number() OVER (ORDER BY d DESC, node) <= 2
+),
+a0 AS (SELECT node, 0 AS round FROM seeds),
+f1 AS (
+  SELECT DISTINCT e.dst AS node, 1 AS round
+  FROM edges e
+  JOIN a0 ON a0.node = e.src
+  WHERE CAST('0x' || substr(md5(e.src || '>' || e.dst || ':r1'), 1, 6)
+             AS BIGINT) % 10 < 3
+    AND e.dst NOT IN (SELECT node FROM a0)
+),
+s1 AS (SELECT * FROM a0 UNION ALL SELECT * FROM f1),
+f2 AS (
+  SELECT DISTINCT e.dst AS node, 2 AS round
+  FROM edges e
+  JOIN f1 ON f1.node = e.src
+  WHERE CAST('0x' || substr(md5(e.src || '>' || e.dst || ':r2'), 1, 6)
+             AS BIGINT) % 10 < 3
+    AND e.dst NOT IN (SELECT node FROM s1)
+),
+s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM f2),
+f3 AS (
+  SELECT DISTINCT e.dst AS node, 3 AS round
+  FROM edges e
+  JOIN f2 ON f2.node = e.src
+  WHERE CAST('0x' || substr(md5(e.src || '>' || e.dst || ':r3'), 1, 6)
+             AS BIGINT) % 10 < 3
+    AND e.dst NOT IN (SELECT node FROM s2)
+),
+s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM f3)
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(count(*) AS BIGINT) AS newly_activated,
+       min(node) AS first_node
+FROM s3 GROUP BY round
+ORDER BY round
+"""
+
+
+@_register("influence_cascade_rounds", _CASCADE_ORACLE)
+def influence_cascade_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent-cascade influence propagation on the co-purchase
+    graph, made fully deterministic: seeds are the 2 highest-degree
+    nodes, and an edge (u→v) 'fires' in round r iff
+    md5(u>v:r) mod 10 < 3 — the 0.3 activation probability drawn from
+    a portable hash instead of an RNG, which is what lets a
+    Monte-Carlo diffusion model carry a full cross-engine value oracle
+    (same determinism discipline as `poisson_bootstrap_ci`). Exactly
+    3 synchronous rounds (bounded-k like `sssp_weighted_frontier`);
+    newly-activated counts per round with a witness node. A node
+    activates once — each frontier is anti-joined against the
+    activated set. Scale shape: per round one equi-join (frontier ×
+    edges), the hash gate as a codegen'd projection predicate, and a
+    left-anti join against the activated set; frames
+    localCheckpoint'ed per round. Influence-maximization's inner loop,
+    replayable bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    seeds = (
+        deg.orderBy(F.col("d").desc(), "node")
+        .limit(2)
+        .select("node", F.lit(0).alias("round"))
+        .localCheckpoint(eager=False)
+    )
+    activated = seeds
+    frontier = seeds
+    for r in (1, 2, 3):
+        gate = (
+            F.expr(
+                "CAST(conv(substr(md5(concat(src, '>', dst,"
+                f" ':r{r}')), 1, 6), 16, 10) AS BIGINT) % 10"
+            )
+            < 3
+        )
+        new = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .filter(gate)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(activated.select("node"), "node", "left_anti")
+            .select("node", F.lit(r).alias("round"))
+            .localCheckpoint(eager=False)
+        )
+        activated = activated.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    return (
+        activated.groupBy(F.col("round").cast("long").alias("round"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("newly_activated"),
+            F.min("node").alias("first_node"),
+        )
+        .orderBy("round")
+    )
