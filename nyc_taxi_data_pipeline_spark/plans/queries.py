@@ -18673,3 +18673,465 @@ def influence_cascade_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# ===========================================================================
+# Wave: absorbing-chain funnels, RFM segmentation, readability proxies,
+# item-item collaborative filtering.
+# ===========================================================================
+
+_MARKOV_ABSORB_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT event_type AS s, nxt AS t, CAST(count(*) AS BIGINT) AS c
+  FROM seq
+  WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT s, t,
+         CAST(c * 1000000 // sum(c) OVER (PARTITION BY s) AS BIGINT) AS p_ppm
+  FROM trans
+),
+h1 AS (
+  SELECT s, CAST(coalesce(max(CASE WHEN t = 'purchase' THEN p_ppm END), 0)
+                 AS BIGINT) AS h
+  FROM p GROUP BY s
+),
+h2 AS (
+  SELECT p.s,
+         CAST(h1s.h + coalesce(sum(p.p_ppm * h1t.h // 1000000), 0)
+              AS BIGINT) AS h
+  FROM p
+  JOIN h1 h1s ON h1s.s = p.s
+  LEFT JOIN h1 h1t ON h1t.s = p.t AND p.t <> 'purchase'
+  GROUP BY p.s, h1s.h
+),
+h3 AS (
+  SELECT p.s,
+         CAST(h1s.h + coalesce(sum(p.p_ppm * h2t.h // 1000000), 0)
+              AS BIGINT) AS h
+  FROM p
+  JOIN h1 h1s ON h1s.s = p.s
+  LEFT JOIN h2 h2t ON h2t.s = p.t AND p.t <> 'purchase'
+  GROUP BY p.s, h1s.h
+)
+SELECT h1.s AS state, h1.h AS p_1step_ppm,
+       h2.h AS p_2step_ppm, h3.h AS p_3step_ppm
+FROM h1 JOIN h2 ON h2.s = h1.s JOIN h3 ON h3.s = h1.s
+ORDER BY state
+"""
+
+
+@_register("markov_absorption_3step", _MARKOV_ABSORB_ORACLE)
+def markov_absorption_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov-chain conversion probability: from each
+    non-purchase state, the probability of hitting 'purchase' within
+    1, 2 and 3 transitions — the bounded-horizon form of the
+    fundamental-matrix absorption probability (which needs a matrix
+    inverse; the k-step recursion h_k(s) = p(s→P) + Σ p(s→s')·
+    h_{k-1}(s') needs only joins, and two unrolled iterations on the
+    tiny state×state matrix give a full value oracle — the
+    probability-space upgrade of `event_transition_matrix`'s one-step
+    counts). Transition probabilities are exact ppm integers; each
+    chain product is p_ppm·h_ppm div 10⁶, an identical floor chain on
+    both engines. Scale shape: ONE lead() window per user (a single
+    keyed shuffle) builds transitions, the corpus collapses to the
+    |states|² matrix, and all recursion algebra runs on that
+    broadcast-tiny frame."""
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    trans = (
+        seq.filter(
+            F.col("nxt").isNotNull() & (F.col("event_type") != "purchase")
+        )
+        .groupBy(F.col("event_type").alias("s"), F.col("nxt").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    p = trans.select(
+        "s",
+        "t",
+        F.expr(
+            "CAST(c * 1000000 div sum(c) OVER (PARTITION BY s) AS BIGINT)"
+        ).alias("p_ppm"),
+    ).localCheckpoint(eager=False)
+    h1 = (
+        p.groupBy("s")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("t") == "purchase", F.col("p_ppm"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("h")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def step(prev):
+        h1s = h1.select(F.col("s").alias("js"), F.col("h").alias("h_self"))
+        ht = prev.select(F.col("s").alias("jt"), F.col("h").alias("h_next"))
+        return (
+            p.join(F.broadcast(h1s), F.col("js") == F.col("s"))
+            .join(
+                F.broadcast(ht),
+                (F.col("jt") == F.col("t")) & (F.col("t") != "purchase"),
+                "left",
+            )
+            .groupBy("s", "h_self")
+            .agg(
+                (
+                    F.col("h_self")
+                    + F.coalesce(
+                        F.sum(
+                            F.expr("p_ppm * h_next div 1000000")
+                        ),
+                        F.lit(0),
+                    )
+                )
+                .cast("long")
+                .alias("h")
+            )
+            .select("s", "h")
+            .localCheckpoint(eager=False)
+        )
+
+    h2 = step(h1)
+    h3 = step(h2)
+    return (
+        h1.select(F.col("s").alias("state"), F.col("h").alias("p_1step_ppm"))
+        .join(
+            h2.select(F.col("s").alias("state"), F.col("h").alias("p_2step_ppm")),
+            "state",
+        )
+        .join(
+            h3.select(F.col("s").alias("state"), F.col("h").alias("p_3step_ppm")),
+            "state",
+        )
+        .orderBy("state")
+    )
+
+
+_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+           AS recency,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 10000
+              AS BIGINT) AS monetary_band
+  FROM orders GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+rd AS (
+  SELECT recency AS v, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(count(*)) OVER (ORDER BY recency) - count(*) AS BIGINT)
+           AS cum_before
+  FROM cust GROUP BY recency
+),
+fd AS (
+  SELECT frequency AS v, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(count(*)) OVER (ORDER BY frequency DESC) - count(*)
+              AS BIGINT) AS cum_before
+  FROM cust GROUP BY frequency
+),
+md AS (
+  SELECT monetary_band AS v, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(count(*)) OVER (ORDER BY monetary_band DESC) - count(*)
+              AS BIGINT) AS cum_before
+  FROM cust GROUP BY monetary_band
+),
+scored AS (
+  SELECT c.o_custkey,
+         CAST(1 + r.cum_before * 5 // nn.n AS BIGINT) AS r_score,
+         CAST(1 + f.cum_before * 5 // nn.n AS BIGINT) AS f_score,
+         CAST(1 + m.cum_before * 5 // nn.n AS BIGINT) AS m_score,
+         c.monetary_band
+  FROM cust c
+  JOIN rd r ON r.v = c.recency
+  JOIN fd f ON f.v = c.frequency
+  JOIN md m ON m.v = c.monetary_band
+  CROSS JOIN n nn
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary_band) // count(*) AS BIGINT) AS avg_monetary_band
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@_register("rfm_segmentation", _RFM_ORACLE)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    EXACT rank-quintile scores and no global sort: each dimension's
+    score is 1 + cum_before·5 div n where cum_before comes from a
+    cumulative window over the DISTINCT-VALUE frame (bounded: recency
+    by calendar days, frequency by max order count, monetary by the
+    $100 band), so tied customers always share a score and no task
+    ever sorts the customer table (the same distinct-value-cumulative
+    trick as `rank_sum_auc_by_event_type`; best customers score 1 on
+    every axis — recency ascending, frequency/monetary descending).
+    Output is the segment lattice with sizes and average monetary
+    band — the input table for lifecycle campaigns and the customer
+    analog of `corpus_health_by_source`. Scale shape: one mergeable
+    per-customer rollup, three tiny distinct-value frames broadcast
+    back onto it, one final lattice rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("mxd")
+    )
+    cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("mxd"), F.max(F.col("o_orderdate").cast("date"))
+            )
+            .cast("long")
+            .alias("recency"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " div 10000 AS BIGINT)"
+            ).alias("monetary_band"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def dist_cum(col: str, desc: bool):
+        order = F.col("v").desc() if desc else F.col("v")
+        wc = (
+            W.partitionBy(F.lit(1))
+            .orderBy(order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return (
+            cust.groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .select(
+                "v",
+                (F.sum("c").over(wc) - F.col("c"))
+                .cast("long")
+                .alias("cum_before"),
+            )
+        )
+
+    rd = dist_cum("recency", desc=False)
+    fd = dist_cum("frequency", desc=True)
+    md = dist_cum("monetary_band", desc=True)
+    scored = (
+        cust.join(
+            F.broadcast(rd.withColumnRenamed("cum_before", "rcb")),
+            F.col("v") == F.col("recency"),
+        )
+        .drop("v")
+        .join(
+            F.broadcast(fd.withColumnRenamed("cum_before", "fcb")),
+            F.col("v") == F.col("frequency"),
+        )
+        .drop("v")
+        .join(
+            F.broadcast(md.withColumnRenamed("cum_before", "mcb")),
+            F.col("v") == F.col("monetary_band"),
+        )
+        .drop("v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr("CAST(1 + rcb * 5 div n AS BIGINT)").alias("r_score"),
+            F.expr("CAST(1 + fcb * 5 div n AS BIGINT)").alias("f_score"),
+            F.expr("CAST(1 + mcb * 5 div n AS BIGINT)").alias("m_score"),
+            "monetary_band",
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr(
+                "CAST(sum(monetary_band) div count(*) AS BIGINT)"
+            ).alias("avg_monetary_band"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_READABILITY_ORACLE = """
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT)
+           AS words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)
+           AS syll,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1)
+              AS BIGINT) AS sents
+  FROM documents WHERE text IS NOT NULL
+),
+f AS (
+  SELECT source,
+         CAST(11800 * syll // greatest(words, 1)
+              + 390 * words // sents - 15590 AS BIGINT) AS fk_milli
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(fk_milli) // count(*) AS BIGINT) AS avg_fk_milli,
+       CAST(min(fk_milli) AS BIGINT) AS min_fk_milli,
+       CAST(max(fk_milli) AS BIGINT) AS max_fk_milli
+FROM f GROUP BY source
+ORDER BY source
+"""
+
+
+@_register("readability_proxy_scores", _READABILITY_ORACLE)
+def readability_proxy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style readability grading as an exact-integer
+    text-quality signal: syllables approximated by vowel groups
+    ([aeiouy]+ runs — the standard cheap proxy), sentences by
+    [.!?]+ runs (floored at 1), and the FK grade carried in
+    milli-units as 11800·syll div words + 390·words div sents − 15590
+    — every factor a regexp count, so the score is bit-identical
+    cross-engine (unlike float FK, whose two divisions drift). The
+    readability member of the quality-signal family
+    (`text_stats_documents` length/punct ratios, `charlm_freq_score`
+    fluency, `gopher_repetition` degeneracy) — grade-level screens
+    are a standard pretraining-corpus filter axis. Scale shape: all
+    three counts are codegen'd regexp projections in one scan; one
+    mergeable per-source rollup. No Python, no explode — the arrays
+    are counted, never expanded into rows."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.expr(
+                "CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0))"
+                " AS BIGINT)"
+            ).alias("words"),
+            F.expr(
+                "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+                " AS BIGINT)"
+            ).alias("syll"),
+            F.expr(
+                "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)),"
+                " 1) AS BIGINT)"
+            ).alias("sents"),
+        )
+    )
+    f = d.select(
+        "source",
+        F.expr(
+            "CAST(11800 * syll div greatest(words, 1)"
+            " + 390 * words div sents - 15590 AS BIGINT)"
+        ).alias("fk_milli"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(sum(fk_milli) div count(*) AS BIGINT)").alias(
+                "avg_fk_milli"
+            ),
+            F.min("fk_milli").cast("long").alias("min_fk_milli"),
+            F.max("fk_milli").cast("long").alias("max_fk_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+_ITEMITEM_ORACLE = """
+WITH ui AS (
+  SELECT DISTINCT o.o_custkey AS u, CAST(l.l_partkey % 50 AS BIGINT) AS i
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+pop AS (SELECT i, CAST(count(*) AS BIGINT) AS n_u FROM ui GROUP BY i),
+co AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS dot
+  FROM ui a JOIN ui b ON b.u = a.u AND b.i > a.i
+  GROUP BY 1, 2
+)
+SELECT c.item_a, c.item_b, c.dot,
+       pa.n_u AS n_a, pb.n_u AS n_b,
+       CAST(c.dot * c.dot * 1000000 // (pa.n_u * pb.n_u) AS BIGINT)
+         AS cos2_ppm
+FROM co c
+JOIN pop pa ON pa.i = c.item_a
+JOIN pop pb ON pb.i = c.item_b
+ORDER BY cos2_ppm DESC, c.item_a, c.item_b
+LIMIT 20
+"""
+
+
+@_register("itemitem_collaborative_topk", _ITEMITEM_ORACLE)
+def itemitem_collaborative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over binary purchase vectors:
+    similarity between part categories = cosine over the customer
+    dimension, carried EXACTLY as cos² in ppm (dot²·10⁶ div
+    (n_a·n_b) — dot and both norms are counts, so the squared cosine
+    needs no sqrt and the recommender's similarity table itself
+    value-checks; ordering by cos² equals ordering by cosine). The
+    'customers who bought X also bought Y' backbone — cosine
+    normalization, unlike `basket_pair_affinity`'s lift, does not
+    over-reward rare coincidences between unpopular items. Scale
+    shape: the user×item frame is deduplicated once; co-occurrence is
+    the per-user pair self-equi-join (C(items-per-user, 2) bounded);
+    popularity is a broadcast; top-20 is TakeOrderedAndProject.
+    BIGINT holds to ~sf1 (dot²·10⁶ ≤ n_users²·10⁶); DECIMAL lanes
+    beyond."""
+    ui = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_partkey") % 50).cast("long").alias("i"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pop = ui.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n_u"))
+    co = (
+        ui.select("u", F.col("i").alias("item_a"))
+        .join(ui.select("u", F.col("i").alias("item_b")), "u")
+        .filter(F.col("item_b") > F.col("item_a"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("dot"))
+    )
+    return (
+        co.join(
+            F.broadcast(pop.select(F.col("i").alias("item_a"),
+                                   F.col("n_u").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(pop.select(F.col("i").alias("item_b"),
+                                   F.col("n_u").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "dot",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(dot * dot * 1000000 div (n_a * n_b) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+        .orderBy(F.col("cos2_ppm").desc(), "item_a", "item_b")
+        .limit(20)
+    )

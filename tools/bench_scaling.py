@@ -69,6 +69,35 @@ ENTRIES = [
     "knn_label_eval",
     "decayed_topk_trending",
     "diversity_simpson_by_source",
+    # round-3 analytics/ML-eval waves (monitoring, graph rounds, causal,
+    # bootstrap, rules, fusion)
+    "cusum_changepoint_screen",
+    "rank_sum_auc_by_event_type",
+    "label_propagation_communities",
+    "kcore_decomposition",
+    "one_rule_classifier_eval",
+    "dataset_mix_temperature",
+    "naive_bayes_lang_eval",
+    "nelson_aalen_hazard",
+    "apriori_frequent_triples",
+    "hits_hub_authority",
+    "calibration_reliability_bins",
+    "gini_gain_feature_ranking",
+    "ks_test_two_sample",
+    "association_rules_from_triples",
+    "poisson_bootstrap_ci",
+    "delta_encoding_compression_audit",
+    "difference_in_differences",
+    "stratified_ate_adjustment",
+    "mann_kendall_theil_sen",
+    "cramers_v2_matrix",
+    "kanonymity_risk_audit",
+    "reciprocal_rank_fusion",
+    "shapley_channel_attribution",
+    "two_proportion_ab_test",
+    "neyman_allocation_plan",
+    "partitioner_balance_audit",
+    "influence_cascade_rounds",
 ]
 
 
