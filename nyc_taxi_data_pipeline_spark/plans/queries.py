@@ -19135,3 +19135,542 @@ def itemitem_collaborative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos2_ppm").desc(), "item_a", "item_b")
         .limit(20)
     )
+
+
+# ===========================================================================
+# Wave: ranked-model gains, retrieval evaluation, density clustering,
+# financial bridge decomposition.
+# ===========================================================================
+
+_GAINS_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+train AS (SELECT * FROM docs WHERE (doc_id // 20) % 2 = 0),
+test  AS (SELECT * FROM docs WHERE (doc_id // 20) % 2 = 1),
+rate AS (
+  SELECT source, CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS p_ppm
+  FROM train GROUP BY 1
+),
+grate AS (
+  SELECT CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS g_ppm FROM train
+),
+scored AS (
+  SELECT t.y, coalesce(r.p_ppm, g.g_ppm) AS score
+  FROM test t LEFT JOIN rate r ON r.source = t.source CROSS JOIN grate g
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM scored
+),
+byscore AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score, c, pos,
+         CAST(sum(c) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n,
+         CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS cum_pos
+  FROM byscore
+)
+SELECT cu.score AS score_ppm, cu.c AS n_docs, cu.pos AS n_pos,
+       cu.cum_n, cu.cum_pos,
+       CAST(cu.cum_n * 1000000 // t.n AS BIGINT) AS population_share_ppm,
+       CAST(cu.cum_pos * 1000000 // t.n_pos AS BIGINT) AS captured_share_ppm,
+       CAST(cu.cum_pos * t.n * 1000000 // (t.n_pos * cu.cum_n) AS BIGINT)
+         AS lift_ppm
+FROM cum cu, tot t
+ORDER BY score_ppm DESC
+"""
+
+
+@_register("cumulative_gains_deciles", _GAINS_ORACLE)
+def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift curve for a ranked classifier — the
+    DISCRIMINATION readout next to `calibration_reliability_bins`'
+    calibration readout (a model can be well-calibrated and useless
+    for targeting, or sharp but miscalibrated; you need both curves).
+    Test docs are ranked by the train-learned per-source P(en) score;
+    at each distinct score threshold the curve reports the cumulative
+    population share vs the cumulative captured-positives share and
+    their ratio (lift, 10⁶ = random targeting). Everything is exact:
+    counts, ppm shares, and lift = cum_pos·n·10⁶ div (n_pos·cum_n).
+    Scale shape: scoring is a broadcast join; the curve collapses to
+    the DISTINCT-SCORE frame (bounded by |sources|) whose cumulative
+    windows are tiny by construction; the totals are a 1-row
+    broadcast."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    train = docs.filter(F.expr("(doc_id div 20) % 2") == 0).localCheckpoint(
+        eager=False
+    )
+    test = docs.filter(F.expr("(doc_id div 20) % 2") == 1)
+    rate = train.groupBy("source").agg(
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias("p_ppm")
+    )
+    grate = train.agg(
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias("g_ppm")
+    )
+    scored = (
+        test.join(F.broadcast(rate), "source", "left")
+        .crossJoin(F.broadcast(grate))
+        .select(
+            "y", F.coalesce(F.col("p_ppm"), F.col("g_ppm")).alias("score")
+        )
+    )
+    scored = scored.localCheckpoint(eager=False)
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    byscore = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wdesc = (
+        W.partitionBy(F.lit(1))
+        .orderBy(F.col("score").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = byscore.select(
+        "score",
+        "c",
+        "pos",
+        F.sum("c").over(wdesc).cast("long").alias("cum_n"),
+        F.sum("pos").over(wdesc).cast("long").alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("score_ppm"),
+            F.col("c").alias("n_docs"),
+            F.col("pos").alias("n_pos"),
+            "cum_n",
+            "cum_pos",
+            F.expr("CAST(cum_n * 1000000 div n AS BIGINT)").alias(
+                "population_share_ppm"
+            ),
+            F.expr("CAST(cum_pos * 1000000 div n_pos AS BIGINT)").alias(
+                "captured_share_ppm"
+            ),
+            F.expr(
+                "CAST(cum_pos * n * 1000000 div (n_pos * cum_n) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("score_ppm").desc())
+    )
+
+
+_PREC_AT_K_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term,
+         len(regexp_extract_all(lower(text), '[a-z]+', 0)) AS dl
+  FROM documents WHERE text IS NOT NULL
+),
+matched AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS tot_tf,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(max(dl) AS BIGINT) AS dl
+  FROM toks WHERE term IN ('join', 'vector', 'stream')
+  GROUP BY doc_id
+),
+rel AS (SELECT doc_id FROM matched WHERE n_terms >= 2),
+nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+a AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tot_tf DESC, doc_id) AS rk
+  FROM matched QUALIFY rk <= 50
+),
+b AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_terms DESC, dl, doc_id) AS rk
+  FROM matched QUALIFY rk <= 50
+),
+fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CAST(coalesce(1000000 // (60 + a.rk), 0)
+              + coalesce(1000000 // (60 + b.rk), 0) AS BIGINT) AS s
+  FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id
+),
+f AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+  FROM fused QUALIFY rk <= 50
+),
+tops AS (
+  SELECT 'tf' AS ranking, doc_id FROM a WHERE rk <= 10
+  UNION ALL
+  SELECT 'coverage', doc_id FROM b WHERE rk <= 10
+  UNION ALL
+  SELECT 'rrf_fused', doc_id FROM f WHERE rk <= 10
+)
+SELECT t.ranking,
+       CAST(10 AS BIGINT) AS k,
+       n.n_relevant,
+       CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits,
+       CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // 10 AS BIGINT) AS p_at_k_ppm,
+       CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // n.n_relevant AS BIGINT) AS r_at_k_ppm
+FROM tops t
+LEFT JOIN rel r ON r.doc_id = t.doc_id
+CROSS JOIN nrel n
+GROUP BY t.ranking, n.n_relevant
+ORDER BY t.ranking
+"""
+
+
+@_register("retrieval_precision_at_k", _PREC_AT_K_ORACLE)
+def retrieval_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 / Recall@10 for the three retrieval strategies of
+    `reciprocal_rank_fusion` (term-frequency ranking, coverage
+    ranking, and their RRF fusion) against a declared relevance set
+    (docs matching ≥2 distinct query terms) — the evaluation harness
+    that justifies WHY one fuses: the fused list's P@k should not be
+    worse than the better single ranking. All ranks, hits and ppm
+    metrics are exact integers, so the IR evaluation itself
+    value-checks (the lexical analog of `ann_recall_eval`). Scale
+    shape: the match stats are one term-filtered mergeable rollup;
+    every ranking is a top-50 TakeOrderedAndProject + a tiny-frame
+    row_number; the eval is a semi-join of 30 ranked rows against the
+    relevance set."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    matched = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "regexp_extract_all(lower(text), '[a-z]+', 0)"
+            ).alias("arr"),
+        )
+        .select(
+            "doc_id",
+            F.size("arr").cast("long").alias("dl"),
+            F.explode("arr").alias("term"),
+        )
+        .filter(F.col("term").isin(["join", "vector", "stream"]))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tot_tf"),
+            F.countDistinct("term").cast("long").alias("n_terms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rel = matched.filter(F.col("n_terms") >= 2).select("doc_id")
+    rel = rel.localCheckpoint(eager=False)
+    nrel = rel.agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+
+    def ranked(df, order_cols, name):
+        return (
+            df.orderBy(*order_cols)
+            .limit(50)
+            .localCheckpoint(eager=False)
+            .select(
+                "doc_id",
+                F.row_number()
+                .over(W.partitionBy(F.lit(1)).orderBy(*order_cols))
+                .alias("rk"),
+            )
+        )
+
+    a = ranked(matched, [F.col("tot_tf").desc(), F.col("doc_id")], "tf")
+    b = ranked(
+        matched,
+        [F.col("n_terms").desc(), F.col("dl"), F.col("doc_id")],
+        "coverage",
+    )
+    fused = (
+        a.select("doc_id", F.col("rk").alias("ra"))
+        .join(
+            b.select("doc_id", F.col("rk").alias("rb")), "doc_id", "full_outer"
+        )
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.expr("1000000 div (60 + ra)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 div (60 + rb)"), F.lit(0))
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    f = ranked(fused, [F.col("s").desc(), F.col("doc_id")], "rrf")
+    tops = (
+        a.filter(F.col("rk") <= 10)
+        .select(F.lit("tf").alias("ranking"), "doc_id")
+        .unionByName(
+            b.filter(F.col("rk") <= 10).select(
+                F.lit("coverage").alias("ranking"), "doc_id"
+            )
+        )
+        .unionByName(
+            f.filter(F.col("rk") <= 10).select(
+                F.lit("rrf_fused").alias("ranking"), "doc_id"
+            )
+        )
+    )
+    hit = rel.select("doc_id", F.lit(1).alias("is_rel"))
+    return (
+        tops.join(F.broadcast(hit), "doc_id", "left")
+        .crossJoin(F.broadcast(nrel))
+        .groupBy("ranking", "n_relevant")
+        .agg(
+            F.sum(F.coalesce(F.col("is_rel"), F.lit(0)))
+            .cast("long")
+            .alias("hits")
+        )
+        .select(
+            "ranking",
+            F.lit(10).cast("long").alias("k"),
+            "n_relevant",
+            "hits",
+            F.expr("CAST(hits * 1000000 div 10 AS BIGINT)").alias(
+                "p_at_k_ppm"
+            ),
+            F.expr("CAST(hits * 1000000 div n_relevant AS BIGINT)").alias(
+                "r_at_k_ppm"
+            ),
+        )
+        .orderBy("ranking")
+    )
+
+
+_GRID_DBSCAN_ORACLE = """
+WITH pts AS (
+  SELECT vec_id,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 20) AS BIGINT) AS gx,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) * 20) AS BIGINT) AS gy
+  FROM embeddings
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+cells AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2
+),
+core AS (
+  SELECT gx, gy, c,
+         (gx + 100) * 1000 + (gy + 100) AS cell_id
+  FROM cells, n WHERE c >= greatest(n // 100, 2)
+),
+adj AS (
+  SELECT a.cell_id AS u, b.cell_id AS v
+  FROM core a JOIN core b
+    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+),
+l0 AS (SELECT cell_id AS node, cell_id AS lbl FROM core),
+l1 AS (
+  SELECT e.v AS node, CAST(min(l.lbl) AS BIGINT) AS lbl
+  FROM adj e JOIN l0 l ON l.node = e.u GROUP BY e.v
+),
+l2 AS (
+  SELECT e.v AS node, CAST(min(l.lbl) AS BIGINT) AS lbl
+  FROM adj e JOIN l1 l ON l.node = e.u GROUP BY e.v
+),
+l3 AS (
+  SELECT e.v AS node, CAST(min(l.lbl) AS BIGINT) AS lbl
+  FROM adj e JOIN l2 l ON l.node = e.u GROUP BY e.v
+)
+SELECT l3.lbl AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(core.c) AS BIGINT) AS n_points
+FROM l3 JOIN core ON core.cell_id = l3.node
+GROUP BY l3.lbl
+ORDER BY n_points DESC, cluster_id
+LIMIT 15
+"""
+
+
+@_register("grid_density_clusters", _GRID_DBSCAN_ORACLE)
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density clustering (the DBSCAN-family shape that
+    scales: GRIDCLUS/STING-style): embed points onto an integer lattice
+    (floor of the first two embedding coordinates ×20 — float→grid is
+    a single IEEE multiply+floor, identical cross-engine), keep CORE
+    cells with at least max(n div 100, 2) points (density threshold
+    scale-relative, threaded as a broadcast column), and merge
+    8-neighbor-adjacent core cells into clusters by 3 rounds of
+    synchronous min-label propagation (bounded-k, same oracle
+    discipline as `label_propagation_communities`; the cell graph is
+    tiny so 3 rounds is its diameter here). Noise points — cells under
+    the threshold — are excluded, which is DBSCAN's defining
+    difference from k-means (`semantic_dedup_clusters`). Scale shape:
+    the corpus collapses to the cell rollup (one mergeable agg); the
+    adjacency self-join and CC rounds run on the bounded core-cell
+    frame only."""
+    pts = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 20)"
+            " AS BIGINT)"
+        ).alias("gx"),
+        F.expr(
+            "CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 20)"
+            " AS BIGINT)"
+        ).alias("gy"),
+    )
+    n = pts.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = pts.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    core = (
+        cells.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("c")
+            >= F.greatest(F.expr("n div 100"), F.lit(2).cast("long"))
+        )
+        .select(
+            "gx",
+            "gy",
+            "c",
+            ((F.col("gx") + 100) * 1000 + (F.col("gy") + 100)).alias(
+                "cell_id"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = core.select(
+        F.col("gx").alias("ax"), F.col("gy").alias("ay"),
+        F.col("cell_id").alias("u"),
+    )
+    b = core.select(
+        F.col("gx").alias("bx"), F.col("gy").alias("by"),
+        F.col("cell_id").alias("v"),
+    )
+    adj = (
+        a.join(
+            b,
+            (F.abs(F.col("ax") - F.col("bx")) <= 1)
+            & (F.abs(F.col("ay") - F.col("by")) <= 1),
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    labels = core.select(
+        F.col("cell_id").alias("node"), F.col("cell_id").alias("lbl")
+    )
+    for _ in range(3):
+        labels = (
+            adj.join(labels, adj["u"] == labels["node"])
+            .groupBy(adj["v"].alias("node"))
+            .agg(F.min("lbl").cast("long").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.join(
+            core.select(F.col("cell_id").alias("node"), "c"), "node"
+        )
+        .groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("c").cast("long").alias("n_points"),
+        )
+        .orderBy(F.col("n_points").desc(), "cluster_id")
+        .limit(15)
+    )
+
+
+_REV_BRIDGE_ORACLE = """
+WITH mid AS (
+  SELECT (min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) // 2
+           AS mid_us
+  FROM orders
+),
+li AS (
+  SELECT CAST(l.l_partkey % 50 AS BIGINT) AS category,
+         CASE WHEN epoch_us(o.o_orderdate) < m.mid_us THEN 1 ELSE 2 END
+           AS period,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey, mid m
+),
+per AS (
+  SELECT category,
+         CAST(sum(CASE WHEN period = 1 THEN qty END) AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN period = 2 THEN qty END) AS BIGINT) AS q2,
+         CAST(sum(CASE WHEN period = 1 THEN cents END) AS BIGINT) AS r1,
+         CAST(sum(CASE WHEN period = 2 THEN cents END) AS BIGINT) AS r2
+  FROM li GROUP BY category
+),
+ok AS (
+  SELECT * FROM per
+  WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q1 > 0
+)
+SELECT category, q1, q2, r1, r2,
+       CAST(r2 - r1 AS BIGINT) AS delta_rev_cents,
+       CAST((q2 - q1) * (r1 * 1000 // q1) // 1000 AS BIGINT)
+         AS volume_effect_cents,
+       CAST((r2 - r1) - ((q2 - q1) * (r1 * 1000 // q1) // 1000) AS BIGINT)
+         AS price_mix_effect_cents
+FROM ok
+ORDER BY category
+"""
+
+
+@_register("revenue_bridge_decomposition", _REV_BRIDGE_ORACLE)
+def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (waterfall) decomposition per part category
+    between the first and second half of the order timeline: the
+    revenue delta splits into a VOLUME effect (quantity change at the
+    old average unit price, the price carried as an exact milli-cent
+    integer r1·1000 div q1) and a PRICE/MIX effect defined as the
+    residual — the standard FP&A convention that makes the bridge
+    ADDITIVE BY CONSTRUCTION (volume + price/mix = Δrevenue exactly,
+    floor-divs and all), which is the property finance reviewers
+    actually check. The why-did-the-metric-move companion to
+    `yoy_revenue_growth` (which only says THAT it moved). Scale shape:
+    one broadcast midpoint, one mergeable (category, period)
+    conditional rollup, all bridge algebra on the 50-row category
+    frame."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # o_orderdate may read as TIMESTAMP_NTZ; unix_micros rejects NTZ.
+    # The cast's session-tz offset shifts min/max/mid and every row
+    # equally, so the period comparison is offset-invariant.
+    od_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    mid = o.agg(
+        ((F.min(od_us) + F.max(od_us)) / F.lit(2))
+        .cast("long")
+        .alias("mid_us")
+    )
+    rows = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .crossJoin(F.broadcast(mid))
+        .select(
+            (F.col("l_partkey") % 50).cast("long").alias("category"),
+            F.when(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                < F.col("mid_us"),
+                1,
+            )
+            .otherwise(2)
+            .alias("period"),
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    per = rows.groupBy("category").agg(
+        F.sum(F.when(F.col("period") == 1, F.col("qty"))).cast("long").alias("q1"),
+        F.sum(F.when(F.col("period") == 2, F.col("qty"))).cast("long").alias("q2"),
+        F.sum(F.when(F.col("period") == 1, F.col("cents"))).cast("long").alias("r1"),
+        F.sum(F.when(F.col("period") == 2, F.col("cents"))).cast("long").alias("r2"),
+    )
+    ok = per.filter(
+        F.col("q1").isNotNull() & F.col("q2").isNotNull() & (F.col("q1") > 0)
+    )
+    vol = "(q2 - q1) * (r1 * 1000 div q1) div 1000"
+    return ok.select(
+        "category",
+        "q1",
+        "q2",
+        "r1",
+        "r2",
+        (F.col("r2") - F.col("r1")).cast("long").alias("delta_rev_cents"),
+        F.expr(f"CAST({vol} AS BIGINT)").alias("volume_effect_cents"),
+        F.expr(f"CAST((r2 - r1) - ({vol}) AS BIGINT)").alias(
+            "price_mix_effect_cents"
+        ),
+    ).orderBy("category")

@@ -98,6 +98,14 @@ ENTRIES = [
     "neyman_allocation_plan",
     "partitioner_balance_audit",
     "influence_cascade_rounds",
+    "cumulative_gains_deciles",
+    "retrieval_precision_at_k",
+    "grid_density_clusters",
+    "revenue_bridge_decomposition",
+    "markov_absorption_3step",
+    "rfm_segmentation",
+    "readability_proxy_scores",
+    "itemitem_collaborative_topk",
 ]
 
 
