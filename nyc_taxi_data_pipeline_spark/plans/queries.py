@@ -19674,3 +19674,327 @@ def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_mix_effect_cents"
         ),
     ).orderBy("category")
+
+
+# ===========================================================================
+# Wave: cohort LTV, SRE burn-rate alerting, ABC inventory classes.
+# ===========================================================================
+
+_LTV_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first_m AS (
+  SELECT o_custkey, CAST(min(idx) AS BIGINT) AS cohort_idx FROM o GROUP BY 1
+),
+sized AS (
+  SELECT cohort_idx, CAST(count(*) AS BIGINT) AS n_customers
+  FROM first_m GROUP BY 1
+),
+aged AS (
+  SELECT f.cohort_idx, CAST(o.idx - f.cohort_idx AS BIGINT) AS age,
+         CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+  FROM o JOIN first_m f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_idx, age, revenue_cents,
+         CAST(sum(revenue_cents)
+              OVER (PARTITION BY cohort_idx ORDER BY age) AS BIGINT)
+           AS cum_revenue_cents
+  FROM aged
+)
+SELECT c.cohort_idx, c.age, s.n_customers, c.revenue_cents,
+       c.cum_revenue_cents,
+       CAST(c.cum_revenue_cents // s.n_customers AS BIGINT)
+         AS ltv_cents_per_customer
+FROM cum c JOIN sized s ON s.cohort_idx = c.cohort_idx
+ORDER BY c.cohort_idx, c.age
+"""
+
+
+@_register("cohort_ltv_curves", _LTV_ORACLE)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value accumulation curves: customers grouped by
+    first-order month (cohort key = year·12+month, a pure integer so
+    both engines agree without any months_between semantics), revenue
+    accumulated by months-since-first-order, and per-customer LTV as
+    exact cents floor-div cohort size. The MONETARY counterpart of the
+    cohort retention matrix (that entry counts who comes back; this
+    one sums what they spend — the curve whose asymptote sets
+    acquisition budgets). Scale shape: one per-customer min rollup,
+    one (cohort, age) mergeable revenue rollup, a cumulative window
+    per cohort over the bounded age frame, cohort sizes broadcast."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("idx"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    ).localCheckpoint(eager=False)
+    first_m = o.groupBy("o_custkey").agg(
+        F.min("idx").cast("long").alias("cohort_idx")
+    )
+    first_m = first_m.localCheckpoint(eager=False)
+    sized = first_m.groupBy("cohort_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    aged = (
+        o.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort_idx",
+            (F.col("idx") - F.col("cohort_idx")).cast("long").alias("age"),
+        )
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    wcum = (
+        W.partitionBy("cohort_idx")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = aged.select(
+        "cohort_idx",
+        "age",
+        "revenue_cents",
+        F.sum("revenue_cents").over(wcum).cast("long").alias(
+            "cum_revenue_cents"
+        ),
+    )
+    return (
+        cum.join(F.broadcast(sized), "cohort_idx")
+        .select(
+            "cohort_idx",
+            "age",
+            "n_customers",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr(
+                "CAST(cum_revenue_cents div n_customers AS BIGINT)"
+            ).alias("ltv_cents_per_customer"),
+        )
+        .orderBy("cohort_idx", "age")
+    )
+
+
+_SLO_BURN_ORACLE = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+rates AS (
+  SELECT hour_idx, n_events, n_errors,
+         CAST(n_errors * 1000000 // n_events AS BIGINT) AS rate_1h_ppm,
+         CAST(sum(n_errors) OVER w6 * 1000000 // sum(n_events) OVER w6
+              AS BIGINT) AS rate_6h_ppm
+  FROM h
+  WINDOW w6 AS (ORDER BY hour_idx RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+),
+burn AS (
+  SELECT hour_idx, n_events, n_errors, rate_1h_ppm, rate_6h_ppm,
+         CAST(rate_1h_ppm * 100 // 20000 AS BIGINT) AS burn_1h_centi,
+         CAST(rate_6h_ppm * 100 // 20000 AS BIGINT) AS burn_6h_centi
+  FROM rates
+)
+SELECT hour_idx, n_events, n_errors, rate_1h_ppm, rate_6h_ppm,
+       burn_1h_centi, burn_6h_centi,
+       CASE WHEN burn_1h_centi >= 1440 AND burn_6h_centi >= 600
+            THEN 1 ELSE 0 END AS page_alert,
+       CASE WHEN burn_1h_centi >= 600 AND burn_6h_centi >= 300
+            THEN 1 ELSE 0 END AS ticket_alert
+FROM burn
+ORDER BY burn_1h_centi DESC, hour_idx
+LIMIT 20
+"""
+
+
+@_register("slo_burn_rate_alerts", _SLO_BURN_ORACLE)
+def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO error-budget burn-rate alerting (the SRE
+    workbook rule): hourly error ratios against a 2% error budget,
+    with the 6-hour trailing window computed by a RANGE frame over the
+    integer hour index — a gap-correct time window (missing hours
+    shrink the frame; a rows-frame would silently look further back).
+    Burn = rate/budget carried as exact centi-multiples
+    (rate_ppm·100 div 20000); the page rule fires only when BOTH the
+    fast (14.4×) and slow (6×) windows burn — the two-window AND is
+    what kills flappy paging, and here the whole alert decision
+    value-checks cross-engine. Top-20 hours by fast burn, flags
+    alongside. Scale shape: the stream collapses to one per-hour
+    mergeable rollup; windows run over the bounded hour frame;
+    TakeOrderedAndProject caps output."""
+    h = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
+    w6 = (
+        W.partitionBy(F.lit(1))
+        .orderBy("hour_idx")
+        .rangeBetween(-5, 0)
+    )
+    # the 6h rate needs integer div of two window sums — compute both
+    # sums first, then divide in a projection
+    rates = h.select(
+        "hour_idx",
+        "n_events",
+        "n_errors",
+        F.expr("CAST(n_errors * 1000000 div n_events AS BIGINT)").alias(
+            "rate_1h_ppm"
+        ),
+        F.sum("n_errors").over(w6).cast("long").alias("e6"),
+        F.sum("n_events").over(w6).cast("long").alias("n6"),
+    ).select(
+        "hour_idx",
+        "n_events",
+        "n_errors",
+        "rate_1h_ppm",
+        F.expr("CAST(e6 * 1000000 div n6 AS BIGINT)").alias("rate_6h_ppm"),
+    )
+    burn = rates.select(
+        "hour_idx",
+        "n_events",
+        "n_errors",
+        "rate_1h_ppm",
+        "rate_6h_ppm",
+        F.expr("CAST(rate_1h_ppm * 100 div 20000 AS BIGINT)").alias(
+            "burn_1h_centi"
+        ),
+        F.expr("CAST(rate_6h_ppm * 100 div 20000 AS BIGINT)").alias(
+            "burn_6h_centi"
+        ),
+    )
+    return (
+        burn.select(
+            "*",
+            F.when(
+                (F.col("burn_1h_centi") >= 1440)
+                & (F.col("burn_6h_centi") >= 600),
+                1,
+            )
+            .otherwise(0)
+            .alias("page_alert"),
+            F.when(
+                (F.col("burn_1h_centi") >= 600)
+                & (F.col("burn_6h_centi") >= 300),
+                1,
+            )
+            .otherwise(0)
+            .alias("ticket_alert"),
+        )
+        .orderBy(F.col("burn_1h_centi").desc(), "hour_idx")
+        .limit(20)
+    )
+
+
+_ABC_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM per_part),
+ranked AS (
+  SELECT l_partkey, rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS BIGINT)
+           AS cum_rev,
+         row_number() OVER (ORDER BY rev DESC, l_partkey) AS rk
+  FROM per_part
+),
+classed AS (
+  SELECT r.*,
+         CASE WHEN (r.cum_rev - r.rev) * 100 < t.total * 80 THEN 'A'
+              WHEN (r.cum_rev - r.rev) * 100 < t.total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         t.total
+  FROM ranked r, tot t
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents,
+       CAST(sum(rev) * 1000000 // total AS BIGINT) AS revenue_share_ppm,
+       CAST(min(rk) AS BIGINT) AS first_rank,
+       CAST(max(rk) AS BIGINT) AS last_rank
+FROM classed
+GROUP BY abc_class, total
+ORDER BY abc_class
+"""
+
+
+@_register("abc_pareto_classification", _ABC_ORACLE)
+def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by revenue: a
+    part is class A while the revenue accumulated BEFORE it is under
+    80% of total, B under 95%, else C — the boundary test is the
+    cross-multiplied integer comparison (cum−own)·100 < total·k, so
+    class assignment is exact (a ppm-rounded share would misclassify
+    boundary parts). The classic skewness readout operationalized:
+    `gini_concentration_by_segment` measures concentration,
+    `partition_skew_audit` finds hot keys, this entry hands ops the
+    actual A/B/C lists. Scale shape: one mergeable per-part rollup;
+    the cumulative window runs over the part frame (bounded by the
+    part-catalog size, not the fact table — documented tiny-frame
+    single-partition class); total is a 1-row broadcast."""
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per_part.agg(F.sum("rev").cast("long").alias("total"))
+    wr = W.partitionBy(F.lit(1)).orderBy(F.col("rev").desc(), "l_partkey")
+    ranked = per_part.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev")
+        .over(wr.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum_rev"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.when((F.col("cum_rev") - F.col("rev")) * 100 < F.col("total") * 80, "A")
+        .when((F.col("cum_rev") - F.col("rev")) * 100 < F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class", "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+            F.expr("CAST(sum(rev) * 1000000 div total AS BIGINT)").alias(
+                "revenue_share_ppm"
+            ),
+            F.min("rk").cast("long").alias("first_rank"),
+            F.max("rk").cast("long").alias("last_rank"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue_cents",
+            "revenue_share_ppm",
+            "first_rank",
+            "last_rank",
+        )
+        .orderBy("abc_class")
+    )

@@ -106,6 +106,9 @@ ENTRIES = [
     "rfm_segmentation",
     "readability_proxy_scores",
     "itemitem_collaborative_topk",
+    "cohort_ltv_curves",
+    "slo_burn_rate_alerts",
+    "abc_pareto_classification",
 ]
 
 

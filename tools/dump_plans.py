@@ -58,6 +58,15 @@ FLAGSHIPS = [
     "record_linkage_fs_scoring",  # blocked equi candidate join + integer FS weights
     "join_size_sketch_estimate",  # two 1024-counter sketch aggs + tiny inner product
     "sssp_weighted_frontier",   # bounded Bellman-Ford: relax join + min-agg per round
+    # round-3 analytics/ML-eval wave flagships
+    "cusum_changepoint_screen",  # CUSUM closed form: two windows, one shuffle
+    "apriori_frequent_triples",  # level-wise prune: L1/L2 semi-joins + candidate broadcast
+    "poisson_bootstrap_ci",      # 64x explode -> ONE partial-agg shuffle to (group, replicate)
+    "naive_bayes_lang_eval",     # broadcast model tables onto the test scan + argmax window
+    "shapley_channel_attribution",  # per-user bitmask rollup -> 8-row coalition algebra
+    "grid_density_clusters",     # cell rollup -> bounded core-cell CC rounds
+    "rfm_segmentation",          # distinct-value cumulative frames, no global sort
+    "itemitem_collaborative_topk",  # per-user pair join + broadcast norms + TakeOrdered
 ]
 
 
