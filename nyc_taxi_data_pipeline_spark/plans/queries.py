@@ -19998,3 +19998,312 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ===========================================================================
+# Wave: skip-gram co-occurrence, experiment design, permutation testing.
+# ===========================================================================
+
+_SKIPGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term, CAST(t.pos AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term,
+           generate_subscripts(
+             regexp_extract_all(lower(text), '[a-z]+', 0), 1) AS pos
+    FROM documents WHERE text IS NOT NULL
+  ) AS t(doc_id, term, pos)
+),
+freq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+  QUALIFY row_number() OVER (ORDER BY c DESC, term) <= 200
+),
+ft AS (
+  SELECT tk.doc_id, tk.term, tk.pos
+  FROM toks tk JOIN freq f ON f.term = tk.term
+),
+pairs AS (
+  SELECT a.term AS center, b.term AS context,
+         CAST(count(*) AS BIGINT) AS n_cooc
+  FROM ft a JOIN ft b
+    ON b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+   AND b.pos <> a.pos
+  GROUP BY 1, 2
+)
+SELECT center, context, n_cooc
+FROM pairs
+ORDER BY n_cooc DESC, center, context
+LIMIT 30
+"""
+
+
+@_register("skipgram_pair_counts", _SKIPGRAM_ORACLE)
+def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts with a ±2 token
+    window over the top-200 vocabulary — the sufficient statistics
+    behind word2vec/GloVe-style embedding training (the co-occurrence
+    matrix IS the training set; negative sampling draws against the
+    same frequency table). Positions come from posexplode, the window
+    is a position-range self-equi-join on doc_id (never a cross join
+    — per-doc pair work is 4·doc_len, linear), and the vocabulary
+    prune runs BEFORE the pair join so rare-token pairs never
+    materialize. Top pairs by count. Scale shape: one tokenize scan,
+    a broadcast vocabulary semi-join, the per-doc position join, one
+    mergeable pair rollup, TakeOrderedAndProject."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("pos0", "term"),
+        )
+        .select(
+            "doc_id", "term", (F.col("pos0") + 1).cast("long").alias("pos")
+        )
+        .localCheckpoint(eager=False)
+    )
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(200)
+        .select("term")
+    )
+    ft = toks.join(F.broadcast(freq), "term", "left_semi").localCheckpoint(
+        eager=False
+    )
+    a = ft.select(
+        "doc_id", F.col("term").alias("center"), F.col("pos").alias("pa")
+    )
+    b = ft.select(
+        "doc_id", F.col("term").alias("context"), F.col("pos").alias("pb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("pb") >= F.col("pa") - 2)
+            & (F.col("pb") <= F.col("pa") + 2)
+            & (F.col("pb") != F.col("pa"))
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
+    )
+    return pairs.orderBy(
+        F.col("n_cooc").desc(), "center", "context"
+    ).limit(30)
+
+
+_SAMPLE_SIZE_ORACLE = """
+WITH base AS (
+  SELECT CAST(sum(CASE WHEN conv = 1 THEN 1 ELSE 0 END) * 1000000
+              // count(*) AS BIGINT) AS p_ppm,
+         CAST(count(*) AS BIGINT) AS n_now
+  FROM (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > 450
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+  )
+),
+grid AS (SELECT CAST(unnest([10000, 20000, 30000, 40000, 50000]) AS BIGINT)
+                AS mde_ppm)
+SELECT g.mde_ppm, b.p_ppm AS baseline_ppm, b.n_now,
+       CAST(2 * 78848 * (b.p_ppm * (1000000 - b.p_ppm) // 1000000)
+            // (g.mde_ppm * g.mde_ppm // 10000) AS BIGINT)
+         AS n_per_arm_required,
+       CASE WHEN b.n_now / 2
+               >= 2 * 78848 * (b.p_ppm * (1000000 - b.p_ppm) // 1000000)
+                  // (g.mde_ppm * g.mde_ppm // 10000)
+            THEN 1 ELSE 0 END AS powered_now
+FROM grid g, base b
+ORDER BY g.mde_ppm
+"""
+
+
+@_register("ab_sample_size_plan", _SAMPLE_SIZE_ORACLE)
+def ab_sample_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design power analysis: required sample size per arm
+    for the `two_proportion_ab_test` readout at α=0.05 / 80% power
+    across a grid of minimum detectable effects (1-5 points) —
+    n = 2(z_α/2+z_β)²·p̄(1−p̄)/δ², with (1.96+0.84)² = 7.8848 carried
+    as the literal integer 78848/10⁴ so the whole plan is a floor-div
+    chain on ppm integers (the planning table every experiment review
+    asks for BEFORE launch; `powered_now` says whether the current
+    population could even detect that MDE). Scale shape: one per-user
+    mergeable rollup to the baseline rate, then the 5-row MDE grid —
+    all algebra on broadcast-tiny frames."""
+    base = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 450),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN conv = 1 THEN 1 ELSE 0 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("p_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_now"),
+        )
+    )
+    grid = spark.range(1, 6).select(
+        (F.col("id") * 10000).cast("long").alias("mde_ppm")
+    )
+    need = (
+        "2 * 78848 * (p_ppm * (1000000 - p_ppm) div 1000000)"
+        " div (mde_ppm * mde_ppm div 10000)"
+    )
+    return (
+        grid.crossJoin(F.broadcast(base))
+        .select(
+            "mde_ppm",
+            F.col("p_ppm").alias("baseline_ppm"),
+            "n_now",
+            F.expr(f"CAST({need} AS BIGINT)").alias("n_per_arm_required"),
+            F.expr(
+                f"CASE WHEN n_now div 2 >= {need} THEN 1 ELSE 0 END"
+            ).alias("powered_now"),
+        )
+        .orderBy("mde_ppm")
+    )
+
+
+_PERM_TEST_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS treated,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT CAST(sum(CASE WHEN treated = 1 THEN y END)
+              // sum(CASE WHEN treated = 1 THEN 1 END)
+            - sum(CASE WHEN treated = 0 THEN y END)
+              // sum(CASE WHEN treated = 0 THEN 1 END) AS BIGINT) AS d_obs
+  FROM u
+),
+rep AS (
+  SELECT r.b, u.y,
+         CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':perm:'
+                                 || CAST(r.b AS VARCHAR)), 1, 6)
+              AS BIGINT) % 5 AS slot
+  FROM u CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+),
+perm AS (
+  SELECT b,
+         CAST(sum(CASE WHEN slot = 0 THEN y END)
+              // sum(CASE WHEN slot = 0 THEN 1 END)
+            - sum(CASE WHEN slot <> 0 THEN y END)
+              // sum(CASE WHEN slot <> 0 THEN 1 END) AS BIGINT) AS d_b
+  FROM rep GROUP BY b
+)
+SELECT o.d_obs AS observed_diff_micro,
+       CAST(count(*) AS BIGINT) AS n_permutations,
+       CAST(sum(CASE WHEN abs(p.d_b) >= abs(o.d_obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_as_extreme,
+       CAST((sum(CASE WHEN abs(p.d_b) >= abs(o.d_obs) THEN 1 ELSE 0 END)
+             + 1) * 1000000 // (count(*) + 1) AS BIGINT) AS p_value_ppm
+FROM perm p, obs o
+GROUP BY o.d_obs
+"""
+
+
+@_register("permutation_test_diff_means", _PERM_TEST_ORACLE)
+def permutation_test_diff_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation (re-randomization) test for the treated-vs-control
+    difference in per-user total event value: 64 md5-deterministic
+    re-assignments of the SAME 1-in-5 assignment mechanism
+    (md5(user:perm:b) mod 5 == 0) build the exact null distribution of
+    the difference, and the p-value is the add-one rank
+    (n_extreme+1)·10⁶ div (B+1) — the distribution-free significance
+    test that needs NO variance formula (the honest companion to
+    `two_proportion_ab_test` when outcomes are skewed sums, and the
+    inference-side sibling of `poisson_bootstrap_ci`'s estimation —
+    both made value-oracle-able by drawing Monte-Carlo randomness from
+    md5). Since the real 'treatment' (user_id % 5) is itself arbitrary,
+    the expected readout is a UNIFORM p-value, i.e. rarely significant
+    — an A/A validation of the test. A replicate whose md5 slot is
+    empty on either side yields a NULL diff and never counts as
+    extreme (only reachable at toy populations; the add-one p-value
+    stays conservative). Scale shape: one per-user rollup,
+    a 64× JVM-side explode feeding ONE partial-aggregated shuffle to
+    (replicate), all test algebra on the 64-row frame."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(value * 1000000) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 5 == 0, 1).otherwise(0).alias(
+                "treated"
+            ),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    obs = u.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN treated = 1 THEN y END)"
+            " div sum(CASE WHEN treated = 1 THEN 1 END)"
+            " - sum(CASE WHEN treated = 0 THEN y END)"
+            " div sum(CASE WHEN treated = 0 THEN 1 END) AS BIGINT)"
+        ).alias("d_obs")
+    )
+    rep = u.select(
+        "y",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    ).select(
+        "b",
+        "y",
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(user_id AS STRING), ':perm:',"
+            " CAST(b AS STRING))), 1, 6), 16, 10) AS BIGINT) % 5"
+        ).alias("slot"),
+    )
+    perm = rep.groupBy("b").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN slot = 0 THEN y END)"
+            " div sum(CASE WHEN slot = 0 THEN 1 END)"
+            " - sum(CASE WHEN slot <> 0 THEN y END)"
+            " div sum(CASE WHEN slot <> 0 THEN 1 END) AS BIGINT)"
+        ).alias("d_b")
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy("d_obs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_permutations"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_as_extreme"),
+        )
+        .select(
+            F.col("d_obs").alias("observed_diff_micro"),
+            "n_permutations",
+            "n_as_extreme",
+            F.expr(
+                "CAST((n_as_extreme + 1) * 1000000"
+                " div (n_permutations + 1) AS BIGINT)"
+            ).alias("p_value_ppm"),
+        )
+    )

@@ -109,6 +109,9 @@ ENTRIES = [
     "cohort_ltv_curves",
     "slo_burn_rate_alerts",
     "abc_pareto_classification",
+    "skipgram_pair_counts",
+    "ab_sample_size_plan",
+    "permutation_test_diff_means",
 ]
 
 
