@@ -20307,3 +20307,513 @@ def permutation_test_diff_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value_ppm"),
         )
     )
+
+
+# ===========================================================================
+# Interval / market-data / privacy analytics wave (round 3, session 6)
+# ===========================================================================
+
+_SWEEPLINE_ORACLE = """
+WITH job AS (
+  SELECT epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e
+  FROM events
+),
+seg AS (
+  SELECT d.d AS d,
+         greatest(s, d.d * 86400000000)       AS cs,
+         least(e, (d.d + 1) * 86400000000)    AS ce
+  FROM job, LATERAL (
+    SELECT unnest(generate_series(s // 86400000000,
+                                  (e - 1) // 86400000000)) AS d
+  ) d
+),
+bounds AS (
+  SELECT d, b.t AS t, b.delta AS delta
+  FROM seg, LATERAL (
+    SELECT unnest([{'t': cs, 'delta': 1}, {'t': ce, 'delta': -1}],
+                  recursive := true)
+  ) b
+),
+run AS (
+  SELECT d, t, delta,
+         sum(delta) OVER (PARTITION BY d ORDER BY t, delta) AS running,
+         lead(t) OVER (PARTITION BY d ORDER BY t, delta) - t AS gap
+  FROM bounds
+)
+SELECT CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS DATE) AS day,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_jobs,
+       CAST(sum(-delta * t) AS BIGINT)                 AS sum_clipped_us,
+       CAST(sum(running * coalesce(gap, 0)) AS BIGINT) AS concurrency_integral_us,
+       CAST(CASE WHEN sum(running * coalesce(gap, 0)) = sum(-delta * t)
+                 THEN 1 ELSE 0 END AS BIGINT)          AS littles_identity_holds,
+       CAST(max(running) AS BIGINT)                    AS peak_concurrency,
+       CAST(sum(running * coalesce(gap, 0)) // 86400 AS BIGINT)
+                                                       AS avg_concurrency_ppm
+FROM run
+GROUP BY d
+ORDER BY day
+"""
+
+
+@_register("concurrency_sweepline_daily", _SWEEPLINE_ORACLE)
+def concurrency_sweepline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency profile: each event is a job occupying
+    [ts, ts + value seconds); jobs are clipped to UTC day boundaries and
+    each day's boundary events (+1 at clipped start, -1 at clipped end)
+    are swept in (t, delta) order — the RANGE-frame running sum makes
+    same-instant ends process before starts (half-open intervals never
+    overlap at a shared endpoint) and renders tie order irrelevant, so
+    the profile is deterministic cross-engine. Emits the day's
+    time-integral of concurrency (exact µs), peak concurrency, and
+    average concurrency in ppm of the day — and EXECUTES Little's law
+    (∫L dt == Σ clipped durations, an identity the lanes must reproduce
+    bit-for-bit; `sum(-delta·t)` telescopes to Σ(ce−cs) so the check
+    needs no second pass over `seg`). Scale shape: ≤2 boundary rows per
+    event via one JVM-side explode, ONE hash shuffle to (day) for both
+    the window and the final aggregate; days sweep in parallel — no
+    global sort (the classic single-sort sweep-line, partitioned by the
+    clipping key)."""
+    d_us = F.lit(86_400_000_000)
+    job = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.unix_micros("ts").alias("s"),
+            (
+                F.unix_micros("ts")
+                + F.expr("CAST(round(value * 1000000) AS BIGINT)")
+            ).alias("e"),
+        )
+    )
+    seg = job.select(
+        F.explode(
+            F.sequence(
+                F.expr("s div 86400000000"), F.expr("(e - 1) div 86400000000")
+            )
+        ).alias("d"),
+        "s",
+        "e",
+    ).select(
+        "d",
+        F.greatest("s", F.col("d") * d_us).alias("cs"),
+        F.least("e", (F.col("d") + 1) * d_us).alias("ce"),
+    )
+    bounds = seg.select(
+        "d",
+        F.explode(
+            F.array(
+                F.struct(F.col("cs").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("ce").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b"),
+    ).select("d", F.col("b.t").alias("t"), F.col("b.delta").alias("delta"))
+    w = W.partitionBy("d").orderBy("t", "delta")
+    run = bounds.select(
+        "d",
+        "t",
+        "delta",
+        F.sum("delta").over(w).alias("running"),
+        (F.lead("t").over(w) - F.col("t")).alias("gap"),
+    )
+    return (
+        run.groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_jobs"),
+            F.sum(-F.col("delta") * F.col("t")).cast("long").alias(
+                "sum_clipped_us"
+            ),
+            F.sum(F.col("running") * F.coalesce(F.col("gap"), F.lit(0)))
+            .cast("long")
+            .alias("concurrency_integral_us"),
+            F.max("running").cast("long").alias("peak_concurrency"),
+        )
+        .select(
+            F.expr("date_add(DATE '1970-01-01', CAST(d AS INT))").alias("day"),
+            "n_jobs",
+            "sum_clipped_us",
+            "concurrency_integral_us",
+            F.when(
+                F.col("concurrency_integral_us") == F.col("sum_clipped_us"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("littles_identity_holds"),
+            "peak_concurrency",
+            F.expr("CAST(concurrency_integral_us div 86400 AS BIGINT)").alias(
+                "avg_concurrency_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_DRAWDOWN_ORACLE = """
+WITH m AS (
+  SELECT c.c_nationkey AS nk,
+         date_trunc('month', o.o_orderdate) AS mo,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+dd AS (
+  SELECT nk, mo, rev,
+         max(rev) OVER (PARTITION BY nk ORDER BY mo) AS peak
+  FROM m
+)
+SELECT n.n_name AS n_name,
+       CAST(count(*) AS BIGINT)    AS n_months,
+       CAST(max(rev) AS BIGINT)    AS best_month_cents,
+       CAST(max(peak - rev) AS BIGINT) AS max_drawdown_cents,
+       CAST(max((peak - rev) * 1000000 // peak) AS BIGINT)
+                                   AS max_drawdown_ppm
+FROM dd JOIN nation n ON dd.nk = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n_name
+"""
+
+
+@_register("max_drawdown_monthly_revenue", _DRAWDOWN_ORACLE)
+def max_drawdown_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each nation's monthly revenue series: the
+    running peak (max-so-far window) minus the current month, reported
+    both in exact cents and in ppm of the peak at the time — the
+    risk/volatility readout finance and capacity dashboards both use
+    (how far below its best month has this series fallen, at worst).
+    All arithmetic in integer cents so the statistic value-checks;
+    drawdown is over OBSERVED months (calendar gaps neither extend nor
+    reset the peak — pair with `recursive_calendar_spine`-style
+    densification when gap semantics matter). Scale shape: one
+    partial-aggregated shuffle to (nation, month), then windows + final
+    rollup on the bounded monthly frame; nation names broadcast."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_trunc("month", "o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("rev")
+        )
+    )
+    dd = m.select(
+        "nk",
+        "rev",
+        F.max("rev").over(W.partitionBy("nk").orderBy("mo")).alias("peak"),
+    )
+    return (
+        dd.join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("nk") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.max("rev").cast("long").alias("best_month_cents"),
+            F.max(F.col("peak") - F.col("rev")).cast("long").alias(
+                "max_drawdown_cents"
+            ),
+            F.max(F.expr("(peak - rev) * 1000000 div peak"))
+            .cast("long")
+            .alias("max_drawdown_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_OHLC_ORACLE = """
+WITH v AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS vm,
+         row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT day, event_type,
+       CAST(count(*) AS BIGINT)                          AS n_events,
+       CAST(max(CASE WHEN rn_a = 1 THEN vm END) AS BIGINT) AS open_micro,
+       CAST(max(vm) AS BIGINT)                           AS high_micro,
+       CAST(min(vm) AS BIGINT)                           AS low_micro,
+       CAST(max(CASE WHEN rn_d = 1 THEN vm END) AS BIGINT) AS close_micro,
+       CAST(sum(vm) AS BIGINT)                           AS total_micro
+FROM v
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+@_register("ohlc_bars_daily", _OHLC_ORACLE)
+def ohlc_bars_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (day, event_type), the first (open),
+    highest, lowest, and last (close) observed value in exact micro
+    units plus volume — the time-series downsampling shape every
+    market-data / metrics store exposes (`first`/`last` made
+    deterministic by the (ts, event_id) total order, so ties at the
+    same microsecond can't flip the bar cross-engine). Scale shape: ONE
+    hash exchange to (day, type) serves both row_number windows (same
+    partitioning, two sort orders) and the final aggregate — bars for
+    different days/types build in parallel; no global sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vm"),
+        "ts",
+        "event_id",
+    )
+    pw = W.partitionBy("day", "event_type")
+    v = ev.select(
+        "day",
+        "event_type",
+        "vm",
+        F.row_number().over(pw.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(pw.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    return (
+        v.groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("vm")))
+            .cast("long")
+            .alias("open_micro"),
+            F.max("vm").cast("long").alias("high_micro"),
+            F.min("vm").cast("long").alias("low_micro"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("vm")))
+            .cast("long")
+            .alias("close_micro"),
+            F.sum("vm").cast("long").alias("total_micro"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_EWMA_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+  FROM daily
+)
+SELECT a.day AS day, a.event_type AS event_type,
+       CAST(a.x AS BIGINT) AS n_events,
+       CAST(1000 * sum((1 << (15 - (a.k - b.k))) * b.x)
+            // sum(1 << (15 - (a.k - b.k))) AS BIGINT) AS ewma_milli
+FROM r a JOIN r b
+  ON a.event_type = b.event_type AND b.k BETWEEN a.k - 15 AND a.k
+GROUP BY a.day, a.event_type, a.x
+ORDER BY day, event_type
+"""
+
+
+@_register("ewma_daily_event_counts", _EWMA_ORACLE)
+def ewma_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=1/2, pandas
+    `ewm(adjust=True)` semantics) of daily event counts per type, in
+    EXACT integer arithmetic: weights (1−α)^k become power-of-two
+    integers 2^(15−k) over a 16-day horizon (tail weight < 2⁻¹⁵ of the
+    head — below the milli output grid), and partial leading windows
+    divide by the PARTIAL weight sum exactly as adjust=True does. The
+    recursive EWMA definition is thus rewritten to its closed windowed
+    form — same move as `cusum_changepoint_screen` — so the smoother
+    itself carries a full value oracle. Scale shape: the raw stream
+    collapses via one partial-aggregated rollup to (type, day) — a
+    frame bounded by calendar × type cardinality, NOT event volume —
+    then a 16-wide banded self-join (localCheckpoint'ed: AQE never
+    reuses self-join stages) and one aggregate on that bounded frame."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    r = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("k"),
+    ).localCheckpoint(eager=False)
+    a = r.alias("a")
+    b = r.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.k") >= F.col("a.k") - 15)
+        & (F.col("b.k") <= F.col("a.k")),
+    )
+    return (
+        j.groupBy(
+            F.col("a.day").alias("day"),
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.x").alias("n_events"),
+        )
+        .agg(
+            F.expr(
+                "CAST(1000 * sum(shiftleft(1, 15 - (a.k - b.k)) * b.x)"
+                " div sum(shiftleft(1, 15 - (a.k - b.k))) AS BIGINT)"
+            ).alias("ewma_milli")
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_TCLOSENESS_ORACLE = """
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         least(9, greatest(0,
+           (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 120000))
+           AS bin
+  FROM customer
+),
+cnt AS (
+  SELECT c_nationkey, c_mktsegment, bin, CAST(count(*) AS BIGINT) AS c
+  FROM cust GROUP BY 1, 2, 3
+),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS n_g
+  FROM cnt GROUP BY 1, 2
+),
+gbin AS (
+  SELECT b.b AS bin, coalesce(sum(c), 0) AS gc
+  FROM (SELECT unnest(generate_series(0, 9)) AS b) b
+  LEFT JOIN cnt ON cnt.bin = b.b
+  GROUP BY b.b
+),
+gcum AS (
+  SELECT bin, sum(gc) OVER (ORDER BY bin) AS cum_gc,
+         (SELECT sum(gc) FROM gbin) AS n_total
+  FROM gbin
+),
+dense AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.b AS bin,
+         coalesce(c.c, 0) AS c
+  FROM grp g
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) b
+  LEFT JOIN cnt c ON c.c_nationkey = g.c_nationkey
+                 AND c.c_mktsegment = g.c_mktsegment AND c.bin = b.b
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, n_g, bin,
+         sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY bin) AS cum_c
+  FROM dense
+)
+SELECT m.c_nationkey AS c_nationkey, m.c_mktsegment AS c_mktsegment,
+       CAST(m.n_g AS BIGINT) AS k_size,
+       CAST(1000000 * sum(abs(m.cum_c * g.n_total - g.cum_gc * m.n_g))
+            // (9 * m.n_g * (SELECT n_total FROM gcum LIMIT 1)) AS BIGINT)
+         AS t_emd_ppm,
+       CAST(CASE WHEN 1000000 * sum(abs(m.cum_c * g.n_total - g.cum_gc * m.n_g))
+                      // (9 * m.n_g * (SELECT n_total FROM gcum LIMIT 1))
+                      > 150000
+                 THEN 1 ELSE 0 END AS BIGINT) AS tcloseness_violation
+FROM cum m JOIN gcum g ON m.bin = g.bin
+WHERE m.bin < 9
+GROUP BY m.c_nationkey, m.c_mktsegment, m.n_g
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@_register("tcloseness_emd_audit", _TCLOSENESS_ORACLE)
+def tcloseness_emd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the step past `kanonymity_risk_audit`'s
+    k/l-diversity: for each quasi-identifier class (nation, market
+    segment), the Earth Mover's Distance between the class's SENSITIVE
+    distribution (account balance in ten fixed $1,200 bands) and the
+    global one, under the ordinal ground metric — EMD reduces to the
+    mean |ΔCDF| over interior bin boundaries. Computed as exact
+    integer rationals on the common denominator n_g·N (cum_c·N −
+    cum_C·n_g per boundary), so the privacy statistic itself
+    value-checks; classes with t > 0.15 are flagged (an attacker
+    learns their members' balances deviate that far from background
+    knowledge even when k is large). Scale shape: one rollup shuffle
+    to (QI, bin); the dense 10-bin grid, global CDF (10 rows,
+    broadcast) and per-class windows all live on the bounded
+    class-cardinality frame."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "least(9, greatest(0, (CAST(round(c_acctbal * 100) AS BIGINT)"
+            " + 100000) div 120000))"
+        ).alias("bin"),
+    )
+    cnt = (
+        cust.groupBy("c_nationkey", "c_mktsegment", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    grp = cnt.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").cast("long").alias("n_g")
+    )
+    bins = spark.range(0, 10).select(F.col("id").cast("long").alias("bin"))
+    gbin = (
+        bins.join(
+            cnt.groupBy("bin").agg(F.sum("c").alias("gc")), "bin", "left"
+        )
+        .select("bin", F.coalesce("gc", F.lit(0)).alias("gc"))
+    )
+    gcum = gbin.select(
+        "bin",
+        F.sum("gc").over(W.orderBy("bin")).alias("cum_gc"),
+        F.sum("gc").over(
+            W.orderBy("bin").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    dense = (
+        grp.crossJoin(F.broadcast(bins))
+        .join(cnt, ["c_nationkey", "c_mktsegment", "bin"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "bin",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    cum = dense.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        "bin",
+        F.sum("c")
+        .over(W.partitionBy("c_nationkey", "c_mktsegment").orderBy("bin"))
+        .alias("cum_c"),
+    )
+    t_num = "1000000 * sum(abs(cum_c * n_total - cum_gc * n_g))"
+    return (
+        cum.filter(F.col("bin") < 9)
+        .join(F.broadcast(gcum), "bin")
+        .groupBy("c_nationkey", "c_mktsegment", "n_g")
+        .agg(
+            F.expr(
+                f"CAST({t_num} div (9 * n_g * max(n_total)) AS BIGINT)"
+            ).alias("t_emd_ppm")
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_g").cast("long").alias("k_size"),
+            "t_emd_ppm",
+            F.when(F.col("t_emd_ppm") > 150000, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("tcloseness_violation"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
