@@ -20817,3 +20817,450 @@ def tcloseness_emd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ===========================================================================
+# Retrieval / information-theory / dispersion / paired-test wave
+# ===========================================================================
+
+_PHRASE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS arr
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, g.i AS pos, arr[g.i] AS tok
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+),
+pairs AS (
+  SELECT arr[g.i] AS w1, arr[g.i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g
+  WHERE len(arr) >= 2
+),
+top1 AS (
+  SELECT w1, w2 FROM pairs GROUP BY w1, w2
+  ORDER BY count(*) DESC, w1, w2 LIMIT 1
+)
+SELECT p1.doc_id AS doc_id,
+       (SELECT w1 || ' ' || w2 FROM top1) AS phrase,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pos p1
+JOIN top1 ON p1.tok = top1.w1
+JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+           AND p2.tok = top1.w2
+GROUP BY p1.doc_id
+ORDER BY n_occurrences DESC, doc_id
+LIMIT 20
+"""
+
+
+@_register("phrase_match_positional", _PHRASE_ORACLE)
+def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-inverted-index phrase search: the corpus's most
+    frequent bigram (count desc, then lexicographic — fully
+    deterministic) becomes the query phrase, and matching is the
+    classic positional-index join — postings for word1 equi-joined to
+    postings for word2 on (doc, pos+1). This is how every full-text
+    engine executes quoted phrases; the adjacency test lives in the
+    JOIN KEY, not a post-filter, so only true phrase hits flow.
+    Scale shape: the 1-row phrase frame broadcasts to PRUNE both
+    posting streams before their equi-join (each side collapses to the
+    phrase word's postings); top-20 via TakeOrderedAndProject. The
+    bigram-count pass is one rollup over a JVM-side transform/explode
+    (token array bound once as a column — no per-element re-split)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("arr"))
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("arr").alias("pos", "tok")
+    ).localCheckpoint(eager=False)
+    pairs = (
+        docs.filter(F.size("arr") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(arr) - 2),"
+                    " i -> struct(arr[i] AS w1, arr[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    top1 = (
+        pairs.groupBy("w1", "w2")
+        .count()
+        .orderBy(F.col("count").desc(), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    t1 = toks.join(F.broadcast(top1), F.col("tok") == F.col("w1")).select(
+        F.col("doc_id").alias("d1"),
+        "pos",
+        F.concat_ws(" ", "w1", "w2").alias("phrase"),
+    )
+    t2 = toks.join(
+        F.broadcast(top1.select(F.col("w2").alias("q2"))),
+        F.col("tok") == F.col("q2"),
+    ).select(F.col("doc_id").alias("d2"), F.col("pos").alias("pos2"))
+    return (
+        t1.join(
+            t2,
+            (F.col("d1") == F.col("d2"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .groupBy(F.col("d1").alias("doc_id"), "phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_SHANNON_ORACLE = """
+WITH st AS (
+  SELECT source, tok.t AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM documents, LATERAL (
+    SELECT unnest(string_split(text, ' ')) AS t
+  ) tok
+  WHERE text IS NOT NULL
+  GROUP BY source, tok.t
+),
+code AS (
+  SELECT tok,
+         CAST(length(bin(sum(sum(c)) OVER () // sum(c))) AS BIGINT) AS bits,
+         CAST(length(bin(count(*) OVER () - 1)) AS BIGINT) AS unif_bits
+  FROM st GROUP BY tok
+)
+SELECT st.source AS source,
+       CAST(sum(st.c) AS BIGINT)                AS n_tokens,
+       CAST(sum(st.c * code.bits) AS BIGINT)    AS total_bits,
+       CAST(1000 * sum(st.c * code.bits) // sum(st.c) AS BIGINT)
+                                                AS bits_per_token_milli,
+       CAST(sum(st.c) * max(code.unif_bits) AS BIGINT) AS uniform_bits,
+       CAST((sum(st.c) * max(code.unif_bits) - sum(st.c * code.bits))
+            * 1000000 // (sum(st.c) * max(code.unif_bits)) AS BIGINT)
+                                                AS savings_ppm
+FROM st JOIN code USING (tok)
+GROUP BY st.source
+ORDER BY source
+"""
+
+
+@_register("shannon_fano_code_length", _SHANNON_ORACLE)
+def shannon_fano_code_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic compression audit WITHOUT libm: assign
+    each token the Shannon-Fano-style code length
+    ⌊log2(N div c_t)⌋+1 = length(bin(N div c_t)) bits — a STRING
+    length, not a float log, so the whole audit is exact integers —
+    and price each source's token stream under that global code vs the
+    fixed-width ⌈log2 V⌉ uniform code. The per-source bits/token and
+    savings expose which sources are low-entropy (repetitive — cheap
+    to compress, low information density): the corpus-quality signal
+    entropy screens give, with a value oracle entropy itself can't
+    carry. Scale shape: one partial-aggregated rollup to
+    (source, token); the code table is vocabulary-sized (broadcast),
+    N and V ride window aggregates on that tiny frame."""
+    st = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    code = (
+        st.groupBy("tok")
+        .agg(F.sum("c").alias("ct"))
+        .select(
+            "tok",
+            F.expr(
+                "CAST(length(bin(sum(ct) OVER (ROWS BETWEEN UNBOUNDED"
+                " PRECEDING AND UNBOUNDED FOLLOWING) div ct)) AS BIGINT)"
+            ).alias("bits"),
+            F.expr(
+                "CAST(length(bin(count(*) OVER (ROWS BETWEEN UNBOUNDED"
+                " PRECEDING AND UNBOUNDED FOLLOWING) - 1)) AS BIGINT)"
+            ).alias("unif_bits"),
+        )
+    )
+    return (
+        st.join(F.broadcast(code), "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("bits")).cast("long").alias("total_bits"),
+            F.expr(
+                "CAST(1000 * sum(c * bits) div sum(c) AS BIGINT)"
+            ).alias("bits_per_token_milli"),
+            F.expr("CAST(sum(c) * max(unif_bits) AS BIGINT)").alias(
+                "uniform_bits"
+            ),
+            F.expr(
+                "CAST((sum(c) * max(unif_bits) - sum(c * bits)) * 1000000"
+                " div (sum(c) * max(unif_bits)) AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_OOV_ORACLE = """
+WITH st AS (
+  SELECT source, tok.t AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM documents, LATERAL (
+    SELECT unnest(string_split(text, ' ')) AS t
+  ) tok
+  WHERE text IS NOT NULL
+  GROUP BY source, tok.t
+),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY sum(c) DESC, tok) AS rk
+  FROM st GROUP BY tok
+)
+SELECT st.source AS source,
+       CAST(sum(st.c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.rk > 20 THEN st.c ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(sum(CASE WHEN v.rk > 20 THEN st.c ELSE 0 END) * 1000000
+            // sum(st.c) AS BIGINT) AS oov_ppm,
+       CAST(sum(CASE WHEN v.rk > 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_types
+FROM st JOIN vocab v USING (tok)
+GROUP BY st.source
+ORDER BY source
+"""
+
+
+@_register("vocab_oov_audit", _OOV_ORACLE)
+def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary coverage audit: freeze a top-20 vocabulary
+    (global frequency desc, token asc — deterministic tie-break) and
+    measure every source's OOV token rate against it in exact ppm —
+    the tokenizer/embedding-table coverage question asked before any
+    fixed-vocab model trains on a new source (high OOV = the source is
+    out-of-distribution for the vocab). Scale shape: one
+    partial-aggregated rollup to (source, token); the vocabulary rank
+    is a window on the vocabulary-sized frame, broadcast back — raw
+    token volume is touched exactly once."""
+    st = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        st.groupBy("tok")
+        .agg(F.sum("c").alias("ct"))
+        .select(
+            "tok",
+            F.row_number()
+            .over(W.orderBy(F.col("ct").desc(), "tok"))
+            .alias("rk"),
+        )
+    )
+    return (
+        st.join(F.broadcast(vocab), "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("rk") > 20, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk > 20 THEN c ELSE 0 END) * 1000000"
+                " div sum(c) AS BIGINT)"
+            ).alias("oov_ppm"),
+            F.sum(F.when(F.col("rk") > 20, 1).otherwise(0))
+            .cast("long")
+            .alias("oov_types"),
+        )
+        .orderBy("source")
+    )
+
+
+_FANO_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+),
+q AS (
+  SELECT event_type, n, sx, n * sxx - sx * sx AS var_num,
+         CAST(floor(sqrt(CAST((n * sxx - sx * sx) * n * 1000000 // (n - 1)
+                              AS DOUBLE))) AS BIGINT) AS s0,
+         (n * sxx - sx * sx) * n * 1000000 // (n - 1) AS a
+  FROM s
+),
+r AS (
+  SELECT event_type, n, sx, var_num,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= a THEN s0 + 1
+              WHEN s0 * s0 > a THEN s0 - 1
+              ELSE s0 END AS sig_n_milli
+  FROM q
+)
+SELECT event_type,
+       CAST(n AS BIGINT)                              AS n_days,
+       CAST(1000 * sx // n AS BIGINT)                 AS mean_milli,
+       CAST(1000 * var_num // ((n - 1) * sx) AS BIGINT) AS fano_milli,
+       CAST(sig_n_milli AS BIGINT)                    AS sigma_n_milli,
+       CAST(1000 * (sig_n_milli - 1000 * sx)
+            // (sig_n_milli + 1000 * sx) AS BIGINT)   AS burstiness_milli,
+       CAST(CASE WHEN 1000 * var_num // ((n - 1) * sx) > 1000
+                 THEN 1 ELSE 0 END AS BIGINT)         AS overdispersed
+FROM r
+ORDER BY event_type
+"""
+
+
+@_register("overdispersion_fano_burstiness", _FANO_ORACLE)
+def overdispersion_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion screen on daily arrival counts per event type:
+    the Fano factor (sample variance / mean — 1.0 for a Poisson
+    process, >1 means bursty arrivals that will overflow
+    Poisson-sized capacity) and the Goh-Barabási burstiness
+    B = (σ−μ)/(σ+μ), both in exact integer milli-units: variance
+    rides the n·Σx²−(Σx)² integer form and σ·n·1000 comes from the
+    floor-sqrt with ±1 integer-square correction (the same exact-isqrt
+    recipe as `neyman_allocation_plan`), so a statistic built on a
+    square root still value-checks bit-for-bit. Scale shape: the raw
+    stream collapses via one partial-aggregated rollup to (type, day);
+    every moment and root lives on the type-cardinality frame."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    q = s.select(
+        "event_type",
+        "n",
+        "sx",
+        F.expr("n * sxx - sx * sx").alias("var_num"),
+        F.expr(
+            "CAST(floor(sqrt(CAST((n * sxx - sx * sx) * n * 1000000"
+            " div (n - 1) AS DOUBLE))) AS BIGINT)"
+        ).alias("s0"),
+        F.expr("(n * sxx - sx * sx) * n * 1000000 div (n - 1)").alias("a"),
+    )
+    r = q.select(
+        "event_type",
+        "n",
+        "sx",
+        "var_num",
+        F.expr(
+            "CASE WHEN (s0 + 1) * (s0 + 1) <= a THEN s0 + 1"
+            " WHEN s0 * s0 > a THEN s0 - 1 ELSE s0 END"
+        ).alias("sig_n_milli"),
+    )
+    return r.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(1000 * sx div n AS BIGINT)").alias("mean_milli"),
+        F.expr("CAST(1000 * var_num div ((n - 1) * sx) AS BIGINT)").alias(
+            "fano_milli"
+        ),
+        F.col("sig_n_milli").cast("long").alias("sigma_n_milli"),
+        F.expr(
+            "CAST(1000 * (sig_n_milli - 1000 * sx)"
+            " div (sig_n_milli + 1000 * sx) AS BIGINT)"
+        ).alias("burstiness_milli"),
+        F.expr(
+            "CAST(CASE WHEN 1000 * var_num div ((n - 1) * sx) > 1000"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+_MCNEMAR_ORACLE = """
+WITH u AS (
+  SELECT user_id, event_type,
+         max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS h2
+  FROM events GROUP BY 1, 2
+),
+pop AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+c AS (
+  SELECT event_type,
+         CAST(sum(h1 * h2) AS BIGINT)           AS n11,
+         CAST(sum(h1 * (1 - h2)) AS BIGINT)     AS n10,
+         CAST(sum((1 - h1) * h2) AS BIGINT)     AS n01,
+         CAST(count(*) AS BIGINT)               AS n_obs
+  FROM u GROUP BY 1
+)
+SELECT event_type, n11, n10, n01,
+       CAST(pop.n_users - n_obs AS BIGINT) AS n00,
+       CAST(1000 * (n10 - n01) * (n10 - n01)
+            // greatest(n10 + n01, 1) AS BIGINT) AS chi2_milli,
+       CAST(CASE WHEN 1000 * (n10 - n01) * (n10 - n01)
+                      // greatest(n10 + n01, 1) > 3841
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+FROM c, pop
+ORDER BY event_type
+"""
+
+
+@_register("mcnemar_paired_conversion", _MCNEMAR_ORACLE)
+def mcnemar_paired_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test per event type: did the population's
+    propensity to emit this event CHANGE between the month's first and
+    second half? Each user is their own control (the paired design
+    that removes between-user variance), and only the DISCORDANT
+    users matter: χ² = (n10−n01)²/(n10+n01), exact in integer
+    milli-units since the statistic is a ratio of integers — no
+    variance estimate, no libm. n00 (users never emitting the type)
+    comes from the population count minus observed pairs, so the full
+    2×2 concordance table rides along. Expected readout on synthetic
+    uniform traffic: discordant counts near-balanced, rarely
+    significant — an A/A validation like `permutation_test_diff_means`.
+    Scale shape: one rollup shuffle to (user, type); the test algebra
+    lives on the type-cardinality frame with the 1-row population
+    count broadcast."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(
+                F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+            ).alias("h1"),
+            F.max(
+                F.when(F.dayofmonth("ts") > 15, 1).otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    pop = _t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    c = u.groupBy("event_type").agg(
+        F.sum(F.col("h1") * F.col("h2")).cast("long").alias("n11"),
+        F.sum(F.col("h1") * (1 - F.col("h2"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("h1")) * F.col("h2")).cast("long").alias("n01"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    chi2 = "1000 * (n10 - n01) * (n10 - n01) div greatest(n10 + n01, 1)"
+    return (
+        c.crossJoin(F.broadcast(pop))
+        .select(
+            "event_type",
+            "n11",
+            "n10",
+            "n01",
+            (F.col("n_users") - F.col("n_obs")).cast("long").alias("n00"),
+            F.expr(f"CAST({chi2} AS BIGINT)").alias("chi2_milli"),
+            F.expr(
+                f"CAST(CASE WHEN {chi2} > 3841 THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("significant_05"),
+        )
+        .orderBy("event_type")
+    )
