@@ -21264,3 +21264,494 @@ def mcnemar_paired_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Graph link prediction / supply-chain / operational-percentile wave
+# ===========================================================================
+
+_LINKPRED_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+),
+top50 AS (
+  SELECT node FROM deg ORDER BY d DESC, node LIMIT 50
+),
+ind AS (
+  SELECT u, v FROM edges
+  WHERE u IN (SELECT node FROM top50) AND v IN (SELECT node FROM top50)
+),
+und AS (
+  SELECT u AS s, v AS t FROM ind UNION ALL SELECT v, u FROM ind
+),
+ideg AS (
+  SELECT s AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY s
+),
+cand AS (
+  SELECT e1.s AS u, e2.t AS v,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(1000000 // ideg.d) AS BIGINT) AS ra_index_ppm
+  FROM und e1
+  JOIN und e2 ON e1.t = e2.s AND e1.s < e2.t
+  JOIN ideg ON ideg.node = e1.t
+  GROUP BY e1.s, e2.t
+)
+SELECT c.u AS u, c.v AS v, c.common_neighbors, c.ra_index_ppm
+FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM ind WHERE ind.u = c.u AND ind.v = c.v)
+ORDER BY common_neighbors DESC, ra_index_ppm DESC, u, v
+LIMIT 20
+"""
+
+
+@_register("link_prediction_common_neighbors", _LINKPRED_ORACLE)
+def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: parts are linked
+    when they appear in the same order; the top-20 UNLINKED pairs are
+    ranked by common-neighbor count with the resource-allocation index
+    (Σ 1/deg(z) over shared neighbors z, exact ppm since degrees are
+    integers) as tie-breaker — the classic 'customers also bought'
+    / recommendation-candidate shape. The scored panel is the
+    degree-top-50 induced subgraph: 2-hop enumeration is quadratic in
+    degree, so production runs bound it to head entities exactly as
+    `jl_projection_recall` pins its query panel — the bound is the
+    design, not a shortcut. Scale shape: co-purchase edges from an
+    order-keyed self-join (orders bound the fan-out), one distinct;
+    degree/top-50/induced-subgraph all collapse to broadcast-tiny
+    frames before the 2-hop self-join; existence filter is an anti
+    join, never NOT-IN-over-cross."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    top50 = deg.orderBy(F.col("d").desc(), "node").limit(50).select("node")
+    ind = (
+        edges.join(
+            F.broadcast(top50.withColumnRenamed("node", "u")), "u", "semi"
+        )
+        .join(F.broadcast(top50.withColumnRenamed("node", "v")), "v", "semi")
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    und = ind.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        ind.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).localCheckpoint(eager=False)
+    ideg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    cand = (
+        e1.join(
+            e2,
+            (F.col("e1.t") == F.col("e2.s"))
+            & (F.col("e1.s") < F.col("e2.t")),
+        )
+        .join(F.broadcast(ideg), F.col("node") == F.col("e1.t"))
+        .groupBy(F.col("e1.s").alias("u"), F.col("e2.t").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.expr("1000000 div d")).cast("long").alias("ra_index_ppm"),
+        )
+    )
+    return (
+        cand.join(ind, ["u", "v"], "anti")
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("ra_index_ppm").desc(),
+            "u",
+            "v",
+        )
+        .limit(20)
+    )
+
+
+_INTERMITTENCY_ORACLE = """
+WITH d AS (
+  SELECT l.l_partkey AS pk, p.p_brand AS p_brand,
+         date_trunc('month', o.o_orderdate) AS m,
+         CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+),
+per AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS n_periods FROM d),
+s AS (
+  SELECT pk, p_brand, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+  FROM d GROUP BY 1, 2
+),
+cls AS (
+  SELECT p_brand,
+         1000 * per.n_periods // nd AS adi_milli,
+         CASE WHEN nd >= 2
+              THEN 1000 * nd * (nd * sqq - sq * sq) // ((nd - 1) * sq * sq)
+              ELSE 0 END AS cv2_milli
+  FROM s, per
+)
+SELECT p_brand,
+       CASE WHEN adi_milli < 1320 AND cv2_milli < 490 THEN 'smooth'
+            WHEN adi_milli >= 1320 AND cv2_milli < 490 THEN 'intermittent'
+            WHEN adi_milli < 1320 THEN 'erratic'
+            ELSE 'lumpy' END AS demand_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(adi_milli) // count(*) AS BIGINT) AS avg_adi_milli,
+       CAST(sum(cv2_milli) // count(*) AS BIGINT) AS avg_cv2_milli
+FROM cls
+GROUP BY p_brand, demand_class
+ORDER BY p_brand, demand_class
+"""
+
+
+@_register("part_demand_intermittency", _INTERMITTENCY_ORACLE)
+def part_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand classification per part — the
+    supply-chain screen deciding which forecasting family a SKU gets:
+    ADI (average demand interval = observed periods / periods with
+    demand) × CV² of nonzero demand sizes, quadrant-split at the
+    literature's 1.32 / 0.49 cutoffs (milli-integers 1320/490), rolled
+    up to (brand, class) counts. Both statistics are exact integer
+    ratios (CV² via the n·Σq²−(Σq)² form over integer-valued
+    quantities; single-demand-month parts define CV²=0). Scale shape:
+    one rollup shuffle to (part, month); per-part stats are a second
+    partial-aggregated pass; the global period count broadcasts as a
+    1-row frame; class algebra lives on the part-cardinality frame."""
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", F.date_trunc("month", "o_orderdate").alias("m")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("pk"), "p_brand", "m")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+            ).alias("q")
+        )
+        .localCheckpoint(eager=False)
+    )
+    per = d.agg(F.countDistinct("m").cast("long").alias("n_periods"))
+    s = d.groupBy("pk", "p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    cls = s.crossJoin(F.broadcast(per)).select(
+        "p_brand",
+        F.expr("1000 * n_periods div nd").alias("adi_milli"),
+        F.expr(
+            "CASE WHEN nd >= 2 THEN 1000 * nd * (nd * sqq - sq * sq)"
+            " div ((nd - 1) * sq * sq) ELSE 0 END"
+        ).alias("cv2_milli"),
+    )
+    return (
+        cls.select(
+            "p_brand",
+            F.expr(
+                "CASE WHEN adi_milli < 1320 AND cv2_milli < 490 THEN 'smooth'"
+                " WHEN adi_milli >= 1320 AND cv2_milli < 490"
+                " THEN 'intermittent'"
+                " WHEN adi_milli < 1320 THEN 'erratic'"
+                " ELSE 'lumpy' END"
+            ).alias("demand_class"),
+            "adi_milli",
+            "cv2_milli",
+        )
+        .groupBy("p_brand", "demand_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.expr("CAST(sum(adi_milli) div count(*) AS BIGINT)").alias(
+                "avg_adi_milli"
+            ),
+            F.expr("CAST(sum(cv2_milli) div count(*) AS BIGINT)").alias(
+                "avg_cv2_milli"
+            ),
+        )
+        .orderBy("p_brand", "demand_class")
+    )
+
+
+_PCTL_BANDS_ORACLE = """
+WITH v AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(round(value * 1000000) AS BIGINT) AS vm,
+         row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                            ORDER BY round(value * 1000000), event_id) AS rn,
+         count(*) OVER (PARTITION BY CAST(ts AS DATE)) AS n
+  FROM events
+)
+SELECT day,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN vm END) AS BIGINT)
+         AS p50_micro,
+       CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN vm END) AS BIGINT)
+         AS p90_micro,
+       CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN vm END) AS BIGINT)
+         AS p99_micro,
+       CAST(max(vm) AS BIGINT) AS max_micro
+FROM v
+GROUP BY day
+ORDER BY day
+"""
+
+
+@_register("daily_percentile_bands", _PCTL_BANDS_ORACLE)
+def daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational latency dashboard: exact nearest-rank
+    p50/p90/p99 bands per day (rank ⌈q·n⌉ under the (value, event_id)
+    total order — EXACT order statistics in integer micro units, where
+    `percentile_approx` would need an rtol lane). Scale shape: one
+    hash exchange to (day) serves the rank window, the count window
+    and the final aggregate; days sort in parallel and no task ever
+    sees more than one day — the percentile-per-time-bucket pattern
+    that replaces a global sort with a partitioned one."""
+    pw = W.partitionBy("day")
+    v = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vm"),
+            "event_id",
+        )
+        .select(
+            "day",
+            "vm",
+            F.row_number().over(pw.orderBy("vm", "event_id")).alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                pw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            )
+            .alias("n"),
+        )
+    )
+    def band(q: int, alias: str):
+        return (
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"(n * {q} + 99) div 100"),
+                    F.col("vm"),
+                )
+            )
+            .cast("long")
+            .alias(alias)
+        )
+
+    return (
+        v.groupBy("day")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            band(50, "p50_micro"),
+            band(90, "p90_micro"),
+            band(99, "p99_micro"),
+            F.max("vm").cast("long").alias("max_micro"),
+        )
+        .orderBy("day")
+    )
+
+
+_SEQPAT_ORACLE = """
+WITH ut AS (
+  SELECT user_id, event_type,
+         min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ordered,
+       CAST(sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS ordered_ppm
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+@_register("sequential_pattern_support", _SEQPAT_ORACLE)
+def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (SPADE-style length-2 sequences):
+    for every ordered event-type pair ⟨a → b⟩, how many users emit
+    some `a` strictly before some `b` (first-a < last-b on epoch
+    micros — the anywhere-in-history ordering that the ADJACENT-pair
+    `event_transition_matrix` cannot see), as exact counts and ppm of
+    users having both types. Asymmetry between ⟨a→b⟩ and ⟨b→a⟩ is the
+    behavioral signal (funnels read it as direction). Scale shape: the
+    raw stream collapses via one rollup to (user, type) — 5 rows per
+    user — then a user-keyed self-join fans out at most |types|² rows
+    per user before the final partial-aggregated rollup; no window, no
+    global sort."""
+    ut = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_both"),
+            F.sum(F.when(F.col("a.mn") < F.col("b.mx"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ordered"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_ordered",
+            F.expr("CAST(n_ordered * 1000000 div n_both AS BIGINT)").alias(
+                "ordered_ppm"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_MOM_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':mom'), 1, 6)
+              AS BIGINT) % 17 AS bucket,
+         CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+bs AS (
+  SELECT event_type, bucket,
+         CAST(sum(vm) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM b GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, s // c AS mean_b,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s // c, bucket) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nb,
+         s, c
+  FROM bs
+)
+SELECT event_type,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(max(nb) AS BIGINT) AS n_buckets,
+       CAST(sum(s) // sum(c) AS BIGINT) AS mean_micro,
+       CAST(max(CASE WHEN rn = (nb + 1) // 2 THEN mean_b END) AS BIGINT)
+         AS mom_micro,
+       CAST(max(CASE WHEN rn = (nb + 1) // 2 THEN mean_b END) - sum(s) // sum(c)
+            AS BIGINT) AS mom_minus_mean_micro
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("median_of_means_estimate", _MOM_ORACLE)
+def median_of_means_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust location estimator per event type: rows
+    are md5-assigned to 17 deterministic buckets, bucket means (floor,
+    exact micro ints) are computed as mergeable partials, and the
+    estimate is the MEDIAN bucket mean — the sub-Gaussian-deviation
+    estimator that survives heavy tails and a few corrupted buckets
+    where the plain mean does not, and THE robust-mean shape that
+    scales (each bucket mean is one partial aggregate; only 17 numbers
+    meet the median). On uniform synthetic values MoM ≈ mean — the
+    deviation column is the A/A readout. Scale shape: one
+    partial-aggregated shuffle to (type, bucket); the median is an
+    order statistic on the 17-row-per-type frame."""
+    bs = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(event_id AS STRING),"
+                " ':mom')), 1, 6), 16, 10) AS BIGINT) % 17"
+            ).alias("bucket"),
+            F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vm"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("vm").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    pw = W.partitionBy("event_type")
+    r = bs.select(
+        "event_type",
+        "s",
+        "c",
+        F.expr("s div c").alias("mean_b"),
+        F.row_number()
+        .over(pw.orderBy(F.expr("s div c"), "bucket"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(pw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("nb"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.max("nb").cast("long").alias("n_buckets"),
+            F.expr("CAST(sum(s) div sum(c) AS BIGINT)").alias("mean_micro"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(nb + 1) div 2"), F.col("mean_b"))
+            )
+            .cast("long")
+            .alias("mom_micro"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_buckets",
+            "mean_micro",
+            "mom_micro",
+            (F.col("mom_micro") - F.col("mean_micro"))
+            .cast("long")
+            .alias("mom_minus_mean_micro"),
+        )
+        .orderBy("event_type")
+    )
