@@ -21322,23 +21322,26 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     degree-top-50 induced subgraph: 2-hop enumeration is quadratic in
     degree, so production runs bound it to head entities exactly as
     `jl_projection_recall` pins its query panel — the bound is the
-    design, not a shortcut. Scale shape: co-purchase edges from an
-    order-keyed self-join (orders bound the fan-out), one distinct;
-    degree/top-50/induced-subgraph all collapse to broadcast-tiny
-    frames before the 2-hop self-join; existence filter is an anti
-    join, never NOT-IN-over-cross."""
+    design, not a shortcut. Scale shape: co-purchase pairs expand
+    JVM-side from each order's sorted part set (one collect_set
+    shuffle + a higher-order-function pair explode — no self-join of
+    the fact table), then one distinct; degree/top-50/induced-subgraph
+    all collapse to broadcast-tiny frames before the 2-hop self-join;
+    existence filter is an anti join, never NOT-IN-over-cross."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
         .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) ->"
+                    " transform(slice(arr, i + 2, size(arr) - i - 1),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
         )
+        .select("p.u", "p.v")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -21438,24 +21441,23 @@ def part_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
     up to (brand, class) counts. Both statistics are exact integer
     ratios (CV² via the n·Σq²−(Σq)² form over integer-valued
     quantities; single-demand-month parts define CV²=0). Scale shape:
-    one rollup shuffle to (part, month); per-part stats are a second
-    partial-aggregated pass; the global period count broadcasts as a
-    1-row frame; class algebra lives on the part-cardinality frame."""
+    the order month rides in on a broadcast projection so the fact
+    table shuffles ONCE, to (part, month); per-part stats are a second
+    partial-aggregated pass, brand joins broadcast on the
+    part-cardinality frame, and the global period count broadcasts as
+    a 1-row frame."""
     d = (
         _t(spark, sf_dir, "lineitem")
         .join(
             F.broadcast(
-                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .join(
-            _t(spark, sf_dir, "orders").select(
-                "o_orderkey", F.date_trunc("month", "o_orderdate").alias("m")
+                _t(spark, sf_dir, "orders").select(
+                    "o_orderkey",
+                    F.date_trunc("month", "o_orderdate").alias("m"),
+                )
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .groupBy(F.col("l_partkey").alias("pk"), "p_brand", "m")
+        .groupBy(F.col("l_partkey").alias("pk"), "m")
         .agg(
             F.expr(
                 "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
@@ -21464,10 +21466,21 @@ def part_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     per = d.agg(F.countDistinct("m").cast("long").alias("n_periods"))
-    s = d.groupBy("pk", "p_brand").agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("q").cast("long").alias("sq"),
-        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    s = (
+        d.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.sum("q").cast("long").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "part").select(
+                    F.col("p_partkey").alias("pk"), "p_brand"
+                )
+            ),
+            "pk",
+        )
     )
     cls = s.crossJoin(F.broadcast(per)).select(
         "p_brand",
