@@ -21768,3 +21768,494 @@ def median_of_means_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Chained-stateful streaming / calibration / feature-engineering wave
+# ===========================================================================
+
+_CHAINED_DEDUP_WINDOW_ORACLE = """
+WITH parts AS (SELECT unnest(range(0, 4)) AS p),
+ks AS (SELECT unnest(range(0, 75)) AS k),
+recs AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00'
+           + INTERVAL ((2 * k) // 60) HOUR              AS window_start,
+         (p * 31 + 2 * k * 17) % 1000                   AS amt
+  FROM parts, ks
+)
+SELECT window_start,
+       CAST(count(*) AS BIGINT)  AS n_keys,
+       CAST(sum(amt) AS BIGINT)  AS total_cents
+FROM recs
+WHERE window_start + INTERVAL 1 HOUR
+      <= TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 138 MINUTE
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@_register("streaming_chained_dedup_window", _CHAINED_DEDUP_WINDOW_ORACLE)
+def streaming_chained_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query —
+    dropDuplicatesWithinWatermark feeding a tumbling-window aggregate —
+    the at-least-once-upstream → exactly-once-analytics pipeline
+    (Kafka producers retry, so every real stream carries duplicates;
+    deduping in the same query as the window avoids a second topic).
+    The offset_log source emits every logical key TWICE (offsets 2k
+    and 2k+1 collapse to key k with identical event time and payload,
+    so whichever copy the dedup state keeps, downstream is
+    bit-identical); the watermark propagates through the dedup into
+    the window operator, and append mode emits exactly the
+    watermark-closed windows: max event time 2:28 − 10 min delay
+    ⇒ windows [0,1h) and [1h,2h) flush, the 2-hour window stays open
+    and is withheld — the oracle encodes that closure rule. Scale
+    shape: both operators shard state by key/window across shuffle
+    partitions; dedup state is bounded BY the watermark (the only
+    dedup that survives an unbounded stream)."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
+
+    register_offset_log(spark)
+    stream = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 4)
+        .option("n_rows", 150)
+        .option("rows_per_batch", 75)
+        .load()
+    )
+    keyed = stream.select(
+        F.expr(
+            "concat(CAST(partition AS STRING), ':',"
+            " CAST(offset div 2 AS STRING))"
+        ).alias("rec_key"),
+        F.expr(
+            "ts - make_interval(0, 0, 0, 0, 0, CAST(offset % 2 AS INT), 0)"
+        ).alias("ev_ts"),
+        F.expr("pmod(amount_cents - 17 * (offset % 2), 1000)").alias("amt"),
+    )
+    deduped = keyed.withWatermark("ev_ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["rec_key"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ev_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("amt").cast("long").alias("total_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_keys", "total_cents")
+    )
+    sink = run_stream_to_memory(
+        agg, f"cdw_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return sink.orderBy("window_start")
+
+
+_ISOTONIC_ORACLE = """
+WITH scored AS (
+  SELECT least(9, greatest(0,
+           (CAST(round(value * 100) AS BIGINT) * 4
+            + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':iso'),
+                                  1, 6) AS BIGINT) % 100000) // 30000))
+           AS bin,
+         CASE WHEN value > 350 THEN 1 ELSE 0 END AS y
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+  FROM scored GROUP BY bin
+),
+pre AS (
+  SELECT bin, n, s,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(s) OVER (ORDER BY bin) AS cs
+  FROM b
+),
+trip AS (
+  SELECT i.bin AS bin, i.n AS n, i.s AS s, j.bin AS j, k.bin AS k,
+         (k.cs - j.cs + j.s) * 1000000 // (k.cn - j.cn + j.n) AS avg_ppm
+  FROM pre i
+  JOIN pre j ON j.bin <= i.bin
+  JOIN pre k ON k.bin >= i.bin
+),
+mn AS (
+  SELECT bin, n, s, j, min(avg_ppm) AS m FROM trip GROUP BY bin, n, s, j
+)
+SELECT bin,
+       n AS n_events,
+       CAST(s * 1000000 // n AS BIGINT) AS raw_rate_ppm,
+       CAST(max(m) AS BIGINT)           AS iso_rate_ppm
+FROM mn
+GROUP BY bin, n, s
+ORDER BY bin
+"""
+
+
+@_register("isotonic_calibration_pava", _ISOTONIC_ORACLE)
+def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA) calibration of a noisy score: a
+    10-bin score (value plus deterministic md5 noise, so raw bin
+    positive-rates are NON-monotone) is fit to the best monotone
+    nondecreasing rates via the minimax closed form
+    iso(i) = max_{j≤i} min_{k≥i} rate(j..k) — pool-adjacent-violators
+    without the sequential pooling loop, so the fit distributes AND
+    carries a full value oracle (rates on the exact ppm lattice;
+    max-min of ANY values is monotone in i by the nesting of the j/k
+    sets, so monotonicity is structural, not asserted). This is THE
+    post-hoc calibrator applied to quality/classifier scores before
+    thresholding — `calibration_reliability_bins` measures the
+    miscalibration, this entry repairs it. Scale shape: one rollup
+    shuffle to the 10-bin frame; prefix sums and the j×i×k triple
+    join live entirely on that bounded frame."""
+    scored = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr(
+                "least(9, greatest(0, (CAST(round(value * 100) AS BIGINT) * 4"
+                " + CAST(conv(substr(md5(concat(CAST(event_id AS STRING),"
+                " ':iso')), 1, 6), 16, 10) AS BIGINT) % 100000)"
+                " div 30000))"
+            ).alias("bin"),
+            F.when(F.col("value") > 350, 1).otherwise(0).alias("y"),
+        )
+    )
+    b = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    pre = b.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(W.orderBy("bin")).alias("cn"),
+        F.sum("s").over(W.orderBy("bin")).alias("cs"),
+    ).localCheckpoint(eager=False)
+    i = pre.alias("i")
+    j = pre.alias("j")
+    k = pre.alias("k")
+    trip = (
+        i.join(j, F.col("j.bin") <= F.col("i.bin"))
+        .join(k, F.col("k.bin") >= F.col("i.bin"))
+        .select(
+            F.col("i.bin").alias("bin"),
+            F.col("i.n").alias("n"),
+            F.col("i.s").alias("s"),
+            F.col("j.bin").alias("jb"),
+            F.expr(
+                "(k.cs - j.cs + j.s) * 1000000 div (k.cn - j.cn + j.n)"
+            ).alias("avg_ppm"),
+        )
+    )
+    mn = trip.groupBy("bin", "n", "s", "jb").agg(F.min("avg_ppm").alias("m"))
+    return (
+        mn.groupBy("bin", "n", "s")
+        .agg(F.max("m").cast("long").alias("iso_rate_ppm"))
+        .select(
+            "bin",
+            F.col("n").alias("n_events"),
+            F.expr("CAST(s * 1000000 div n AS BIGINT)").alias("raw_rate_ppm"),
+            "iso_rate_ppm",
+        )
+        .orderBy("bin")
+    )
+
+
+_TARGET_ENC_ORACLE = """
+WITH f AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':fold'), 1, 6)
+              AS BIGINT) % 5 AS fold,
+         CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+cf AS (
+  SELECT event_type, fold,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS s
+  FROM f GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, fold, n, s,
+         sum(n) OVER (PARTITION BY event_type) AS cat_n,
+         sum(s) OVER (PARTITION BY event_type) AS cat_s,
+         sum(n) OVER () AS tot_n,
+         sum(s) OVER () AS tot_s
+  FROM cf
+)
+SELECT event_type, fold,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST((cat_s - s) // (cat_n - n) AS BIGINT) AS enc_loo_micro,
+       CAST((cat_s - s + 100 * (tot_s // tot_n))
+            // (cat_n - n + 100) AS BIGINT)       AS enc_smoothed_micro,
+       CAST(cat_s // cat_n AS BIGINT)             AS enc_full_micro
+FROM w
+ORDER BY event_type, fold
+"""
+
+
+@_register("target_encoding_loo_folds", _TARGET_ENC_ORACLE)
+def target_encoding_loo_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-controlled target encoding — the feature-engineering
+    staple for high-cardinality categoricals: each (category, fold)
+    cell is encoded with the category's mean target computed WITHOUT
+    that fold's rows ((Σcat − Σfold)/(Ncat − Nfold), exact micro
+    ints), so no row ever sees its own target — plus the
+    m-estimate-smoothed variant (m=100 pseudo-observations of the
+    global prior) that tames rare categories. The full-data encoding
+    rides along to expose the leakage gap. Folds are md5-deterministic
+    (rerun- and engine-stable, same discipline as
+    `train_val_test_split`). Scale shape: one partial-aggregated
+    shuffle to (category, fold); all encodings are window algebra on
+    that bounded frame — the raw table is never re-scanned per fold."""
+    f = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(event_id AS STRING),"
+            " ':fold')), 1, 6), 16, 10) AS BIGINT) % 5"
+        ).alias("fold"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vm"),
+    )
+    cf = f.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vm").cast("long").alias("s"),
+    )
+    cat = W.partitionBy("event_type")
+    alln = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w = cf.select(
+        "event_type",
+        "fold",
+        "n",
+        "s",
+        F.sum("n").over(cat).alias("cat_n"),
+        F.sum("s").over(cat).alias("cat_s"),
+        F.sum("n").over(alln).alias("tot_n"),
+        F.sum("s").over(alln).alias("tot_s"),
+    )
+    return w.select(
+        "event_type",
+        "fold",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr("CAST((cat_s - s) div (cat_n - n) AS BIGINT)").alias(
+            "enc_loo_micro"
+        ),
+        F.expr(
+            "CAST((cat_s - s + 100 * (tot_s div tot_n))"
+            " div (cat_n - n + 100) AS BIGINT)"
+        ).alias("enc_smoothed_micro"),
+        F.expr("CAST(cat_s div cat_n AS BIGINT)").alias("enc_full_micro"),
+    ).orderBy("event_type", "fold")
+
+
+_BROWN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+  FROM daily
+),
+s1 AS (
+  SELECT a.event_type, a.day, a.k, a.x,
+         CAST(1000 * sum((1 << (15 - (a.k - b.k))) * b.x)
+              // sum(1 << (15 - (a.k - b.k))) AS BIGINT) AS s1_milli
+  FROM r a JOIN r b
+    ON a.event_type = b.event_type AND b.k BETWEEN a.k - 15 AND a.k
+  GROUP BY a.event_type, a.day, a.k, a.x
+),
+s2 AS (
+  SELECT a.event_type, a.day, a.k, a.x, a.s1_milli,
+         CAST(sum((1 << (15 - (a.k - b.k))) * b.s1_milli)
+              // sum(1 << (15 - (a.k - b.k))) AS BIGINT) AS s2_milli
+  FROM s1 a JOIN s1 b
+    ON a.event_type = b.event_type AND b.k BETWEEN a.k - 15 AND a.k
+  GROUP BY a.event_type, a.day, a.k, a.x, a.s1_milli
+)
+SELECT a.event_type AS event_type, a.day AS day,
+       CAST(a.x AS BIGINT) AS n_events,
+       a.s1_milli, a.s2_milli,
+       CAST(3 * a.s1_milli - 2 * a.s2_milli AS BIGINT) AS forecast_next_milli,
+       CAST(n.x AS BIGINT) AS actual_next,
+       CAST(abs(3 * a.s1_milli - 2 * a.s2_milli - 1000 * n.x) AS BIGINT)
+         AS abs_err_milli
+FROM s2 a JOIN r n
+  ON n.event_type = a.event_type AND n.k = a.k + 1
+ORDER BY event_type, day
+"""
+
+
+@_register("brown_double_smoothing_forecast", _BROWN_ORACLE)
+def brown_double_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (Holt-equivalent at α=1/2):
+    S'' = EWMA(S') composes the integer EWMA of
+    `ewma_daily_event_counts` with itself on the milli lattice, giving
+    level 2S'−S'' and trend S'−S'', hence the one-step-ahead forecast
+    3S'−2S'' — the trend-aware step past the seasonal-naive baseline
+    that `seasonal_naive_forecast_eval` scores, still in EXACT integer
+    arithmetic (no smoothing-state recursion: both passes use the
+    closed 2^(15−k) windowed form). Each day's forecast is joined to
+    the NEXT day's actual, so the per-day absolute error — the
+    backtest — value-checks too. Scale shape: the stream collapses
+    once to (type, day); both smoothing passes are 16-wide banded
+    self-joins on that calendar-bounded frame."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    r = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("k"),
+    ).localCheckpoint(eager=False)
+    s1 = (
+        r.alias("a")
+        .join(
+            r.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.k") >= F.col("a.k") - 15)
+            & (F.col("b.k") <= F.col("a.k")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.k").alias("k"),
+            F.col("a.x").alias("x"),
+        )
+        .agg(
+            F.expr(
+                "CAST(1000 * sum(shiftleft(1, 15 - (a.k - b.k)) * b.x)"
+                " div sum(shiftleft(1, 15 - (a.k - b.k))) AS BIGINT)"
+            ).alias("s1_milli")
+        )
+        .localCheckpoint(eager=False)
+    )
+    s2 = (
+        s1.alias("a")
+        .join(
+            s1.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.k") >= F.col("a.k") - 15)
+            & (F.col("b.k") <= F.col("a.k")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.k").alias("k"),
+            F.col("a.x").alias("x"),
+            F.col("a.s1_milli").alias("s1_milli"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(shiftleft(1, 15 - (a.k - b.k)) * b.s1_milli)"
+                " div sum(shiftleft(1, 15 - (a.k - b.k))) AS BIGINT)"
+            ).alias("s2_milli")
+        )
+    )
+    nxt = r.select(
+        F.col("event_type").alias("n_et"),
+        F.col("k").alias("n_k"),
+        F.col("x").alias("actual_next"),
+    )
+    return (
+        s2.join(
+            nxt,
+            (F.col("event_type") == F.col("n_et"))
+            & (F.col("n_k") == F.col("k") + 1),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("x").cast("long").alias("n_events"),
+            "s1_milli",
+            "s2_milli",
+            F.expr("CAST(3 * s1_milli - 2 * s2_milli AS BIGINT)").alias(
+                "forecast_next_milli"
+            ),
+            F.col("actual_next").cast("long").alias("actual_next"),
+            F.expr(
+                "CAST(abs(3 * s1_milli - 2 * s2_milli - 1000 * actual_next)"
+                " AS BIGINT)"
+            ).alias("abs_err_milli"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_REBALANCE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':rebal'), doc_id
+         ) AS rk
+  FROM documents
+),
+mn AS (SELECT min(c) AS n_min FROM (SELECT count(*) AS c FROM d GROUP BY lang))
+SELECT lang,
+       CAST(count(*) AS BIGINT)                            AS n_before,
+       CAST(sum(CASE WHEN rk <= mn.n_min THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_after,
+       CAST(sum(CASE WHEN rk <= mn.n_min THEN doc_id ELSE 0 END) AS BIGINT)
+                                                           AS kept_id_sum
+FROM d, mn
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@_register("class_rebalance_undersample", _REBALANCE_ORACLE)
+def class_rebalance_undersample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic majority-class undersampling: every language
+    class is cut to the MINORITY class's size by keeping each class's
+    top-n_min rows under the md5(doc_id) order — a pure function of
+    the data, so the rebalanced training set is rerun- and
+    engine-reproducible (the class-imbalance preprocessing step before
+    classifier training, with the same determinism discipline as
+    `train_val_test_split`). The kept-row doc_id sum fingerprints the
+    EXACT selection, not just its size. Scale shape: one hash shuffle
+    to (class) for the per-class rank window — classes rank in
+    parallel — and the 1-row minority count broadcasts."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                F.md5(F.expr("concat(CAST(doc_id AS STRING), ':rebal')")),
+                "doc_id",
+            )
+        )
+        .alias("rk"),
+    )
+    mn = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .agg(F.min("count").alias("n_min"))
+    )
+    return (
+        d.crossJoin(F.broadcast(mn))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(F.when(F.col("rk") <= F.col("n_min"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+            F.sum(
+                F.when(F.col("rk") <= F.col("n_min"), F.col("doc_id")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )
