@@ -22259,3 +22259,496 @@ def class_rebalance_undersample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ===========================================================================
+# Data-contract / corpus-stats / encoding / off-policy-eval wave
+# ===========================================================================
+
+_FD_AUDIT_ORACLE = """
+WITH fd1 AS (
+  SELECT 'lineitem: (orderkey,linenumber) -> suppkey' AS fd,
+         CAST(count(*) AS BIGINT) AS n_lhs,
+         CAST(sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+  FROM (SELECT count(DISTINCT l_suppkey) AS cd
+        FROM lineitem GROUP BY l_orderkey, l_linenumber)
+),
+fd2 AS (
+  SELECT 'lineitem: partkey -> suppkey' AS fd,
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT count(DISTINCT l_suppkey) AS cd
+        FROM lineitem GROUP BY l_partkey)
+),
+fd3 AS (
+  SELECT 'orders: custkey -> orderpriority' AS fd,
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT count(DISTINCT o_orderpriority) AS cd
+        FROM orders GROUP BY o_custkey)
+),
+fd4 AS (
+  SELECT 'events: user -> event_type' AS fd,
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT count(DISTINCT event_type) AS cd
+        FROM events GROUP BY user_id)
+),
+fd5 AS (
+  SELECT 'customer: (nation,segment) -> mktsegment band' AS fd,
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT count(DISTINCT c_mktsegment) AS cd
+        FROM customer GROUP BY c_nationkey, c_mktsegment)
+),
+fd6 AS (
+  SELECT 'orders: orderkey -> custkey' AS fd,
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT count(DISTINCT o_custkey) AS cd
+        FROM orders GROUP BY o_orderkey)
+),
+u AS (
+  SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL
+  SELECT * FROM fd3 UNION ALL SELECT * FROM fd4 UNION ALL
+  SELECT * FROM fd5 UNION ALL SELECT * FROM fd6
+)
+SELECT fd, n_lhs, n_violating,
+       CAST(n_violating * 1000000 // n_lhs AS BIGINT) AS violation_ppm,
+       CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM u
+ORDER BY fd
+"""
+
+
+@_register("functional_dependency_audit", _FD_AUDIT_ORACLE)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery/validation — the data-contract
+    audit behind key inference, normalization checks, and dedup-key
+    selection: for each candidate FD `LHS → RHS`, count LHS groups
+    whose RHS is not single-valued. The panel mixes FDs that HOLD
+    (orders' primary key determines its customer; a tautological
+    reflexive check as the control) with many-to-many VIOLATIONS —
+    and it caught a real one: the synthetic lake does NOT honor
+    TPC-H's (orderkey, linenumber) composite key (23% of pairs carry
+    multiple suppliers at every sf), exactly the silent contract break
+    this audit exists to surface before someone dedups or MERGEs on
+    the assumed key. Scale shape: each FD is one partial-aggregated
+    groupBy(LHS) + countDistinct(RHS) collapsing to a 1-row frame; the
+    union is six tiny frames — no FD ever joins the base tables."""
+
+    def fd(name: str, df: DataFrame, lhs: list, rhs: str) -> DataFrame:
+        return (
+            df.groupBy(*lhs)
+            .agg(F.countDistinct(rhs).alias("cd"))
+            .agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum(F.when(F.col("cd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+            )
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    u = (
+        fd(
+            "lineitem: (orderkey,linenumber) -> suppkey",
+            li,
+            ["l_orderkey", "l_linenumber"],
+            "l_suppkey",
+        )
+        .unionAll(
+            fd("lineitem: partkey -> suppkey", li, ["l_partkey"], "l_suppkey")
+        )
+        .unionAll(
+            fd(
+                "orders: custkey -> orderpriority",
+                _t(spark, sf_dir, "orders"),
+                ["o_custkey"],
+                "o_orderpriority",
+            )
+        )
+        .unionAll(
+            fd(
+                "events: user -> event_type",
+                _t(spark, sf_dir, "events"),
+                ["user_id"],
+                "event_type",
+            )
+        )
+        .unionAll(
+            fd(
+                "customer: (nation,segment) -> mktsegment band",
+                _t(spark, sf_dir, "customer"),
+                ["c_nationkey", "c_mktsegment"],
+                "c_mktsegment",
+            )
+        )
+        .unionAll(
+            fd(
+                "orders: orderkey -> custkey",
+                _t(spark, sf_dir, "orders"),
+                ["o_orderkey"],
+                "o_custkey",
+            )
+        )
+    )
+    return u.select(
+        "fd",
+        "n_lhs",
+        "n_violating",
+        F.expr("CAST(n_violating * 1000000 div n_lhs AS BIGINT)").alias(
+            "violation_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("holds"),
+    ).orderBy("fd")
+
+
+_LEXRICH_ORACLE = """
+WITH st AS (
+  SELECT source, tok.t AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM documents, LATERAL (
+    SELECT unnest(string_split(text, ' ')) AS t
+  ) tok
+  WHERE text IS NOT NULL
+  GROUP BY source, tok.t
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT)   AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS hapax_ppm
+FROM st
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_register("lexical_richness_audit", _LEXRICH_ORACLE)
+def lexical_richness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: type-token ratio and hapax-legomena
+    share (types seen exactly once WITHIN the source) in exact ppm —
+    the corpus screens that catch template-generated or looping text
+    (TTR collapses) and OCR/noise contamination (hapax share spikes)
+    before either poisons a training mix; complements
+    `shannon_fano_code_length`'s redundancy angle with a type-level
+    one. Scale shape: one partial-aggregated rollup to (source, token);
+    both statistics are a second aggregate on that vocabulary-bounded
+    frame."""
+    st = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        st.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.expr(
+                "CAST(count(*) * 1000000 div sum(c) AS BIGINT)"
+            ).alias("ttr_ppm"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax_types"),
+            F.expr(
+                "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("hapax_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_RLE_ORACLE = """
+WITH v AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY CAST(ts AS DATE)
+                                         ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS run_start
+  FROM events
+)
+SELECT day,
+       CAST(count(*) AS BIGINT)                 AS n_values,
+       CAST(sum(run_start) AS BIGINT)           AS n_runs_ts_order,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_runs_if_sorted,
+       CAST(1000 * count(*) // sum(run_start) AS BIGINT)
+                                                AS avg_run_len_milli,
+       CAST(sum(run_start) * 1000000 // count(*) AS BIGINT)
+                                                AS rle_ratio_ppm
+FROM v
+GROUP BY day
+ORDER BY day
+"""
+
+
+@_register("rle_compression_audit", _RLE_ORACLE)
+def rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding layout audit — the encoding-choice question
+    columnar writers (parquet RLE_DICTIONARY) answer per column chunk:
+    within each day partition, how many runs does `event_type` form
+    under the natural (ts, event_id) write order vs the n_distinct
+    floor a sort-by-value rewrite would reach? Arrival-ordered
+    categorical columns RLE terribly (runs ≈ rows — this corpus's
+    readout) and that measured gap is the case for
+    `zorder_layout_audit`/sort-on-write data layout; ratios in exact
+    ppm/milli. Scale shape: ONE hash exchange to (day) serves the lag
+    window and the final aggregate; days audit in parallel — the
+    per-file locality question never needs a global sort."""
+    pw = W.partitionBy("day").orderBy("ts", "event_id")
+    v = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"), "event_type", "ts", "event_id"
+        )
+        .select(
+            "day",
+            "event_type",
+            F.when(
+                ~F.lag("event_type").over(pw).eqNullSafe(F.col("event_type")),
+                1,
+            )
+            .otherwise(0)
+            .alias("run_start"),
+        )
+    )
+    return (
+        v.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("run_start").cast("long").alias("n_runs_ts_order"),
+            F.countDistinct("event_type").cast("long").alias(
+                "n_runs_if_sorted"
+            ),
+            F.expr(
+                "CAST(1000 * count(*) div sum(run_start) AS BIGINT)"
+            ).alias("avg_run_len_milli"),
+            F.expr(
+                "CAST(sum(run_start) * 1000000 div count(*) AS BIGINT)"
+            ).alias("rle_ratio_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+_REPLAY_ORACLE = """
+WITH h1 AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events WHERE day(ts) <= 15 GROUP BY 1, 2
+),
+pol AS (
+  SELECT user_id, event_type AS arm
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type) AS rn
+        FROM h1)
+  WHERE rn = 1
+),
+gtop AS (
+  SELECT event_type AS garm
+  FROM h1 GROUP BY event_type
+  ORDER BY sum(c) DESC, event_type LIMIT 1
+),
+h2 AS (
+  SELECT e.user_id, e.event_type,
+         CAST(round(e.value * 1000000) AS BIGINT) AS vm,
+         coalesce(p.arm, (SELECT garm FROM gtop)) AS arm
+  FROM events e LEFT JOIN pol p ON e.user_id = p.user_id
+  WHERE day(e.ts) > 15
+),
+base AS (
+  SELECT CAST(sum(vm) // count(*) AS BIGINT) AS overall_avg_micro FROM h2
+)
+SELECT h2.arm AS arm,
+       CAST(count(*) AS BIGINT) AS n_logged,
+       CAST(sum(CASE WHEN event_type = arm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(sum(CASE WHEN event_type = arm THEN vm END)
+            // greatest(sum(CASE WHEN event_type = arm THEN 1 ELSE 0 END), 1)
+            AS BIGINT) AS matched_avg_micro,
+       base.overall_avg_micro,
+       CAST(sum(CASE WHEN event_type = arm THEN vm END)
+            // greatest(sum(CASE WHEN event_type = arm THEN 1 ELSE 0 END), 1)
+            - base.overall_avg_micro AS BIGINT) AS lift_micro
+FROM h2, base
+GROUP BY h2.arm, base.overall_avg_micro
+ORDER BY arm
+"""
+
+
+@_register("bandit_replay_evaluation", _REPLAY_ORACLE)
+def bandit_replay_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy REPLAY evaluation (Li et al.'s unbiased estimator for
+    uniformly-logged bandit data): a per-user policy is trained on the
+    first half-month (each user's modal event type, deterministic
+    tie-break; cold-start users back off to the global top arm), then
+    evaluated WITHOUT deployment by replaying second-half logs —
+    only logged events whose action matches the policy's choice count,
+    and their mean reward (exact micro ints) against the
+    all-traffic baseline is the estimated lift. This answers
+    'would this recommender beat what we do now?' from logs alone —
+    the evaluation step between `itemitem_collaborative_topk` and an
+    A/B test. Scale shape: train is one rollup + per-user argmax
+    window; scoring joins policy to logs on user hash keys; the final
+    readout is one partial-aggregated rollup per arm with the 1-row
+    baseline broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    h1 = (
+        ev.filter(F.dayofmonth("ts") <= 15)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    pol = (
+        h1.select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(
+                W.partitionBy("user_id").orderBy(
+                    F.col("c").desc(), "event_type"
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("arm"))
+    )
+    gtop = (
+        h1.groupBy("event_type")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "event_type")
+        .limit(1)
+        .select(F.col("event_type").alias("garm"))
+    )
+    h2 = (
+        ev.filter(F.dayofmonth("ts") > 15)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vm"),
+        )
+        .join(pol, "user_id", "left")
+        .crossJoin(F.broadcast(gtop))
+        .select(
+            "event_type",
+            "vm",
+            F.coalesce("arm", "garm").alias("arm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = h2.agg(
+        F.expr("CAST(sum(vm) div count(*) AS BIGINT)").alias(
+            "overall_avg_micro"
+        )
+    )
+    m_avg = (
+        "sum(CASE WHEN event_type = arm THEN vm END)"
+        " div greatest(sum(CASE WHEN event_type = arm THEN 1 ELSE 0 END), 1)"
+    )
+    return (
+        h2.crossJoin(F.broadcast(base))
+        .groupBy("arm", "overall_avg_micro")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_logged"),
+            F.sum(F.when(F.col("event_type") == F.col("arm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.expr(f"CAST({m_avg} AS BIGINT)").alias("matched_avg_micro"),
+            F.expr(
+                f"CAST({m_avg} - max(overall_avg_micro) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .select(
+            "arm",
+            "n_logged",
+            "n_matched",
+            "matched_avg_micro",
+            "overall_avg_micro",
+            "lift_micro",
+        )
+        .orderBy("arm")
+    )
+
+
+_DOW_ORACLE = """
+WITH d AS (
+  SELECT event_type, dayname(ts) AS dow, CAST(ts AS DATE) AS day
+  FROM events
+),
+cal AS (
+  SELECT dow, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+  FROM (SELECT DISTINCT dayname(ts) AS dow, CAST(ts AS DATE) AS day
+        FROM events)
+  GROUP BY dow
+),
+c AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1
+),
+ndays AS (SELECT CAST(sum(n_days) AS BIGINT) AS total_days FROM cal)
+SELECT c.event_type AS event_type, c.dow AS dow, c.n AS n_events,
+       CAST(c.n * nd.total_days * 1000000 // (cal.n_days * t.t) AS BIGINT)
+         AS seasonality_index_ppm
+FROM c JOIN cal ON c.dow = cal.dow
+JOIN tot t ON c.event_type = t.event_type
+CROSS JOIN ndays nd
+ORDER BY event_type, dow
+"""
+
+
+@_register("dow_seasonality_profile", _DOW_ORACLE)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: (mean events on
+    this weekday) / (mean events per day overall) in exact ppm —
+    computed as n·total_days·10⁶ div (days_of_this_dow·total), which
+    correctly handles months where weekdays occur 4 vs 5 times (a raw
+    day-of-week share would bias toward the 5-occurrence days). The
+    index is the input to weekday-aware staffing/alert baselines and
+    the seasonal-naive forecaster's period choice. Weekday KEYS are
+    locale-stable day NAMES (Spark date_format 'EEEE' == DuckDB
+    dayname — the 1-7-Sunday vs 0-6 numbering trap from the verify
+    notes never surfaces). Scale shape: one rollup shuffle to
+    (type, dow); the weekday calendar and per-type totals are
+    broadcast-tiny."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "EEEE").alias("dow"),
+        F.to_date("ts").alias("day"),
+    ).localCheckpoint(eager=False)
+    cal = (
+        ev.select("dow", "day")
+        .distinct()
+        .groupBy("dow")
+        .agg(F.countDistinct("day").cast("long").alias("n_days"))
+    )
+    c = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("t"))
+    ndays = cal.agg(F.sum("n_days").cast("long").alias("total_days"))
+    return (
+        c.join(F.broadcast(cal), "dow")
+        .join(F.broadcast(tot), "event_type")
+        .crossJoin(F.broadcast(ndays))
+        .select(
+            "event_type",
+            "dow",
+            F.col("n").alias("n_events"),
+            F.expr(
+                "CAST(n * total_days * 1000000 div (n_days * t) AS BIGINT)"
+            ).alias("seasonality_index_ppm"),
+        )
+        .orderBy("event_type", "dow")
+    )
