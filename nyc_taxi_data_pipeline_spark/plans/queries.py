@@ -22752,3 +22752,479 @@ def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ===========================================================================
+# Experimentation-variance / training-pairs / graph-mixing / growth wave
+# ===========================================================================
+
+_CUPED_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN day(ts) <= 15 THEN round(value) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN day(ts) > 15 THEN round(value) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM u
+),
+d AS (
+  SELECT n, sx, sy,
+         n * sxy - sx * sy AS cov_n,
+         n * sxx - sx * sx AS vx_n,
+         n * syy - sy * sy AS vy_n
+  FROM m
+)
+SELECT n AS n_users,
+       CAST(sx // n AS BIGINT) AS pre_mean_dollars,
+       CAST(sy // n AS BIGINT) AS post_mean_dollars,
+       CAST(1000 * cov_n // vx_n AS BIGINT) AS theta_milli,
+       CAST(CAST(cov_n AS HUGEINT) * cov_n * 1000000
+            // (CAST(vx_n AS HUGEINT) * vy_n) AS BIGINT)
+         AS variance_reduction_ppm
+FROM d
+"""
+
+
+@_register("cuped_variance_reduction", _CUPED_ORACLE)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment variance reduction using
+    pre-experiment data) — the technique every large A/B platform runs
+    to shrink confidence intervals without more traffic: regress each
+    user's post-period metric on their pre-period metric,
+    θ = cov(x,y)/var(x), and the achievable variance reduction at the
+    optimal θ is exactly ρ² — reported here in EXACT ppm.
+    ρ²·10⁶ = cov²·10⁶/(varx·vary) needs int128 products, and Spark's
+    DECIMAL `div` wraps — so the quotient comes from a double-seeded
+    floor with ±1 exact-DECIMAL-compare correction (the division
+    analog of `neyman_allocation_plan`'s isqrt correction): the double
+    gets within 1 of truth, the integer comparison lands it exactly,
+    and the DuckDB oracle runs plain HUGEINT division against it.
+    Scale shape: one rollup to (user), one mergeable 6-moment
+    aggregate; everything else is 1-row algebra."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN day(ts) <= 15 THEN round(value)"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(sum(CASE WHEN day(ts) > 15 THEN round(value)"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = m.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr("n * sxy - sx * sy").alias("cov_n"),
+        F.expr("n * sxx - sx * sx").alias("vx_n"),
+        F.expr("n * syy - sy * sy").alias("vy_n"),
+    )
+    # Exact floor of (cov_n^2 * 1e6) / (vx_n * vy_n) in int128 territory:
+    # DECIMAL(38,0) products (multiply is exact; only DECIMAL div wraps),
+    # double-seeded quotient, then +/-1 correction by exact comparison.
+    q = d.select(
+        "n",
+        "sx",
+        "sy",
+        "cov_n",
+        "vx_n",
+        F.expr(
+            "CAST(cov_n AS DECIMAL(38,0)) * CAST(cov_n AS DECIMAL(38,0))"
+            " * 1000000"
+        ).alias("num"),
+        F.expr(
+            "CAST(vx_n AS DECIMAL(38,0)) * CAST(vy_n AS DECIMAL(38,0))"
+        ).alias("den"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        "cov_n",
+        "vx_n",
+        "num",
+        "den",
+        F.expr(
+            "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+            " AS DECIMAL(38,0))"
+        ).alias("q0"),
+    )
+    return q.select(
+        F.col("n").alias("n_users"),
+        F.expr("CAST(sx div n AS BIGINT)").alias("pre_mean_dollars"),
+        F.expr("CAST(sy div n AS BIGINT)").alias("post_mean_dollars"),
+        F.expr("CAST(1000 * cov_n div vx_n AS BIGINT)").alias("theta_milli"),
+        F.expr(
+            "CAST(CASE WHEN (q0 + 1) * den <= num THEN q0 + 1"
+            " WHEN q0 * den > num THEN q0 - 1"
+            " ELSE q0 END AS BIGINT)"
+        ).alias("variance_reduction_ppm"),
+    )
+
+
+_NEGSAMPLE_ORACLE = """
+WITH pos AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+types AS (SELECT DISTINCT event_type FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+grid AS (
+  SELECT u.user_id, t.event_type FROM users u CROSS JOIN types t
+),
+neg AS (
+  SELECT g.user_id, g.event_type,
+         row_number() OVER (
+           PARTITION BY g.user_id
+           ORDER BY md5(CAST(g.user_id AS VARCHAR) || ':'
+                        || g.event_type || ':neg'), g.event_type
+         ) AS rk
+  FROM grid g
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.user_id = g.user_id
+                      AND p.event_type = g.event_type)
+),
+agg_pos AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pos_users FROM pos GROUP BY 1
+),
+agg_neg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_neg_sampled,
+         CAST(sum(user_id) AS BIGINT) AS neg_user_id_sum
+  FROM neg WHERE rk <= 2 GROUP BY 1
+)
+SELECT p.event_type AS event_type, p.n_pos_users,
+       coalesce(n.n_neg_sampled, 0)  AS n_neg_sampled,
+       coalesce(n.neg_user_id_sum, 0) AS neg_user_id_sum
+FROM agg_pos p LEFT JOIN agg_neg n ON p.event_type = n.event_type
+ORDER BY event_type
+"""
+
+
+@_register("negative_sampling_pairs", _NEGSAMPLE_ORACLE)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for two-tower/embedding
+    training: each user contributes up to 2 NEGATIVE (user, type)
+    pairs — types the user never interacted with, chosen by md5 order
+    so the training set is rerun- and engine-reproducible — with the
+    anti-join guaranteeing no false negatives (a sampled negative that
+    is secretly positive poisons contrastive training; here it is
+    structurally impossible and the per-type user-id-sum fingerprints
+    the exact selection). Scale shape: positives collapse to one
+    distinct; the candidate grid is users × |type vocabulary| (bounded
+    fanout, broadcast types), negatives are one anti join + per-user
+    rank window — users sample in parallel."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    pos = ev.distinct().localCheckpoint(eager=False)
+    types = pos.select("event_type").distinct()
+    users = pos.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(types))
+    neg = (
+        grid.join(pos, ["user_id", "event_type"], "anti")
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(
+                W.partitionBy("user_id").orderBy(
+                    F.md5(
+                        F.expr(
+                            "concat(CAST(user_id AS STRING), ':',"
+                            " event_type, ':neg')"
+                        )
+                    ),
+                    "event_type",
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 2)
+    )
+    agg_pos = pos.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos_users")
+    )
+    agg_neg = neg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neg_sampled"),
+        F.sum("user_id").cast("long").alias("neg_user_id_sum"),
+    )
+    return (
+        agg_pos.join(agg_neg, "event_type", "left")
+        .select(
+            "event_type",
+            "n_pos_users",
+            F.coalesce("n_neg_sampled", F.lit(0)).cast("long").alias(
+                "n_neg_sampled"
+            ),
+            F.coalesce("neg_user_id_sum", F.lit(0)).cast("long").alias(
+                "neg_user_id_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ASSORT_ORACLE = """
+WITH pairs AS (
+  SELECT arr[g.i] AS u, arr[g.j] AS v
+  FROM (SELECT list_sort(list(DISTINCT l_partkey)) AS arr
+        FROM lineitem GROUP BY l_orderkey),
+  LATERAL (
+    SELECT a.i AS i, b.j AS j
+    FROM (SELECT unnest(generate_series(1, len(arr))) AS i) a,
+         (SELECT unnest(generate_series(1, len(arr))) AS j) b
+    WHERE a.i < b.j
+  ) g
+),
+und AS (SELECT u AS s, v AS t FROM pairs UNION ALL SELECT v, u FROM pairs),
+deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY s),
+ed AS (
+  SELECT d1.d AS dx, d2.d AS dy
+  FROM und JOIN deg d1 ON und.s = d1.node JOIN deg d2 ON und.t = d2.node
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS s1,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
+  FROM ed
+)
+SELECT s1 AS n_directed_edges,
+       CAST(sx // s1 AS BIGINT) AS mean_degree,
+       CAST(1000 * (s1 * sxy - CAST(sx AS HUGEINT) * sx)
+            // (s1 * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+         AS assortativity_milli
+FROM m
+"""
+
+
+@_register("degree_assortativity", _ASSORT_ORACLE)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph — Newman's r,
+    the do-hubs-link-to-hubs mixing coefficient that predicts
+    robustness and spreading behavior. Over the symmetric directed
+    edge list the x/y marginals coincide, so r needs NO square root:
+    r = (S1·Σxy − Sx²)/(S1·Σxx − Sx²) — and the int128-wide products
+    ride DECIMAL(38,0) multiplies with the quotient recovered by the
+    same double-seed + ±1 exact-compare floor as
+    `cuped_variance_reduction` (sign-split so truncation matches both
+    engines on negative r; multi-edges weight the mixing like repeated
+    co-purchases should). Scale shape: pair expansion is the
+    `link_prediction_common_neighbors` HOF explode (no fact self-join),
+    degrees are one aggregate BROADCAST back onto both endpoints, and
+    the moments are one mergeable pass — no sort anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) ->"
+                    " transform(slice(arr, i + 2, size(arr) - i - 1),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+    )
+    und = pairs.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        pairs.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).localCheckpoint(eager=False)
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).localCheckpoint(eager=False)
+    ed = (
+        und.join(
+            F.broadcast(deg.select(F.col("node").alias("s"), F.col("d").alias("dx"))),
+            "s",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("t"), F.col("d").alias("dy"))),
+            "t",
+        )
+        .select("dx", "dy")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("s1"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(19,0)) * dx")).alias("sxx"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(19,0)) * dy")).alias("sxy"),
+    )
+    q = m.select(
+        "s1",
+        "sx",
+        F.expr(
+            "1000 * (CAST(s1 AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sx)"
+        ).alias("num"),
+        F.expr(
+            "CAST(s1 AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("den"),
+    ).select(
+        "s1",
+        "sx",
+        "num",
+        "den",
+        F.expr(
+            "CAST(floor(abs(CAST(num AS DOUBLE)) / CAST(den AS DOUBLE))"
+            " AS DECIMAL(38,0))"
+        ).alias("q0"),
+    )
+    trunc = (
+        "CASE WHEN (q0 + 1) * den <= abs(num) THEN q0 + 1"
+        " WHEN q0 * den > abs(num) THEN q0 - 1 ELSE q0 END"
+    )
+    return q.select(
+        F.col("s1").alias("n_directed_edges"),
+        F.expr("CAST(sx div s1 AS BIGINT)").alias("mean_degree"),
+        F.expr(
+            f"CAST(CASE WHEN num >= 0 THEN ({trunc})"
+            f" ELSE -({trunc}) END AS BIGINT)"
+        ).alias("assortativity_milli"),
+    )
+
+
+_GROWTH_ORACLE = """
+WITH ua AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // (7 * 86400000000) AS w
+  FROM events
+),
+fw AS (SELECT user_id, min(w) AS first_w FROM ua GROUP BY 1),
+cur AS (SELECT user_id, w FROM ua),
+prv AS (SELECT user_id, w + 1 AS w FROM ua),
+j AS (
+  SELECT coalesce(c.user_id, p.user_id) AS user_id,
+         coalesce(c.w, p.w) AS w,
+         (c.user_id IS NOT NULL) AS is_cur,
+         (p.user_id IS NOT NULL) AS is_prv
+  FROM cur c FULL OUTER JOIN prv p
+    ON c.user_id = p.user_id AND c.w = p.w
+)
+SELECT CAST(DATE '1970-01-01' + CAST(j.w * 7 AS INTEGER) AS DATE)
+         AS week_start,
+       CAST(sum(CASE WHEN is_cur AND f.first_w = j.w THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN is_cur AND is_prv AND f.first_w < j.w
+                     THEN 1 ELSE 0 END) AS BIGINT) AS retained_users,
+       CAST(sum(CASE WHEN is_cur AND NOT is_prv AND f.first_w < j.w
+                     THEN 1 ELSE 0 END) AS BIGINT) AS resurrected_users,
+       CAST(sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS BIGINT)
+         AS churned_users,
+       CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT)
+         AS active_users
+FROM j JOIN fw f ON j.user_id = f.user_id
+GROUP BY j.w
+ORDER BY week_start
+"""
+
+
+@_register("growth_accounting_weekly", _GROWTH_ORACLE)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the new/retained/resurrected/churned
+    decomposition every product dashboard leads with (active(w) ≡
+    new + retained + resurrected, and churned(w) counts users active
+    in w−1 who went silent): per-user weekly activity is one distinct,
+    the week-over-week transition is a FULL OUTER self-join of the
+    activity set against itself shifted one week (presence flags on
+    both sides classify all four states in one pass — no per-user
+    window walk), and first-activity weeks broadcast in from a
+    mergeable min. Epoch-week arithmetic on integer micros keeps week
+    keys engine-stable. Scale shape: the raw stream collapses to
+    (user, week) once; the shifted self-join and the fw join are
+    user-keyed hash joins on that bounded frame; the readout is one
+    rollup per week."""
+    ua = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div (7 * 86400000000)").alias("w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fw = ua.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    cur = ua.select("user_id", "w")
+    prv = ua.select("user_id", (F.col("w") + 1).alias("w"))
+    j = (
+        cur.withColumn("c_flag", F.lit(1))
+        .join(
+            prv.withColumn("p_flag", F.lit(1)),
+            ["user_id", "w"],
+            "full_outer",
+        )
+        .select(
+            "user_id",
+            "w",
+            F.col("c_flag").isNotNull().alias("is_cur"),
+            F.col("p_flag").isNotNull().alias("is_prv"),
+        )
+    )
+    return (
+        j.join(fw, "user_id")
+        .groupBy("w")
+        .agg(
+            F.sum(
+                F.when(F.col("is_cur") & (F.col("first_w") == F.col("w")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("new_users"),
+            F.sum(
+                F.when(
+                    F.col("is_cur")
+                    & F.col("is_prv")
+                    & (F.col("first_w") < F.col("w")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("retained_users"),
+            F.sum(
+                F.when(
+                    F.col("is_cur")
+                    & ~F.col("is_prv")
+                    & (F.col("first_w") < F.col("w")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("resurrected_users"),
+            F.sum(F.when(~F.col("is_cur"), 1).otherwise(0))
+            .cast("long")
+            .alias("churned_users"),
+            F.sum(F.when(F.col("is_cur"), 1).otherwise(0))
+            .cast("long")
+            .alias("active_users"),
+        )
+        .select(
+            F.expr("date_add(DATE '1970-01-01', CAST(w * 7 AS INT))").alias(
+                "week_start"
+            ),
+            "new_users",
+            "retained_users",
+            "resurrected_users",
+            "churned_users",
+            "active_users",
+        )
+        .orderBy("week_start")
+    )
