@@ -23228,3 +23228,445 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+# ===========================================================================
+# Lead-lag / clustering-eval / master-data-survivorship wave
+# ===========================================================================
+
+_LEADLAG_ORACLE = """
+WITH a AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS xa
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+b AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS xb
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+m AS (
+  SELECT l.lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.xa) AS BIGINT) AS sa, CAST(sum(b.xb) AS BIGINT) AS sb,
+         CAST(sum(a.xa * a.xa) AS BIGINT) AS saa,
+         CAST(sum(b.xb * b.xb) AS BIGINT) AS sbb,
+         CAST(sum(a.xa * b.xb) AS BIGINT) AS sab
+  FROM lags l
+  JOIN a ON true
+  JOIN b ON b.day = a.day + CAST(l.lag AS INTEGER)
+  GROUP BY l.lag
+),
+r0 AS (
+  SELECT lag, n,
+         n * sab - sa * sb AS cov_n,
+         CAST(n * saa - sa * sa AS HUGEINT) * (n * sbb - sb * sb) AS vv,
+         CAST(floor(sqrt(CAST(CAST(n * saa - sa * sa AS HUGEINT)
+                              * (n * sbb - sb * sb) AS DOUBLE)))
+              AS HUGEINT) AS s0
+  FROM m
+),
+r AS (
+  SELECT lag, n, cov_n,
+         CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= vv THEN s0 + 1
+                   WHEN s0 * s0 > vv THEN s0 - 1
+                   ELSE s0 END AS BIGINT) AS sd
+  FROM r0
+),
+cc AS (
+  SELECT lag, n,
+         CAST(CASE WHEN cov_n >= 0
+                   THEN 1000 * cov_n // sd
+                   ELSE -(1000 * (-cov_n) // sd) END AS BIGINT) AS ccf_milli
+  FROM r
+)
+SELECT lag, n AS n_days, ccf_milli,
+       CAST(CASE WHEN row_number() OVER (ORDER BY abs(ccf_milli) DESC, lag)
+                      = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best_lag
+FROM cc
+ORDER BY lag
+"""
+
+
+@_register("lead_lag_cross_correlation", _LEADLAG_ORACLE)
+def lead_lag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation function between the daily error and
+    purchase series at lags −3..+3 — the does-one-metric-predict-the-
+    other screen run before any causal claim (a peak off lag 0 says
+    which series LEADS). Pearson r needs √(varA·varB): the int128-wide
+    variance product rides a DECIMAL multiply and its square root
+    comes from the double-seeded isqrt with ±1 exact-compare
+    correction (`neyman_allocation_plan`'s recipe lifted to DECIMAL
+    width), then one int64 division — the CCF itself value-checks in
+    exact milli. Scale shape: both series collapse to day grain first;
+    the 7-lag shifted join and all moments live on the calendar-
+    bounded frame (lags broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("xa"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("dayb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("xb"))
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    m = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("dayb") == F.expr("date_add(day, lag)"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xa").cast("long").alias("sa"),
+            F.sum("xb").cast("long").alias("sb"),
+            F.sum(F.col("xa") * F.col("xa")).cast("long").alias("saa"),
+            F.sum(F.col("xb") * F.col("xb")).cast("long").alias("sbb"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sab"),
+        )
+    )
+    r = m.select(
+        "lag",
+        "n",
+        F.expr("n * sab - sa * sb").alias("cov_n"),
+        F.expr(
+            "CAST((n * saa - sa * sa) AS DECIMAL(38,0))"
+            " * (n * sbb - sb * sb)"
+        ).alias("vv"),
+    ).select(
+        "lag",
+        "n",
+        "cov_n",
+        "vv",
+        F.expr(
+            "CAST(floor(sqrt(CAST(vv AS DOUBLE))) AS DECIMAL(38,0))"
+        ).alias("s0"),
+    ).select(
+        "lag",
+        "n",
+        "cov_n",
+        F.expr(
+            "CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= vv THEN s0 + 1"
+            " WHEN s0 * s0 > vv THEN s0 - 1 ELSE s0 END AS BIGINT)"
+        ).alias("sd"),
+    )
+    cc = r.select(
+        "lag",
+        "n",
+        F.expr(
+            "CAST(CASE WHEN cov_n >= 0 THEN 1000 * cov_n div sd"
+            " ELSE -(1000 * (-cov_n) div sd) END AS BIGINT)"
+        ).alias("ccf_milli"),
+    )
+    return cc.select(
+        "lag",
+        F.col("n").alias("n_days"),
+        "ccf_milli",
+        F.expr(
+            "CAST(CASE WHEN row_number() OVER"
+            " (ORDER BY abs(ccf_milli) DESC, lag) = 1"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_best_lag"),
+    ).orderBy("lag")
+
+
+_RAND_INDEX_ORACLE = """
+WITH pts AS (
+  SELECT label,
+         (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS cluster
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= 4
+),
+ct AS (
+  SELECT cluster, label, CAST(count(*) AS BIGINT) AS nij
+  FROM pts GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS n,
+         CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sum_comb_ij,
+         CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+  FROM ct
+),
+rows_ AS (
+  SELECT CAST(sum(ni * (ni - 1) // 2) AS BIGINT) AS sum_comb_i
+  FROM (SELECT sum(nij) AS ni FROM ct GROUP BY cluster)
+),
+cols_ AS (
+  SELECT CAST(sum(nj * (nj - 1) // 2) AS BIGINT) AS sum_comb_j
+  FROM (SELECT sum(nij) AS nj FROM ct GROUP BY label)
+),
+pur AS (
+  SELECT CAST(sum(mx) AS BIGINT) AS purity_num
+  FROM (SELECT max(nij) AS mx FROM ct GROUP BY cluster)
+)
+SELECT t.n AS n_points, t.n_clusters, t.n_labels,
+       CAST(p.purity_num * 1000000 // t.n AS BIGINT) AS purity_ppm,
+       CAST((t.n * (t.n - 1) // 2 + 2 * t.sum_comb_ij
+             - r.sum_comb_i - c.sum_comb_j) * 1000000
+            // (t.n * (t.n - 1) // 2) AS BIGINT) AS rand_index_ppm
+FROM tot t, rows_ r, cols_ c, pur p
+"""
+
+
+@_register("clustering_rand_index", _RAND_INDEX_ORACLE)
+def clustering_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation WITHOUT enumerating pairs: a
+    4-bit sign-signature clustering of the embedding space (first four
+    dimensions' signs — a 16-cell LSH-style partition) is scored
+    against the ground-truth labels by PURITY and the RAND INDEX,
+    where all O(N²) pair agreements collapse to the contingency-table
+    identity RI = [C(N,2) + 2ΣC(nij,2) − ΣC(ni·,2) − ΣC(n·j,2)] /
+    C(N,2) — exact integers end to end, the evaluation every
+    `semantic_dedup_clusters`-style pipeline needs before trusting
+    cluster-level dedup decisions. Scale shape: one rollup shuffle to
+    the (cluster, label) contingency table; every score is algebra on
+    that bounded frame — N² never materializes."""
+    pts = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") >= 4))
+        .select(
+            "label",
+            F.expr(
+                "(CASE WHEN embedding[0] > 0 THEN 8 ELSE 0 END"
+                " + CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END"
+                " + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END"
+                " + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)"
+            ).alias("cluster"),
+        )
+    )
+    ct = pts.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    ).localCheckpoint(eager=False)
+    tot = ct.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.sum(F.expr("nij * (nij - 1) div 2")).cast("long").alias(
+            "sum_comb_ij"
+        ),
+        F.countDistinct("cluster").cast("long").alias("n_clusters"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+    )
+    rows_ = (
+        ct.groupBy("cluster")
+        .agg(F.sum("nij").alias("ni"))
+        .agg(
+            F.sum(F.expr("ni * (ni - 1) div 2")).cast("long").alias(
+                "sum_comb_i"
+            )
+        )
+    )
+    cols_ = (
+        ct.groupBy("label")
+        .agg(F.sum("nij").alias("nj"))
+        .agg(
+            F.sum(F.expr("nj * (nj - 1) div 2")).cast("long").alias(
+                "sum_comb_j"
+            )
+        )
+    )
+    pur = (
+        ct.groupBy("cluster")
+        .agg(F.max("nij").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("purity_num"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(rows_))
+        .crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(pur))
+        .select(
+            F.col("n").alias("n_points"),
+            "n_clusters",
+            "n_labels",
+            F.expr("CAST(purity_num * 1000000 div n AS BIGINT)").alias(
+                "purity_ppm"
+            ),
+            F.expr(
+                "CAST((n * (n - 1) div 2 + 2 * sum_comb_ij"
+                " - sum_comb_i - sum_comb_j) * 1000000"
+                " div (n * (n - 1) div 2) AS BIGINT)"
+            ).alias("rand_index_ppm"),
+        )
+    )
+
+
+_SURVIVORSHIP_ORACLE = """
+WITH c AS (
+  SELECT c_custkey // 3 AS cl, c_mktsegment, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+),
+seg_cnt AS (
+  SELECT cl, c_mktsegment, count(*) AS cnt FROM c GROUP BY 1, 2
+),
+seg_pick AS (
+  SELECT cl, c_mktsegment AS chosen, n_vals
+  FROM (SELECT cl, c_mktsegment,
+               row_number() OVER (PARTITION BY cl
+                                  ORDER BY cnt DESC, c_mktsegment) AS rn,
+               count(*) OVER (PARTITION BY cl) AS n_vals
+        FROM seg_cnt)
+  WHERE rn = 1
+),
+seg AS (
+  SELECT 'mktsegment: mode' AS rule,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_conflicted,
+         CAST(sum(CAST('0x' || substr(md5(chosen), 1, 12) AS BIGINT))
+              AS BIGINT) AS chosen_fingerprint
+  FROM seg_pick
+),
+bal AS (
+  SELECT 'acctbal: max' AS rule,
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CAST('0x' || substr(md5(CAST(mx AS VARCHAR)), 1, 12)
+                       AS BIGINT)) AS BIGINT)
+  FROM (SELECT cl, max(bal) AS mx, count(DISTINCT bal) AS nd
+        FROM c GROUP BY cl)
+),
+nm AS (
+  SELECT 'name: longest' AS rule,
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CAST('0x' || substr(md5(chosen), 1, 12) AS BIGINT))
+              AS BIGINT)
+  FROM (
+    SELECT cl, c_name AS chosen,
+           count(*) OVER (PARTITION BY cl) AS nd
+    FROM (SELECT cl, c_name,
+                 row_number() OVER (PARTITION BY cl
+                                    ORDER BY length(c_name) DESC, c_name)
+                   AS rn
+          FROM (SELECT DISTINCT cl, c_name FROM c))
+    QUALIFY rn = 1
+  )
+),
+u AS (SELECT * FROM seg UNION ALL SELECT * FROM bal UNION ALL SELECT * FROM nm)
+SELECT rule, n_clusters, n_conflicted,
+       CAST(n_conflicted * 1000000 // n_clusters AS BIGINT) AS conflict_ppm,
+       chosen_fingerprint
+FROM u
+ORDER BY rule
+"""
+
+
+@_register("golden_record_survivorship", _SURVIVORSHIP_ORACLE)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data survivorship: collapse each 3-record customer
+    cluster (custkey div 3 — the post-`record_linkage_fs_scoring`
+    stage where matched records must become ONE golden record) under
+    three field-level rules — most-frequent value for segment
+    (deterministic tie-break), greatest for balance, longest-then-
+    lexicographic for name — reporting per rule how many clusters
+    actually CONFLICTED plus an order-free additive md5 fingerprint of
+    every chosen value, so the exact survivor set value-checks, not
+    just its size. Scale shape: each rule is one rollup + one rank
+    window partitioned by cluster (clusters resolve in parallel); the
+    readout is three 1-row frames unioned."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.expr("c_custkey div 3").alias("cl"),
+        "c_mktsegment",
+        "c_name",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal"),
+    ).localCheckpoint(eager=False)
+    fp = lambda col: F.sum(
+        F.expr(f"CAST(conv(substr(md5({col}), 1, 12), 16, 10) AS BIGINT)")
+    ).cast("long")
+    seg_pick = (
+        c.groupBy("cl", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cl",
+            "c_mktsegment",
+            F.row_number()
+            .over(
+                W.partitionBy("cl").orderBy(
+                    F.col("cnt").desc(), "c_mktsegment"
+                )
+            )
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                W.partitionBy("cl").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .alias("n_vals"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    seg = seg_pick.agg(
+        F.lit("mktsegment: mode").alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("n_vals") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_conflicted"),
+        fp("c_mktsegment").alias("chosen_fingerprint"),
+    )
+    bal = (
+        c.groupBy("cl")
+        .agg(
+            F.max("bal").alias("mx"),
+            F.countDistinct("bal").alias("nd"),
+        )
+        .agg(
+            F.lit("acctbal: max").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_conflicted"),
+            fp("CAST(mx AS STRING)").alias("chosen_fingerprint"),
+        )
+    )
+    nm = (
+        c.select("cl", "c_name")
+        .distinct()
+        .select(
+            "cl",
+            "c_name",
+            F.row_number()
+            .over(
+                W.partitionBy("cl").orderBy(
+                    F.length("c_name").desc(), "c_name"
+                )
+            )
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                W.partitionBy("cl").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .alias("nd"),
+        )
+        .filter(F.col("rn") == 1)
+        .agg(
+            F.lit("name: longest").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_conflicted"),
+            fp("c_name").alias("chosen_fingerprint"),
+        )
+    )
+    return (
+        seg.unionAll(bal)
+        .unionAll(nm)
+        .select(
+            "rule",
+            "n_clusters",
+            "n_conflicted",
+            F.expr(
+                "CAST(n_conflicted * 1000000 div n_clusters AS BIGINT)"
+            ).alias("conflict_ppm"),
+            "chosen_fingerprint",
+        )
+        .orderBy("rule")
+    )
