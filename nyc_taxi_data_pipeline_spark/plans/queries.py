@@ -23670,3 +23670,383 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+_ALLEN_ORACLE = """
+WITH iv AS (
+  SELECT o_custkey AS cust, o_orderkey AS k,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + 1 + (o_orderkey % 14) AS e
+  FROM orders
+),
+pairs AS (
+  SELECT cust, k AS k1, s AS s1, e AS e1,
+         lead(k) OVER w AS k2,
+         lead(s) OVER w AS s2,
+         lead(e) OVER w AS e2
+  FROM iv
+  WINDOW w AS (PARTITION BY cust ORDER BY s, k)
+  QUALIFY k2 IS NOT NULL
+),
+labeled AS (
+  SELECT CASE
+           WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+           WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+           WHEN s1 = s2 THEN 'started_by'
+           WHEN e1 < s2 THEN 'before'
+           WHEN e1 = s2 THEN 'meets'
+           WHEN e1 < e2 THEN 'overlaps'
+           WHEN e1 = e2 THEN 'finished_by'
+           ELSE 'contains'
+         END AS relation,
+         CAST('0x' || substr(md5(CAST(k1 AS VARCHAR) || '_'
+                                 || CAST(k2 AS VARCHAR)), 1, 10) AS BIGINT)
+           AS fp
+  FROM pairs
+)
+SELECT relation,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * 1000000
+            // (SELECT count(*) FROM labeled) AS BIGINT) AS share_ppm,
+       CAST(sum(fp) AS BIGINT) AS pair_fingerprint
+FROM labeled
+GROUP BY relation
+ORDER BY relation
+"""
+
+
+@_register("interval_allen_algebra", _ALLEN_ORACLE)
+def interval_allen_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra classification of consecutive order
+    validity intervals per customer (start = order epoch-day, length
+    1 + orderkey mod 14): each adjacent pair is labeled with its Allen
+    relation — under the canonical (start, key) ordering exactly the 8
+    left-to-right relations (before/meets/overlaps/finished_by/
+    contains/starts/equals/started_by) can occur — the temporal-logic
+    primitive under overlap joins, conflict detection and timeline
+    validation that engines with native PERIOD types ship built-in.
+    The per-pair assignment itself value-checks through an additive
+    md5 fingerprint of the ordered key pairs, not just the relation
+    counts. Scale shape: ONE window shuffle partitioned by customer
+    (lead over the per-customer timeline), then a mergeable rollup;
+    the share denominator is a broadcast 1-row aggregate."""
+    iv = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).alias("s"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            " + 1 + (o_orderkey % 14)"
+        ).alias("e"),
+    )
+    w = W.partitionBy("cust").orderBy("s", "k")
+    pairs = (
+        iv.select(
+            F.col("k").alias("k1"),
+            F.col("s").alias("s1"),
+            F.col("e").alias("e1"),
+            F.lead("k").over(w).alias("k2"),
+            F.lead("s").over(w).alias("s2"),
+            F.lead("e").over(w).alias("e2"),
+        )
+        .filter(F.col("k2").isNotNull())
+        .select(
+            F.expr(
+                "CASE WHEN s1 = s2 AND e1 = e2 THEN 'equals'"
+                " WHEN s1 = s2 AND e1 < e2 THEN 'starts'"
+                " WHEN s1 = s2 THEN 'started_by'"
+                " WHEN e1 < s2 THEN 'before'"
+                " WHEN e1 = s2 THEN 'meets'"
+                " WHEN e1 < e2 THEN 'overlaps'"
+                " WHEN e1 = e2 THEN 'finished_by'"
+                " ELSE 'contains' END"
+            ).alias("relation"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(k1 AS STRING) || '_'"
+                " || CAST(k2 AS STRING)), 1, 10), 16, 10) AS BIGINT)"
+            ).alias("fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        pairs.groupBy("relation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("fp").cast("long").alias("pair_fingerprint"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "relation",
+            "n_pairs",
+            F.expr("CAST(n_pairs * 1000000 div n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            "pair_fingerprint",
+        )
+        .orderBy("relation")
+    )
+
+
+_AVG_PREC_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt, substr(lower(text), 1, 100) AS head
+  FROM documents WHERE text IS NOT NULL
+),
+cand AS (
+  SELECT q.term, t.doc_id,
+         CAST(count(*) AS BIGINT) AS tf,
+         max(CASE WHEN strpos(t.head, q.term) > 0
+                  THEN 1 ELSE 0 END) AS rel
+  FROM (SELECT doc_id, head,
+               unnest(regexp_extract_all(lt, '[a-z]+', 0)) AS tok
+        FROM d) t
+  JOIN (SELECT unnest(['data','join','query','stream','vector']) AS term) q
+    ON t.tok = q.term
+  GROUP BY q.term, t.doc_id
+),
+ranked AS (
+  SELECT term, doc_id, tf, rel,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS rk,
+         CAST(sum(rel) OVER (PARTITION BY term) AS BIGINT) AS n_relevant,
+         CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS n_candidates
+  FROM cand
+),
+top10 AS (
+  SELECT term, n_relevant, n_candidates, rel, rk,
+         CAST(sum(rel) OVER (PARTITION BY term ORDER BY rk) AS BIGINT)
+           AS hits_k
+  FROM ranked WHERE rk <= 10
+),
+perq AS (
+  SELECT term,
+         any_value(n_candidates) AS n_candidates,
+         any_value(n_relevant) AS n_relevant,
+         CAST(max(hits_k) AS BIGINT) AS hits_at_10,
+         CAST(sum(rel * hits_k * (2520 // rk)) AS BIGINT) AS ap_scaled
+  FROM top10
+  GROUP BY term
+),
+scored AS (
+  SELECT term, n_candidates, n_relevant, hits_at_10,
+         CAST(CASE WHEN least(n_relevant, 10) > 0
+              THEN ap_scaled * 1000000
+                   // (2520 * least(n_relevant, 10))
+              ELSE 0 END AS BIGINT) AS ap_ppm
+  FROM perq
+)
+SELECT term, n_candidates, n_relevant, hits_at_10, ap_ppm,
+       CAST((SELECT sum(ap_ppm) // count(*) FROM scored) AS BIGINT)
+         AS map_ppm
+FROM scored
+ORDER BY term
+"""
+
+
+@_register("average_precision_eval", _AVG_PREC_ORACLE)
+def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-Precision@10 and MAP over five single-term retrieval
+    queries: candidates are docs containing the term, ranked by term
+    frequency; relevance is declared independently (the term appears
+    in the first 100 chars — a title proxy), so precision genuinely
+    varies down the ranking. AP is EXACT rational arithmetic with no
+    logs or floats: P@k summands share lcm(1..10)=2520, so
+    ap_scaled = Σ rel_k·hits_k·(2520 div k) is an integer and
+    AP = ap_scaled/(2520·min(R,10)) floors once to ppm; MAP floors the
+    per-query ppm mean — the rank-quality eval (nDCG's log-free
+    sibling) that grades any of the catalog's retrieval rankers.
+    Scale shape: one token-explode rollup keyed by (term, doc); each
+    query's ranking is an independent window partition; per-query AP
+    is one ordered cumulative window on ≤10 rows; queries evaluate in
+    parallel."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cand = (
+        d.select(
+            "doc_id",
+            F.expr("substr(lower(text), 1, 100)").alias("head"),
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("term"),
+        )
+        .filter(
+            F.col("term").isin(["data", "join", "query", "stream", "vector"])
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max(
+                F.expr("CASE WHEN instr(head, term) > 0 THEN 1 ELSE 0 END")
+            ).alias("rel"),
+        )
+    )
+    wq = W.partitionBy("term")
+    ranked = cand.select(
+        "term",
+        "doc_id",
+        "tf",
+        "rel",
+        F.row_number()
+        .over(wq.orderBy(F.col("tf").desc(), "doc_id"))
+        .alias("rk"),
+        F.sum("rel")
+        .over(wq.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("long")
+        .alias("n_relevant"),
+        F.count(F.lit(1))
+        .over(wq.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("long")
+        .alias("n_candidates"),
+    ).filter(F.col("rk") <= 10)
+    top10 = ranked.select(
+        "term",
+        "n_relevant",
+        "n_candidates",
+        "rel",
+        "rk",
+        F.sum("rel").over(wq.orderBy("rk")).cast("long").alias("hits_k"),
+    )
+    perq = top10.groupBy("term").agg(
+        F.first("n_candidates").alias("n_candidates"),
+        F.first("n_relevant").alias("n_relevant"),
+        F.max("hits_k").cast("long").alias("hits_at_10"),
+        F.sum(F.expr("rel * hits_k * (2520 div rk)"))
+        .cast("long")
+        .alias("ap_scaled"),
+    )
+    scored = perq.select(
+        "term",
+        "n_candidates",
+        "n_relevant",
+        "hits_at_10",
+        F.expr(
+            "CAST(CASE WHEN least(n_relevant, 10) > 0"
+            " THEN ap_scaled * 1000000 div (2520 * least(n_relevant, 10))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("ap_ppm"),
+    ).localCheckpoint(eager=False)
+    mp = scored.agg(
+        F.expr("CAST(sum(ap_ppm) div count(*) AS BIGINT)").alias("map_ppm")
+    )
+    return (
+        scored.crossJoin(F.broadcast(mp))
+        .select(
+            "term",
+            "n_candidates",
+            "n_relevant",
+            "hits_at_10",
+            "ap_ppm",
+            "map_ppm",
+        )
+        .orderBy("term")
+    )
+
+
+_IVM_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey AS k,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         (l_shipdate >= TIMESTAMP '2001-01-01') AS is_delta
+  FROM lineitem
+),
+od AS (
+  SELECT o_orderkey AS k, o_orderpriority,
+         (o_orderdate >= TIMESTAMP '2001-01-01') AS is_delta
+  FROM orders
+),
+lanes AS (
+  SELECT od.o_orderpriority,
+         CASE WHEN NOT li.is_delta AND NOT od.is_delta
+              THEN 'snapshot' ELSE 'delta' END AS lane,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(li.cents) AS BIGINT) AS r
+  FROM li JOIN od ON od.k = li.k
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN lane = 'snapshot' THEN c ELSE 0 END) AS BIGINT)
+         AS snap_cnt,
+       CAST(sum(CASE WHEN lane = 'delta' THEN c ELSE 0 END) AS BIGINT)
+         AS delta_cnt,
+       CAST(sum(c) AS BIGINT) AS cnt,
+       CAST(sum(r) AS BIGINT) AS rev_cents
+FROM lanes
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@_register("incremental_join_maintenance", _IVM_ORACLE)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a join rollup: with base
+    snapshots A0 (lineitem shipped before 2001-01-01) and B0 (orders
+    placed before it) plus deltas dA/dB, the maintained aggregate is
+    the snapshot rollup MERGED with the delta decomposition
+    d(A ⋈ B) = dA⋈B0 ∪ A0⋈dB ∪ dA⋈dB — the Spark side EXECUTES the
+    three delta joins and merges mergeable partials (count/sum), while
+    the oracle recomputes the full join once and classifies rows by
+    their delta flags, so the cross-engine hash match IS the proof of
+    the IVM algebra. At 100 TB the snapshot lane is a stored rollup
+    and only the delta joins run per refresh — the economics of every
+    materialized-view engine. Scale shape: the three delta joins union
+    BEFORE one partial aggregate (one shuffle on the group key); the
+    final merge is a tiny 5-row agg."""
+    t0 = "TIMESTAMP '2001-01-01'"
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("k"),
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            ).alias("cents"),
+            F.expr(f"l_shipdate >= {t0}").alias("is_delta"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderpriority",
+            F.expr(f"o_orderdate >= {t0}").alias("is_delta"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a0 = li.filter(~F.col("is_delta")).drop("is_delta")
+    da = li.filter(F.col("is_delta")).drop("is_delta")
+    b0 = od.filter(~F.col("is_delta")).drop("is_delta")
+    db = od.filter(F.col("is_delta")).drop("is_delta")
+
+    def tagged(left, right, lane):
+        return left.join(right, "k").select(
+            "o_orderpriority", "cents", F.lit(lane).alias("lane")
+        )
+
+    parts = (
+        tagged(a0, b0, "snapshot")
+        .unionByName(tagged(da, b0, "delta"))
+        .unionByName(tagged(a0, db, "delta"))
+        .unionByName(tagged(da, db, "delta"))
+        .groupBy("o_orderpriority", "lane")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("cents").cast("long").alias("r"),
+        )
+    )
+    return (
+        parts.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.expr("CASE WHEN lane = 'snapshot' THEN c ELSE 0 END"))
+            .cast("long")
+            .alias("snap_cnt"),
+            F.sum(F.expr("CASE WHEN lane = 'delta' THEN c ELSE 0 END"))
+            .cast("long")
+            .alias("delta_cnt"),
+            F.sum("c").cast("long").alias("cnt"),
+            F.sum("r").cast("long").alias("rev_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
