@@ -24050,3 +24050,427 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_PHONETIC_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT w AS word FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]{3,}', 0)) AS w
+    FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT unnest(regexp_extract_all(lower(p_name), '[a-z]{3,}', 0)) FROM part
+  )
+),
+sides AS (
+  SELECT word, word AS src, 'clean' AS side FROM vocab
+  UNION ALL
+  SELECT substr(word, 1, 1) || substr(word, 3) AS word, word AS src,
+         'dirty' AS side
+  FROM vocab
+),
+coded0 AS (
+  SELECT word, src, side, upper(word) AS uw,
+         substr(upper(word), 1, 1) AS fl,
+         regexp_extract_all(
+           translate(upper(word), 'AEIOUYBFPVCGJKQSXZDTLMNRHW',
+                                  '000000111122222222334556'), '.') AS chars
+  FROM sides
+),
+coded AS (
+  SELECT word, src, side,
+         substr(
+           fl || substr(
+             replace(
+               substr(
+                 list_aggregate(
+                   list_filter(chars, (x, i) -> i = 1 OR x != chars[i-1]),
+                   'string_agg', ''),
+                 CASE WHEN fl IN ('H', 'W') THEN 1 ELSE 2 END),
+               '0', '') || '000',
+             1, 3),
+           1, 4) AS code
+  FROM coded0
+),
+cl AS (SELECT DISTINCT code, word FROM coded WHERE side = 'clean'),
+dt AS (SELECT DISTINCT code, word, src FROM coded WHERE side = 'dirty'),
+cand AS (
+  SELECT cl.code, cl.word AS clean_word, dt.word AS dirty_word,
+         CASE WHEN dt.src = cl.word THEN 1 ELSE 0 END AS is_true,
+         CAST('0x' || substr(md5(cl.word || '>' || dt.word), 1, 10)
+              AS BIGINT) AS fp
+  FROM cl JOIN dt ON dt.code = cl.code
+),
+tot AS (
+  SELECT CAST(sum(is_true) AS BIGINT) AS found_true,
+         (SELECT CAST(count(*) AS BIGINT) FROM dt) AS n_dirty
+  FROM cand
+)
+SELECT c.code,
+       CAST(count(DISTINCT c.clean_word) AS BIGINT) AS n_clean,
+       CAST(count(DISTINCT c.dirty_word) AS BIGINT) AS n_dirty_words,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(c.is_true) AS BIGINT) AS n_true,
+       CAST(sum(c.fp) AS BIGINT) AS pair_fingerprint,
+       CAST(t.found_true * 1000000 // t.n_dirty AS BIGINT)
+         AS blocking_recall_ppm
+FROM cand c CROSS JOIN tot t
+GROUP BY c.code, t.found_true, t.n_dirty
+ORDER BY c.code
+"""
+
+
+@_register("phonetic_blocking_join", _PHONETIC_ORACLE)
+def phonetic_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic (Soundex) blocking for fuzzy record linkage: the corpus
+    vocabulary plus a deterministically-dirtied copy (a deletion typo —
+    2nd char dropped) are blocked by Soundex code and candidate pairs
+    form ONLY within blocks — the classic sub-quadratic alternative to
+    `fuzzy_join_blocked_levenshtein`'s length blocking, measuring per
+    block the candidate volume, the true matches captured, and the
+    overall blocking recall. The Spark lane uses the BUILT-IN
+    `soundex()`; the oracle re-derives the full algorithm (vowel
+    zeroing, H/W-bridged collapse, first-letter code drop, zero strip,
+    pad-to-4) from first principles in portable SQL — the cross-engine
+    hash match is therefore an executable proof of the builtin's
+    semantics. Scale shape: vocabulary extraction is one distinct
+    rollup; the block join is an equi-join on the 4-char code (never
+    all-pairs); block-size skew is the visible n_candidates column."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]{3,}', 0)")
+            ).alias("word")
+        )
+        .unionByName(
+            _t(spark, sf_dir, "part").select(
+                F.explode(
+                    F.expr(
+                        "regexp_extract_all(lower(p_name), '[a-z]{3,}', 0)"
+                    )
+                ).alias("word")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    clean = vocab.select(
+        F.soundex("word").alias("code"), "word"
+    ).distinct()
+    dirty = (
+        vocab.select(
+            F.expr("substr(word, 1, 1) || substr(word, 3)").alias("word"),
+            F.col("word").alias("src"),
+        )
+        .select(F.soundex("word").alias("code"), "word", "src")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        clean.withColumnRenamed("word", "clean_word")
+        .join(
+            dirty.select(
+                "code", F.col("word").alias("dirty_word"), "src"
+            ),
+            "code",
+        )
+        .select(
+            "code",
+            "clean_word",
+            "dirty_word",
+            F.expr(
+                "CASE WHEN src = clean_word THEN 1 ELSE 0 END"
+            ).alias("is_true"),
+            F.expr(
+                "CAST(conv(substr(md5(clean_word || '>' || dirty_word),"
+                " 1, 10), 16, 10) AS BIGINT)"
+            ).alias("fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = cand.agg(
+        F.sum("is_true").cast("long").alias("found_true")
+    ).crossJoin(
+        F.broadcast(
+            dirty.agg(F.count(F.lit(1)).cast("long").alias("n_dirty"))
+        )
+    )
+    return (
+        cand.groupBy("code")
+        .agg(
+            F.countDistinct("clean_word").cast("long").alias("n_clean"),
+            F.countDistinct("dirty_word")
+            .cast("long")
+            .alias("n_dirty_words"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.sum("fp").cast("long").alias("pair_fingerprint"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "code",
+            "n_clean",
+            "n_dirty_words",
+            "n_candidates",
+            "n_true",
+            "pair_fingerprint",
+            F.expr(
+                "CAST(found_true * 1000000 div n_dirty AS BIGINT)"
+            ).alias("blocking_recall_ppm"),
+        )
+        .orderBy("code")
+    )
+
+
+_MATCH_RECOGNIZE_ORACLE = """
+WITH daily AS (
+  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+         CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+steps AS (
+  SELECT n_name, day, cents,
+         lag(cents) OVER (PARTITION BY n_name ORDER BY day) AS prev
+  FROM daily
+),
+chars AS (
+  SELECT n_name, day,
+         CASE WHEN prev IS NULL THEN ''
+              WHEN cents > prev THEN 'U'
+              WHEN cents < prev THEN 'D'
+              ELSE 'F' END AS ch
+  FROM steps
+),
+strs AS (
+  SELECT n_name, string_agg(ch, '' ORDER BY day) AS s,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM chars GROUP BY n_name
+),
+pat AS (
+  SELECT n_name, n_days, regexp_extract_all(s, 'D+U+') AS valleys
+  FROM strs
+)
+SELECT n_name, n_days,
+       CAST(len(valleys) AS BIGINT) AS n_valleys,
+       CAST(coalesce(list_sum(list_transform(valleys, v -> length(v))), 0)
+            AS BIGINT) AS valley_days,
+       CAST(coalesce(list_max(list_transform(valleys, v -> length(v))), 0)
+            AS BIGINT) AS longest_valley
+FROM pat
+ORDER BY n_name
+"""
+
+
+@_register("match_recognize_emulation", _MATCH_RECOGNIZE_ORACLE)
+def match_recognize_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 MATCH_RECOGNIZE emulation — PATTERN (D+ U+) over each
+    nation's daily order-revenue series: every day is classified
+    Up/Down/Flat against the previous day (one lag window), the
+    per-nation timeline collapses to an ordered state string, and
+    maximal D+U+ runs (V-shaped drawdown-recovery episodes) are
+    counted/measured with a regex — the row-pattern-recognition
+    surface Trino/Flink/Oracle ship natively and Spark lacks,
+    re-expressed as window + ordered string aggregation + regexp (all
+    JVM codegen, no Python). Scale shape: one rollup to (nation, day),
+    one lag window and one ordered collect per nation partition —
+    state strings are bounded by the calendar, not the fact table;
+    nations process in parallel."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(
+            F.expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").alias(
+                "cents"
+            )
+        )
+    )
+    chars = daily.select(
+        "n_name",
+        "day",
+        F.expr(
+            "CASE WHEN lag(cents) OVER"
+            " (PARTITION BY n_name ORDER BY day) IS NULL THEN ''"
+            " WHEN cents > lag(cents) OVER"
+            " (PARTITION BY n_name ORDER BY day) THEN 'U'"
+            " WHEN cents < lag(cents) OVER"
+            " (PARTITION BY n_name ORDER BY day) THEN 'D'"
+            " ELSE 'F' END"
+        ).alias("ch"),
+    )
+    strs = chars.groupBy("n_name").agg(
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(struct(day, ch))), x -> x.ch), '')"
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return (
+        strs.select(
+            "n_name",
+            "n_days",
+            F.expr("regexp_extract_all(s, 'D+U+', 0)").alias("valleys"),
+        )
+        .select(
+            "n_name",
+            "n_days",
+            F.expr("CAST(size(valleys) AS BIGINT)").alias("n_valleys"),
+            F.expr(
+                "CAST(coalesce(aggregate(valleys, 0,"
+                " (acc, v) -> acc + length(v)), 0) AS BIGINT)"
+            ).alias("valley_days"),
+            F.expr(
+                "CAST(coalesce(array_max(transform(valleys,"
+                " v -> length(v))), 0) AS BIGINT)"
+            ).alias("longest_valley"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_NEWSVENDOR_ORACLE = """
+WITH demand AS (
+  SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS day,
+         CAST(sum(l.l_quantity) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+dist AS (
+  SELECT p_brand, d, CAST(count(*) AS BIGINT) AS c
+  FROM demand GROUP BY 1, 2
+),
+cum AS (
+  SELECT p_brand, d, c,
+         CAST(sum(c) OVER (PARTITION BY p_brand ORDER BY d) AS BIGINT)
+           AS cum_c,
+         CAST(sum(c) OVER (PARTITION BY p_brand) AS BIGINT) AS n_days
+  FROM dist
+),
+qstar AS (
+  SELECT p_brand, min(d) AS q_star, any_value(n_days) AS n_days
+  FROM cum WHERE cum_c * 10 >= n_days * 9
+  GROUP BY p_brand
+),
+costs AS (
+  SELECT q.p_brand, q.q_star, q.n_days,
+         CAST(sum(CASE WHEN q.q_star >= m.d THEN q.q_star - m.d
+                       ELSE 9 * (m.d - q.q_star) END) AS BIGINT)
+           AS cost_at_q,
+         CAST(sum(CASE WHEN q.q_star - 1 >= m.d THEN q.q_star - 1 - m.d
+                       ELSE 9 * (m.d - q.q_star + 1) END) AS BIGINT)
+           AS cost_minus,
+         CAST(sum(CASE WHEN q.q_star + 1 >= m.d THEN q.q_star + 1 - m.d
+                       ELSE 9 * (m.d - q.q_star - 1) END) AS BIGINT)
+           AS cost_plus
+  FROM qstar q JOIN demand m ON m.p_brand = q.p_brand
+  GROUP BY 1, 2, 3
+)
+SELECT p_brand, n_days, q_star, cost_at_q, cost_minus, cost_plus,
+       CAST(CASE WHEN cost_at_q <= cost_minus AND cost_at_q <= cost_plus
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_optimal
+FROM costs
+ORDER BY p_brand
+"""
+
+
+@_register("newsvendor_quantile_stock", _NEWSVENDOR_ORACLE)
+def newsvendor_quantile_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor inventory optimization: per brand, the optimal stock
+    level is the critical fractile cu/(cu+co) = 9/10 of the empirical
+    daily-demand distribution (q* = smallest demand with
+    cum_days·10 ≥ n_days·9 — an integer quantile inversion, no
+    percentile_approx), and the entry then EXECUTES the optimality
+    proof by evaluating the realized overage/underage cost at q*−1,
+    q*, q*+1 (co=1, cu=9) — is_optimal value-checks that the fractile
+    minimizes cost on the data, the decision-theoretic use of the
+    warehouse's own demand history. Scale shape: one rollup to
+    (brand, day), cumulative windows per brand on the distinct-value
+    frame (never a global sort), and the cost sweep is one join back
+    to the daily rollup with a 3-point CASE."""
+    demand = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.expr("CAST(l_shipdate AS DATE)").alias("day"))
+        .agg(F.expr("CAST(sum(l_quantity) AS BIGINT)").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    dist = demand.groupBy("p_brand", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wb = W.partitionBy("p_brand")
+    cum = dist.select(
+        "p_brand",
+        "d",
+        F.sum("c").over(wb.orderBy("d")).cast("long").alias("cum_c"),
+        F.sum("c")
+        .over(wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("long")
+        .alias("n_days"),
+    )
+    qstar = (
+        cum.filter(F.expr("cum_c * 10 >= n_days * 9"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("d").alias("q_star"),
+            F.first("n_days").alias("n_days"),
+        )
+    )
+    costs = (
+        qstar.join(demand.select("p_brand", "d"), "p_brand")
+        .groupBy("p_brand", "q_star", "n_days")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN q_star >= d THEN q_star - d"
+                    " ELSE 9 * (d - q_star) END"
+                )
+            )
+            .cast("long")
+            .alias("cost_at_q"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN q_star - 1 >= d THEN q_star - 1 - d"
+                    " ELSE 9 * (d - q_star + 1) END"
+                )
+            )
+            .cast("long")
+            .alias("cost_minus"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN q_star + 1 >= d THEN q_star + 1 - d"
+                    " ELSE 9 * (d - q_star - 1) END"
+                )
+            )
+            .cast("long")
+            .alias("cost_plus"),
+        )
+    )
+    return costs.select(
+        "p_brand",
+        F.col("n_days").cast("long"),
+        "q_star",
+        "cost_at_q",
+        "cost_minus",
+        "cost_plus",
+        F.expr(
+            "CAST(CASE WHEN cost_at_q <= cost_minus"
+            " AND cost_at_q <= cost_plus THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_optimal"),
+    ).orderBy("p_brand")
