@@ -24474,3 +24474,408 @@ def newsvendor_quantile_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND cost_at_q <= cost_plus THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("is_optimal"),
     ).orderBy("p_brand")
+
+
+_KENDALL_TAU_ORACLE = """
+WITH daily AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.yr,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS dx,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS dy
+  FROM daily a JOIN daily b ON b.yr = a.yr AND b.day > a.day
+),
+agg AS (
+  SELECT yr,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_pairs,
+         CAST(sum(CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d_pairs,
+         CAST(sum(CASE WHEN dx = 0 AND dy != 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(sum(CASE WHEN dy = 0 AND dx != 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM pairs GROUP BY yr
+),
+n AS (
+  SELECT yr, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY yr
+)
+SELECT a.yr, n.n_days, a.n_pairs, a.c_pairs, a.d_pairs, a.tx, a.ty,
+       CAST(a.c_pairs - a.d_pairs AS BIGINT) AS s_stat,
+       CAST(CASE WHEN a.c_pairs - a.d_pairs > 0 THEN 1
+                 WHEN a.c_pairs - a.d_pairs < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS tau_sign,
+       CAST(CASE WHEN (a.c_pairs + a.d_pairs + a.tx) * (a.c_pairs + a.d_pairs + a.ty) = 0
+                 THEN 0
+                 ELSE (a.c_pairs - a.d_pairs) * (a.c_pairs - a.d_pairs) * 1000000
+                      // ((a.c_pairs + a.d_pairs + a.tx) * (a.c_pairs + a.d_pairs + a.ty))
+            END AS BIGINT) AS tau_b_sq_ppm
+FROM agg a JOIN n ON n.yr = a.yr
+ORDER BY a.yr
+"""
+
+
+@_register("kendall_tau_by_year", _KENDALL_TAU_ORACLE)
+def kendall_tau_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily order count and
+    daily revenue, per order-year: concordant/discordant/tied pair
+    counts are exact integers, S = C-D carries the sign, and tau_b**2
+    rides a ppm floor-div lane ((C-D)^2*1e6 // ((C+D+Tx)(C+D+Ty))) so
+    the tie-corrected correlation itself value-checks with no sqrt.
+    Scale shape: the pair enumeration is an EQUI-join on year with a
+    day-inequality residual over the calendar-bounded daily rollup --
+    O(365^2) pairs per year INDEPENDENT of data volume (the daily
+    grain is fixed by the calendar, so 100 TB changes the rollup
+    cost, never the pair count)."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("yr"),
+            F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").alias(
+                "y"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(
+        "yr",
+        F.col("day").alias("day_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = daily.select(
+        "yr",
+        F.col("day").alias("day_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(b, ["yr"]).filter(F.col("day_b") > F.col("day_a")).select(
+        "yr",
+        F.expr(
+            "CASE WHEN xb > xa THEN 1 WHEN xb < xa THEN -1 ELSE 0 END"
+        ).alias("dx"),
+        F.expr(
+            "CASE WHEN yb > ya THEN 1 WHEN yb < ya THEN -1 ELSE 0 END"
+        ).alias("dy"),
+    )
+    agg = pairs.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.expr("CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("c_pairs"),
+        F.sum(F.expr("CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("d_pairs"),
+        F.sum(F.expr("CASE WHEN dx = 0 AND dy != 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tx"),
+        F.sum(F.expr("CASE WHEN dy = 0 AND dx != 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("ty"),
+    )
+    n = daily.groupBy("yr").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        agg.join(n, "yr")
+        .select(
+            "yr",
+            "n_days",
+            "n_pairs",
+            "c_pairs",
+            "d_pairs",
+            "tx",
+            "ty",
+            F.expr("CAST(c_pairs - d_pairs AS BIGINT)").alias("s_stat"),
+            F.expr(
+                "CAST(CASE WHEN c_pairs - d_pairs > 0 THEN 1"
+                " WHEN c_pairs - d_pairs < 0 THEN -1 ELSE 0 END AS BIGINT)"
+            ).alias("tau_sign"),
+            F.expr(
+                "CAST(CASE WHEN (c_pairs + d_pairs + tx)"
+                " * (c_pairs + d_pairs + ty) = 0 THEN 0"
+                " ELSE (c_pairs - d_pairs) * (c_pairs - d_pairs) * 1000000"
+                " div ((c_pairs + d_pairs + tx) * (c_pairs + d_pairs + ty))"
+                " END AS BIGINT)"
+            ).alias("tau_b_sq_ppm"),
+        )
+        .orderBy("yr")
+    )
+
+
+_PETTITT_ORACLE = """
+WITH daily AS (
+  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+         CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT n_name, day,
+         CAST(2 * (rank() OVER (PARTITION BY n_name ORDER BY cents) - 1)
+              + count(*) OVER (PARTITION BY n_name, cents)
+              - count(*) OVER (PARTITION BY n_name) AS BIGINT) AS vt,
+         CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n_days
+  FROM daily
+),
+u AS (
+  SELECT n_name, day, n_days,
+         CAST(sum(vt) OVER (PARTITION BY n_name ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS ut,
+         row_number() OVER (PARTITION BY n_name ORDER BY day) AS t
+  FROM v
+),
+k AS (
+  SELECT n_name, any_value(n_days) AS n_days,
+         CAST(max(abs(ut)) AS BIGINT) AS k_stat
+  FROM u WHERE t < n_days GROUP BY n_name
+)
+SELECT k.n_name, k.n_days, k.k_stat,
+       CAST(min(u.day) AS DATE) AS cp_day,
+       CAST(min_by(u.ut, u.day) AS BIGINT) AS u_at_cp,
+       CAST(CASE WHEN 6000 * k.k_stat * k.k_stat
+                      >= 3689 * (k.n_days * k.n_days * k.n_days
+                                 + k.n_days * k.n_days)
+                 THEN 1 ELSE 0 END AS BIGINT) AS pettitt_alarm
+FROM k JOIN u ON u.n_name = k.n_name AND abs(u.ut) = k.k_stat
+               AND u.t < k.n_days
+GROUP BY k.n_name, k.n_days, k.k_stat
+ORDER BY k.n_name
+"""
+
+
+@_register("pettitt_changepoint_daily", _PETTITT_ORACLE)
+def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based change-point test on per-nation daily revenue
+    -- the nonparametric complement to `cusum_changepoint_screen`
+    (level, parametric) / `ks_test_two_sample` (shape) /
+    `mann_kendall_theil_sen` (trend): K = max_t |U_t| where
+    U_t = sum_{i<=t, j>t} sgn(x_i - x_j), located WITHOUT the naive
+    O(n^2) double sum via the rank identity V_t = 2(rank_t - 1) +
+    ties_t - n and U_t = cumsum(V_t) in day order -- two windows per
+    nation, all exact integers. The 5% alarm compares 6000*K^2 against
+    3689*(n^3 + n^2) (milli-scaled ln(40) from p = 2*exp(-6K^2/(n^3+n^2)),
+    integer-exact on both engines). Scale shape: one rollup to
+    (nation, day), then rank/count/cumsum windows all partitioned by
+    nation -- a single hash shuffle, no pair join anywhere."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(
+            F.expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").alias(
+                "cents"
+            )
+        )
+    )
+    wn = W.partitionBy("n_name")
+    v = daily.select(
+        "n_name",
+        "day",
+        (
+            F.lit(2) * (F.rank().over(wn.orderBy("cents")) - F.lit(1))
+            + F.count(F.lit(1)).over(W.partitionBy("n_name", "cents"))
+            - F.count(F.lit(1)).over(wn)
+        )
+        .cast("long")
+        .alias("vt"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_days"),
+    )
+    u = v.select(
+        "n_name",
+        "day",
+        "n_days",
+        F.sum("vt")
+        .over(wn.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("ut"),
+        F.row_number().over(wn.orderBy("day")).alias("t"),
+    ).localCheckpoint(eager=False)
+    k = (
+        u.filter(F.col("t") < F.col("n_days"))
+        .groupBy("n_name")
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.max(F.abs(F.col("ut"))).cast("long").alias("k_stat"),
+        )
+    )
+    return (
+        k.join(u.select("n_name", "day", "ut", "t"), ["n_name"])
+        .filter(
+            (F.abs(F.col("ut")) == F.col("k_stat"))
+            & (F.col("t") < F.col("n_days"))
+        )
+        .groupBy("n_name", "n_days", "k_stat")
+        .agg(
+            F.min("day").cast("date").alias("cp_day"),
+            F.expr("CAST(min_by(ut, day) AS BIGINT)").alias("u_at_cp"),
+        )
+        .select(
+            "n_name",
+            "n_days",
+            "k_stat",
+            "cp_day",
+            "u_at_cp",
+            F.expr(
+                "CAST(CASE WHEN 6000 * k_stat * k_stat"
+                " >= 3689 * (n_days * n_days * n_days + n_days * n_days)"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("pettitt_alarm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_NDCG_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term,
+         len(regexp_extract_all(lower(text), '[a-z]+', 0)) AS dl
+  FROM documents WHERE text IS NOT NULL
+),
+cand AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         CAST(max(dl) AS BIGINT) AS dl
+  FROM toks WHERE term IN ('join', 'vector', 'stream', 'table')
+  GROUP BY 1, 2
+),
+graded AS (
+  SELECT term, doc_id, dl,
+         CAST(CASE WHEN tf >= 3 THEN 7 WHEN tf = 2 THEN 3 ELSE 1 END
+              AS BIGINT) AS gain,
+         CAST(tf * 1000000 // dl AS BIGINT) AS score
+  FROM cand
+),
+ranked AS (
+  SELECT term, gain,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id) AS pos
+  FROM graded QUALIFY pos <= 10
+),
+ideal AS (
+  SELECT term, gain,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY gain DESC, doc_id) AS pos
+  FROM graded QUALIFY pos <= 10
+),
+dcg AS (
+  SELECT term,
+         CAST(sum(gain * ([1000,630,500,430,386,356,333,315,301,289])[pos])
+              AS BIGINT) AS dcg_milli
+  FROM ranked GROUP BY term
+),
+idcg AS (
+  SELECT term,
+         CAST(sum(gain * ([1000,630,500,430,386,356,333,315,301,289])[pos])
+              AS BIGINT) AS idcg_milli
+  FROM ideal GROUP BY term
+),
+nc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_candidates FROM graded
+  GROUP BY term
+)
+SELECT d.term, nc.n_candidates, d.dcg_milli, i.idcg_milli,
+       CAST(d.dcg_milli * 1000000 // i.idcg_milli AS BIGINT) AS ndcg_ppm
+FROM dcg d JOIN idcg i ON i.term = d.term JOIN nc ON nc.term = d.term
+ORDER BY d.term
+"""
+
+
+@_register("ndcg_graded_retrieval", _NDCG_ORACLE)
+def ndcg_graded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 with graded relevance -- the ranking-quality eval that
+    P@k (`retrieval_precision_at_k`) and AP (`average_precision_eval`)
+    can't express: relevance grade = min(tf, 3) maps to exponential
+    gains 2^g - 1 in {1,3,7}, the system ranking is length-normalized
+    term frequency (tf/dl), and the position discounts 1/log2(pos+1)
+    ride a SHARED milli-scaled literal table (floor(1000/log2(p+1))
+    for p = 1..10) so the only transcendental in NDCG is a 10-element
+    constant both engines read identically -- DCG, ideal DCG and the
+    nDCG ppm ratio are all exact integers. Scale shape: one
+    term-filtered mergeable rollup per (term, doc), two top-10
+    windows partitioned by the 4-term query panel, and a 3-way join
+    of 4-row frames."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cand = (
+        docs.select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias(
+                "arr"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("arr").cast("long").alias("dl"),
+            F.explode("arr").alias("term"),
+        )
+        .filter(F.col("term").isin(["join", "vector", "stream", "table"]))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    graded = cand.select(
+        "term",
+        "doc_id",
+        F.expr(
+            "CAST(CASE WHEN tf >= 3 THEN 7 WHEN tf = 2 THEN 3 ELSE 1 END"
+            " AS BIGINT)"
+        ).alias("gain"),
+        F.expr("CAST(tf * 1000000 div dl AS BIGINT)").alias("score"),
+    ).localCheckpoint(eager=False)
+    disc = "array(1000,630,500,430,386,356,333,315,301,289)"
+    wt = W.partitionBy("term")
+    ranked = graded.select(
+        "term",
+        "gain",
+        F.row_number()
+        .over(wt.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("pos"),
+    ).filter(F.col("pos") <= 10)
+    ideal = graded.select(
+        "term",
+        "gain",
+        F.row_number()
+        .over(wt.orderBy(F.col("gain").desc(), F.col("doc_id")))
+        .alias("pos"),
+    ).filter(F.col("pos") <= 10)
+    dcg = ranked.groupBy("term").agg(
+        F.expr(f"CAST(sum(gain * element_at({disc}, pos)) AS BIGINT)").alias(
+            "dcg_milli"
+        )
+    )
+    idcg = ideal.groupBy("term").agg(
+        F.expr(f"CAST(sum(gain * element_at({disc}, pos)) AS BIGINT)").alias(
+            "idcg_milli"
+        )
+    )
+    nc = graded.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    return (
+        dcg.join(idcg, "term")
+        .join(nc, "term")
+        .select(
+            "term",
+            "n_candidates",
+            "dcg_milli",
+            "idcg_milli",
+            F.expr(
+                "CAST(dcg_milli * 1000000 div idcg_milli AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("term")
+    )
