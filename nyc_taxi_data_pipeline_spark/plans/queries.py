@@ -24879,3 +24879,364 @@ def ndcg_graded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+_DATA_VAULT_ORACLE = """
+WITH hub_customer AS (
+  SELECT md5(CAST(c_custkey AS VARCHAR)) AS hk FROM customer
+),
+hub_order AS (
+  SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hk FROM orders
+),
+link_customer_order AS (
+  SELECT md5(CAST(o_custkey AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR))
+           AS hk
+  FROM orders
+),
+sat_order AS (
+  SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hk,
+         md5(o_orderstatus || '|' ||
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             || '|' || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+             || '|' || o_orderpriority) AS hashdiff
+  FROM orders
+),
+rows_all AS (
+  SELECT 'hub_customer' AS structure, hk, hk AS payload FROM hub_customer
+  UNION ALL
+  SELECT 'hub_order', hk, hk FROM hub_order
+  UNION ALL
+  SELECT 'link_customer_order', hk, hk FROM link_customer_order
+  UNION ALL
+  SELECT 'sat_order', hk, hashdiff FROM sat_order
+)
+SELECT structure,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT hk) AS BIGINT) AS n_keys,
+       CAST(count(DISTINCT payload) AS BIGINT) AS n_payloads,
+       CAST(sum(CAST('0x' || substr(payload, 1, 8) AS BIGINT)) AS BIGINT)
+         AS checksum
+FROM rows_all
+GROUP BY structure
+ORDER BY structure
+"""
+
+
+@_register("data_vault_model_build", _DATA_VAULT_ORACLE)
+def data_vault_model_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault 2.0 raw-vault build over the order subject area: hubs
+    (business keys + md5 hash keys), the customer-order link (md5 of
+    the concatenated key pair), and the order satellite whose HASHDIFF
+    fingerprints the descriptive payload (status|price-cents|date|
+    priority) for delta detection -- the warehouse-modeling pattern
+    the SCD2 family doesn't cover (insert-only structures, no update
+    anywhere, loads parallelize per structure). The audit emits per
+    structure the row count, distinct hash-key count (hub/link
+    dedupe-ness; sat key multiplicity) and an ORDER-FREE checksum
+    (sum of the first 8 md5 hex digits as BIGINT), so the hash
+    construction itself value-checks cross-engine. Scale shape: each
+    structure is one scan + one mergeable agg; no joins at all (the
+    vault defers them to query time), checksum addends are < 2^32 so
+    the sum stays far from BIGINT overflow at any SF."""
+    orders = _t(spark, sf_dir, "orders")
+    hub_c = _t(spark, sf_dir, "customer").select(
+        F.lit("hub_customer").alias("structure"),
+        F.expr("md5(CAST(c_custkey AS STRING))").alias("hk"),
+    )
+    hub_o = orders.select(
+        F.lit("hub_order").alias("structure"),
+        F.expr("md5(CAST(o_orderkey AS STRING))").alias("hk"),
+    )
+    link = orders.select(
+        F.lit("link_customer_order").alias("structure"),
+        F.expr(
+            "md5(CAST(o_custkey AS STRING) || '|'"
+            " || CAST(o_orderkey AS STRING))"
+        ).alias("hk"),
+    )
+    sat = orders.select(
+        F.lit("sat_order").alias("structure"),
+        F.expr("md5(CAST(o_orderkey AS STRING))").alias("hk"),
+        F.expr(
+            "md5(o_orderstatus || '|'"
+            " || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"
+            " || '|' || date_format(CAST(o_orderdate AS DATE), 'yyyy-MM-dd')"
+            " || '|' || o_orderpriority)"
+        ).alias("payload"),
+    )
+    rows_all = (
+        hub_c.withColumn("payload", F.col("hk"))
+        .unionByName(hub_o.withColumn("payload", F.col("hk")))
+        .unionByName(link.withColumn("payload", F.col("hk")))
+        .unionByName(sat)
+    )
+    return (
+        rows_all.groupBy("structure")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("hk").cast("long").alias("n_keys"),
+            F.countDistinct("payload").cast("long").alias("n_payloads"),
+            F.expr(
+                "CAST(sum(CAST(conv(substr(payload, 1, 8), 16, 10)"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("checksum"),
+        )
+        .orderBy("structure")
+    )
+
+
+_KAPPA_ORACLE = """
+WITH labeled AS (
+  SELECT source,
+         CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+', 0)) >= 90
+              THEN 1 ELSE 0 END AS r2
+  FROM documents WHERE text IS NOT NULL
+),
+cells AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n11,
+         CAST(sum(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n00,
+         CAST(sum(r1) AS BIGINT) AS a1,
+         CAST(sum(r2) AS BIGINT) AS b1
+  FROM labeled GROUP BY source
+),
+ppm AS (
+  SELECT source, n, n11, n00, a1, b1,
+         CAST((n11 + n00) * 1000000 // n AS BIGINT) AS p_o_ppm,
+         CAST((a1 * b1 + (n - a1) * (n - b1)) * 1000000 // (n * n)
+              AS BIGINT) AS p_e_ppm
+  FROM cells
+)
+SELECT source, n, n11, n00, a1, b1, p_o_ppm, p_e_ppm,
+       CAST(CASE WHEN p_e_ppm = 1000000 THEN 1000000
+                 ELSE (p_o_ppm - p_e_ppm) * 1000000
+                      // (1000000 - p_e_ppm) END AS BIGINT) AS kappa_ppm
+FROM ppm
+ORDER BY source
+"""
+
+
+@_register("cohens_kappa_agreement", _KAPPA_ORACLE)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two independent
+    document-quality raters (rater 1: character-length gate at 500;
+    rater 2: token-count gate at 90), per source: observed agreement
+    p_o and chance agreement p_e ride exact ppm lanes ((n11+n00)/n and
+    the marginal product (a1*b1 + a0*b0)/n^2), and kappa =
+    (p_o-p_e)/(1-p_e) is one integer division of the two -- the
+    labeling-QA statistic that raw accuracy can't replace when both
+    raters say 'good' for most docs by chance. Integer-exact on both
+    engines (kappa here is nonnegative-lane: chance-beating raters;
+    the /-division truncates identically in both engines for the
+    positive values this data yields, asserted by the pytest
+    reference). Scale shape: one scan, one mergeable per-source agg --
+    no shuffle beyond the 20-source rollup."""
+    labeled = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.expr("CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END").alias("r1"),
+            F.expr(
+                "CASE WHEN size(regexp_extract_all(lower(text),"
+                " '[a-z]+', 0)) >= 90 THEN 1 ELSE 0 END"
+            ).alias("r2"),
+        )
+    )
+    cells = labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.expr("CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n00"),
+        F.sum("r1").cast("long").alias("a1"),
+        F.sum("r2").cast("long").alias("b1"),
+    )
+    ppm = cells.select(
+        "source",
+        "n",
+        "n11",
+        "n00",
+        "a1",
+        "b1",
+        F.expr("CAST((n11 + n00) * 1000000 div n AS BIGINT)").alias(
+            "p_o_ppm"
+        ),
+        F.expr(
+            "CAST((a1 * b1 + (n - a1) * (n - b1)) * 1000000 div (n * n)"
+            " AS BIGINT)"
+        ).alias("p_e_ppm"),
+    )
+    return ppm.select(
+        "source",
+        "n",
+        "n11",
+        "n00",
+        "a1",
+        "b1",
+        "p_o_ppm",
+        "p_e_ppm",
+        F.expr(
+            "CAST(CASE WHEN p_e_ppm = 1000000 THEN 1000000"
+            " ELSE (p_o_ppm - p_e_ppm) * 1000000"
+            " div (1000000 - p_e_ppm) END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    ).orderBy("source")
+
+
+_SPEARMAN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT yr,
+         CAST(2 * rank() OVER (PARTITION BY yr ORDER BY x)
+              + count(*) OVER (PARTITION BY yr, x) - 1 AS BIGINT) AS rx,
+         CAST(2 * rank() OVER (PARTITION BY yr ORDER BY y)
+              + count(*) OVER (PARTITION BY yr, y) - 1 AS BIGINT) AS ry
+  FROM daily
+),
+moments AS (
+  SELECT yr,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy
+  FROM ranked GROUP BY yr
+),
+d AS (
+  SELECT yr, n_days,
+         CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num,
+         CAST(n_days * sxx - sx * sx AS BIGINT) AS vx_n,
+         CAST(n_days * syy - sy * sy AS BIGINT) AS vy_n
+  FROM moments
+)
+SELECT yr, n_days, cov_num,
+       CAST(CASE WHEN cov_num > 0 THEN 1
+                 WHEN cov_num < 0 THEN -1 ELSE 0 END AS BIGINT) AS rho_sign,
+       CAST(CASE WHEN CAST(vx_n AS HUGEINT) * vy_n = 0 THEN 0
+                 ELSE CAST(cov_num AS HUGEINT) * cov_num * 1000000
+                      // (CAST(vx_n AS HUGEINT) * vy_n)
+            END AS BIGINT) AS rho_sq_ppm
+FROM d
+ORDER BY yr
+"""
+
+
+@_register("spearman_rho_by_year", _SPEARMAN_ORACLE)
+def spearman_rho_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order count and daily
+    revenue per year, tie-exact: fractional ranks ride a DOUBLED
+    integer lane (2*rank + ties - 1 = twice the average rank of a tied
+    block), rho is Pearson on those doubled ranks, and rho^2 rides a
+    ppm floor-div lane from the five integer moments (n*Sxy - Sx*Sy
+    squared over the two variance numerators) -- no sqrt, no float,
+    so the tie-corrected statistic itself value-checks. The monotone
+    complement to `kendall_tau_by_year` (same frame, pair-free): at
+    100 TB the Kendall pair join is O(days^2) per year while this is
+    two rank windows + one mergeable moment agg, the shape to prefer
+    when only the correlation (not the pair counts) is needed.
+    cov_num^2 * 1e6 and vx*vy are int128-wide, so the ppm quotient
+    uses the `cuped_variance_reduction` recipe: exact DECIMAL(38,0)
+    products, a double-seeded floor, and a +/-1 correction by exact
+    decimal compares (Spark DECIMAL `div` wraps; DuckDB runs plain
+    HUGEINT floor division against it)."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("yr"),
+            F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").alias(
+                "y"
+            ),
+        )
+    )
+    wy = W.partitionBy("yr")
+    ranked = daily.select(
+        "yr",
+        (
+            F.lit(2) * F.rank().over(wy.orderBy("x"))
+            + F.count(F.lit(1)).over(W.partitionBy("yr", "x"))
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("rx"),
+        (
+            F.lit(2) * F.rank().over(wy.orderBy("y"))
+            + F.count(F.lit(1)).over(W.partitionBy("yr", "y"))
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("ry"),
+    )
+    moments = ranked.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.expr("CAST(sum(rx * rx) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(sum(ry * ry) AS BIGINT)").alias("syy"),
+        F.expr("CAST(sum(rx * ry) AS BIGINT)").alias("sxy"),
+    )
+    d = moments.select(
+        "yr",
+        "n_days",
+        F.expr("CAST(n_days * sxy - sx * sy AS BIGINT)").alias("cov_num"),
+        F.expr("CAST(n_days * sxx - sx * sx AS BIGINT)").alias("vx_n"),
+        F.expr("CAST(n_days * syy - sy * sy AS BIGINT)").alias("vy_n"),
+    )
+    # cov_num^2 * 1e6 and vx_n*vy_n are int128-wide: DECIMAL(38,0)
+    # products are exact, and the quotient is double-seeded then
+    # corrected +/-1 by exact decimal compares (the
+    # cuped_variance_reduction recipe; Spark DECIMAL `div` would wrap).
+    q = d.select(
+        "yr",
+        "n_days",
+        "cov_num",
+        F.expr(
+            "CAST(cov_num AS DECIMAL(38,0)) * CAST(cov_num AS DECIMAL(38,0))"
+            " * 1000000"
+        ).alias("num"),
+        F.expr(
+            "CAST(vx_n AS DECIMAL(38,0)) * CAST(vy_n AS DECIMAL(38,0))"
+        ).alias("den"),
+    ).select(
+        "yr",
+        "n_days",
+        "cov_num",
+        "num",
+        "den",
+        F.expr(
+            "CAST(CASE WHEN den = 0 THEN 0"
+            " ELSE floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+            " END AS DECIMAL(38,0))"
+        ).alias("q0"),
+    )
+    return q.select(
+        "yr",
+        "n_days",
+        "cov_num",
+        F.expr(
+            "CAST(CASE WHEN cov_num > 0 THEN 1"
+            " WHEN cov_num < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("rho_sign"),
+        F.expr(
+            "CAST(CASE WHEN den = 0 THEN 0"
+            " WHEN (q0 + 1) * den <= num THEN q0 + 1"
+            " WHEN q0 * den > num THEN q0 - 1"
+            " ELSE q0 END AS BIGINT)"
+        ).alias("rho_sq_ppm"),
+    ).orderBy("yr")
