@@ -25240,3 +25240,437 @@ def spearman_rho_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE q0 END AS BIGINT)"
         ).alias("rho_sq_ppm"),
     ).orderBy("yr")
+
+
+_RR_ORACLE = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+truth AS (
+  SELECT u.user_id, t.event_type,
+         CASE WHEN (SELECT count(*) FROM events e
+                    WHERE e.user_id = u.user_id
+                      AND e.event_type = t.event_type) >= 2
+              THEN 1 ELSE 0 END AS b
+  FROM users u CROSS JOIN types t
+),
+resp AS (
+  SELECT event_type, b,
+         CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                        || event_type || ':rr'), 1, 8) AS BIGINT) % 4 < 3
+              THEN b ELSE 1 - b END AS y
+  FROM truth
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(y) AS BIGINT) AS reported_yes,
+       CAST(sum(b) AS BIGINT) AS true_yes,
+       CAST(1099 AS BIGINT) AS epsilon_milli,
+       CAST(2 * sum(y) * 1000000 // count(*) - 500000 AS BIGINT)
+         AS pi_hat_ppm,
+       CAST(sum(b) * 1000000 // count(*) AS BIGINT) AS pi_true_ppm,
+       CAST(abs(2 * sum(y) * 1000000 // count(*) - 500000
+                - sum(b) * 1000000 // count(*)) AS BIGINT) AS abs_err_ppm
+FROM resp
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("randomized_response_estimate", _RR_ORACLE)
+def randomized_response_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response -- the local-differential-privacy
+    mechanism (per-user epsilon = ln 3, reported as the shared milli
+    literal 1099): each user reports their true bit ('had >= 2 events
+    of this type') with probability 3/4 and the flipped bit otherwise,
+    the coin being a deterministic md5 lane so BOTH engines replay the
+    identical randomization; the entry then executes the debiasing
+    estimator pi_hat = 2*p_yes - 1/2 in exact ppm and scores it
+    against the (privately invisible in production, available here)
+    ground truth. The aggregator-side view of the `dp_bounded_
+    contribution_agg` family: noise injected client-side, bias removed
+    analytically. Scale shape: one per-(user,type) rollup, one
+    mergeable per-type agg; the user-type grid is a broadcast cross of
+    the 5-type frame."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    truth = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "CASE WHEN coalesce(c, 0) >= 2 THEN 1 ELSE 0 END"
+            ).alias("b"),
+        )
+    )
+    resp = truth.select(
+        "event_type",
+        "b",
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(CAST(user_id AS STRING) || ':'"
+            " || event_type || ':rr'), 1, 8), 16, 10) AS BIGINT) % 4 < 3"
+            " THEN b ELSE 1 - b END"
+        ).alias("y"),
+    )
+    return (
+        resp.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("y").cast("long").alias("reported_yes"),
+            F.sum("b").cast("long").alias("true_yes"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "reported_yes",
+            "true_yes",
+            F.lit(1099).cast("long").alias("epsilon_milli"),
+            F.expr(
+                "CAST(2 * reported_yes * 1000000 div n_users - 500000"
+                " AS BIGINT)"
+            ).alias("pi_hat_ppm"),
+            F.expr(
+                "CAST(true_yes * 1000000 div n_users AS BIGINT)"
+            ).alias("pi_true_ppm"),
+            F.expr(
+                "CAST(abs(2 * reported_yes * 1000000 div n_users - 500000"
+                " - true_yes * 1000000 div n_users) AS BIGINT)"
+            ).alias("abs_err_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PINBALL_ORACLE = """
+WITH daily AS (
+  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(count(*) AS BIGINT) AS d
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2, 3
+),
+train AS (SELECT n_name, d FROM daily WHERE yr <= 1996),
+dist AS (
+  SELECT n_name, d, CAST(count(*) AS BIGINT) AS c FROM train GROUP BY 1, 2
+),
+cum AS (
+  SELECT n_name, d, c,
+         CAST(sum(c) OVER (PARTITION BY n_name ORDER BY d) AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY n_name) AS BIGINT) AS nt
+  FROM dist
+),
+q AS (
+  SELECT n_name,
+         min(CASE WHEN cc * 10 >= nt * 9 THEN d END) AS q90,
+         min(CASE WHEN cc * 2 >= nt THEN d END) AS q50,
+         any_value(nt) AS n_train
+  FROM cum GROUP BY n_name
+),
+eval_days AS (SELECT n_name, d FROM daily WHERE yr >= 1997)
+SELECT q.n_name, q.n_train, q.q50, q.q90,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN e.d >= q.q90 THEN 9 * (e.d - q.q90)
+                     ELSE q.q90 - e.d END) AS BIGINT) AS loss90_x10,
+       CAST(sum(CASE WHEN e.d >= q.q50 THEN 9 * (e.d - q.q50)
+                     ELSE q.q50 - e.d END) AS BIGINT) AS loss50_x10,
+       CAST(sum(CASE WHEN e.d >= q.q90 THEN 9 * (e.d - q.q90)
+                     ELSE q.q90 - e.d END) * 1000
+            // count(*) AS BIGINT) AS mean_loss90_milli_x10
+FROM q JOIN eval_days e ON e.n_name = q.n_name
+GROUP BY q.n_name, q.n_train, q.q50, q.q90
+ORDER BY q.n_name
+"""
+
+
+@_register("pinball_loss_quantile_eval", _PINBALL_ORACLE)
+def pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss evaluation of a P90 demand forecast:
+    train years (<= 1996) yield per-nation integer q50/q90 via exact
+    quantile inversion on the distinct-value cumulative frame, eval
+    years (>= 1997) score both candidates under the tau = 0.9 pinball
+    loss in a x10 integer lane (9*(y-q) when under-forecast, (q-y)
+    when over) -- the PROPER scoring rule for quantile forecasts: on
+    data where demand is stable, loss90_x10 < loss50_x10 certifies
+    empirically that the 0.9-fractile minimizes it, the eval-side
+    counterpart of `newsvendor_quantile_stock`'s optimality sweep and
+    the quantile analog of `seasonal_naive_forecast_eval`'s MASE.
+    Scale shape: one (nation, day) rollup feeds both split halves;
+    quantiles come from per-nation cumulative windows on the distinct
+    frame (never a global sort); the eval is one equi-join of the
+    25-row quantile frame back to eval days."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("yr"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    train = daily.filter(F.col("yr") <= 1996).select("n_name", "d")
+    dist = train.groupBy("n_name", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wn = W.partitionBy("n_name")
+    cum = dist.select(
+        "n_name",
+        "d",
+        F.sum("c").over(wn.orderBy("d")).cast("long").alias("cc"),
+        F.sum("c")
+        .over(wn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("long")
+        .alias("nt"),
+    )
+    q = cum.groupBy("n_name").agg(
+        F.min(F.expr("CASE WHEN cc * 10 >= nt * 9 THEN d END")).alias("q90"),
+        F.min(F.expr("CASE WHEN cc * 2 >= nt THEN d END")).alias("q50"),
+        F.first("nt").alias("n_train"),
+    )
+    ev = daily.filter(F.col("yr") >= 1997).select("n_name", "d")
+    return (
+        F.broadcast(q)
+        .join(ev, "n_name")
+        .groupBy("n_name", "n_train", "q50", "q90")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN d >= q90 THEN 9 * (d - q90)"
+                    " ELSE q90 - d END"
+                )
+            )
+            .cast("long")
+            .alias("loss90_x10"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN d >= q50 THEN 9 * (d - q50)"
+                    " ELSE q50 - d END"
+                )
+            )
+            .cast("long")
+            .alias("loss50_x10"),
+        )
+        .select(
+            "n_name",
+            "n_train",
+            "q50",
+            "q90",
+            "n_eval",
+            "loss90_x10",
+            "loss50_x10",
+            F.expr(
+                "CAST(loss90_x10 * 1000 div n_eval AS BIGINT)"
+            ).alias("mean_loss90_milli_x10"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_FDR_BH_ORACLE = """
+WITH lab AS (
+  SELECT n.n_name,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y1
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS nn, CAST(sum(y1) AS BIGINT) AS yy
+  FROM lab
+),
+z AS (
+  SELECT l.n_name, l.n1, l.y1,
+         CAST(CAST(l.y1 * (t.nn - l.n1) - (t.yy - l.y1) * l.n1 AS HUGEINT)
+              * (l.y1 * (t.nn - l.n1) - (t.yy - l.y1) * l.n1)
+              * t.nn * 1000
+              // (CAST(l.n1 AS HUGEINT) * (t.nn - l.n1) * t.yy
+                  * (t.nn - t.yy)) AS BIGINT) AS z2_milli
+  FROM lab l CROSS JOIN tot t
+),
+rk AS (
+  SELECT n_name, n1, y1, z2_milli,
+         CAST(row_number() OVER (ORDER BY z2_milli DESC, n_name) AS BIGINT)
+           AS rank
+  FROM z
+),
+hit AS (
+  SELECT *,
+         ([9549,8283,7550,7033,6634,6310,6038,5802,5596,5411,5245,5094,
+           4956,4828,4709,4598,4494,4397,4305,4217,4135,4056,3981,3909,
+           3841])[rank] AS bh_critical_milli
+  FROM rk
+),
+kmax AS (
+  SELECT CAST(coalesce(max(CASE WHEN z2_milli >= bh_critical_milli
+                                THEN rank END), 0) AS BIGINT) AS k
+  FROM hit
+)
+SELECT h.n_name, h.n1, h.y1, h.z2_milli, h.rank, h.bh_critical_milli,
+       CAST(CASE WHEN h.rank <= k.k THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM hit h CROSS JOIN kmax k
+ORDER BY h.rank
+"""
+
+
+@_register("fdr_bh_screen", _FDR_BH_ORACLE)
+def fdr_bh_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over 25 simultaneous two-
+    proportion tests (each nation's urgent-order share vs the rest):
+    the per-nation chi-square statistic z^2 = (y1*n2 - y2*n1)^2 * N /
+    (n1*n2*Y*(N-Y)) rides an exact milli lane (int128 products via
+    HUGEINT / the DECIMAL(38,0) seeded-division recipe), and the BH
+    step-up compares the DESCENDING z^2 order statistics against a
+    shared literal ladder of chi-square(1) critical values at
+    alpha*i/m (alpha = 0.05, m = 25; the ladder plays the same role
+    as `ndcg_graded_retrieval`'s discount table -- the only
+    distribution lookup is 25 constants both engines read
+    identically). rejected = rank <= max{i : z^2_(i) >= c_i} executes
+    the step-up rule, the multiple-testing guard `two_proportion_
+    ab_test` lacks when 25 hypotheses fire at once. Scale shape: one
+    rollup to nation, 1-row totals broadcast, a 25-row window."""
+    lab = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("y1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = lab.agg(
+        F.sum("n1").cast("long").alias("nn"),
+        F.sum("y1").cast("long").alias("yy"),
+    )
+    # z2_milli = diff^2 * N * 1000 // (n1*n2*Y*(N-Y)): int128-wide, so
+    # DECIMAL(38,0) exact products + double-seeded floor + exact +/-1
+    # correction (cuped_variance_reduction recipe).
+    z = (
+        lab.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            "n1",
+            "y1",
+            F.expr("y1 * (nn - n1) - (yy - y1) * n1").alias("diff"),
+            F.expr(
+                "CAST(n1 AS DECIMAL(38,0)) * (nn - n1) * yy * (nn - yy)"
+            ).alias("den"),
+            "nn",
+        )
+        .select(
+            "n_name",
+            "n1",
+            "y1",
+            F.expr(
+                "CAST(diff AS DECIMAL(38,0)) * CAST(diff AS DECIMAL(38,0))"
+                " * nn * 1000"
+            ).alias("num"),
+            "den",
+        )
+        .select(
+            "n_name",
+            "n1",
+            "y1",
+            "num",
+            "den",
+            F.expr(
+                "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+                " AS DECIMAL(38,0))"
+            ).alias("q0"),
+        )
+        .select(
+            "n_name",
+            "n1",
+            "y1",
+            F.expr(
+                "CAST(CASE WHEN (q0 + 1) * den <= num THEN q0 + 1"
+                " WHEN q0 * den > num THEN q0 - 1 ELSE q0 END AS BIGINT)"
+            ).alias("z2_milli"),
+        )
+    )
+    ladder = (
+        "array(9549,8283,7550,7033,6634,6310,6038,5802,5596,5411,5245,5094,"
+        "4956,4828,4709,4598,4494,4397,4305,4217,4135,4056,3981,3909,3841)"
+    )
+    rk = z.select(
+        "n_name",
+        "n1",
+        "y1",
+        "z2_milli",
+        F.row_number()
+        .over(
+            W.partitionBy(F.lit(1)).orderBy(
+                F.col("z2_milli").desc(), F.col("n_name")
+            )
+        )
+        .cast("long")
+        .alias("rank"),
+    )
+    hit = rk.select(
+        "n_name",
+        "n1",
+        "y1",
+        "z2_milli",
+        "rank",
+        F.expr(f"element_at({ladder}, CAST(rank AS INT))").cast("long").alias(
+            "bh_critical_milli"
+        ),
+    ).localCheckpoint(eager=False)
+    kmax = hit.agg(
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN z2_milli >= bh_critical_milli"
+            " THEN rank END), 0) AS BIGINT)"
+        ).alias("k")
+    )
+    return (
+        hit.crossJoin(F.broadcast(kmax))
+        .select(
+            "n_name",
+            "n1",
+            "y1",
+            "z2_milli",
+            "rank",
+            "bh_critical_milli",
+            F.expr(
+                "CAST(CASE WHEN rank <= k THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("rejected"),
+        )
+        .orderBy("rank")
+    )
