@@ -25674,3 +25674,333 @@ def fdr_bh_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+_HEAPS_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS lo, CAST(max(doc_id) AS BIGINT) AS hi
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT CAST(least(9, (d.doc_id - b.lo) * 10 // (b.hi - b.lo + 1))
+              AS BIGINT) AS bucket,
+         d.doc_id,
+         unnest(regexp_extract_all(lower(d.text), '[a-z]+', 0)) AS term
+  FROM documents d CROSS JOIN bounds b
+  WHERE d.text IS NOT NULL
+),
+per_bucket AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM toks GROUP BY bucket
+),
+first_seen AS (
+  SELECT term, CAST(min(bucket) AS BIGINT) AS first_bucket FROM toks
+  GROUP BY term
+),
+new_terms AS (
+  SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS new_terms
+  FROM first_seen GROUP BY 1
+),
+curve AS (
+  SELECT p.bucket, p.n_docs, p.n_tokens,
+         coalesce(n.new_terms, 0) AS new_terms,
+         CAST(sum(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+           AS tokens_cum,
+         CAST(sum(coalesce(n.new_terms, 0)) OVER (ORDER BY p.bucket)
+              AS BIGINT) AS vocab_cum
+  FROM per_bucket p LEFT JOIN new_terms n ON n.bucket = p.bucket
+)
+SELECT bucket, n_docs, n_tokens, new_terms, tokens_cum, vocab_cum,
+       CAST(vocab_cum * 1000000 // tokens_cum AS BIGINT) AS ttr_ppm
+FROM curve
+ORDER BY bucket
+"""
+
+
+@_register("heaps_vocab_growth_curve", _HEAPS_ORACLE)
+def heaps_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: the corpus is split into 10
+    doc-id range buckets and the cumulative vocabulary after each
+    prefix is computed WITHOUT any cumulative-distinct scan -- each
+    term contributes exactly once at its FIRST bucket (min(bucket) per
+    term), so vocab_cum is a cumsum of per-bucket first-appearance
+    counts. The decaying type-token ratio (ttr_ppm) down the curve is
+    the Heaps sublinearity the `vocabulary_build` sizing decisions
+    rest on, and the per-bucket new_terms column is the marginal
+    vocabulary yield of more data -- the curve that answers 'will 10x
+    data 10x my vocab?' (no: the curve says how much less). Scale
+    shape: one token explode, one (term -> min bucket) mergeable agg,
+    then windows over a 10-row frame; nothing holds per-doc state."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bounds = docs.agg(
+        F.min("doc_id").cast("long").alias("lo"),
+        F.max("doc_id").cast("long").alias("hi"),
+    )
+    toks = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                "CAST(least(9, (doc_id - lo) * 10 div (hi - lo + 1))"
+                " AS BIGINT)"
+            ).alias("bucket"),
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("term"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    new_terms = (
+        toks.groupBy("term")
+        .agg(F.min("bucket").cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w = W.partitionBy(F.lit(1)).orderBy("bucket")
+    curve = (
+        per_bucket.join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            "new_terms",
+            F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
+            F.sum("new_terms").over(w).cast("long").alias("vocab_cum"),
+        )
+    )
+    return curve.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "new_terms",
+        "tokens_cum",
+        "vocab_cum",
+        F.expr("CAST(vocab_cum * 1000000 div tokens_cum AS BIGINT)").alias(
+            "ttr_ppm"
+        ),
+    ).orderBy("bucket")
+
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+freq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY term
+),
+top100 AS (
+  SELECT term, f,
+         CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT) AS r
+  FROM freq QUALIFY r <= 100
+)
+SELECT CAST((r - 1) // 10 AS BIGINT) AS rank_band,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(min(f) AS BIGINT) AS min_freq,
+       CAST(max(f) AS BIGINT) AS max_freq,
+       CAST(sum(r * f) AS BIGINT) AS sum_rf,
+       CAST(min(r * f) AS BIGINT) AS min_rf,
+       CAST(max(r * f) AS BIGINT) AS max_rf,
+       CAST((max(r * f) - min(r * f)) * 1000000 // sum(r * f) AS BIGINT)
+         AS rf_spread_ppm
+FROM top100
+GROUP BY 1
+ORDER BY rank_band
+"""
+
+
+@_register("zipf_rank_frequency_audit", _ZIPF_ORACLE)
+def zipf_rank_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit over the top-100 corpus terms: under Zipf,
+    rank x frequency is roughly constant, so the entry bands the
+    ranked terms into 10 deciles and reports the r*f product's range
+    and normalized spread per band -- all exact integers (the law
+    check needs no log-log regression: constancy of r*f IS the
+    s ~ 1 Zipf statement). Feeds stopword-list sizing and the
+    `shannon_fano_code_length` / `delta_encoding_compression_audit`
+    cost models, whose optimality hinges on how Zipfian the term
+    distribution actually is. Scale shape: one token explode + one
+    mergeable term-frequency agg; the top-100 is a
+    TakeOrderedAndProject and the banding a 100-row group-by."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("term")
+        )
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    top100 = (
+        freq.orderBy(F.col("f").desc(), F.col("term"))
+        .limit(100)
+        .localCheckpoint(eager=False)
+        .select(
+            "term",
+            "f",
+            F.row_number()
+            .over(
+                W.partitionBy(F.lit(1)).orderBy(
+                    F.col("f").desc(), F.col("term")
+                )
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    return (
+        top100.groupBy(F.expr("CAST((r - 1) div 10 AS BIGINT)").alias(
+            "rank_band"
+        ))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.min("f").cast("long").alias("min_freq"),
+            F.max("f").cast("long").alias("max_freq"),
+            F.expr("CAST(sum(r * f) AS BIGINT)").alias("sum_rf"),
+            F.expr("CAST(min(r * f) AS BIGINT)").alias("min_rf"),
+            F.expr("CAST(max(r * f) AS BIGINT)").alias("max_rf"),
+        )
+        .select(
+            "rank_band",
+            "n_terms",
+            "min_freq",
+            "max_freq",
+            "sum_rf",
+            "min_rf",
+            "max_rf",
+            F.expr(
+                "CAST((max_rf - min_rf) * 1000000 div sum_rf AS BIGINT)"
+            ).alias("rf_spread_ppm"),
+        )
+        .orderBy("rank_band")
+    )
+
+
+_QINI_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':qini'),
+                                  1, 8) AS BIGINT) % 2 AS BIGINT) AS treated,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS score,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 1 THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+),
+byscore AS (
+  SELECT score,
+         CAST(sum(treated) AS BIGINT) AS n_t,
+         CAST(sum(1 - treated) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT) AS y_t,
+         CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT) AS y_c
+  FROM users GROUP BY score
+),
+cum AS (
+  SELECT score, n_t, n_c, y_t, y_c,
+         CAST(sum(n_t) OVER (ORDER BY score DESC) AS BIGINT) AS cum_nt,
+         CAST(sum(n_c) OVER (ORDER BY score DESC) AS BIGINT) AS cum_nc,
+         CAST(sum(y_t) OVER (ORDER BY score DESC) AS BIGINT) AS cum_yt,
+         CAST(sum(y_c) OVER (ORDER BY score DESC) AS BIGINT) AS cum_yc
+  FROM byscore
+)
+SELECT score, n_t, n_c, y_t, y_c, cum_nt, cum_nc, cum_yt, cum_yc,
+       CAST(cum_yt * cum_nc - cum_yc * cum_nt AS BIGINT) AS qini_num,
+       CAST(CASE WHEN cum_nt = 0 OR cum_nc = 0 THEN 0
+                 ELSE cum_yt * 1000000 // cum_nt
+                      - cum_yc * 1000000 // cum_nc END AS BIGINT)
+         AS cum_uplift_ppm
+FROM cum
+ORDER BY score DESC
+"""
+
+
+@_register("qini_uplift_deciles", _QINI_ORACLE)
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift curve -- the evaluation for TARGETING policies
+    that `cumulative_gains_deciles` (outcome-only) can't provide: a
+    deterministic md5 coin assigns treatment, users rank by a
+    behavioral score (click count), and each prefix of the ranking
+    reports cumulative treated/control conversions, the exact-integer
+    Qini numerator y_t*n_c - y_c*n_t (sign = whether targeting this
+    prefix beats not targeting), and the incremental-uplift estimate
+    in ppm. Monotone-decreasing uplift down the curve certifies the
+    score actually ranks persuadables first. Scale shape: one rollup
+    to user, one to distinct score values, cumulative windows on the
+    tiny distinct-score frame (the `cumulative_gains_deciles`
+    pattern: never a global per-user sort)."""
+    users = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("score"),
+            F.expr(
+                "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1"
+                " ELSE 0 END) >= 1 THEN 1 ELSE 0 END"
+            ).alias("y"),
+        )
+        .select(
+            "score",
+            "y",
+            F.expr(
+                "CAST(CAST(conv(substr(md5(CAST(user_id AS STRING)"
+                " || ':qini'), 1, 8), 16, 10) AS BIGINT) % 2 AS BIGINT)"
+            ).alias("treated"),
+        )
+    )
+    byscore = users.groupBy("score").agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(F.expr("1 - treated")).cast("long").alias("n_c"),
+        F.sum(F.expr("CASE WHEN treated = 1 THEN y ELSE 0 END"))
+        .cast("long")
+        .alias("y_t"),
+        F.sum(F.expr("CASE WHEN treated = 0 THEN y ELSE 0 END"))
+        .cast("long")
+        .alias("y_c"),
+    )
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("score").desc())
+    cum = byscore.select(
+        "score",
+        "n_t",
+        "n_c",
+        "y_t",
+        "y_c",
+        F.sum("n_t").over(w).cast("long").alias("cum_nt"),
+        F.sum("n_c").over(w).cast("long").alias("cum_nc"),
+        F.sum("y_t").over(w).cast("long").alias("cum_yt"),
+        F.sum("y_c").over(w).cast("long").alias("cum_yc"),
+    )
+    return cum.select(
+        "score",
+        "n_t",
+        "n_c",
+        "y_t",
+        "y_c",
+        "cum_nt",
+        "cum_nc",
+        "cum_yt",
+        "cum_yc",
+        F.expr("CAST(cum_yt * cum_nc - cum_yc * cum_nt AS BIGINT)").alias(
+            "qini_num"
+        ),
+        F.expr(
+            "CAST(CASE WHEN cum_nt = 0 OR cum_nc = 0 THEN 0"
+            " ELSE cum_yt * 1000000 div cum_nt"
+            " - cum_yc * 1000000 div cum_nc END AS BIGINT)"
+        ).alias("cum_uplift_ppm"),
+    ).orderBy(F.col("score").desc())
