@@ -26004,3 +26004,452 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - cum_yc * 1000000 div cum_nc END AS BIGINT)"
         ).alias("cum_uplift_ppm"),
     ).orderBy(F.col("score").desc())
+
+
+def _geohash_sql(latq: str, lonq: str) -> str:
+    """Geohash-8 from 20-bit quantized lat/lon as shared SQL text: the
+    standard interleave (longitude takes the MSB and every odd bit,
+    latitude the even bits) is z_interleave_sql(lat, lon, 20), and the
+    base32 alphabet indexes 5-bit groups MSB-first. Equivalent to the
+    textbook bisection algorithm at 40 bits (property-tested against
+    it in tests/test_analytics_ml22.py)."""
+    z = scalar.z_interleave_sql(latq, lonq, bits=20)
+    parts = []
+    for j in range(8):
+        parts.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz',"
+            f" CAST((({z}) >> {35 - 5 * j}) & 31 AS INT) + 1, 1)"
+        )
+    return " || ".join(parts)
+
+
+_GEOHASH_ORACLE_TMPL = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST((c_custkey * 7919) % 180000 - 90000 AS BIGINT) AS lat_milli,
+         CAST((c_custkey * 104729) % 360000 - 180000 AS BIGINT) AS lon_milli
+  FROM customer
+),
+q AS (
+  SELECT c_custkey,
+         CAST((lat_milli + 90000) * 1048576 // 180000 AS BIGINT) AS latq,
+         CAST((lon_milli + 180000) * 1048576 // 360000 AS BIGINT) AS lonq
+  FROM pts
+),
+gh AS (
+  SELECT c_custkey, {gh_expr} AS geohash8 FROM q
+),
+pref AS (
+  SELECT substr(geohash8, 1, 3) AS prefix,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(count(DISTINCT geohash8) AS BIGINT) AS n_cells,
+         CAST(sum(CAST('0x' || substr(md5(geohash8), 1, 8) AS BIGINT))
+              AS BIGINT) AS checksum
+  FROM gh GROUP BY 1
+)
+SELECT prefix, n_customers, n_cells, checksum
+FROM pref
+ORDER BY n_customers DESC, prefix
+LIMIT 20
+"""
+
+
+@_register(
+    "geohash_prefix_rollup",
+    _GEOHASH_ORACLE_TMPL.format(
+        gh_expr="__GH__"  # placeholder replaced below
+    ),
+)
+def geohash_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-8 encoding as pure integer SQL (no geo library): synthetic
+    customer coordinates quantize to 20 bits per axis, interleave
+    through the SHARED Morton helper (`functions.scalar.
+    z_interleave_sql` -- the same expression text the z-order layout
+    writer uses), and the base32 alphabet maps each 5-bit group; the
+    rollup groups customers by 3-char geohash prefix (the ~156 km
+    cell), counting members and distinct full-resolution cells with an
+    order-free md5 checksum over the encoded strings so the encoding
+    itself value-checks character-for-character. The prefix-join
+    property (shared prefix <=> spatial proximity) is what makes
+    geohash the PARTITION KEY of choice for geo joins at 100 TB --
+    `spatial_grid_join` buckets by integer cell; this entry provides
+    the interoperable string encoding. Scale shape: embarrassingly
+    parallel scan + one rollup on prefix; top-20 is a
+    TakeOrderedAndProject."""
+    pts = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "CAST((c_custkey * 7919) % 180000 - 90000 AS BIGINT)"
+        ).alias("lat_milli"),
+        F.expr(
+            "CAST((c_custkey * 104729) % 360000 - 180000 AS BIGINT)"
+        ).alias("lon_milli"),
+    )
+    q = pts.select(
+        "c_custkey",
+        F.expr(
+            "CAST((lat_milli + 90000) * 1048576 div 180000 AS BIGINT)"
+        ).alias("latq"),
+        F.expr(
+            "CAST((lon_milli + 180000) * 1048576 div 360000 AS BIGINT)"
+        ).alias("lonq"),
+    )
+    gh = q.select(
+        "c_custkey", F.expr(_geohash_sql("latq", "lonq")).alias("geohash8")
+    )
+    return (
+        gh.groupBy(F.expr("substr(geohash8, 1, 3)").alias("prefix"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.countDistinct("geohash8").cast("long").alias("n_cells"),
+            F.expr(
+                "CAST(sum(CAST(conv(substr(md5(geohash8), 1, 8), 16, 10)"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("checksum"),
+        )
+        .orderBy(F.col("n_customers").desc(), "prefix")
+        .limit(20)
+    )
+
+
+# the oracle needs the same generated interleave expression; patch it in
+# (DuckDB shares Spark's >>, &, %, || and substr semantics on BIGINT)
+REGISTRY["geohash_prefix_rollup"] = Query(
+    name="geohash_prefix_rollup",
+    spark=REGISTRY["geohash_prefix_rollup"].spark,
+    oracle=_GEOHASH_ORACLE_TMPL.format(gh_expr=_geohash_sql("latq", "lonq")),
+    doc=REGISTRY["geohash_prefix_rollup"].doc,
+)
+
+
+_ADABOOST_ORACLE = """
+WITH feats AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS f_len500,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+', 0)) >= 90
+              THEN 1 ELSE 0 END AS f_tok90,
+         CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END
+           AS f_digit,
+         CASE WHEN n_chars >= 6 * len(regexp_extract_all(lower(text),
+                                       '[a-z]+', 0))
+              THEN 1 ELSE 0 END AS f_avg6
+  FROM documents WHERE text IS NOT NULL
+),
+melt1 AS (
+  SELECT 'len500' AS feature, CASE WHEN f_len500 != y THEN 1 ELSE 0 END
+           AS mis FROM feats
+  UNION ALL
+  SELECT 'tok90', CASE WHEN f_tok90 != y THEN 1 ELSE 0 END FROM feats
+  UNION ALL
+  SELECT 'digit', CASE WHEN f_digit != y THEN 1 ELSE 0 END FROM feats
+  UNION ALL
+  SELECT 'avg6', CASE WHEN f_avg6 != y THEN 1 ELSE 0 END FROM feats
+),
+r1 AS (
+  SELECT feature, CAST(sum(mis) AS BIGINT) AS err,
+         CAST(count(*) AS BIGINT) AS n
+  FROM melt1 GROUP BY feature
+),
+best1 AS (SELECT * FROM r1 ORDER BY err, feature LIMIT 1),
+wts AS (
+  SELECT f.*,
+         CASE WHEN (CASE b.feature WHEN 'len500' THEN f.f_len500
+                                   WHEN 'tok90' THEN f.f_tok90
+                                   WHEN 'digit' THEN f.f_digit
+                                   ELSE f.f_avg6 END) != f.y
+              THEN 1 ELSE 0 END AS mis1,
+         CASE WHEN (CASE b.feature WHEN 'len500' THEN f.f_len500
+                                   WHEN 'tok90' THEN f.f_tok90
+                                   WHEN 'digit' THEN f.f_digit
+                                   ELSE f.f_avg6 END) != f.y
+              THEN b.n - b.err ELSE b.err END AS w
+  FROM feats f CROSS JOIN best1 b
+),
+melt2 AS (
+  SELECT 'len500' AS feature, w,
+         w * (CASE WHEN f_len500 != y THEN 1 ELSE 0 END) AS wmis FROM wts
+  UNION ALL
+  SELECT 'tok90', w, w * (CASE WHEN f_tok90 != y THEN 1 ELSE 0 END) FROM wts
+  UNION ALL
+  SELECT 'digit', w, w * (CASE WHEN f_digit != y THEN 1 ELSE 0 END) FROM wts
+  UNION ALL
+  SELECT 'avg6', w, w * (CASE WHEN f_avg6 != y THEN 1 ELSE 0 END) FROM wts
+),
+r2 AS (
+  SELECT feature, CAST(sum(wmis) AS BIGINT) AS werr,
+         CAST(sum(w) AS BIGINT) AS mass
+  FROM melt2 GROUP BY feature
+),
+best2 AS (SELECT * FROM r2 ORDER BY werr, feature LIMIT 1),
+halfmass AS (
+  SELECT CAST(sum(CASE WHEN mis1 = 1 THEN w ELSE 0 END) AS BIGINT) AS mm,
+         CAST(sum(w) AS BIGINT) AS tw
+  FROM wts
+)
+SELECT CAST(1 AS BIGINT) AS round, b.feature,
+       b.err AS err_raw, b.n AS mass_total,
+       CAST(b.err * 1000000 // b.n AS BIGINT) AS err_ppm,
+       CAST(CASE WHEN h.tw = 0 THEN 0
+                 ELSE h.mm * 1000000 // h.tw END AS BIGINT)
+         AS post_update_mis_mass_ppm
+FROM best1 b CROSS JOIN halfmass h
+UNION ALL
+SELECT CAST(2 AS BIGINT), b2.feature, b2.werr, b2.mass,
+       CAST(CASE WHEN b2.mass = 0 THEN 0
+                 ELSE b2.werr * 1000000 // b2.mass END AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM best2 b2
+ORDER BY round
+"""
+
+
+@_register("adaboost_two_round_stumps", _ADABOOST_ORACLE)
+def adaboost_two_round_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of discrete AdaBoost over decision stumps with EXACT
+    integer sample weights -- the boosting trick that makes it value-
+    oracle-able: after round 1 picks the minimum-error stump (error
+    e = err/n), the multiplicative update w <- w*(1-e)/e for
+    misclassified rows reduces, for uniform initial weights, to the
+    INTEGER assignment w = n-err (misclassified) / w = err (correct),
+    under which the defining invariant of boosting -- the reweighted
+    distribution puts EXACTLY half its mass on round 1's mistakes --
+    value-checks as post_update_mis_mass_ppm = 500000 with no floats
+    anywhere (mis mass = err*(n-err) of total 2*err*(n-err)). Round 2
+    then re-scores all 4 stumps under the reweighted mass and reports
+    the weighted-error order statistic that alpha_2 would be built
+    from. The sequential-ensemble complement to the parallel
+    `one_rule_classifier_eval` / `naive_bayes_lang_eval` family.
+    Scale shape: two melt+agg passes (4 features each) over one scan,
+    the argmin stump frames broadcast; weights never materialize as a
+    shuffle key."""
+    feats = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("y"),
+            F.expr("CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END").alias(
+                "f_len500"
+            ),
+            F.expr(
+                "CASE WHEN size(regexp_extract_all(lower(text),"
+                " '[a-z]+', 0)) >= 90 THEN 1 ELSE 0 END"
+            ).alias("f_tok90"),
+            F.expr(
+                "CASE WHEN text RLIKE '[0-9]' THEN 1 ELSE 0 END"
+            ).alias("f_digit"),
+            F.expr(
+                "CASE WHEN n_chars >= 6 * size(regexp_extract_all("
+                "lower(text), '[a-z]+', 0)) THEN 1 ELSE 0 END"
+            ).alias("f_avg6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    melt1 = feats.select(
+        F.expr(
+            "stack(4,"
+            " 'len500', CASE WHEN f_len500 != y THEN 1 ELSE 0 END,"
+            " 'tok90', CASE WHEN f_tok90 != y THEN 1 ELSE 0 END,"
+            " 'digit', CASE WHEN f_digit != y THEN 1 ELSE 0 END,"
+            " 'avg6', CASE WHEN f_avg6 != y THEN 1 ELSE 0 END)"
+            " AS (feature, mis)"
+        )
+    )
+    r1 = melt1.groupBy("feature").agg(
+        F.sum("mis").cast("long").alias("err"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    best1 = r1.orderBy("err", "feature").limit(1)
+    pick = (
+        "CASE feature WHEN 'len500' THEN f_len500"
+        " WHEN 'tok90' THEN f_tok90 WHEN 'digit' THEN f_digit"
+        " ELSE f_avg6 END"
+    )
+    wts = (
+        feats.crossJoin(F.broadcast(best1))
+        .select(
+            "y",
+            "f_len500",
+            "f_tok90",
+            "f_digit",
+            "f_avg6",
+            F.expr(
+                f"CASE WHEN ({pick}) != y THEN 1 ELSE 0 END"
+            ).alias("mis1"),
+            F.expr(
+                f"CASE WHEN ({pick}) != y THEN n - err ELSE err END"
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    melt2 = wts.select(
+        F.expr(
+            "stack(4,"
+            " 'len500', w * (CASE WHEN f_len500 != y THEN 1 ELSE 0 END),"
+            " 'tok90', w * (CASE WHEN f_tok90 != y THEN 1 ELSE 0 END),"
+            " 'digit', w * (CASE WHEN f_digit != y THEN 1 ELSE 0 END),"
+            " 'avg6', w * (CASE WHEN f_avg6 != y THEN 1 ELSE 0 END))"
+            " AS (feature, wmis)"
+        ),
+        "w",
+    )
+    r2 = melt2.groupBy("feature").agg(
+        F.sum("wmis").cast("long").alias("werr"),
+        F.sum("w").cast("long").alias("mass"),
+    )
+    best2 = r2.orderBy("werr", "feature").limit(1)
+    halfmass = wts.agg(
+        F.sum(F.expr("CASE WHEN mis1 = 1 THEN w ELSE 0 END"))
+        .cast("long")
+        .alias("mm"),
+        F.sum("w").cast("long").alias("tw"),
+    )
+    row1 = (
+        best1.crossJoin(F.broadcast(halfmass))
+        .select(
+            F.lit(1).cast("long").alias("round"),
+            "feature",
+            F.col("err").alias("err_raw"),
+            F.col("n").alias("mass_total"),
+            F.expr("CAST(err * 1000000 div n AS BIGINT)").alias("err_ppm"),
+            F.expr(
+                "CAST(CASE WHEN tw = 0 THEN 0"
+                " ELSE mm * 1000000 div tw END AS BIGINT)"
+            ).alias("post_update_mis_mass_ppm"),
+        )
+    )
+    row2 = best2.select(
+        F.lit(2).cast("long").alias("round"),
+        "feature",
+        F.col("werr").alias("err_raw"),
+        F.col("mass").alias("mass_total"),
+        F.expr(
+            "CAST(CASE WHEN mass = 0 THEN 0"
+            " ELSE werr * 1000000 div mass END AS BIGINT)"
+        ).alias("err_ppm"),
+        F.lit(None).cast("long").alias("post_update_mis_mass_ppm"),
+    )
+    return row1.unionByName(row2).orderBy("round")
+
+
+_FEATHASH_ORACLE = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+freq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY term
+),
+hashed AS (
+  SELECT term, f,
+         CAST(CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 4096
+              AS BIGINT) AS bucket
+  FROM freq
+),
+per_bucket AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS k, CAST(sum(f) AS BIGINT) AS m
+  FROM hashed GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(f) AS BIGINT) AS total_mass,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM freq
+),
+hist AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(m) AS BIGINT) AS token_mass
+  FROM per_bucket GROUP BY k
+  UNION ALL
+  SELECT 0, CAST(4096 - (SELECT count(*) FROM per_bucket) AS BIGINT),
+         CAST(0 AS BIGINT)
+)
+SELECT h.k AS terms_per_bucket, h.n_buckets,
+       CAST(h.k * h.n_buckets AS BIGINT) AS n_terms,
+       h.token_mass,
+       CAST(h.token_mass * 1000000 // t.total_mass AS BIGINT) AS mass_ppm,
+       CAST(CASE WHEN h.k >= 2 THEN h.token_mass ELSE 0 END * 1000000
+            // t.total_mass AS BIGINT) AS collided_mass_ppm
+FROM hist h CROSS JOIN tot t
+ORDER BY terms_per_bucket
+"""
+
+
+@_register("feature_hashing_collision_audit", _FEATHASH_ORACLE)
+def feature_hashing_collision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hashing-trick audit: vocabulary terms hash into 4096 feature
+    buckets through a portable md5 lane, and the entry reports the
+    bucket-occupancy histogram (how many buckets hold exactly k
+    distinct terms) together with the TOKEN MASS riding collided
+    buckets in exact ppm -- the quantity that decides whether
+    hash-featurization is safe at this dimensionality, since a
+    collision only corrupts a model in proportion to the frequency
+    mass it merges (Zipf implies most mass sits in the rare-collision
+    head; `zipf_rank_frequency_audit` quantifies that skew). The k=0
+    row closes the histogram (sum of n_buckets = 4096), making the
+    occupancy distribution itself the birthday-problem observable.
+    Scale shape: one token explode + term rollup (the vocabulary
+    frame), one 4096-key rollup, one broadcast total; the audit never
+    touches per-document state."""
+    freq = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .localCheckpoint(eager=False)
+    )
+    per_bucket = (
+        freq.select(
+            "f",
+            F.expr(
+                "CAST(CAST(conv(substr(md5(term), 1, 8), 16, 10) AS BIGINT)"
+                " % 4096 AS BIGINT)"
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("f").cast("long").alias("m"),
+        )
+    ).localCheckpoint(eager=False)
+    tot = freq.agg(
+        F.sum("f").cast("long").alias("total_mass"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    used = per_bucket.agg(F.count(F.lit(1)).cast("long").alias("used"))
+    hist = (
+        per_bucket.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("m").cast("long").alias("token_mass"),
+        )
+        .unionByName(
+            used.select(
+                F.lit(0).cast("long").alias("k"),
+                F.expr("CAST(4096 - used AS BIGINT)").alias("n_buckets"),
+                F.lit(0).cast("long").alias("token_mass"),
+            )
+        )
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("terms_per_bucket"),
+            "n_buckets",
+            F.expr("CAST(k * n_buckets AS BIGINT)").alias("n_terms"),
+            "token_mass",
+            F.expr(
+                "CAST(token_mass * 1000000 div total_mass AS BIGINT)"
+            ).alias("mass_ppm"),
+            F.expr(
+                "CAST((CASE WHEN k >= 2 THEN token_mass ELSE 0 END)"
+                " * 1000000 div total_mass AS BIGINT)"
+            ).alias("collided_mass_ppm"),
+        )
+        .orderBy("terms_per_bucket")
+    )
