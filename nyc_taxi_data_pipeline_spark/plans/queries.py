@@ -26453,3 +26453,387 @@ def feature_hashing_collision_audit(
         )
         .orderBy("terms_per_bucket")
     )
+
+
+_HUFFMAN_ORACLE = """
+WITH freq AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS w FROM events GROUP BY 1
+),
+nodes AS (
+  SELECT list_sort(list({'w': w, 's': '|' || event_type || '|'})) AS a,
+         CAST(sum(w) AS BIGINT) AS total_mass,
+         CAST(count(*) AS BIGINT) AS n_symbols
+  FROM freq
+),
+m1 AS (
+  SELECT total_mass, n_symbols,
+         list_sort(list_concat(a[3:],
+           [{'w': a[1].w + a[2].w, 's': a[1].s || a[2].s}])) AS a,
+         [a[1].s || a[2].s] AS log
+  FROM nodes
+),
+m2 AS (
+  SELECT total_mass, n_symbols,
+         list_sort(list_concat(a[3:],
+           [{'w': a[1].w + a[2].w, 's': a[1].s || a[2].s}])) AS a,
+         list_concat(log, [a[1].s || a[2].s]) AS log
+  FROM m1
+),
+m3 AS (
+  SELECT total_mass, n_symbols,
+         list_sort(list_concat(a[3:],
+           [{'w': a[1].w + a[2].w, 's': a[1].s || a[2].s}])) AS a,
+         list_concat(log, [a[1].s || a[2].s]) AS log
+  FROM m2
+),
+m4 AS (
+  SELECT total_mass, n_symbols,
+         list_concat(log, [a[1].s || a[2].s]) AS log
+  FROM m3
+)
+SELECT f.event_type, f.w,
+       CAST(len(list_filter(m.log,
+            s -> contains(s, '|' || f.event_type || '|'))) AS BIGINT)
+         AS code_len,
+       CAST(f.w * len(list_filter(m.log,
+            s -> contains(s, '|' || f.event_type || '|'))) AS BIGINT)
+         AS weighted_bits,
+       m.total_mass,
+       CAST(3 * m.total_mass AS BIGINT) AS fixed_cost_bits
+FROM freq f CROSS JOIN m4 m
+ORDER BY f.event_type
+"""
+
+
+@_register("huffman_code_audit", _HUFFMAN_ORACLE)
+def huffman_code_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huffman coding executed INSIDE the query plan: the 5-symbol
+    event-type alphabet collapses through 4 greedy min-merge rounds
+    simulated on a sorted array-of-structs (each round pops the two
+    lightest nodes, pushes their merge, and logs the merged member
+    set; per-symbol code length = how many merges its sentinel
+    '|type|' participates in) -- deterministic across engines because
+    ties break on the (weight, members) struct order both array sorts
+    share. The per-symbol lengths satisfy sum(w * len) = sum of merge
+    weights (the Huffman cost identity) and undercut the 3-bit fixed
+    code (fixed_cost_bits column), giving `shannon_fano_code_length`
+    its optimal baseline: SF is within 1 bit/symbol of this, Huffman
+    IS the optimum, and both are value-oracled. Scale shape: one
+    mergeable frequency agg; the tree simulation runs on a 1-row
+    5-element array -- alphabet-sized, data-volume-free."""
+    freq = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    merge = (
+        "array_sort(concat(slice(a, 3, size(a) - 2),"
+        " array(named_struct('w', a[0].w + a[1].w,"
+        " 's', a[0].s || a[1].s))))"
+    )
+    logstep = "array(a[0].s || a[1].s)"
+    nodes = freq.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct('w', w,"
+            " 's', '|' || event_type || '|')))"
+        ).alias("a"),
+        F.sum("w").cast("long").alias("total_mass"),
+        F.count(F.lit(1)).cast("long").alias("n_symbols"),
+    )
+    m1 = nodes.select(
+        "total_mass",
+        "n_symbols",
+        F.expr(merge).alias("a"),
+        F.expr(logstep).alias("log"),
+    )
+    m2 = m1.select(
+        "total_mass",
+        "n_symbols",
+        F.expr(merge).alias("a"),
+        F.expr(f"concat(log, {logstep})").alias("log"),
+    )
+    m3 = m2.select(
+        "total_mass",
+        "n_symbols",
+        F.expr(merge).alias("a"),
+        F.expr(f"concat(log, {logstep})").alias("log"),
+    )
+    m4 = m3.select(
+        "total_mass",
+        "n_symbols",
+        F.expr(f"concat(log, {logstep})").alias("log"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(m4))
+        .select(
+            "event_type",
+            "w",
+            F.expr(
+                "CAST(size(filter(log,"
+                " s -> contains(s, '|' || event_type || '|'))) AS BIGINT)"
+            ).alias("code_len"),
+            F.expr(
+                "CAST(w * size(filter(log,"
+                " s -> contains(s, '|' || event_type || '|'))) AS BIGINT)"
+            ).alias("weighted_bits"),
+            "total_mass",
+            F.expr("CAST(3 * total_mass AS BIGINT)").alias(
+                "fixed_cost_bits"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RING_ORACLE = """
+WITH ring AS (
+  SELECT [{'h': CAST('0x' || substr(md5('vnode-' || CAST(j AS VARCHAR)),
+                                    1, 8) AS BIGINT),
+           'node': CAST(j % 8 AS BIGINT)}
+          FOR j IN range(64)] AS arr
+),
+keys AS (
+  SELECT c_custkey,
+         CAST('0x' || substr(md5('ring:' || CAST(c_custkey AS VARCHAR)),
+                             1, 8) AS BIGINT) AS kh
+  FROM customer
+),
+assigned AS (
+  SELECT k.c_custkey,
+         CASE WHEN len([x FOR x IN r.arr IF x.h >= k.kh]) > 0
+              THEN list_sort([x FOR x IN r.arr IF x.h >= k.kh])[1].node
+              ELSE list_sort(r.arr)[1].node END AS before_node,
+         CASE WHEN len([x FOR x IN r.arr
+                        IF x.node != 7 AND x.h >= k.kh]) > 0
+              THEN list_sort([x FOR x IN r.arr
+                              IF x.node != 7 AND x.h >= k.kh])[1].node
+              ELSE list_sort([x FOR x IN r.arr IF x.node != 7])[1].node
+         END AS after_node
+  FROM keys k CROSS JOIN ring r
+)
+SELECT before_node AS node,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN after_node = before_node THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stayed,
+       CAST(sum(CASE WHEN after_node != before_node THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved_out,
+       CAST((SELECT count(*) FROM assigned a2
+             WHERE a2.after_node = assigned.before_node
+               AND a2.before_node != a2.after_node) AS BIGINT) AS n_gained
+FROM assigned
+GROUP BY before_node
+ORDER BY node
+"""
+
+
+@_register("consistent_hash_ring_rebalance", _RING_ORACLE)
+def consistent_hash_ring_rebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consistent-hash ring with 64 virtual nodes over 8 physical
+    nodes, executing the MINIMAL-MOVEMENT proof when node 7 is
+    decommissioned: each key binds to its clockwise-successor vnode
+    (first ring hash >= key hash, wrapping to the ring minimum), and
+    the entry recomputes assignments on the 56-vnode survivor ring --
+    value-checking that ONLY keys resident on node 7 move
+    (n_moved_out = n_before for node 7, 0 for everyone else) and that
+    its keys scatter across survivors rather than dogpiling one
+    (n_gained per node), the property that makes ring hashing the
+    shard-topology change protocol (the successor-scan counterpart of
+    `rendezvous_shard_rebalance`'s HRW argmax). The ring is built
+    once as a 64-struct array and broadcast; successor lookup is an
+    array filter+sort on that constant, exact under the shared md5
+    lane. Scale shape: embarrassingly parallel per-key expressions +
+    one 8-key rollup; no shuffle touches the ring itself."""
+    ring = spark.range(1).select(
+        F.expr(
+            "transform(sequence(0, 63), j -> named_struct("
+            "'h', CAST(conv(substr(md5('vnode-' || CAST(j AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT),"
+            " 'node', CAST(j % 8 AS BIGINT)))"
+        ).alias("arr")
+    )
+    keys = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "CAST(conv(substr(md5('ring:' || CAST(c_custkey AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ).alias("kh"),
+    )
+    succ_all = (
+        "CASE WHEN size(filter(arr, x -> x.h >= kh)) > 0"
+        " THEN array_sort(filter(arr, x -> x.h >= kh))[0].node"
+        " ELSE array_sort(arr)[0].node END"
+    )
+    succ_drop = (
+        "CASE WHEN size(filter(arr, x -> x.node != 7 AND x.h >= kh)) > 0"
+        " THEN array_sort(filter(arr,"
+        " x -> x.node != 7 AND x.h >= kh))[0].node"
+        " ELSE array_sort(filter(arr, x -> x.node != 7))[0].node END"
+    )
+    assigned = (
+        keys.crossJoin(F.broadcast(ring))
+        .select(
+            F.expr(succ_all).alias("before_node"),
+            F.expr(succ_drop).alias("after_node"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    gained = (
+        assigned.filter(F.col("before_node") != F.col("after_node"))
+        .groupBy(F.col("after_node").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gained"))
+    )
+    return (
+        assigned.groupBy(F.col("before_node").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN after_node = before_node THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_stayed"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN after_node != before_node THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_moved_out"),
+        )
+        .join(F.broadcast(gained), "node", "left")
+        .select(
+            "node",
+            "n_before",
+            "n_stayed",
+            "n_moved_out",
+            F.coalesce("n_gained", F.lit(0)).cast("long").alias("n_gained"),
+        )
+        .orderBy("node")
+    )
+
+
+_CROSTON_ORACLE = """
+WITH demand AS (
+  SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS day,
+         CAST(sum(l.l_quantity) AS BIGINT) AS z
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT p_brand, day, z,
+         CAST(date_diff('day',
+              lag(day) OVER (PARTITION BY p_brand ORDER BY day), day)
+              AS BIGINT) AS gap,
+         row_number() OVER (PARTITION BY p_brand ORDER BY day DESC) AS rn,
+         CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n_obs,
+         max(day) OVER (PARTITION BY p_brand) AS last_day
+  FROM demand
+),
+win AS (SELECT * FROM seq WHERE rn <= 8),
+sm AS (
+  SELECT p_brand, any_value(n_obs) AS n_obs, any_value(last_day) AS last_day,
+         CAST(sum(([250,188,141,105,79,59,45,33])[rn] * z) AS BIGINT) AS wz,
+         CAST(sum(([250,188,141,105,79,59,45,33])[rn]) AS BIGINT) AS wzs,
+         CAST(sum(CASE WHEN gap IS NOT NULL
+                       THEN ([250,188,141,105,79,59,45,33])[rn] * gap
+                       ELSE 0 END) AS BIGINT) AS wq,
+         CAST(sum(CASE WHEN gap IS NOT NULL
+                       THEN ([250,188,141,105,79,59,45,33])[rn]
+                       ELSE 0 END) AS BIGINT) AS wqs
+  FROM win GROUP BY p_brand
+)
+SELECT p_brand, n_obs, last_day,
+       CAST(wz * 1000 // wzs AS BIGINT) AS z_hat_milli,
+       CAST(CASE WHEN wqs = 0 THEN 0 ELSE wq * 1000 // wqs END AS BIGINT)
+         AS q_hat_milli,
+       CAST(CASE WHEN wqs = 0 OR wq = 0 THEN 0
+                 ELSE (wz * 1000 // wzs) * 1000 // (wq * 1000 // wqs)
+            END AS BIGINT) AS croston_rate_milli
+FROM sm
+ORDER BY p_brand
+"""
+
+
+@_register("croston_intermittent_forecast", _CROSTON_ORACLE)
+def croston_intermittent_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method for intermittent demand -- the forecaster the
+    `part_demand_intermittency` classifier routes lumpy series to,
+    where plain EWMA biases toward zero: smooth the NONZERO demand
+    sizes and the INTER-DEMAND gaps separately, forecast rate =
+    size/gap. Both smoothers are the truncated-EWMA integer lane
+    (alpha = 1/4 over the 8 most recent observations; weights are the
+    shared milli literal [250,188,...] = 250*(3/4)^k), so z_hat,
+    q_hat and the per-day demand rate are exact integers at the
+    forecast origin. Scale shape: one (brand, day) rollup, one
+    recency-window pass per brand (all windows share the brand
+    partitioning), one mergeable weighted agg -- no recursion, no
+    state, the closed-form truncation that makes EWMA
+    distributable."""
+    demand = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.expr("CAST(l_shipdate AS DATE)").alias("day"))
+        .agg(F.expr("CAST(sum(l_quantity) AS BIGINT)").alias("z"))
+    )
+    wb = W.partitionBy("p_brand")
+    seq = demand.select(
+        "p_brand",
+        "day",
+        "z",
+        F.expr(
+            "CAST(datediff(day, lag(day) OVER"
+            " (PARTITION BY p_brand ORDER BY day)) AS BIGINT)"
+        ).alias("gap"),
+        F.row_number().over(wb.orderBy(F.col("day").desc())).alias("rn"),
+        F.count(F.lit(1)).over(wb).cast("long").alias("n_obs"),
+        F.max("day").over(wb).alias("last_day"),
+    )
+    warr = "array(250,188,141,105,79,59,45,33)"
+    sm = (
+        seq.filter(F.col("rn") <= 8)
+        .groupBy("p_brand")
+        .agg(
+            F.first("n_obs").alias("n_obs"),
+            F.first("last_day").alias("last_day"),
+            F.expr(
+                f"CAST(sum(element_at({warr}, rn) * z) AS BIGINT)"
+            ).alias("wz"),
+            F.expr(f"CAST(sum(element_at({warr}, rn)) AS BIGINT)").alias(
+                "wzs"
+            ),
+            F.expr(
+                f"CAST(sum(CASE WHEN gap IS NOT NULL THEN"
+                f" element_at({warr}, rn) * gap ELSE 0 END) AS BIGINT)"
+            ).alias("wq"),
+            F.expr(
+                f"CAST(sum(CASE WHEN gap IS NOT NULL THEN"
+                f" element_at({warr}, rn) ELSE 0 END) AS BIGINT)"
+            ).alias("wqs"),
+        )
+    )
+    return sm.select(
+        "p_brand",
+        "n_obs",
+        "last_day",
+        F.expr("CAST(wz * 1000 div wzs AS BIGINT)").alias("z_hat_milli"),
+        F.expr(
+            "CAST(CASE WHEN wqs = 0 THEN 0 ELSE wq * 1000 div wqs END"
+            " AS BIGINT)"
+        ).alias("q_hat_milli"),
+        F.expr(
+            "CAST(CASE WHEN wqs = 0 OR wq = 0 THEN 0"
+            " ELSE (wz * 1000 div wzs) * 1000 div (wq * 1000 div wqs)"
+            " END AS BIGINT)"
+        ).alias("croston_rate_milli"),
+    ).orderBy("p_brand")
