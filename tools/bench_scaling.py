@@ -112,6 +112,34 @@ ENTRIES = [
     "skipgram_pair_counts",
     "ab_sample_size_plan",
     "permutation_test_diff_means",
+    # current-session classical-algorithms wave (323 -> 350)
+    "kendall_tau_by_year",
+    "spearman_rho_by_year",
+    "pettitt_changepoint_daily",
+    "ndcg_graded_retrieval",
+    "data_vault_model_build",
+    "cohens_kappa_agreement",
+    "randomized_response_estimate",
+    "pinball_loss_quantile_eval",
+    "fdr_bh_screen",
+    "heaps_vocab_growth_curve",
+    "zipf_rank_frequency_audit",
+    "qini_uplift_deciles",
+    "geohash_prefix_rollup",
+    "adaboost_two_round_stumps",
+    "feature_hashing_collision_audit",
+    "huffman_code_audit",
+    "consistent_hash_ring_rebalance",
+    "croston_intermittent_forecast",
+    "simpson_paradox_audit",
+    "bipartiteness_check_rounds",
+    "knapsack_greedy_selection",
+    "markov_removal_attribution",
+    "dirichlet_lm_retrieval",
+    "eoq_order_quantity",
+    "clustering_coefficient_global",
+    "discounted_ltv_npv",
+    "gini_tree_depth2",
 ]
 
 
