@@ -140,6 +140,38 @@ ENTRIES = [
     "clustering_coefficient_global",
     "discounted_ltv_npv",
     "gini_tree_depth2",
+    "viterbi_hmm_decoding",
+    "wilcoxon_signed_rank",
+    "pcy_pair_pruning",
+    "flajolet_martin_distinct",
+    "stable_matching_assortative",
+    "modularity_score_partition",
+    "bom_explosion_recursive",
+    "ransac_line_consensus",
+    "hbos_anomaly_scores",
+    "misra_gries_heavy_hitters",
+    "count_sketch_signed",
+    "elo_rating_two_teams",
+    "logrank_test_groups",
+    "kcenter_greedy_seeding",
+    "resource_allocation_link_prediction",
+    "neighborhood_function_bitmask",
+    "copeland_condorcet_ranking",
+    "percolation_threshold_scan",
+    "kendall_w_concordance",
+    "cronbach_alpha_reliability",
+    "yule_k_characteristic",
+    "lz78_phrase_complexity",
+    "classical_decomposition_additive",
+    "pacf_durbin_levinson",
+    "block_maxima_return_levels",
+    "davies_bouldin_medoid_index",
+    "good_turing_missing_mass",
+    "chao1_vocabulary_estimate",
+    "lincoln_petersen_population",
+    "mmr_diversified_rerank",
+    "power_iteration_top_eigen",
+    "diag_mahalanobis_outliers",
 ]
 
 
