@@ -59,7 +59,8 @@ def test_davies_bouldin_matches_python_reference(spark):
         )
 
     pts = {r.vec_id: [rnd(x) for x in r.emb] for r in rows}
-    cents = {v: q for v, q in pts.items() if v % 64 == 0}
+    # medoid rule mirrors the entry: % 64 survivors capped below 2048
+    cents = {v: q for v, q in pts.items() if v % 64 == 0 and v < 2048}
 
     def d2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
