@@ -9,13 +9,15 @@ Each query is forced with a full count() (materializes every operator in
 the plan); per-query seconds include Catalyst planning + execution.
 
 Output contract: the JSON line is the ONLY bytes this process writes to
-stdout. Everything the JVM, py4j, or any library might print is routed to
-stderr at the file-descriptor level for the whole run (BENCH_r01 showed a
-driver-side parse failure when stray stdout mixed with the result line),
-and the JSON is emitted compact (no separators whitespace, 2-decimal
-timings) so the line stays small enough to survive tail-truncating log
-captures. A full copy is also written to BENCH_LOCAL.json next to this
-file for local round-over-round diffing.
+stdout, and it is deliberately SMALL (<1 KB). BENCH_r01-r03 were all
+recorded `parsed: null` because the driver's log capture keeps only a
+tail of stdout: at 388 queries a full per-query map is ~12 KB and the
+line was truncated mid-JSON three rounds running. So the printed line
+now carries only the suite total, query count, and the slowest-10
+timings; the complete per-query map is written to BENCH_LOCAL.json next
+to this file (path named in the summary line). Everything the JVM,
+py4j, or any library might print is still routed to stderr at the
+file-descriptor level for the whole run.
 """
 
 from __future__ import annotations
@@ -96,20 +98,35 @@ def main() -> None:
         os.dup2(real_stdout_fd, 1)
         os.close(real_stdout_fd)
 
-    payload = {
+    full = {
         "metric": "suite_wall_seconds",
         "value": result["total"],
         "unit": "sec",
         "queries": result["timings"],
         "sf": sf,
     }
-    line = json.dumps(payload, separators=(",", ":"))
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
         "w",
     ) as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(json.dumps(full, separators=(",", ":")) + "\n")
+
+    # the PRINTED line stays tiny so tail-truncating log captures keep it
+    # whole: suite total + count + slowest-10 only; detail lives in the
+    # file named here.
+    top10 = dict(
+        sorted(result["timings"].items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    summary = {
+        "metric": "suite_wall_seconds",
+        "value": result["total"],
+        "unit": "sec",
+        "queries": {"top": top10},
+        "n_queries": len(result["timings"]),
+        "detail": "BENCH_LOCAL.json",
+        "sf": sf,
+    }
+    print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()
 
 

@@ -1,0 +1,230 @@
+"""The engine's analytic query catalog.
+
+Each entry is one operator/query from SURVEY.md §2 (or a §7 LLM-pipeline
+extension), expressed Spark-first, paired with the ANSI-SQL oracle the
+driver runs through DuckDB. Naming contract: every computed column is
+aliased identically in the Spark plan and the oracle SQL; double-valued
+aggregates are rounded on BOTH sides so value-hashes are float-stable.
+
+Queries run against the driver's synthetic lake (TESTDATA.md): TPC-H-ish
+star schema (region nation customer supplier part orders lineitem), an
+`events` stream table, and `documents`/`embeddings` for the LLM operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from nyc_taxi_data_pipeline_spark.functions import scalar, text, vector
+from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    """A catalog entry: Spark plan builder + optional DuckDB oracle SQL."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate catalog entry name: {name!r}")
+        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Taxi-parity pipeline (SURVEY.md §3.1) — the reference's raw→staging→star
+# lifecycle exercised end-to-end on the synthetic lake. `lineitem` rows are
+# deterministically mapped into raw trip-record shape (mixed-case yellow
+# variant), then flow through the REAL operator modules:
+# normalize (P1-P6) → derive_time_dims (F1-F3) → staging_aggregate (A1/A2)
+# → star dims/fact (A3/J2/F9/F10).
+# ===========================================================================
+
+def _raw_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → raw yellow-trip records (mixed-case columns exercise P2;
+    RatecodeID spans 1..8 so the dim's <7 domain filter bites; quantities
+    >45 become null passenger_count so dropna (P5) has work to do)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        ((F.col("l_suppkey") % 2) + 1).alias("VendorID"),
+        F.col("l_shipdate").alias("tpep_pickup_datetime"),
+        F.expr(
+            "timestampadd(MINUTE, cast(l_quantity as int) * 3, l_shipdate)"
+        ).alias("tpep_dropoff_datetime"),
+        ((F.col("l_linenumber") % 8) + 1).cast("double").alias("RatecodeID"),
+        ((F.col("l_partkey") % 25) + 1).alias("PULocationID"),
+        ((F.col("l_suppkey") % 25) + 1).alias("DOLocationID"),
+        ((F.col("l_orderkey") % 6) + 1).alias("payment_type"),
+        F.when(F.col("l_quantity") > 45, F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity"))
+        .alias("passenger_count"),
+        (F.col("l_quantity") * F.lit(2.0)).alias("trip_distance"),
+        F.col("l_extendedprice").alias("fare_amount"),
+        F.col("l_discount").alias("extra"),
+        F.col("l_tax").alias("mta_tax"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("tip_amount"),
+        F.lit(0.0).alias("tolls_amount"),
+        F.lit(0.3).alias("improvement_surcharge"),
+        (F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax"))).alias("total_amount"),
+        F.lit(2.5).alias("congestion_surcharge"),
+        F.lit("N").alias("store_and_fwd_flag"),
+    )
+
+
+# The same mapping as ANSI SQL (post-normalize names/types), shared by the
+# pipeline oracles. dropna(passenger_count) ≡ WHERE l_quantity <= 45.
+_TRIPS_CTE = """
+trips AS (
+  SELECT
+    CAST((l_suppkey % 2) + 1 AS INTEGER)        AS vendor_id,
+    l_shipdate                                  AS pickup_datetime,
+    l_shipdate + CAST(l_quantity AS INT) * 3 * INTERVAL '1 minute'
+                                                AS dropoff_datetime,
+    CAST((l_linenumber % 8) + 1 AS INTEGER)     AS rate_code_id,
+    CAST((l_partkey % 25) + 1 AS INTEGER)       AS pickup_location_id,
+    CAST((l_suppkey % 25) + 1 AS INTEGER)       AS dropoff_location_id,
+    CAST((l_orderkey % 6) + 1 AS INTEGER)       AS payment_type_id,
+    l_quantity                                  AS passenger_count,
+    l_quantity * CAST(2.0 AS DOUBLE)            AS trip_distance,
+    l_extendedprice                             AS fare_amount,
+    l_discount                                  AS extra,
+    l_tax                                       AS mta_tax,
+    l_extendedprice * l_discount                AS tip_amount,
+    CAST(0.0 AS DOUBLE)                         AS tolls_amount,
+    CAST(0.3 AS DOUBLE)                         AS improvement_surcharge,
+    l_extendedprice * (CAST(1.0 AS DOUBLE) + l_tax) AS total_amount,
+    CAST(2.5 AS DOUBLE)                         AS congestion_surcharge
+  FROM lineitem
+  WHERE l_quantity <= 45
+)
+"""
+
+_STAGING_CTE = _TRIPS_CTE + """,
+staging AS (
+  SELECT
+    CAST(year(pickup_datetime) AS VARCHAR) AS year,
+    monthname(pickup_datetime)             AS month,
+    dayname(pickup_datetime)               AS dow,
+    vendor_id, rate_code_id, pickup_location_id, dropoff_location_id,
+    payment_type_id, pickup_datetime, dropoff_datetime,
+    sum(passenger_count) AS passenger_count,
+    sum(trip_distance)   AS trip_distance,
+    sum(extra)           AS extra,
+    sum(mta_tax)         AS mta_tax,
+    sum(fare_amount)     AS fare_amount,
+    sum(tip_amount)      AS tip_amount,
+    sum(tolls_amount)    AS tolls_amount,
+    sum(total_amount)    AS total_amount,
+    sum(improvement_surcharge) AS improvement_surcharge,
+    sum(congestion_surcharge)  AS congestion_surcharge,
+    1 AS service_type
+  FROM trips
+  GROUP BY ALL
+)
+"""
+
+
+def _staging_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raw → normalize (P1-P6) → time dims (F1-F3) → staging agg (A1/A2)."""
+    from nyc_taxi_data_pipeline_spark.operators.aggregate import (
+        derive_time_dims,
+        staging_aggregate,
+    )
+    from nyc_taxi_data_pipeline_spark.operators.normalize import normalize
+
+    trips = normalize(_raw_trips(spark, sf_dir))
+    return staging_aggregate(derive_time_dims(trips, "pickup_datetime"))
+
+
+_CHARLM_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 3
+),
+tri AS (
+  SELECT doc_id, unnest([ substr(t, i, 3) for i in range(1, length(t) - 1) ]) AS g
+  FROM docs
+),
+model AS (SELECT g, count(*) AS cnt FROM tri GROUP BY g),
+total AS (SELECT sum(cnt) AS tot FROM model),
+scored AS (
+  SELECT tri.doc_id,
+         count(*)      AS n_trigrams,
+         sum(m.cnt)    AS cnt_sum
+  FROM tri JOIN model m USING (g)
+  GROUP BY tri.doc_id
+)
+SELECT s.doc_id,
+       s.n_trigrams,
+       (1000000 * s.cnt_sum) // (s.n_trigrams * t.tot) AS score_ppm
+FROM scored s, total t
+ORDER BY s.doc_id
+"""
+
+
+@_register("charlm_freq_score", _CHARLM_ORACLE)
+def charlm_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-LM quality scoring, the CCNet/Gopher perplexity-filter
+    analog an LLM curation pipeline runs before training: train a unigram
+    char-3-gram model ON the corpus itself (one hash aggregate), then score
+    each document by its mean trigram corpus-frequency — garbage text
+    (mojibake, base64 blobs, typo storms) is built from RARE trigrams and
+    scores low exactly where a real LM assigns high perplexity. The score
+    is kept in scaled-integer arithmetic (ppm, bigint floor-div) so the
+    entry carries a full cross-engine value oracle; a production variant
+    at 100 TB corpus totals would hold the same ratio in DECIMAL(38,0) or
+    DOUBLE. Scale shape: trigram explode is a narrow map; the model is a
+    bounded-vocabulary aggregate (≤ |charset|³ rows) that BROADCASTS onto
+    the scoring join — no shuffle of the corpus by trigram; the per-doc
+    rollup shuffles on doc_id once."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.filter(
+        F.col("text").isNotNull() & (F.length("text") >= 3)
+    ).select("doc_id", F.lower(F.col("text")).alias("t"))
+    tri = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"),
+        F.col("t"),
+    ).select("doc_id", F.expr("substring(t, i, 3)").alias("g"))
+    tri = tri.localCheckpoint(eager=False)
+    model = tri.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("tot"))
+    scored = (
+        tri.join(F.broadcast(model), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("cnt").alias("cnt_sum"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.expr("(1000000 * cnt_sum) div (n_trigrams * tot)").alias(
+                "score_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )

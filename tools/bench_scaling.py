@@ -172,6 +172,12 @@ ENTRIES = [
     "mmr_diversified_rerank",
     "power_iteration_top_eigen",
     "diag_mahalanobis_outliers",
+    "littles_law_audit",
+    "kingman_queue_estimate",
+    "erlang_b_blocking",
+    "kaplan_meier_product_limit",
+    "herfindahl_concentration_index",
+    "sinkhorn_ipf_balancing",
 ]
 
 
