@@ -3072,3 +3072,109 @@ def consistent_hash_ring_rebalance(
         )
         .orderBy("node")
     )
+
+
+# ===========================================================================
+# Round-4 addition: inclusion-dependency (foreign-key discovery) audit
+# ===========================================================================
+
+_IND_ORACLE = """
+WITH pairs AS (
+  SELECT 'orders.o_custkey -> customer.c_custkey' AS candidate,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS n_lhs,
+         (SELECT count(DISTINCT o.o_custkey) FROM orders o
+          WHERE o.o_custkey IN (SELECT c_custkey FROM customer)) AS n_contained
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part.p_partkey',
+         (SELECT count(DISTINCT l_partkey) FROM lineitem),
+         (SELECT count(DISTINCT l.l_partkey) FROM lineitem l
+          WHERE l.l_partkey IN (SELECT p_partkey FROM part))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+         (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+         (SELECT count(DISTINCT l.l_suppkey) FROM lineitem l
+          WHERE l.l_suppkey IN (SELECT s_suppkey FROM supplier))
+  UNION ALL
+  SELECT 'events.user_id -> customer.c_custkey',
+         (SELECT count(DISTINCT user_id) FROM events),
+         (SELECT count(DISTINCT e.user_id) FROM events e
+          WHERE e.user_id IN (SELECT c_custkey FROM customer))
+  UNION ALL
+  SELECT 'customer.c_custkey -> orders.o_custkey',
+         (SELECT count(DISTINCT c_custkey) FROM customer),
+         (SELECT count(DISTINCT c.c_custkey) FROM customer c
+          WHERE c.c_custkey IN (SELECT o_custkey FROM orders))
+)
+SELECT candidate, CAST(n_lhs AS BIGINT) AS n_lhs,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       CAST(CAST(n_contained AS HUGEINT) * 1000000 // n_lhs AS BIGINT)
+         AS containment_ppm,
+       CAST(CASE WHEN n_contained = n_lhs THEN 1 ELSE 0 END AS BIGINT)
+         AS is_fk_candidate
+FROM pairs
+ORDER BY candidate
+"""
+
+
+@_register("inclusion_dependency_audit", _IND_ORACLE)
+def inclusion_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery (the profiling step behind
+    foreign-key inference, cf. Papenbrock's SINDY/BINDER family): for
+    each candidate column pair A -> B, the containment coefficient
+    |distinct(A) ∩ distinct(B)| / |distinct(A)| in exact ppm; 1e6 means
+    A ⊆ B, a foreign-key candidate. Catches both real FKs (order
+    custkeys ⊆ customers) and near-misses (reverse direction: customers
+    who never ordered break customer -> orders containment) — the
+    cross-COLUMN complement of functional_dependency_audit (within-row
+    determinism) and quality_referential_integrity (which CHECKS a
+    declared FK; this DISCOVERS candidates). Scale shape: per pair, two
+    distinct aggs + one left-semi join on the distinct frame — each a
+    single shuffle on the key, unioned into a 5-row report."""
+
+    def containment(lhs: DataFrame, lcol: str, rhs: DataFrame, rcol: str,
+                    label: str) -> DataFrame:
+        a = lhs.select(F.col(lcol).alias("k")).distinct().localCheckpoint(
+            eager=False
+        )
+        b = rhs.select(F.col(rcol).alias("k")).distinct()
+        inter = a.join(b, "k", "left_semi")
+        return (
+            a.agg(F.count(F.lit(1)).alias("n_lhs"))
+            .crossJoin(inter.agg(F.count(F.lit(1)).alias("n_contained")))
+            .select(
+                F.lit(label).alias("candidate"),
+                F.col("n_lhs").cast("long").alias("n_lhs"),
+                F.col("n_contained").cast("long").alias("n_contained"),
+                F.expr(
+                    "CAST((CAST(n_contained AS DECIMAL(38,0)) * 1000000)"
+                    " div n_lhs AS BIGINT)"
+                ).alias("containment_ppm"),
+                F.when(F.col("n_contained") == F.col("n_lhs"), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("is_fk_candidate"),
+            )
+        )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    events = _t(spark, sf_dir, "events")
+    frames = [
+        containment(orders, "o_custkey", customer, "c_custkey",
+                    "orders.o_custkey -> customer.c_custkey"),
+        containment(lineitem, "l_partkey", part, "p_partkey",
+                    "lineitem.l_partkey -> part.p_partkey"),
+        containment(lineitem, "l_suppkey", supplier, "s_suppkey",
+                    "lineitem.l_suppkey -> supplier.s_suppkey"),
+        containment(events, "user_id", customer, "c_custkey",
+                    "events.user_id -> customer.c_custkey"),
+        containment(customer, "c_custkey", orders, "o_custkey",
+                    "customer.c_custkey -> orders.o_custkey"),
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("candidate")

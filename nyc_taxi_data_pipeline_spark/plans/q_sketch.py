@@ -1190,3 +1190,102 @@ def count_sketch_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("true_count").desc(), "term")
         .limit(20)
     )
+
+
+# ===========================================================================
+# Round-4 addition: AMS (Tug-of-War) F2 moment sketch
+# ===========================================================================
+
+_AMS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+lanes AS (SELECT unnest(range(0, 8)) AS lane),
+signed AS (
+  SELECT l.lane,
+         sum(CASE WHEN CAST('0x' || substr(md5(l.lane || ':' || k.t), 1, 6)
+                       AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok k, lanes l
+  GROUP BY l.lane
+),
+truth AS (
+  SELECT sum(CAST(c AS HUGEINT) * c) AS f2
+  FROM (SELECT count(*) AS c FROM tok GROUP BY t)
+),
+est AS (
+  SELECT lane, s, CAST(s AS HUGEINT) * s AS est_f2 FROM signed
+),
+med AS (
+  SELECT list_sort(list(est_f2)) AS a FROM est
+)
+SELECT e.lane, CAST(e.s AS BIGINT) AS signed_sum,
+       CAST(e.est_f2 AS BIGINT) AS est_f2,
+       CAST(t.f2 AS BIGINT) AS true_f2,
+       CAST(m.a[4] + m.a[5] AS BIGINT) AS med2_est,
+       CAST((m.a[4] + m.a[5] - 2 * t.f2) * 1000000 // (2 * t.f2)
+            AS BIGINT) AS err_ppm
+FROM est e, truth t, med m
+ORDER BY e.lane
+"""
+
+
+@_register("ams_f2_moment_sketch", _AMS_ORACLE)
+def ams_f2_moment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS 'tug-of-war' sketch (Alon-Matias-Szegedy 1996) for the second
+    frequency moment F2 = sum of squared token counts: 8 lanes each keep
+    ONE signed counter S_j = sum over occurrences of a +/-1 md5 hash of
+    the token; E[S^2] = F2, so the median of the 8 lane estimates (med2 =
+    doubled lower+upper middle, exact order statistic) is the classic
+    accuracy-boosted readout, here value-checked against the exact F2 in
+    signed ppm. F2 is self-join size — the quantity join_size_sketch_
+    estimate needs — and one BIGINT per lane makes this the cheapest
+    mergeable sketch in the family (vs count-min's 4x512 grid). Scale
+    shape: one corpus explode (x8 lanes JVM-side), one hash agg to 8
+    rows; the exact-truth lane is the same one agg every dedup entry
+    already pays."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("t")
+    ).localCheckpoint(eager=False)
+    lanes = spark.range(8).select(F.col("id").cast("int").alias("lane"))
+    signed = (
+        tok.crossJoin(F.broadcast(lanes))
+        .groupBy("lane")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN CAST(conv(substr(md5(concat(CAST(lane AS"
+                    " STRING), ':', t)), 1, 6), 16, 10) AS BIGINT) % 2 = 1"
+                    " THEN 1 ELSE -1 END"
+                )
+            ).alias("s")
+        )
+    )
+    truth = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("f2")
+    )
+    est = signed.select(
+        "lane", "s", (F.col("s").cast("decimal(38,0)") * F.col("s")).alias("est_f2")
+    ).localCheckpoint(eager=False)
+    med = est.agg(F.sort_array(F.collect_list("est_f2")).alias("a"))
+    return (
+        est.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "lane",
+            F.col("s").cast("long").alias("signed_sum"),
+            F.col("est_f2").cast("long").alias("est_f2"),
+            F.col("f2").cast("long").alias("true_f2"),
+            F.expr(
+                "CAST(element_at(a, 4) + element_at(a, 5) AS BIGINT)"
+            ).alias("med2_est"),
+            F.expr(
+                "CAST(((element_at(a, 4) + element_at(a, 5) - 2 * f2)"
+                " * 1000000) div (2 * f2) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("lane")
+    )

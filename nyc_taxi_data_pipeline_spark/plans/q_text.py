@@ -4074,3 +4074,93 @@ def chao1_vocabulary_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ===========================================================================
+# Round-4 addition: Kneser-Ney smoothed bigram language model
+# ===========================================================================
+
+_KN_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS a
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT a[i] AS w1, a[i + 1] AS w2
+  FROM toks, unnest(range(1, len(a))) AS r(i)
+  WHERE len(a) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+c1 AS (
+  SELECT w1, sum(c) AS c1, count(*) AS ncont FROM c12 GROUP BY w1
+),
+c2 AS (SELECT w2, count(*) AS nleft FROM c12 GROUP BY w2),
+d AS (SELECT count(*) AS dt FROM c12)
+SELECT b.w1, b.w2, b.c AS bigram_count,
+       CAST(u.c1 AS BIGINT) AS w1_count,
+       CAST(((4 * CAST(b.c AS HUGEINT) - 3) * t.dt
+             + 3 * CAST(u.ncont AS HUGEINT) * v.nleft) * 1000000
+            // (4 * CAST(u.c1 AS HUGEINT) * t.dt) AS BIGINT) AS pkn_ppm
+FROM c12 b
+JOIN c1 u ON u.w1 = b.w1
+JOIN c2 v ON v.w2 = b.w2
+CROSS JOIN d t
+ORDER BY b.c DESC, b.w1, b.w2
+LIMIT 30
+"""
+
+
+@_register("kneser_ney_bigram_model", _KN_ORACLE)
+def kneser_ney_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995,
+    the smoothing inside every serious n-gram LM and the KenLM scorer
+    used for corpus quality filtering): P(w2|w1) = max(c12-d,0)/c1 +
+    d*Ncont(w1)/c1 * Nleft(w2)/D with the canonical discount d=0.75.
+    The continuation probability Nleft(w2)/D — how many DISTINCT
+    contexts a word follows, not how often — is what distinguishes KN
+    from naive backoff. d=3/4 makes every term rational: pkn_ppm =
+    ((4*c12-3)*D + 3*Ncont*Nleft) / (4*c1*D) in ONE exact 128-bit
+    division (numerator nonnegative since c12>=1). The model-quality
+    sibling of bigram_next_word_model (raw MLE) and charlm_freq_score
+    (char-level). Top-30 bigrams by count, deterministic tie-break.
+    Scale shape: corpus-linear bigram explode, three hash aggs (bigram,
+    left-unigram, right-unigram), broadcast joins back onto the top-k
+    frame."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias("a")
+    ).filter(F.size("a") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("a"), 1, F.size("a") - 1),
+                F.slice(F.col("a"), 2, F.size("a") - 1),
+                lambda l, r: F.struct(l.alias("w1"), r.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c12 = c12.localCheckpoint(eager=False)
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("ncont")
+    )
+    c2 = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("nleft"))
+    dt = c12.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("dt"))
+    return (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(dt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("bigram_count"),
+            F.col("c1").cast("long").alias("w1_count"),
+            F.expr(
+                "CAST((((4 * CAST(c AS DECIMAL(38,0)) - 3) * dt"
+                " + 3 * CAST(ncont AS DECIMAL(38,0)) * nleft) * 1000000)"
+                " div (4 * CAST(c1 AS DECIMAL(38,0)) * dt) AS BIGINT)"
+            ).alias("pkn_ppm"),
+        )
+        .orderBy(F.col("bigram_count").desc(), "w1", "w2")
+        .limit(30)
+    )
