@@ -1257,3 +1257,1000 @@ def sax_symbolic_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 8)
         .orderBy("event_type", "rnk")
     )
+
+
+# ===========================================================================
+# Classifier operating curves / inequality indices / drift
+# ===========================================================================
+
+_ROC_ORACLE = """
+WITH scored AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+tot AS (SELECT sum(pos) AS p, sum(1 - pos) AS q, count(*) AS n FROM scored),
+dv AS (
+  SELECT score, sum(pos) AS cp, sum(1 - pos) AS cq, count(*) AS t
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score,
+         sum(t) OVER (ORDER BY score) AS c_le,
+         sum(cp) OVER (ORDER BY score) AS p_le,
+         sum(cq) OVER (ORDER BY score) AS q_le
+  FROM dv
+),
+deciles AS (SELECT unnest(range(1, 10)) AS decile),
+thr AS (
+  SELECT d.decile,
+         min(c.score) AS threshold
+  FROM deciles d, tot, cum c
+  WHERE c.c_le >= (d.decile * tot.n + 9) // 10
+  GROUP BY d.decile
+)
+SELECT t.decile, t.threshold,
+       CAST(o.p - c.p_le AS BIGINT) AS tp,
+       CAST(o.q - c.q_le AS BIGINT) AS fp,
+       CAST((o.p - c.p_le) * 1000000 // o.p AS BIGINT) AS tpr_ppm,
+       CAST((o.q - c.q_le) * 1000000 // o.q AS BIGINT) AS fpr_ppm
+FROM thr t
+JOIN cum c ON c.score = t.threshold
+CROSS JOIN tot o
+ORDER BY t.decile
+"""
+
+
+@_register("roc_curve_points", _ROC_ORACLE)
+def roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating points for the 'document length predicts English'
+    classifier: at each score-decile threshold (an EXACT order statistic
+    from the cumulative distinct-score frame), TP/FP counts and
+    TPR/FPR in exact ppm for the rule 'score > threshold'. The curve
+    companion to rank_sum_auc_by_event_type (AUC is this curve's
+    integral — points localize WHERE the ranking is good) and
+    calibration_reliability_bins (which audits probabilities, not
+    decisions). Scale shape: one hash agg on the score domain (bounded:
+    n_chars), one window cumsum over it, a 9-row threshold join."""
+    scored = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    tot = scored.agg(
+        F.sum("pos").alias("p"),
+        F.sum(1 - F.col("pos")).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dv = scored.groupBy("score").agg(
+        F.sum("pos").alias("cp"),
+        F.sum(1 - F.col("pos")).alias("cq"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = dv.select(
+        "score",
+        F.sum("t").over(w).alias("c_le"),
+        F.sum("cp").over(w).alias("p_le"),
+        F.sum("cq").over(w).alias("q_le"),
+    ).localCheckpoint(eager=False)
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    thr = (
+        F.broadcast(deciles.crossJoin(tot))
+        .join(cum, F.col("c_le") >= F.expr("(decile * n + 9) div 10"))
+        .groupBy("decile", "p", "q")
+        .agg(F.min("score").alias("threshold"))
+    )
+    return (
+        thr.join(cum, F.col("score") == F.col("threshold"))
+        .select(
+            "decile",
+            "threshold",
+            (F.col("p") - F.col("p_le")).cast("long").alias("tp"),
+            (F.col("q") - F.col("q_le")).cast("long").alias("fp"),
+            F.expr(
+                "CAST(((p - p_le) * 1000000) div p AS BIGINT)"
+            ).alias("tpr_ppm"),
+            F.expr(
+                "CAST(((q - q_le) * 1000000) div q AS BIGINT)"
+            ).alias("fpr_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+_COST_THR_ORACLE = """
+WITH scored AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+tot AS (SELECT sum(pos) AS p, sum(1 - pos) AS q FROM scored),
+dv AS (
+  SELECT score, sum(pos) AS cp, sum(1 - pos) AS cq
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score,
+         sum(cp) OVER (ORDER BY score) AS p_le,
+         sum(cq) OVER (ORDER BY score) AS q_le
+  FROM dv
+),
+costs AS (
+  -- predict positive when score > threshold: FN = p_le (missed), FP = q - q_le
+  SELECT c.score AS threshold,
+         5 * c.p_le + (t.q - c.q_le) AS cost
+  FROM cum c, tot t
+),
+best AS (
+  SELECT threshold, cost FROM costs ORDER BY cost, threshold LIMIT 1
+)
+SELECT b.threshold AS best_threshold,
+       CAST(b.cost AS BIGINT) AS best_cost,
+       CAST(t.q AS BIGINT) AS cost_all_positive,
+       CAST(5 * t.p AS BIGINT) AS cost_all_negative
+FROM best b, tot t
+"""
+
+
+@_register("cost_threshold_optimization", _COST_THR_ORACLE)
+def cost_threshold_optimization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive decision threshold: with FN 5x costlier than FP
+    (the curation asymmetry — discarding a good document costs more than
+    keeping a bad one), sweep EVERY distinct score as 'predict positive
+    above here' and take the argmin of 5*FN + FP, all in integers on the
+    same cumulative frame the ROC entry builds; the two baseline
+    policies (always/never positive) bound the win. This turns
+    roc_curve_points into a DECISION — the missing last step of every
+    classifier-eval entry. Scale shape: identical to the ROC frame plus
+    one TakeOrdered(1)."""
+    scored = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    tot = scored.agg(
+        F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("q")
+    )
+    dv = scored.groupBy("score").agg(
+        F.sum("pos").alias("cp"), F.sum(1 - F.col("pos")).alias("cq")
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = dv.select(
+        "score",
+        F.sum("cp").over(w).alias("p_le"),
+        F.sum("cq").over(w).alias("q_le"),
+    )
+    costs = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("score").alias("threshold"),
+        (5 * F.col("p_le") + (F.col("q") - F.col("q_le"))).alias("cost"),
+        "p",
+        "q",
+    )
+    return (
+        costs.orderBy("cost", "threshold")
+        .limit(1)
+        .select(
+            F.col("threshold").alias("best_threshold"),
+            F.col("cost").cast("long").alias("best_cost"),
+            F.col("q").cast("long").alias("cost_all_positive"),
+            (5 * F.col("p")).cast("long").alias("cost_all_negative"),
+        )
+    )
+
+
+_HOOVER_ORACLE = """
+WITH s AS (
+  SELECT n.n_regionkey AS rk, l.l_suppkey,
+         CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN supplier su ON su.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = su.s_nationkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT rk, CAST(sum(rev) AS HUGEINT) AS x, count(*) AS n
+  FROM s GROUP BY rk
+)
+SELECT r.r_name, t.n AS n_suppliers,
+       CAST(sum(abs(t.n * CAST(s.rev AS HUGEINT) - t.x)) * 1000000
+            // (2 * t.x * t.n) AS BIGINT) AS hoover_ppm
+FROM s JOIN tot t ON t.rk = s.rk
+JOIN region r ON r.r_regionkey = s.rk
+GROUP BY r.r_name, t.n, t.x
+ORDER BY r.r_name
+"""
+
+
+@_register("hoover_index_by_region", _HOOVER_ORACLE)
+def hoover_index_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoover (Robin Hood) index of supplier revenue per region: the
+    share of total revenue that would have to move between suppliers to
+    equalize them, H = sum|x_i/X - 1/n| / 2 = sum|n*x_i - X| / (2*X*n) —
+    a single exact 128-bit division per region, completing the
+    inequality triptych: Gini (gini_concentration_by_segment, area
+    view), HHI (herfindahl_concentration_index, top-weighted view),
+    Hoover (mass-transfer view) — three indices that RANK markets
+    differently, which is the analytical point. Scale shape: same
+    (region, supplier) rollup as the HHI entry, broadcast totals, one
+    mergeable abs-deviation sum."""
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_regionkey").alias("rk"), "l_suppkey")
+        .agg(
+            F.expr("CAST(sum(round(l_extendedprice * 100)) AS BIGINT)").alias(
+                "rev"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = s.groupBy("rk").agg(
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        s.join(F.broadcast(tot), "rk")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+            ),
+            F.col("r_regionkey") == F.col("rk"),
+        )
+        .groupBy("r_name", F.col("n").alias("n_suppliers"), "x")
+        .agg(
+            F.sum(
+                F.abs(F.col("n") * F.col("rev").cast("decimal(38,0)") - F.col("x"))
+            ).alias("absdev")
+        )
+        .select(
+            "r_name",
+            "n_suppliers",
+            F.expr(
+                "CAST((absdev * 1000000) div (2 * x * n_suppliers) AS BIGINT)"
+            ).alias("hoover_ppm"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_QSR_ORACLE = """
+WITH spend AS (
+  SELECT c.c_custkey,
+         coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+ranked AS (
+  SELECT y, row_number() OVER (ORDER BY y, c_custkey) AS r,
+         count(*) OVER () AS n
+  FROM spend
+),
+parts AS (
+  SELECT sum(CASE WHEN r > n - n // 5 THEN CAST(y AS HUGEINT)
+                  ELSE 0 END) AS top20,
+         sum(CASE WHEN r <= (2 * n) // 5 THEN CAST(y AS HUGEINT)
+                  ELSE 0 END) AS bottom40,
+         sum(CAST(y AS HUGEINT)) AS total,
+         max(n) AS n
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(top20 AS BIGINT) AS top20_cents,
+       CAST(bottom40 AS BIGINT) AS bottom40_cents,
+       CAST(top20 * 1000000 // total AS BIGINT) AS top20_share_ppm,
+       CAST(bottom40 * 1000000 // total AS BIGINT) AS bottom40_share_ppm,
+       CAST(top20 * 1000 // bottom40 AS BIGINT) AS palma_milli
+FROM parts
+"""
+
+
+@_register("quintile_share_ratio", _QSR_ORACLE)
+def quintile_share_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma-style quintile share ratio on customer lifetime spend
+    (zero-order customers included via left join — they ARE the bottom
+    tail): top-20% spend over bottom-40% spend, boundaries as exact
+    rank cutoffs (r > n - n div 5, r <= 2n div 5, deterministic
+    (spend, custkey) order), the ratio in exact milli. Palma's insight —
+    the middle 40% share is nearly constant across economies, so
+    inequality lives in the tails — is why this beats a full Lorenz
+    integral for monitoring. The customer-grain member of the
+    inequality family (Gini/HHI/Hoover run at supplier/segment grain).
+    Scale shape: one rollup, one rank window, one agg. The global
+    row_number is the documented single-partition rank pattern over the
+    customer frame."""
+    spend = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)).alias("y"))
+    )
+    wr = W.orderBy("y", "c_custkey")
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = spend.select(
+        "y",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    parts = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("r") > F.col("n") - F.expr("n div 5"),
+                F.col("y").cast("decimal(38,0)"),
+            ).otherwise(0)
+        ).alias("top20"),
+        F.sum(
+            F.when(
+                F.col("r") <= F.expr("(2 * n) div 5"),
+                F.col("y").cast("decimal(38,0)"),
+            ).otherwise(0)
+        ).alias("bottom40"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("total"),
+        F.max("n").alias("n"),
+    )
+    return parts.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("top20").cast("long").alias("top20_cents"),
+        F.col("bottom40").cast("long").alias("bottom40_cents"),
+        F.expr("CAST((top20 * 1000000) div total AS BIGINT)").alias(
+            "top20_share_ppm"
+        ),
+        F.expr("CAST((bottom40 * 1000000) div total AS BIGINT)").alias(
+            "bottom40_share_ppm"
+        ),
+        F.expr("CAST((top20 * 1000) div bottom40 AS BIGINT)").alias(
+            "palma_milli"
+        ),
+    )
+
+
+_TVD_ORACLE = """
+WITH weekly AS (
+  SELECT event_type,
+         sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08'
+                  THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-22'
+                  AND CAST(ts AS DATE) < DATE '2024-01-29'
+                  THEN 1 ELSE 0 END) AS c2
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM weekly),
+tvd AS (
+  SELECT CAST(sum(abs(CAST(w.c1 AS HUGEINT) * t.n2
+                      - CAST(w.c2 AS HUGEINT) * t.n1)) * 1000000
+              // (2 * CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT) AS tvd_ppm
+  FROM weekly w, tot t
+  GROUP BY t.n1, t.n2
+)
+SELECT w.event_type,
+       CAST(w.c1 * 1000000 // t.n1 AS BIGINT) AS week1_share_ppm,
+       CAST(w.c2 * 1000000 // t.n2 AS BIGINT) AS week4_share_ppm,
+       v.tvd_ppm
+FROM weekly w, tot t, tvd v
+ORDER BY w.event_type
+"""
+
+
+@_register("total_variation_drift", _TVD_ORACLE)
+def total_variation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the week-1 and week-4 event-type
+    mixes: TVD = max over event SETS of probability disagreement =
+    half the L1 gap, computed exactly as sum|c1*N2 - c2*N1| / (2*N1*N2)
+    — the metric with the operational guarantee (no event's probability
+    moved more than TVD), where distribution_drift_psi's KL-flavored
+    score has no such bound and needs binning choices. Exact ppm, no
+    logs, no floats. Scale shape: one 5-row categorical rollup with
+    conditional sums pushed into the scan, 5-row algebra after."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.to_date("ts") < F.lit("2024-01-08").cast("date"), 1).otherwise(0)
+        ).alias("c1"),
+        F.sum(
+            F.when(
+                (F.to_date("ts") >= F.lit("2024-01-22").cast("date"))
+                & (F.to_date("ts") < F.lit("2024-01-29").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("c2"),
+    ).localCheckpoint(eager=False)
+    tot = weekly.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    wt = weekly.crossJoin(F.broadcast(tot))
+    tvd = wt.agg(
+        F.expr(
+            "CAST(sum(abs(CAST(c1 AS DECIMAL(38,0)) * n2"
+            " - CAST(c2 AS DECIMAL(38,0)) * n1)) * 1000000"
+            " div (2 * CAST(max(n1) AS DECIMAL(38,0)) * max(n2)) AS BIGINT)"
+        ).alias("tvd_ppm")
+    )
+    return (
+        wt.crossJoin(F.broadcast(tvd))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST((CAST(c1 AS DECIMAL(38,0)) * 1000000) div n1 AS BIGINT)"
+            ).alias("week1_share_ppm"),
+            F.expr(
+                "CAST((CAST(c2 AS DECIMAL(38,0)) * 1000000) div n2 AS BIGINT)"
+            ).alias("week4_share_ppm"),
+            "tvd_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+_CHEBYSHEV_ORACLE = """
+WITH spend AS (
+  SELECT c.c_custkey,
+         coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+mom AS (
+  SELECT count(*) AS n,
+         sum(CAST(y AS HUGEINT)) AS s,
+         sum(CAST(y AS HUGEINT) * y) AS q
+  FROM spend
+),
+ks AS (SELECT unnest([2, 3, 4]) AS k)
+SELECT k.k,
+       CAST((SELECT count(*) FROM spend, mom
+             WHERE (mom.n * CAST(spend.y AS HUGEINT) - mom.s)
+                   * (mom.n * CAST(spend.y AS HUGEINT) - mom.s)
+                   > CAST(k.k AS HUGEINT) * k.k
+                     * (mom.n * mom.q - mom.s * mom.s)) AS BIGINT)
+         AS n_beyond,
+       CAST((SELECT count(*) FROM spend, mom
+             WHERE (mom.n * CAST(spend.y AS HUGEINT) - mom.s)
+                   * (mom.n * CAST(spend.y AS HUGEINT) - mom.s)
+                   > CAST(k.k AS HUGEINT) * k.k
+                     * (mom.n * mom.q - mom.s * mom.s))
+            * 1000000 // (SELECT n FROM mom) AS BIGINT) AS observed_ppm,
+       CAST(1000000 // (k.k * k.k) AS BIGINT) AS chebyshev_bound_ppm,
+       CAST(CASE WHEN (SELECT count(*) FROM spend, mom
+             WHERE (mom.n * CAST(spend.y AS HUGEINT) - mom.s)
+                   * (mom.n * CAST(spend.y AS HUGEINT) - mom.s)
+                   > CAST(k.k AS HUGEINT) * k.k
+                     * (mom.n * mom.q - mom.s * mom.s))
+            * (k.k * k.k) <= (SELECT n FROM mom)
+            THEN 1 ELSE 0 END AS BIGINT) AS bound_holds
+FROM ks k
+ORDER BY k.k
+"""
+
+
+@_register("chebyshev_bound_audit", _CHEBYSHEV_ORACLE)
+def chebyshev_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chebyshev inequality audit on customer lifetime spend: the count
+    of customers beyond k population sigmas, decided ENTIRELY in integer
+    arithmetic — (n*y - S)^2 > k^2 * (n*Q - S^2) is EXACTLY
+    |y - mu| > k*sigma with both sides scaled by n^2, no division — vs
+    the distribution-free bound P <= 1/k^2. bound_holds must be 1 for
+    every k at EVERY scale (a mathematical truth, so this doubles as a
+    moment-lane self-test); the interesting readout is the gap
+    (observed_ppm << bound), quantifying how light-tailed spend is vs
+    the worst case. The distribution-free anchor of the outlier family
+    (outlier_zscore assumes normal-ish; this assumes nothing). Scale
+    shape: one rollup, one 1-row moment agg broadcast back, k-row
+    literal frame."""
+    spend = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    mom = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("q"),
+    )
+    ks = spark.range(1).select(F.explode(F.expr("array(2, 3, 4)")).alias("k"))
+    beyond = (
+        spend.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(ks))
+        .filter(
+            F.expr(
+                "(n * CAST(y AS DECIMAL(38,0)) - s)"
+                " * (n * CAST(y AS DECIMAL(38,0)) - s)"
+                " > CAST(k AS DECIMAL(38,0)) * k * (n * q - s * s)"
+            )
+        )
+        .groupBy("k", "n")
+        .agg(F.count(F.lit(1)).alias("n_beyond"))
+    )
+    return (
+        F.broadcast(ks)
+        .join(beyond.drop("n"), "k", "left")
+        .crossJoin(F.broadcast(mom.select("n")))
+        .select(
+            "k",
+            F.coalesce("n_beyond", F.lit(0)).cast("long").alias("n_beyond"),
+            F.expr(
+                "CAST((coalesce(n_beyond, 0) * 1000000) div n AS BIGINT)"
+            ).alias("observed_ppm"),
+            F.expr("CAST(1000000 div (k * k) AS BIGINT)").alias(
+                "chebyshev_bound_ppm"
+            ),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_beyond, 0) * (k * k) <= n"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("bound_holds"),
+        )
+        .orderBy("k")
+    )
+
+
+# ===========================================================================
+# Within-block rank tests and series-randomness screens
+# ===========================================================================
+
+_FRIEDMAN_CTE = """
+WITH wk AS (
+  SELECT user_id,
+         sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') // 7 = 0
+                  THEN 1 ELSE 0 END) AS v0,
+         sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') // 7 = 1
+                  THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') // 7 = 2
+                  THEN 1 ELSE 0 END) AS v2,
+         sum(CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') // 7 = 3
+                  THEN 1 ELSE 0 END) AS v3
+  FROM events
+  WHERE CAST(ts AS DATE) < DATE '2024-01-29'
+  GROUP BY user_id
+),
+r2 AS (
+  SELECT user_id,
+         2 * ((CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+            + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END)
+            + (CASE WHEN v3 < v0 THEN 1 ELSE 0 END))
+         + 1 + (CASE WHEN v1 = v0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v2 = v0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v3 = v0 THEN 1 ELSE 0 END) + 1 AS r0,
+         2 * ((CASE WHEN v0 < v1 THEN 1 ELSE 0 END)
+            + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END)
+            + (CASE WHEN v3 < v1 THEN 1 ELSE 0 END))
+         + 1 + (CASE WHEN v0 = v1 THEN 1 ELSE 0 END)
+             + (CASE WHEN v2 = v1 THEN 1 ELSE 0 END)
+             + (CASE WHEN v3 = v1 THEN 1 ELSE 0 END) + 1 AS r1,
+         2 * ((CASE WHEN v0 < v2 THEN 1 ELSE 0 END)
+            + (CASE WHEN v1 < v2 THEN 1 ELSE 0 END)
+            + (CASE WHEN v3 < v2 THEN 1 ELSE 0 END))
+         + 1 + (CASE WHEN v0 = v2 THEN 1 ELSE 0 END)
+             + (CASE WHEN v1 = v2 THEN 1 ELSE 0 END)
+             + (CASE WHEN v3 = v2 THEN 1 ELSE 0 END) + 1 AS r2,
+         2 * ((CASE WHEN v0 < v3 THEN 1 ELSE 0 END)
+            + (CASE WHEN v1 < v3 THEN 1 ELSE 0 END)
+            + (CASE WHEN v2 < v3 THEN 1 ELSE 0 END))
+         + 1 + (CASE WHEN v0 = v3 THEN 1 ELSE 0 END)
+             + (CASE WHEN v1 = v3 THEN 1 ELSE 0 END)
+             + (CASE WHEN v2 = v3 THEN 1 ELSE 0 END) + 1 AS r3
+  FROM wk
+),
+sums AS (
+  SELECT count(*) AS b,
+         sum(r0) AS s0, sum(r1) AS s1, sum(r2) AS s2, sum(r3) AS s3
+  FROM r2
+)
+"""
+
+_FRIEDMAN_ORACLE = (
+    _FRIEDMAN_CTE
+    + """
+SELECT wkk.week, CAST(s.b AS BIGINT) AS n_blocks,
+       CAST(CASE wkk.week WHEN 0 THEN s.s0 WHEN 1 THEN s.s1
+                          WHEN 2 THEN s.s2 ELSE s.s3 END AS BIGINT) AS r2_sum,
+       CAST((CAST(s.s0 AS HUGEINT) * s.s0 * 3000 // (s.b * 4 * 5)
+           + CAST(s.s1 AS HUGEINT) * s.s1 * 3000 // (s.b * 4 * 5)
+           + CAST(s.s2 AS HUGEINT) * s.s2 * 3000 // (s.b * 4 * 5)
+           + CAST(s.s3 AS HUGEINT) * s.s3 * 3000 // (s.b * 4 * 5))
+           - 3000 * s.b * 5 AS BIGINT) AS friedman_milli
+FROM sums s, (SELECT unnest(range(0, 4)) AS week) wkk
+ORDER BY wkk.week
+"""
+)
+
+
+@_register("friedman_test_weeks", _FRIEDMAN_ORACLE)
+def friedman_test_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the 4 full January weeks differ in per-user
+    event volume, blocking on the user? Within each user the 4 weekly
+    counts get doubled midranks from 16 constant pairwise comparisons
+    (r2_j = 2*#less + #eq + 2, ties exact), then chi2_F =
+    3*sum(R2_j^2)/(b*k*(k+1)) - 3b(k+1) in milli with per-term
+    truncating division. Blocking removes the user's own volume level —
+    the repeated-measures complement of kruskal_wallis_by_priority
+    (independent groups) and the k-sample big brother of
+    wilcoxon_signed_rank. Scale shape: one pivoted per-user rollup
+    (conditional sums, no join), rank algebra row-local, one 1-row agg."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.to_date("ts") < F.lit("2024-01-29").cast("date")
+    )
+    wkcol = F.expr(
+        "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 AS INT)"
+    )
+    wk = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(wkcol == j, 1).otherwise(0)).alias(f"v{j}")
+            for j in range(4)
+        ]
+    )
+
+    def r2(j: int) -> str:
+        less = " + ".join(
+            f"(CASE WHEN v{i} < v{j} THEN 1 ELSE 0 END)"
+            for i in range(4)
+            if i != j
+        )
+        eq = " + ".join(
+            f"(CASE WHEN v{i} = v{j} THEN 1 ELSE 0 END)"
+            for i in range(4)
+            if i != j
+        )
+        return f"2 * ({less}) + 1 + ({eq}) + 1"
+
+    ranks = wk.select(
+        *[F.expr(r2(j)).alias(f"r{j}") for j in range(4)]
+    )
+    sums = ranks.agg(
+        F.count(F.lit(1)).alias("b"),
+        *[F.sum(f"r{j}").cast("decimal(38,0)").alias(f"s{j}") for j in range(4)],
+    )
+    stat = " + ".join(
+        f"(s{j} * s{j} * 3000) div (b * 4 * 5)" for j in range(4)
+    )
+    weeks = spark.range(4).select(F.col("id").cast("int").alias("week"))
+    return (
+        F.broadcast(weeks)
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "week",
+            F.col("b").cast("long").alias("n_blocks"),
+            F.expr(
+                "CAST(CASE week WHEN 0 THEN s0 WHEN 1 THEN s1"
+                " WHEN 2 THEN s2 ELSE s3 END AS BIGINT)"
+            ).alias("r2_sum"),
+            F.expr(f"CAST(({stat}) - 3000 * b * 5 AS BIGINT)").alias(
+                "friedman_milli"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+_PAGES_ORACLE = (
+    _FRIEDMAN_CTE
+    + """
+SELECT CAST(s.b AS BIGINT) AS n_blocks,
+       CAST(1 * s.s0 + 2 * s.s1 + 3 * s.s2 + 4 * s.s3 AS BIGINT) AS l2,
+       CAST(s.b * 4 * 25 // 2 AS BIGINT) AS e_l2,
+       CAST(CASE WHEN 1 * s.s0 + 2 * s.s1 + 3 * s.s2 + 4 * s.s3
+                      > s.b * 4 * 25 // 2 THEN 1
+                 WHEN 1 * s.s0 + 2 * s.s1 + 3 * s.s2 + 4 * s.s3
+                      < s.b * 4 * 25 // 2 THEN -1
+                 ELSE 0 END AS BIGINT) AS trend_sign
+FROM sums s
+"""
+)
+
+
+@_register("pages_l_trend_test", _PAGES_ORACLE)
+def pages_l_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for a MONOTONE ordered alternative across the 4
+    January weeks within user blocks: L = sum_j j*R_j on the same
+    doubled-midrank lanes as friedman_test_weeks (L2 = 2L integral),
+    against the exact null expectation E[L2] = b*k(k+1)^2/2. Friedman
+    asks 'any difference?'; Page asks 'is volume trending up
+    week-over-week?' — much more powerful when the alternative is
+    ordered (the within-block analog of jonckheere_terpstra_trend).
+    Scale shape: identical single rollup + 1-row algebra."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.to_date("ts") < F.lit("2024-01-29").cast("date")
+    )
+    wkcol = F.expr(
+        "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 AS INT)"
+    )
+    wk = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(wkcol == j, 1).otherwise(0)).alias(f"v{j}")
+            for j in range(4)
+        ]
+    )
+
+    def r2(j: int) -> str:
+        less = " + ".join(
+            f"(CASE WHEN v{i} < v{j} THEN 1 ELSE 0 END)"
+            for i in range(4)
+            if i != j
+        )
+        eq = " + ".join(
+            f"(CASE WHEN v{i} = v{j} THEN 1 ELSE 0 END)"
+            for i in range(4)
+            if i != j
+        )
+        return f"2 * ({less}) + 1 + ({eq}) + 1"
+
+    ranks = wk.select(*[F.expr(r2(j)).alias(f"r{j}") for j in range(4)])
+    sums = ranks.agg(
+        F.count(F.lit(1)).alias("b"),
+        *[F.sum(f"r{j}").alias(f"s{j}") for j in range(4)],
+    )
+    l2 = "1 * s0 + 2 * s1 + 3 * s2 + 4 * s3"
+    el2 = "(b * 4 * 25) div 2"
+    return sums.select(
+        F.col("b").cast("long").alias("n_blocks"),
+        F.expr(f"CAST({l2} AS BIGINT)").alias("l2"),
+        F.expr(f"CAST({el2} AS BIGINT)").alias("e_l2"),
+        F.expr(
+            f"CAST(CASE WHEN {l2} > {el2} THEN 1"
+            f" WHEN {l2} < {el2} THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("trend_sign"),
+    )
+
+
+_RUNS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+med AS (
+  SELECT CASE WHEN count(*) % 2 = 1
+              THEN 2 * (list_sort(list(y)))[(count(*) + 1) // 2]
+              ELSE (list_sort(list(y)))[count(*) // 2]
+                 + (list_sort(list(y)))[count(*) // 2 + 1] END AS med2
+  FROM daily
+),
+signs AS (
+  SELECT d, CASE WHEN 2 * y > m.med2 THEN 1 ELSE 0 END AS s
+  FROM daily, med m
+  WHERE 2 * y <> m.med2
+),
+flips AS (
+  SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NOT NULL
+                  AND lag(s) OVER (ORDER BY d) <> s
+             THEN 1 ELSE 0 END AS flip
+  FROM signs
+)
+SELECT CAST(sum(s) AS BIGINT) AS n_above,
+       CAST(sum(1 - s) AS BIGINT) AS n_below,
+       CAST(1 + sum(flip) AS BIGINT) AS n_runs,
+       CAST(1000 + 2000 * CAST(sum(s) AS HUGEINT) * sum(1 - s)
+            // (sum(s) + sum(1 - s)) AS BIGINT) AS e_runs_milli,
+       CAST(CASE WHEN (1 + sum(flip)) * (sum(s) + sum(1 - s)) * 1000
+                      > 1000 * (sum(s) + sum(1 - s))
+                        + 2000 * CAST(sum(s) AS HUGEINT) * sum(1 - s)
+                 THEN 1
+                 WHEN (1 + sum(flip)) * (sum(s) + sum(1 - s)) * 1000
+                      < 1000 * (sum(s) + sum(1 - s))
+                        + 2000 * CAST(sum(s) AS HUGEINT) * sum(1 - s)
+                 THEN -1 ELSE 0 END AS BIGINT) AS vs_expected
+FROM flips
+"""
+
+
+@_register("runs_test_median", _RUNS_ORACLE)
+def runs_test_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily order revenue: code each day
+    above/below the doubled-median (exact order statistic; exact-median
+    days excluded per the classical recipe), count runs of consecutive
+    equal signs, and compare against the exact null mean E[R] = 1 +
+    2*n1*n2/(n1+n2) — too FEW runs means positive day-over-day
+    dependence, too many means oscillation. The sign-pattern randomness
+    screen beside autocorrelation_lag_k (which needs a linear model of
+    dependence; runs are distribution-free). The comparison is done on
+    cross-multiplied integer lanes, no division at all. Scale shape:
+    calendar-bounded daily frame, one array median, one lag window."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    med = daily.agg(
+        F.expr(
+            "CASE WHEN count(*) % 2 = 1"
+            " THEN 2 * element_at(sort_array(collect_list(y)),"
+            "        CAST((count(*) + 1) div 2 AS INT))"
+            " ELSE element_at(sort_array(collect_list(y)),"
+            "        CAST(count(*) div 2 AS INT))"
+            "    + element_at(sort_array(collect_list(y)),"
+            "        CAST(count(*) div 2 + 1 AS INT)) END"
+        ).alias("med2")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.expr("2 * y <> med2"))
+        .select("d", F.expr("CASE WHEN 2 * y > med2 THEN 1 ELSE 0 END").alias("s"))
+    )
+    wlag = W.orderBy("d")
+    flips = signs.select(
+        "s",
+        F.expr(
+            "CASE WHEN lag(s) OVER (ORDER BY d) IS NOT NULL"
+            " AND lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END"
+        ).alias("flip"),
+    )
+    runs = "(1 + sum(flip))"
+    n1 = "sum(s)"
+    n2 = "sum(1 - s)"
+    lhs = f"{runs} * ({n1} + {n2}) * 1000"
+    rhs = f"1000 * ({n1} + {n2}) + 2000 * CAST({n1} AS DECIMAL(38,0)) * {n2}"
+    return flips.agg(
+        F.expr(f"CAST({n1} AS BIGINT)").alias("n_above"),
+        F.expr(f"CAST({n2} AS BIGINT)").alias("n_below"),
+        F.expr(f"CAST({runs} AS BIGINT)").alias("n_runs"),
+        F.expr(
+            f"CAST(1000 + (2000 * CAST({n1} AS DECIMAL(38,0)) * {n2})"
+            f" div ({n1} + {n2}) AS BIGINT)"
+        ).alias("e_runs_milli"),
+        F.expr(
+            f"CAST(CASE WHEN {lhs} > {rhs} THEN 1"
+            f" WHEN {lhs} < {rhs} THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("vs_expected"),
+    )
+
+
+_TURNING_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+tp AS (
+  SELECT CASE WHEN y > lag(y) OVER w AND y > lead(y) OVER w THEN 1
+              WHEN y < lag(y) OVER w AND y < lead(y) OVER w THEN 1
+              ELSE 0 END AS is_turn
+  FROM daily
+  WINDOW w AS (ORDER BY d)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(is_turn) AS BIGINT) AS n_turning,
+       CAST(2000 * (count(*) - 2) // 3 AS BIGINT) AS e_turning_milli,
+       CAST(sum(is_turn) * 3000000 // (2 * (count(*) - 2)) AS BIGINT)
+         AS ratio_ppm
+FROM tp
+"""
+
+
+@_register("turning_points_randomness", _TURNING_ORACLE)
+def turning_points_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test on daily order revenue: count
+    strict local peaks and troughs; under iid the expectation is EXACTLY
+    2(n-2)/3 (any 3 distinct consecutive values turn in 4 of their 6
+    orderings). ratio_ppm ~ 1e6 says noise; well below says smooth
+    trend/seasonality; above says alternation. Runs (runs_test_median)
+    see level persistence; turning points see local shape — the two
+    classical complements run on the same calendar-bounded frame.
+    Exact integers throughout (cents ties break strictness
+    deterministically on both engines). Scale shape: daily rollup + one
+    3-row window pass."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).alias("y"))
+    )
+    tp = daily.select(
+        F.expr(
+            "CASE WHEN y > lag(y) OVER (ORDER BY d)"
+            " AND y > lead(y) OVER (ORDER BY d) THEN 1"
+            " WHEN y < lag(y) OVER (ORDER BY d)"
+            " AND y < lead(y) OVER (ORDER BY d) THEN 1 ELSE 0 END"
+        ).alias("is_turn")
+    )
+    return tp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("is_turn").cast("long").alias("n_turning"),
+        F.expr("CAST((2000 * (count(*) - 2)) div 3 AS BIGINT)").alias(
+            "e_turning_milli"
+        ),
+        F.expr(
+            "CAST((sum(is_turn) * 3000000) div (2 * (count(*) - 2))"
+            " AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+
+
+_DW_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY 1
+),
+xy AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS x, d FROM daily
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM xy
+),
+resid AS (
+  SELECT xy.d,
+         (s.n * s.sxx - s.sx * s.sx) * CAST(xy.y AS HUGEINT)
+         - (s.sy * s.sxx - s.sx * s.sxy)
+         - (s.n * s.sxy - s.sx * s.sy) * xy.x AS ed
+  FROM xy, s
+),
+diffs AS (
+  SELECT ed, ed - lag(ed) OVER (ORDER BY d) AS de
+  FROM resid
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM s) AS n_days,
+       CAST(sum(de * de) FILTER (WHERE de IS NOT NULL) * 1000
+            // sum(ed * ed) AS BIGINT) AS dw_milli
+FROM diffs
+"""
+
+
+@_register("durbin_watson_daily", _DW_ORACLE)
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation statistic on the residuals of the
+    daily-purchase-revenue-vs-time OLS line, fully exact: scaling every
+    residual by the common OLS denominator D = n*Sxx - Sx^2 makes
+    e_i*D = D*y_i - aD - bD*x_i an INTEGER, and DW = sum(diff^2) /
+    sum(e^2) is invariant to that scaling — one 128-bit division to
+    milli (DW ~ 2 means no lag-1 autocorrelation; <1 positive; >3
+    negative). The residual-level check that regression_trend_aggregates'
+    fit is trustworthy, sharper than autocorrelation_lag_k because it
+    detrends FIRST. Scale shape: calendar-bounded daily frame; one
+    1-row sum agg broadcast back; one lag window."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", _cents("value")).otherwise(
+                    0
+                )
+            ).alias("y")
+        )
+    )
+    xy = daily.select(
+        "d", "y", F.row_number().over(W.orderBy("d")).alias("x")
+    ).localCheckpoint(eager=False)
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    resid = xy.crossJoin(F.broadcast(s)).select(
+        "d",
+        F.expr(
+            "(n * sxx - sx * sx) * CAST(y AS DECIMAL(38,0))"
+            " - (sy * sxx - sx * sxy) - (n * sxy - sx * sy) * x"
+        ).alias("ed"),
+        "n",
+    )
+    diffs = resid.select(
+        "n",
+        "ed",
+        (F.col("ed") - F.lag("ed").over(W.orderBy("d"))).alias("de"),
+    )
+    return diffs.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.expr(
+            "CAST((sum(CASE WHEN de IS NOT NULL THEN de * de END) * 1000)"
+            " div sum(ed * ed) AS BIGINT)"
+        ).alias("dw_milli"),
+    )
