@@ -3302,3 +3302,71 @@ def percolation_threshold_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_milli")
     )
+
+
+# ===========================================================================
+# Round-4 addition: critical path (PERT) over the synthetic BOM DAG
+# ===========================================================================
+
+_CRITPATH_ORACLE = """
+WITH RECURSIVE parts AS (
+  SELECT p_partkey AS pk FROM part
+),
+bom AS (
+  SELECT p.pk AS parent, c.pk AS child
+  FROM parts p JOIN parts c ON c.pk = p.pk * 5 + 1
+  UNION ALL
+  SELECT p.pk, c.pk
+  FROM parts p JOIN parts c ON c.pk = p.pk * 5 + 2
+),
+roots AS (
+  SELECT DISTINCT b.parent AS pk FROM bom b
+  WHERE NOT EXISTS (SELECT 1 FROM bom b2 WHERE b2.child = b.parent)
+),
+walk AS (
+  SELECT pk AS root, pk AS node, pk % 7 + 1 AS path_days,
+         CAST(0 AS BIGINT) AS depth
+  FROM roots
+  UNION ALL
+  SELECT w.root, b.child, w.path_days + b.child % 7 + 1,
+         CAST(w.depth + 1 AS BIGINT)
+  FROM walk w JOIN bom b ON b.parent = w.node
+  WHERE w.depth < 6
+),
+leafy AS (
+  -- terminal tasks: nodes with no children in the BOM
+  SELECT w.root, w.node, w.path_days, w.depth
+  FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM bom b WHERE b.parent = w.node)
+),
+crit AS (
+  SELECT root,
+         max(path_days) AS critical_days,
+         count(*) AS n_terminal_paths,
+         max(depth) AS max_depth
+  FROM leafy GROUP BY root
+)
+SELECT CAST(count(*) AS BIGINT) AS n_projects,
+       CAST(max(critical_days) AS BIGINT) AS longest_critical_days,
+       CAST(sum(critical_days) AS BIGINT) AS sum_critical_days,
+       CAST(max(max_depth) AS BIGINT) AS max_depth,
+       CAST(sum(n_terminal_paths) AS BIGINT) AS n_terminal_paths
+FROM crit
+"""
+
+
+@_register("critical_path_longest", _CRITPATH_ORACLE)
+def critical_path_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path (PERT/CPM) analysis over the same synthetic BOM DAG
+    bom_explosion_recursive builds: task duration of part k is k%7+1
+    days, and the critical path per root assembly is the LONGEST
+    root-to-leaf duration sum — the schedule-dominating chain. Where the
+    BOM entry accumulates multiplicative units, this recursion carries
+    ADDITIVE path state and takes a max at the leaves, i.e. the
+    classic longest-path-in-DAG dynamic program via WITH RECURSIVE in
+    both engines (depth-bounded at the hierarchy's own ~log5 depth).
+    Scale shape: per-level equi-join on parent key, leaf filter as an
+    anti-join, one rollup; branching factor 2 bounds the walk."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_CRITPATH_ORACLE.replace("//", "div"))

@@ -3178,3 +3178,214 @@ def inclusion_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("candidate")
+
+
+# ===========================================================================
+# Round-4 addition: zone-map (min/max) pruning audit
+# ===========================================================================
+
+_ZONEMAP_ORACLE = """
+WITH bounds AS (
+  SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem
+),
+filed AS (
+  SELECT CAST((l.l_orderkey - b.lo) * 32 // (b.hi - b.lo + 1) AS BIGINT)
+           AS file_id,
+         l.l_shipdate
+  FROM lineitem l, bounds b
+),
+zonemaps AS (
+  SELECT file_id, min(l_shipdate) AS zmin, max(l_shipdate) AS zmax,
+         count(*) AS n_rows,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1996-07-01'
+                  THEN 1 ELSE 0 END) AS n_match
+  FROM filed GROUP BY file_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN zmax < TIMESTAMP '1996-01-01'
+                       OR zmin >= TIMESTAMP '1996-07-01'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       CAST(sum(CASE WHEN zmax >= TIMESTAMP '1996-01-01'
+                      AND zmin < TIMESTAMP '1996-07-01'
+                 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matching,
+       CAST(sum(n_match) * 1000000 // sum(n_rows) AS BIGINT)
+         AS selectivity_ppm,
+       CAST(sum(CASE WHEN zmax >= TIMESTAMP '1996-01-01'
+                      AND zmin < TIMESTAMP '1996-07-01'
+                 THEN n_rows ELSE 0 END) * 1000000 // sum(n_rows)
+            AS BIGINT) AS scan_fraction_ppm
+FROM zonemaps
+"""
+
+
+@_register("zonemap_pruning_audit", _ZONEMAP_ORACLE)
+def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) pruning simulation — the mechanism
+    behind parquet row-group skipping, Delta/Iceberg file pruning, and
+    this engine's own PushedFilters: lineitem is laid out into 32
+    equal-key-range 'files' (the natural insert order), per-file
+    min/max zone maps on l_shipdate are computed, and the audit reports
+    how many files a half-year predicate could skip vs the rows it must
+    scan. Because orderkey order correlates only weakly with shipdate,
+    the expected readout is POOR pruning — exactly the motivation for
+    zorder_layout_audit (which measures how re-clustering fixes this).
+    scan_fraction vs selectivity quantifies read amplification. Scale
+    shape: one 1-row bounds agg, one 32-group rollup with the predicate
+    counts fused into the same pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    )
+    filed = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            "CAST(((l_orderkey - lo) * 32) div (hi - lo + 1) AS BIGINT)"
+        ).alias("file_id"),
+        "l_shipdate",
+    )
+    in_pred = (
+        "l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1996-07-01'"
+    )
+    zonemaps = filed.groupBy("file_id").agg(
+        F.min("l_shipdate").alias("zmin"),
+        F.max("l_shipdate").alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr(f"CASE WHEN {in_pred} THEN 1 ELSE 0 END")).alias("n_match"),
+    )
+    overlap = (
+        "zmax >= TIMESTAMP '1996-01-01' AND zmin < TIMESTAMP '1996-07-01'"
+    )
+    return zonemaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.expr(f"CASE WHEN NOT ({overlap}) THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_pruned"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.sum(F.expr(f"CASE WHEN {overlap} THEN n_rows ELSE 0 END"))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matching"),
+        F.expr(
+            "CAST((sum(n_match) * 1000000) div sum(n_rows) AS BIGINT)"
+        ).alias("selectivity_ppm"),
+        F.expr(
+            f"CAST((sum(CASE WHEN {overlap} THEN n_rows ELSE 0 END)"
+            " * 1000000) div sum(n_rows) AS BIGINT)"
+        ).alias("scan_fraction_ppm"),
+    )
+
+
+_MERGE_ORACLE = """
+WITH target AS (
+  -- initial snapshot: orders placed before 1998, keyed by orderkey
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+source AS (
+  -- change feed: 1998+ orders (inserts) plus md5-chosen updates/deletes
+  -- against existing keys
+  SELECT o_orderkey AS k,
+         CASE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                       || ':merge'), 1, 6) AS BIGINT) % 10
+           WHEN 0 THEN 'D' ELSE 'U' END AS op,
+         o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) + 500 AS BIGINT) AS price_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+     OR CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                 || ':merge'), 1, 6) AS BIGINT) % 4 = 0
+),
+merged AS (
+  -- WHEN MATCHED AND op='D' THEN DELETE
+  -- WHEN MATCHED THEN UPDATE SET price = source.price
+  -- WHEN NOT MATCHED THEN INSERT
+  SELECT coalesce(t.k, s.k) AS k,
+         coalesce(s.status, t.status) AS status,
+         CASE WHEN s.k IS NOT NULL THEN s.price_cents
+              ELSE t.price_cents END AS price_cents,
+         CASE WHEN t.k IS NULL THEN 'inserted'
+              WHEN s.k IS NULL THEN 'unchanged'
+              ELSE 'updated' END AS action
+  FROM target t FULL OUTER JOIN source s ON s.k = t.k
+  -- a DELETE row drops its match; a DELETE with no match is a no-op
+  WHERE NOT coalesce(s.op = 'D', FALSE)
+)
+SELECT action,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+       CAST(sum(k) AS BIGINT) AS key_checksum
+FROM merged
+GROUP BY action
+ORDER BY action
+"""
+
+
+@_register("merge_into_emulation", _MERGE_ORACLE)
+def merge_into_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE INTO semantics (Delta Lake's upsert primitive,
+    reference scripts/convert_to_delta.py's write path) emulated with
+    the one-full-outer-join plan every MERGE physically becomes: a
+    pre-1998 snapshot is the target, a deterministic change feed
+    (inserts = new orders, md5-chosen updates at +500 cents, 1-in-10
+    deletes) is the source, and the three WHEN branches (MATCHED+DELETE
+    / MATCHED UPDATE / NOT MATCHED INSERT) resolve in a single
+    projection over the join — per-action row counts, price sums and a
+    key checksum value-check the result table, not just its shape. The
+    batch upsert complement of streaming_upsert_latest (latest-wins) and
+    scd2_build_from_changes (history-keeping). Scale shape: ONE
+    shuffle-on-key full outer join, all branch logic JVM expressions —
+    exactly how Delta executes a MERGE's join phase."""
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    coin = (
+        "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), ':merge')),"
+        " 1, 6), 16, 10) AS BIGINT)"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(cents).alias("price_cents"),
+    )
+    source = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        | (F.expr(f"{coin} % 4") == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            f"CASE {coin} % 10 WHEN 0 THEN 'D' ELSE 'U' END"
+        ).alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(f"{cents} + 500").alias("price_cents"),
+    )
+    t = target.alias("t")
+    s = source.alias("s")
+    merged = (
+        t.join(s, F.col("t.k") == F.col("s.k"), "full_outer")
+        .filter(~F.coalesce(F.col("s.op") == "D", F.lit(False)))
+        .select(
+            F.coalesce(F.col("t.k"), F.col("s.k")).alias("k"),
+            F.coalesce(F.col("s.status"), F.col("t.status")).alias("status"),
+            F.when(F.col("s.k").isNotNull(), F.col("s.price_cents"))
+            .otherwise(F.col("t.price_cents"))
+            .alias("price_cents"),
+            F.when(F.col("t.k").isNull(), "inserted")
+            .when(F.col("s.k").isNull(), "unchanged")
+            .otherwise("updated")
+            .alias("action"),
+        )
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("sum_price_cents"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+        .orderBy("action")
+    )

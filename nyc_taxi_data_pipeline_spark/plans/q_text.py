@@ -4164,3 +4164,91 @@ def kneser_ney_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bigram_count").desc(), "w1", "w2")
         .limit(30)
     )
+
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r,
+         sum(c) OVER (ORDER BY c DESC, t) AS cum
+  FROM counts
+),
+tot AS (SELECT sum(c) AS n_occ, count(*) AS n_vocab FROM counts),
+vs AS (SELECT unnest([100, 1000, 10000]) AS v)
+SELECT vs.v AS vocab_size,
+       CAST(t.n_vocab AS BIGINT) AS full_vocab,
+       CAST(max(CASE WHEN r.r <= vs.v THEN r.cum ELSE 0 END) AS BIGINT)
+         AS covered_occurrences,
+       CAST(t.n_occ AS BIGINT) AS total_occurrences,
+       CAST(max(CASE WHEN r.r <= vs.v THEN r.cum ELSE 0 END) * 1000000
+            // t.n_occ AS BIGINT) AS coverage_ppm
+FROM vs, ranked r, tot t
+GROUP BY vs.v, t.n_vocab, t.n_occ
+ORDER BY vs.v
+"""
+
+
+@_register("vocab_coverage_curve", _VOCAB_COVERAGE_ORACLE)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question 'what
+    fraction of token OCCURRENCES does a top-V vocabulary cover?' at
+    V = 100/1k/10k: rank tokens by (count desc, token), one cumulative
+    sum, read it at the three cutoffs in exact ppm. The OOV rate
+    (1 - coverage) is the direct cost driver for UNK-handling and the
+    practical readout of heaps_vocab_growth_curve (which fits growth)
+    and zipf_rank_frequency_audit (which checks shape) — all three
+    together pin the corpus's token economy. Scale shape: one hash agg
+    to vocab (domain-bounded), one window cumsum over it, 3-row
+    readout."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.orderBy(F.col("c").desc(), "t").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number().over(W.orderBy(F.col("c").desc(), "t")).alias("r"),
+        F.sum("c").over(w).alias("cum"),
+    ).localCheckpoint(eager=False)
+    tot = ranked.agg(
+        F.max("cum").alias("n_occ"), F.max("r").alias("n_vocab")
+    )
+    vs = spark.range(1).select(
+        F.explode(F.expr("array(100, 1000, 10000)")).alias("v")
+    )
+    return (
+        F.broadcast(vs)
+        .crossJoin(F.broadcast(tot))
+        .join(ranked, F.col("r") <= F.col("v"), "left")
+        .groupBy(
+            F.col("v").alias("vocab_size"),
+            F.col("n_vocab").cast("long").alias("full_vocab"),
+            F.col("n_occ").cast("long").alias("total_occurrences"),
+        )
+        .agg(F.coalesce(F.max("cum"), F.lit(0)).cast("long").alias(
+            "covered_occurrences"
+        ))
+        .select(
+            "vocab_size",
+            "full_vocab",
+            "covered_occurrences",
+            "total_occurrences",
+            F.expr(
+                "CAST((covered_occurrences * 1000000) div total_occurrences"
+                " AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("vocab_size")
+    )
