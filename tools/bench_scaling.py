@@ -178,6 +178,37 @@ ENTRIES = [
     "kaplan_meier_product_limit",
     "herfindahl_concentration_index",
     "sinkhorn_ipf_balancing",
+    # round-4 wave (every new entry, per the keep-scaling-honest rule)
+    "cramer_von_mises_integer",
+    "kruskal_wallis_by_priority",
+    "cochran_q_test",
+    "jonckheere_terpstra_trend",
+    "tail_dependence_empirical",
+    "ipw_ate_estimate",
+    "regression_discontinuity_cutoff",
+    "iv_wald_estimate",
+    "sharpe_ratio_monthly_revenue",
+    "bollinger_breakout_days",
+    "hampel_filter_outliers",
+    "sax_symbolic_motifs",
+    "ams_f2_moment_sketch",
+    "kneser_ney_bigram_model",
+    "inclusion_dependency_audit",
+    "roc_curve_points",
+    "cost_threshold_optimization",
+    "hoover_index_by_region",
+    "quintile_share_ratio",
+    "total_variation_drift",
+    "chebyshev_bound_audit",
+    "friedman_test_weeks",
+    "pages_l_trend_test",
+    "runs_test_median",
+    "turning_points_randomness",
+    "durbin_watson_daily",
+    "critical_path_longest",
+    "zonemap_pruning_audit",
+    "merge_into_emulation",
+    "vocab_coverage_curve",
 ]
 
 
