@@ -4497,7 +4497,7 @@ WITH RECURSIVE ev AS (
 ),
 seq AS (SELECT t, s, lag(t) OVER (ORDER BY t, s) AS pt FROM ev),
 load_est AS (
-  SELECT CAST((SELECT sum(s) FROM ev) * 1000 * 1000000
+  SELECT CAST((SELECT CAST(sum(s) AS HUGEINT) FROM ev) * 1000 * 1000000
               // (SELECT sum(t - pt) FROM seq WHERE pt IS NOT NULL)
               AS BIGINT) AS rho_ppm
 ),
@@ -4548,9 +4548,12 @@ def erlang_b_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot_s = ev.agg(F.expr("CAST(sum(s) AS BIGINT)").alias("ss"))
     rho = tot_s.crossJoin(F.broadcast(tot_gap)).select(
-        F.expr("CAST(ss * 1000 * 1000000 div ga AS BIGINT)").alias(
-            "rho_ppm"
-        )
+        # ss*1e9 exceeds int64 within ~10% of sf0.1 volume (found by the
+        # round-4 5x scaling run as an ANSI overflow): widen to DECIMAL
+        F.expr(
+            "CAST(CAST(ss AS DECIMAL(38,0)) * 1000 * 1000000 div ga"
+            " AS BIGINT)"
+        ).alias("rho_ppm")
     )
     fold = rho.select(
         "rho_ppm",
