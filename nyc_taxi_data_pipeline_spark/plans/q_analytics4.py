@@ -2254,3 +2254,539 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(ed * ed) AS BIGINT)"
         ).alias("dw_milli"),
     )
+
+
+# ===========================================================================
+# Wave 4: queueing, privacy, inequality curve, forecast eval, panel FE
+# ===========================================================================
+
+_ERLANG_C_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT epoch_us(ts) AS t, CAST(round(value * 1000) AS BIGINT) AS s
+  FROM events
+),
+seq AS (SELECT t, s, lag(t) OVER (ORDER BY t, s) AS pt FROM ev),
+load_est AS (
+  SELECT CAST((SELECT CAST(sum(s) AS HUGEINT) FROM ev) * 1000 * 1000000
+              // (SELECT sum(t - pt) FROM seq WHERE pt IS NOT NULL)
+              AS BIGINT) AS rho_ppm
+),
+erlang AS (
+  SELECT CAST(0 AS BIGINT) AS k, CAST(1000000 AS BIGINT) AS b_ppm,
+         rho_ppm
+  FROM load_est
+  UNION ALL
+  SELECT k + 1,
+         CAST((rho_ppm * b_ppm // 1000000) * 1000000
+              // ((k + 1) * 1000000 + rho_ppm * b_ppm // 1000000)
+              AS BIGINT),
+         rho_ppm
+  FROM erlang WHERE k < 10
+)
+SELECT k AS n_servers, rho_ppm AS offered_load_ppm, b_ppm AS erlang_b_ppm,
+       CAST(CAST(b_ppm AS HUGEINT) * k * 1000000 * 1000000
+            // (CAST(k AS HUGEINT) * 1000000 * 1000000
+                - CAST(rho_ppm AS HUGEINT) * (1000000 - b_ppm))
+            AS BIGINT) AS erlang_c_wait_ppm
+FROM erlang
+WHERE k >= 1 AND CAST(k AS HUGEINT) * 1000000 > rho_ppm
+ORDER BY n_servers
+"""
+
+
+@_register("erlang_c_wait_probability", _ERLANG_C_ORACLE)
+def erlang_c_wait_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C probability-of-waiting, derived from the Erlang-B
+    recursion via the exact identity C = B*c / (c - rho*(1-B)) — in ppm
+    lanes: C_ppm = B*c*1e6 // (c*1e12 - rho_ppm*(1e6 - B_ppm)), one
+    128-bit division per (stable) server count c > rho. Erlang-B models
+    blocked-calls-LOST (trunks); Erlang-C models blocked-calls-QUEUED
+    (worker pools, call centers) — together with kingman_queue_estimate
+    they are the complete classical sizing toolkit. Only stable rows
+    (c > offered load) are emitted. Scale shape: identical to
+    erlang_b_blocking — one lag pass + two mergeable sums feed a
+    constant-size fold."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("s"),
+    ).localCheckpoint(eager=False)
+    seq = ev.select("t", F.expr("lag(t) OVER (ORDER BY t, s)").alias("pt"))
+    tot_gap = seq.filter(F.col("pt").isNotNull()).agg(
+        F.expr("CAST(sum(t - pt) AS BIGINT)").alias("ga")
+    )
+    tot_s = ev.agg(F.expr("CAST(sum(s) AS BIGINT)").alias("ss"))
+    rho = tot_s.crossJoin(F.broadcast(tot_gap)).select(
+        F.expr(
+            "CAST(CAST(ss AS DECIMAL(38,0)) * 1000 * 1000000 div ga"
+            " AS BIGINT)"
+        ).alias("rho_ppm")
+    )
+    fold = rho.select(
+        "rho_ppm",
+        F.expr(
+            "aggregate(sequence(1, 10),"
+            " named_struct('b', CAST(1000000 AS BIGINT),"
+            " 'traj', CAST(array() AS ARRAY<BIGINT>)),"
+            " (acc, k) -> named_struct("
+            "'b', CAST((rho_ppm * acc.b div 1000000) * 1000000"
+            " div (k * 1000000 + rho_ppm * acc.b div 1000000) AS BIGINT),"
+            "'traj', concat(acc.traj,"
+            " array(CAST((rho_ppm * acc.b div 1000000) * 1000000"
+            " div (k * 1000000 + rho_ppm * acc.b div 1000000)"
+            " AS BIGINT)))),"
+            " acc -> acc.traj)"
+        ).alias("traj"),
+    )
+    rows = fold.select(
+        "rho_ppm", F.posexplode("traj").alias("k0", "b_ppm")
+    ).select(
+        F.expr("CAST(k0 + 1 AS BIGINT)").alias("n_servers"),
+        F.col("rho_ppm").alias("offered_load_ppm"),
+        F.col("b_ppm").alias("erlang_b_ppm"),
+    )
+    return (
+        rows.filter(
+            F.expr("CAST(n_servers AS DECIMAL(38,0)) * 1000000 > offered_load_ppm")
+        )
+        .select(
+            "n_servers",
+            "offered_load_ppm",
+            "erlang_b_ppm",
+            F.expr(
+                "CAST((CAST(erlang_b_ppm AS DECIMAL(38,0)) * n_servers"
+                " * 1000000 * 1000000)"
+                " div (CAST(n_servers AS DECIMAL(38,0)) * 1000000 * 1000000"
+                "      - CAST(offered_load_ppm AS DECIMAL(38,0))"
+                "        * (1000000 - erlang_b_ppm)) AS BIGINT)"
+            ).alias("erlang_c_wait_ppm"),
+        )
+        .orderBy("n_servers")
+    )
+
+
+_LDIV_ORACLE = """
+WITH q AS (
+  SELECT c_nationkey AS nation,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+         c_mktsegment AS sens
+  FROM customer
+),
+cls AS (
+  SELECT nation, bal_band,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS l_distinct,
+         CAST(max(cnt) AS BIGINT) AS max_sens
+  FROM (SELECT nation, bal_band, sens, count(*) AS cnt
+        FROM q GROUP BY 1, 2, 3) x
+  GROUP BY nation, bal_band
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_distinct < 2 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_failing_l2,
+       CAST(sum(CASE WHEN l_distinct < 3 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_failing_l3,
+       CAST(min(l_distinct) AS BIGINT) AS min_l,
+       CAST(max(max_sens * 1000000 // n) AS BIGINT)
+         AS worst_disclosure_ppm
+FROM cls
+"""
+
+
+@_register("ldiversity_audit", _LDIV_ORACLE)
+def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.) completing the privacy
+    triad with kanonymity_risk_audit (class sizes) and
+    tcloseness_emd_audit (distributional distance): within each
+    quasi-identifier class (nation x balance band), how many DISTINCT
+    values of the sensitive attribute (market segment) appear? A class
+    can be k-anonymous yet expose everyone if all its members share one
+    segment — rows_failing_l2 counts exactly those, and
+    worst_disclosure_ppm is the best attribute-inference rate an
+    attacker gets (max single-segment share in any class). Exact
+    integers throughout. Scale shape: two stacked hash aggs on the QI
+    key, one 1-row rollup."""
+    q = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr(
+            "CAST(round(c_acctbal * 100) AS BIGINT) div 100000"
+        ).alias("bal_band"),
+        F.col("c_mktsegment").alias("sens"),
+    )
+    per_sens = q.groupBy("nation", "bal_band", "sens").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cls = per_sens.groupBy("nation", "bal_band").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.max("cnt").alias("max_sens"),
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("l_distinct") < 2, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_failing_l2"),
+        F.sum(F.when(F.col("l_distinct") < 3, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_failing_l3"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.max(F.expr("(max_sens * 1000000) div n"))
+        .cast("long")
+        .alias("worst_disclosure_ppm"),
+    )
+
+
+_LORENZ_ORACLE = """
+WITH spend AS (
+  SELECT c.c_custkey,
+         coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+ranked AS (
+  SELECT y, row_number() OVER (ORDER BY y, c_custkey) AS r,
+         count(*) OVER () AS n,
+         sum(CAST(y AS HUGEINT)) OVER (ORDER BY y, c_custkey) AS cum,
+         sum(CAST(y AS HUGEINT)) OVER () AS total
+  FROM spend
+),
+dec AS (
+  SELECT CAST(r * 10 // n AS BIGINT) AS decile_reached, cum, total
+  FROM ranked
+  WHERE r = (r * 10 // n) * n // 10  -- r == floor(k*n/10) boundaries
+),
+pts AS (
+  SELECT decile_reached AS decile,
+         CAST(max(cum) * 1000000 // max(total) AS BIGINT) AS lorenz_ppm
+  FROM dec
+  WHERE decile_reached BETWEEN 1 AND 10
+  GROUP BY decile_reached
+),
+withprev AS (
+  SELECT lorenz_ppm,
+         coalesce(lag(lorenz_ppm) OVER (ORDER BY decile), 0) AS prev
+  FROM pts
+),
+gini AS (
+  SELECT CAST(1000000 - sum(lorenz_ppm + prev) // 10 AS BIGINT) AS gini_ppm
+  FROM withprev
+)
+SELECT p.decile, p.lorenz_ppm, g.gini_ppm
+FROM pts p, gini g
+ORDER BY p.decile
+"""
+
+
+@_register("lorenz_curve_deciles", _LORENZ_ORACLE)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer lifetime spend sampled at the 10 decile
+    boundaries (exact rank cutoffs r = floor(k*n/10)), plus the Gini
+    coefficient by trapezoid rule over those points — the CURVE the
+    scalar inequality indices summarize (gini_concentration_by_segment
+    integrates it exactly; quintile_share_ratio reads two points of it;
+    this entry exposes the whole shape so you can SEE where inequality
+    lives). All cumulative sums are integers; each Lorenz ordinate is
+    one exact division. Scale shape: one rollup + one rank window; the
+    boundary filter keeps 10 rows."""
+    spend = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)).alias("y"))
+    )
+    wr = W.orderBy("y", "c_custkey")
+    wcum = wr.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = spend.select(
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(wcum).alias("cum"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(wall).alias("total"),
+    )
+    pts = (
+        ranked.filter(
+            F.expr("r = ((r * 10) div n) * n div 10")
+            & F.expr("(r * 10) div n BETWEEN 1 AND 10")
+        )
+        .groupBy(F.expr("CAST((r * 10) div n AS BIGINT)").alias("decile"))
+        .agg(
+            F.expr(
+                "CAST((max(cum) * 1000000) div max(total) AS BIGINT)"
+            ).alias("lorenz_ppm")
+        )
+        .localCheckpoint(eager=False)
+    )
+    gini = pts.select(
+        "lorenz_ppm",
+        F.coalesce(
+            F.lag("lorenz_ppm").over(W.orderBy("decile")), F.lit(0)
+        ).alias("prev"),
+    ).agg(
+        F.expr(
+            "CAST(1000000 - sum(lorenz_ppm + prev) div 10 AS BIGINT)"
+        ).alias("gini_ppm")
+    )
+    return (
+        pts.crossJoin(F.broadcast(gini))
+        .select("decile", "lorenz_ppm", "gini_ppm")
+        .orderBy("decile")
+    )
+
+
+_MASE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, d, y,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS y7,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS y1
+  FROM daily
+),
+agg AS (
+  SELECT event_type,
+         count(y7) AS n_s,
+         sum(abs(y - y7)) FILTER (WHERE y7 IS NOT NULL) AS sae_s,
+         count(y1) AS n_n,
+         sum(abs(y - y1)) FILTER (WHERE y1 IS NOT NULL) AS sae_n
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_s AS BIGINT) AS n_forecasts,
+       CAST(sae_s AS BIGINT) AS seasonal_abs_err,
+       CAST(sae_n AS BIGINT) AS naive_abs_err,
+       CAST(CAST(sae_s AS HUGEINT) * n_n * 1000
+            // (CAST(sae_n AS HUGEINT) * n_s) AS BIGINT) AS mase_milli
+FROM agg
+ORDER BY event_type
+"""
+
+
+@_register("mase_forecast_eval", _MASE_ORACLE)
+def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error, Hyndman & Koehler 2006) for the
+    seasonal-naive weekly forecast of daily event counts, scaled by the
+    one-step naive benchmark: MASE = mean|y - y_{t-7}| / mean|y - y_{t-1}|
+    as ONE cross-multiplied exact division — under 1000 milli means the
+    weekly pattern beats persistence, the unit-free, scale-free answer
+    to 'is this forecast any good?' that MAPE can't give on
+    zero-crossing series. Completes the eval side of
+    seasonal_naive_forecast_eval (which reports raw errors) and
+    pinball_loss_quantile_eval (quantile forecasts). Exact integers;
+    one window pass on the calendar-bounded frame."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 1).over(w).alias("y1"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count("y7").alias("n_s"),
+        F.sum(
+            F.when(F.col("y7").isNotNull(), F.abs(F.col("y") - F.col("y7")))
+        ).alias("sae_s"),
+        F.count("y1").alias("n_n"),
+        F.sum(
+            F.when(F.col("y1").isNotNull(), F.abs(F.col("y") - F.col("y1")))
+        ).alias("sae_n"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_s").cast("long").alias("n_forecasts"),
+        F.col("sae_s").cast("long").alias("seasonal_abs_err"),
+        F.col("sae_n").cast("long").alias("naive_abs_err"),
+        F.expr(
+            "CAST((CAST(sae_s AS DECIMAL(38,0)) * n_n * 1000)"
+            " div (CAST(sae_n AS DECIMAL(38,0)) * n_s) AS BIGINT)"
+        ).alias("mase_milli"),
+    ).orderBy("event_type")
+
+
+_CONFUSION_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+cm AS (
+  SELECT sum(pred * label) AS tp,
+         sum(pred * (1 - label)) AS fp,
+         sum((1 - pred) * label) AS fn,
+         sum((1 - pred) * (1 - label)) AS tn
+  FROM scored
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST(tp * 1000 // (tp + fp) AS BIGINT) AS precision_milli,
+       CAST(tp * 1000 // (tp + fn) AS BIGINT) AS recall_milli,
+       CAST(2 * tp * 1000 // (2 * tp + fp + fn) AS BIGINT) AS f1_milli,
+       CAST((CAST(tp AS HUGEINT) * 1000000 // (tp + fn)
+             + CAST(tn AS HUGEINT) * 1000000 // (tn + fp)) // 2
+            AS BIGINT) AS balanced_accuracy_ppm
+FROM cm
+"""
+
+
+@_register("confusion_matrix_metrics", _CONFUSION_ORACLE)
+def confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full confusion-matrix metric set for the fixed-threshold
+    'length > 250 predicts English' classifier: TP/FP/FN/TN plus
+    precision, recall, F1 = 2TP/(2TP+FP+FN) (the harmonic mean
+    simplifies to one exact division) and balanced accuracy
+    (TPR+TNR)/2, which unlike raw accuracy survives the 44/56 class
+    skew. The threshold-FIXED companion of roc_curve_points (all
+    thresholds) and cost_threshold_optimization (best threshold):
+    together they are the complete decision-quality kit. One conditional
+    aggregate over the scan; everything after is 1-row algebra."""
+    scored = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") > 250, 1).otherwise(0).alias("pred"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    cm = scored.agg(
+        F.sum(F.col("pred") * F.col("label")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label"))).alias("tn"),
+    )
+    return cm.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.expr("CAST((tp * 1000) div (tp + fp) AS BIGINT)").alias(
+            "precision_milli"
+        ),
+        F.expr("CAST((tp * 1000) div (tp + fn) AS BIGINT)").alias(
+            "recall_milli"
+        ),
+        F.expr(
+            "CAST((2 * tp * 1000) div (2 * tp + fp + fn) AS BIGINT)"
+        ).alias("f1_milli"),
+        F.expr(
+            "CAST(((CAST(tp AS DECIMAL(38,0)) * 1000000) div (tp + fn)"
+            " + (CAST(tn AS DECIMAL(38,0)) * 1000000) div (tn + fp)) div 2"
+            " AS BIGINT)"
+        ).alias("balanced_accuracy_ppm"),
+    )
+
+
+_FE_ORACLE = """
+WITH months AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS mo FROM orders
+),
+panel AS (
+  SELECT c.c_custkey, m.mo,
+         coalesce(p.x, 0) AS x, coalesce(p.y, 0) AS y
+  FROM customer c
+  CROSS JOIN months m
+  LEFT JOIN (
+    SELECT o_custkey, date_trunc('month', o_orderdate) AS mo,
+           count(*) AS x,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+    FROM orders GROUP BY 1, 2
+  ) p ON p.o_custkey = c.c_custkey AND p.mo = m.mo
+),
+per AS (
+  SELECT c_custkey,
+         count(*) AS m,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM panel GROUP BY 1
+),
+fe AS (
+  SELECT max(m) AS m,
+         sum(m * sxy - sx * sy) AS a,
+         sum(m * sxx - sx * sx) AS b,
+         count(*) AS n_entities
+  FROM per
+)
+SELECT CAST(n_entities AS BIGINT) AS n_entities,
+       CAST(m AS BIGINT) AS n_periods,
+       CAST(1000 * a // b AS BIGINT) AS fe_slope_milli_cents_per_order,
+       CAST(a // 1000000 AS BIGINT) AS demeaned_cov_millions,
+       CAST(b AS BIGINT) AS demeaned_var_x
+FROM fe
+"""
+
+
+@_register("fixed_effects_within_estimator", _FE_ORACLE)
+def fixed_effects_within_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel fixed-effects (within) estimator of spend-per-order on the
+    customer x month panel: demeaning each customer's series removes
+    every time-invariant customer effect, and on a BALANCED panel
+    (dense customer x month spine, zero-filled) the within slope is
+    sum_i(M*Sxy_i - Sx_i*Sy_i) / sum_i(M*Sxx_i - Sx_i^2) — the common
+    M makes it ONE exact division, no per-group flooring (the reason
+    the spine is dense). The causal-panel sibling of
+    difference_in_differences (2 groups x 2 periods) generalized to
+    all entities and periods. Scale shape: one rollup, one dense-spine
+    left join (customers x months — linear in customers), one 1-row
+    combine."""
+    orders = _t(spark, sf_dir, "orders")
+    months = orders.select(
+        F.date_trunc("month", "o_orderdate").alias("spine_mo")
+    ).distinct()
+    per_cm = orders.groupBy(
+        F.col("o_custkey"), F.date_trunc("month", "o_orderdate").alias("cm_mo")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(_cents("o_totalprice")).alias("y"),
+    )
+    panel = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .crossJoin(F.broadcast(months))
+        .join(
+            per_cm,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("cm_mo") == F.col("spine_mo")),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    per = panel.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    fe = per.agg(
+        F.max("m").alias("m"),
+        F.sum(
+            F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+        ).alias("a"),
+        F.sum(
+            F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_entities"),
+    )
+    return fe.select(
+        F.col("n_entities").cast("long").alias("n_entities"),
+        F.col("m").cast("long").alias("n_periods"),
+        F.expr("CAST((1000 * a) div b AS BIGINT)").alias(
+            "fe_slope_milli_cents_per_order"
+        ),
+        F.expr("CAST(a div 1000000 AS BIGINT)").alias(
+            "demeaned_cov_millions"
+        ),
+        F.col("b").cast("long").alias("demeaned_var_x"),
+    )

@@ -3370,3 +3370,255 @@ def critical_path_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "100")
     _t(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_CRITPATH_ORACLE.replace("//", "div"))
+
+
+# ===========================================================================
+# Round-4 additions: local clustering coefficient, k-truss peel
+# ===========================================================================
+
+_COSUPP_EDGES = """
+cos AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT s1 AS a, s2 AS b FROM cos
+  WHERE w >= 2 AND (s1 * 31 + s2 * 17) % 20 = 0
+),
+und AS (
+  SELECT a AS u, b AS v FROM e
+  UNION ALL
+  SELECT b AS u, a AS v FROM e
+)"""
+
+_LCC_ORACLE = (
+    "WITH "
+    + _COSUPP_EDGES
+    + """,
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+tri_at AS (
+  -- triangles at u: neighbors v,w of u (v<w) that are themselves an edge
+  SELECT n1.u, count(*) AS tri
+  FROM und n1
+  JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+  JOIN e ON e.a = n1.v AND e.b = n2.v
+  GROUP BY n1.u
+)
+SELECT d.u AS node, d.d AS degree,
+       CAST(coalesce(t.tri, 0) AS BIGINT) AS triangles,
+       CAST(coalesce(t.tri, 0) * 2000000 // (d.d * (d.d - 1)) AS BIGINT)
+         AS lcc_ppm
+FROM deg d LEFT JOIN tri_at t ON t.u = d.u
+WHERE d.d >= 2
+ORDER BY lcc_ppm DESC, node
+LIMIT 15
+"""
+)
+
+
+@_register("local_clustering_topk", _LCC_ORACLE)
+def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node — 2*tri(u)/(deg(u)*(deg(u)-1))
+    in exact ppm over the same sampled co-supply graph as
+    triangle_count_oriented, top-15 by coefficient: where the GLOBAL
+    coefficient (clustering_coefficient_global) says how clustered the
+    network is, the local one finds WHICH suppliers sit in tight cliques
+    (ego-network density — the community-detection primitive used for
+    role discovery). Triangles at u come from one wedge self-join of the
+    undirected adjacency checked against the oriented edge list — never
+    an all-pairs scan. Scale shape: adjacency self-join keyed on u (the
+    same shape the triangle entry measures), one degree agg, broadcast-k
+    output."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("x")
+    b = li.alias("y")
+    cos = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("s1"), F.col("y.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e = cos.filter(
+        (F.col("w") >= 2)
+        & ((F.col("s1") * 31 + F.col("s2") * 17) % 20 == 0)
+    ).select(F.col("s1").alias("a"), F.col("s2").alias("b")).localCheckpoint(
+        eager=False
+    )
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    n1 = und.alias("n1")
+    n2 = und.alias("n2")
+    tri_at = (
+        n1.join(
+            n2,
+            (F.col("n2.u") == F.col("n1.u")) & (F.col("n1.v") < F.col("n2.v")),
+        )
+        .join(
+            e,
+            (F.col("a") == F.col("n1.v")) & (F.col("b") == F.col("n2.v")),
+        )
+        .groupBy(F.col("n1.u").alias("tu"))
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return (
+        deg.join(tri_at, F.col("tu") == F.col("u"), "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce("tri", F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "CAST((coalesce(tri, 0) * 2000000) div (d * (d - 1))"
+                " AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+        .orderBy(F.col("lcc_ppm").desc(), "node")
+        .limit(15)
+    )
+
+
+_KTRUSS_ORACLE = (
+    "WITH "
+    + _COSUPP_EDGES
+    + """,
+supp0 AS (
+  -- support of oriented edge (a,b): common neighbors via the undirected
+  -- adjacency of both endpoints
+  SELECT e.a, e.b, count(*) AS s
+  FROM e
+  JOIN und na ON na.u = e.a
+  JOIN und nb ON nb.u = e.b AND nb.v = na.v
+  GROUP BY e.a, e.b
+),
+e1 AS (
+  -- peel round 1: keep edges in >= 1 triangle (3-truss candidates)
+  SELECT a, b FROM supp0 WHERE s >= 1
+),
+und1 AS (
+  SELECT a AS u, b AS v FROM e1
+  UNION ALL
+  SELECT b AS u, a AS v FROM e1
+),
+supp1 AS (
+  SELECT e1.a, e1.b, count(*) AS s
+  FROM e1
+  JOIN und1 na ON na.u = e1.a
+  JOIN und1 nb ON nb.u = e1.b AND nb.v = na.v
+  GROUP BY e1.a, e1.b
+),
+e2 AS (SELECT a, b FROM supp1 WHERE s >= 1)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edges_round0,
+       CAST((SELECT count(*) FROM e1) AS BIGINT) AS edges_round1,
+       CAST((SELECT count(*) FROM e2) AS BIGINT) AS edges_round2,
+       CAST((SELECT count(DISTINCT u) FROM und1) AS BIGINT)
+         AS nodes_in_truss_candidates,
+       CAST((SELECT coalesce(max(s), 0) FROM supp1) AS BIGINT)
+         AS max_support_after_peel
+"""
+)
+
+
+@_register("ktruss_edge_peel", _KTRUSS_ORACLE)
+def ktruss_edge_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss computation by support peeling on the co-supply graph:
+    an edge's SUPPORT is the number of triangles through it (common
+    neighbors of its endpoints); the 3-truss keeps edges with support
+    >= 1, and because removing an edge can destroy other edges'
+    triangles, the peel must RE-COUNT — two unrolled rounds here, with
+    the second round's counts proving (or refuting) convergence via
+    edges_round1 == edges_round2. Trusses are the standard
+    cohesive-subgraph relaxation of cliques (every edge in a 3-truss
+    closes a triangle) and the edge-wise refinement of
+    kcore_decomposition's node-wise peel. Scale shape per round: one
+    two-hop adjacency join keyed on endpoints (the triangle entry's
+    measured shape) + one filter — no all-pairs anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("x")
+    b = li.alias("y")
+    cos = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("s1"), F.col("y.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e0 = cos.filter(
+        (F.col("w") >= 2)
+        & ((F.col("s1") * 31 + F.col("s2") * 17) % 20 == 0)
+    ).select(F.col("s1").alias("a"), F.col("s2").alias("b")).localCheckpoint(
+        eager=False
+    )
+
+    def support(e: DataFrame) -> DataFrame:
+        und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        na = und.alias("na")
+        nb = und.alias("nb")
+        return (
+            e.join(na, F.col("na.u") == F.col("a"))
+            .join(
+                nb,
+                (F.col("nb.u") == F.col("b"))
+                & (F.col("nb.v") == F.col("na.v")),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("s"))
+        )
+
+    e1 = (
+        support(e0)
+        .filter(F.col("s") >= 1)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    supp1 = support(e1).localCheckpoint(eager=False)
+    e2_count = supp1.filter(F.col("s") >= 1).agg(
+        F.count(F.lit(1)).alias("edges_round2")
+    )
+    und1_nodes = (
+        e1.select(F.col("a").alias("u"))
+        .unionAll(e1.select(F.col("b").alias("u")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("nodes_in_truss_candidates"))
+    )
+    return (
+        e0.agg(F.count(F.lit(1)).cast("long").alias("edges_round0"))
+        .crossJoin(
+            F.broadcast(e1.agg(F.count(F.lit(1)).cast("long").alias("edges_round1")))
+        )
+        .crossJoin(F.broadcast(e2_count))
+        .crossJoin(F.broadcast(und1_nodes))
+        .crossJoin(
+            F.broadcast(
+                supp1.agg(
+                    F.coalesce(F.max("s"), F.lit(0))
+                    .cast("long")
+                    .alias("max_support_after_peel")
+                )
+            )
+        )
+        .select(
+            "edges_round0",
+            "edges_round1",
+            F.col("edges_round2").cast("long").alias("edges_round2"),
+            F.col("nodes_in_truss_candidates")
+            .cast("long")
+            .alias("nodes_in_truss_candidates"),
+            "max_support_after_peel",
+        )
+    )
