@@ -209,6 +209,14 @@ ENTRIES = [
     "zonemap_pruning_audit",
     "merge_into_emulation",
     "vocab_coverage_curve",
+    "erlang_c_wait_probability",
+    "ldiversity_audit",
+    "lorenz_curve_deciles",
+    "mase_forecast_eval",
+    "confusion_matrix_metrics",
+    "fixed_effects_within_estimator",
+    "local_clustering_topk",
+    "ktruss_edge_peel",
 ]
 
 
