@@ -2790,3 +2790,145 @@ def fixed_effects_within_estimator(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         F.col("b").cast("long").alias("demeaned_var_x"),
     )
+
+
+_HOLM_LADDER = [9550, 9475, 9397, 9315, 9230, 9141, 9047, 8948, 8844,
+                8733, 8615, 8490, 8355, 8210, 8052, 7879, 7689, 7477,
+                7237, 6960, 6635, 6239, 5731, 5024, 3841]
+
+_HOLM_ORACLE = f"""
+WITH lab AS (
+  SELECT n.n_name,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y1
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS nn, CAST(sum(y1) AS BIGINT) AS yy
+  FROM lab
+),
+z AS (
+  SELECT l.n_name, l.n1, l.y1,
+         CAST(CAST(l.y1 * (t.nn - l.n1) - (t.yy - l.y1) * l.n1 AS HUGEINT)
+              * (l.y1 * (t.nn - l.n1) - (t.yy - l.y1) * l.n1)
+              * t.nn * 1000
+              // (CAST(l.n1 AS HUGEINT) * (t.nn - l.n1) * t.yy
+                  * (t.nn - t.yy)) AS BIGINT) AS z2_milli
+  FROM lab l CROSS JOIN tot t
+),
+rk AS (
+  SELECT n_name, n1, y1, z2_milli,
+         CAST(row_number() OVER (ORDER BY z2_milli DESC, n_name) AS BIGINT)
+           AS rank
+  FROM z
+),
+crit AS (
+  SELECT *, ({_HOLM_LADDER})[rank] AS holm_critical_milli
+  FROM rk
+),
+stopper AS (
+  SELECT coalesce(min(CASE WHEN z2_milli < holm_critical_milli
+                           THEN rank END), 26) AS stop_rank
+  FROM crit
+)
+SELECT c.n_name, c.n1, c.y1, c.z2_milli, c.rank, c.holm_critical_milli,
+       CAST(CASE WHEN c.rank < s.stop_rank THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM crit c CROSS JOIN stopper s
+ORDER BY c.rank
+"""
+
+
+@_register("holm_bonferroni_screen", _HOLM_ORACLE)
+def holm_bonferroni_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-DOWN multiple-testing control over the same 25
+    per-nation urgency chi-squares as fdr_bh_screen: hypotheses sorted
+    most-significant first must clear a/(m-i+1) IN ORDER, and the first
+    failure stops everything after it (BH steps UP and controls FDR;
+    Holm controls the stricter familywise error with no independence
+    assumption — run both and the gap is the price of FWER). The
+    critical ladder is 25 shared chi2(1df) constants in milli; the
+    stop rank is one MIN aggregate; everything else rides the exact
+    z2 integer lanes. Scale shape: one join-agg to 25 rows, constant
+    algebra after."""
+    lab = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("y1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = lab.agg(F.sum("n1").alias("nn"), F.sum("y1").alias("yy"))
+    num = "(y1 * (nn - n1) - (yy - y1) * n1)"
+    z = lab.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n1",
+        "y1",
+        F.expr(
+            f"CAST((CAST({num} AS DECIMAL(38,0)) * {num} * nn * 1000)"
+            " div (CAST(n1 AS DECIMAL(38,0)) * (nn - n1) * yy * (nn - yy))"
+            " AS BIGINT)"
+        ).alias("z2_milli"),
+    )
+    ladder = ", ".join(str(v) for v in _HOLM_LADDER)
+    crit = z.select(
+        "*",
+        F.expr(
+            "CAST(row_number() OVER (ORDER BY z2_milli DESC, n_name)"
+            " AS BIGINT)"
+        ).alias("rank"),
+    ).select(
+        "*",
+        F.expr(
+            f"element_at(array({ladder}), CAST(rank AS INT))"
+        ).alias("holm_critical_milli"),
+    ).localCheckpoint(eager=False)
+    stopper = crit.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("z2_milli") < F.col("holm_critical_milli"),
+                    F.col("rank"),
+                )
+            ),
+            F.lit(26),
+        ).alias("stop_rank")
+    )
+    return (
+        crit.crossJoin(F.broadcast(stopper))
+        .select(
+            "n_name",
+            "n1",
+            "y1",
+            "z2_milli",
+            "rank",
+            F.col("holm_critical_milli").cast("long").alias(
+                "holm_critical_milli"
+            ),
+            F.expr(
+                "CAST(CASE WHEN rank < stop_rank THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("rejected"),
+        )
+        .orderBy("rank")
+    )

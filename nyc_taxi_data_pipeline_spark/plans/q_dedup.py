@@ -1689,3 +1689,76 @@ def phonetic_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+# ===========================================================================
+# Round-4 addition: duplicate-cluster census
+# ===========================================================================
+
+_CENSUS_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, md5(substr(lower(text), 1, 40)) AS f
+  FROM documents WHERE text IS NOT NULL
+),
+clusters AS (
+  SELECT f, count(*) AS sz FROM fp GROUP BY f
+),
+tot AS (
+  SELECT count(*) AS n_clusters, sum(sz) AS n_docs,
+         sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS singletons
+  FROM clusters
+)
+SELECT c.sz AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * c.sz AS BIGINT) AS n_docs,
+       CAST(t.singletons * 1000000 // t.n_clusters AS BIGINT)
+         AS singleton_cluster_ppm,
+       CAST((t.n_docs - t.n_clusters) * 1000000 // t.n_docs AS BIGINT)
+         AS duplicate_doc_ppm
+FROM clusters c, tot t
+GROUP BY c.sz, t.singletons, t.n_clusters, t.n_docs
+ORDER BY cluster_size
+"""
+
+
+@_register("dedup_cluster_census", _CENSUS_ORACLE)
+def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster census — the dedup TELEMETRY every curation run
+    reports before deleting anything: histogram of cluster sizes under
+    the 40-char-prefix fingerprint (the synthetic corpus has no
+    byte-exact duplicates, so the coarse fingerprint is what clusters —
+    same choice as dedup_fingerprint_portable), the share of clusters
+    that are singletons, and duplicate_doc_ppm = (docs - clusters)/docs,
+    i.e. the fraction dedup would REMOVE — the one number that decides
+    whether near-dup dedup is worth its shuffle at this corpus. Scale
+    shape: one hash agg to clusters, one agg to sizes; all counts
+    exact."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fp = d.select(
+        F.md5(F.expr("substring(lower(text), 1, 40)")).alias("f")
+    )
+    clusters = fp.groupBy("f").agg(F.count(F.lit(1)).alias("sz"))
+    clusters = clusters.localCheckpoint(eager=False)
+    tot = clusters.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).alias("singletons"),
+    )
+    return (
+        clusters.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            F.col("nc").cast("long").alias("n_clusters"),
+            (F.col("nc") * F.col("cluster_size")).cast("long").alias("n_docs"),
+            F.expr(
+                "CAST((singletons * 1000000) div n_clusters AS BIGINT)"
+            ).alias("singleton_cluster_ppm"),
+            F.expr(
+                "CAST(((n_docs - n_clusters) * 1000000) div n_docs"
+                " AS BIGINT)"
+            ).alias("duplicate_doc_ppm"),
+        )
+        .orderBy("cluster_size")
+    )

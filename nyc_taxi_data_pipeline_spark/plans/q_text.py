@@ -4252,3 +4252,268 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+_LANGPROF_ORACLE = """
+WITH chars AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+tri AS (
+  SELECT lang, substr(w, i, 3) AS g
+  FROM chars, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS r(i)
+  WHERE len(w) >= 3
+),
+cnt AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY 1, 2),
+topk AS (
+  SELECT lang, g
+  FROM (SELECT lang, g,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, g)
+                 AS rn
+        FROM cnt)
+  WHERE rn <= 20
+)
+SELECT la.lang AS lang_a, lb.lang AS lang_b,
+       CAST(coalesce(p.inter, 0) AS BIGINT) AS n_shared,
+       CAST(40 - coalesce(p.inter, 0) AS BIGINT) AS n_union,
+       CAST(coalesce(p.inter, 0) * 1000000
+            // (40 - coalesce(p.inter, 0)) AS BIGINT) AS jaccard_ppm
+FROM (SELECT DISTINCT lang FROM topk) la
+JOIN (SELECT DISTINCT lang FROM topk) lb ON la.lang < lb.lang
+LEFT JOIN (
+  SELECT a.lang AS l1, b.lang AS l2, count(*) AS inter
+  FROM topk a JOIN topk b ON a.lang < b.lang AND a.g = b.g
+  GROUP BY 1, 2
+) p ON p.l1 = la.lang AND p.l2 = lb.lang
+ORDER BY lang_a, lang_b
+"""
+
+
+@_register("language_profile_similarity", _LANGPROF_ORACLE)
+def language_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle-style language profiling: each language's profile
+    is its top-20 character trigrams (rank by count, deterministic
+    tie-break), and the pairwise Jaccard between profiles in exact ppm
+    measures script/orthography affinity — the mechanism behind
+    lang_id_documents turned on itself to QA the label space (two
+    languages whose profiles overlap heavily are the ones the
+    classifier will confuse). |union| = 40 - |intersection| since
+    profiles are fixed-size sets. Scale shape: one corpus trigram
+    explode + hash agg (domain-bounded: <= 26^3 cells per lang), a
+    20-row-per-lang rank window, then 10-pair constant algebra."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    ).filter(F.length("w") >= 3)
+    tri = words.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 2),"
+                " i -> substring(w, i, 3))"
+            )
+        ).alias("g"),
+    )
+    cnt = tri.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    wtop = W.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+    topk = (
+        cnt.select("lang", "g", F.row_number().over(wtop).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "g")
+        .localCheckpoint(eager=False)
+    )
+    a = topk.alias("a")
+    b = topk.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") < F.col("b.lang")) & (F.col("a.g") == F.col("b.g")),
+        )
+        .groupBy(F.col("a.lang").alias("l1"), F.col("b.lang").alias("l2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    langs = topk.select("lang").distinct()
+    la = langs.alias("la")
+    lb = langs.alias("lb")
+    return (
+        la.join(lb, F.col("la.lang") < F.col("lb.lang"))
+        .select(
+            F.col("la.lang").alias("lang_a"), F.col("lb.lang").alias("lang_b")
+        )
+        .join(
+            inter,
+            (F.col("l1") == F.col("lang_a")) & (F.col("l2") == F.col("lang_b")),
+            "left",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            F.coalesce("inter", F.lit(0)).cast("long").alias("n_shared"),
+            (40 - F.coalesce("inter", F.lit(0))).cast("long").alias("n_union"),
+            F.expr(
+                "CAST((coalesce(inter, 0) * 1000000)"
+                " div (40 - coalesce(inter, 0)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+_BPE_RATIO_ORACLE = _bpe_cte_prefix(3) + """
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(freq * len(word)) AS BIGINT) AS symbols_before,
+       CAST(sum(freq * len(string_split(trim(seq, '|'), '||'))) AS BIGINT)
+         AS symbols_after,
+       CAST(sum(freq * len(string_split(trim(seq, '|'), '||'))) * 1000
+            // sum(freq * len(word)) AS BIGINT) AS compression_milli
+FROM v3
+"""
+
+
+@_register("bpe_compression_ratio", _BPE_RATIO_ORACLE)
+def bpe_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compression bought by the first 3 BPE merges: symbol count
+    before (= character count, every char its own symbol) vs after,
+    frequency-weighted over the whole corpus — compression_milli is the
+    tokens-per-char cost that drives context-window economics, the
+    MEASURED counterpart of tokenizer_fertility_eval (which reports
+    per-word fertility) and the reason bpe_merge_iterations exists at
+    all. Shares _bpe_learn's no-driver-collect merge loop; one final
+    1-row aggregate over the vocab frame. Scale shape: identical to
+    the other BPE entries — corpus word rollup, then vocab-bounded."""
+    vocab, _ = _bpe_learn(spark, sf_dir, n_merges=3)
+    return vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.col("freq") * F.length("word")).cast("long").alias(
+            "symbols_before"
+        ),
+        F.sum(
+            F.col("freq")
+            * F.size(F.split(F.btrim(F.col("seq"), F.lit("|")), r"\|\|"))
+        )
+        .cast("long")
+        .alias("symbols_after"),
+        F.expr(
+            "CAST((sum(freq * size(split(btrim(seq, '|'), '\\\\|\\\\|')))"
+            " * 1000) div sum(freq * length(word)) AS BIGINT)"
+        ).alias("compression_milli"),
+    )
+
+
+_BIGRAM_COVERAGE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, (doc_id // 20) % 2 AS fold,
+         regexp_extract_all(lower(text), '[a-z]+') AS a
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT fold, a[i] AS w1, a[i + 1] AS w2
+  FROM toks, unnest(range(1, len(a))) AS r(i)
+  WHERE len(a) >= 2
+),
+train AS (SELECT DISTINCT w1, w2 FROM bg WHERE fold = 0),
+test_occ AS (SELECT w1, w2 FROM bg WHERE fold = 1),
+hits AS (
+  SELECT count(*) AS occ_total,
+         sum(CASE WHEN t.w1 IS NOT NULL THEN 1 ELSE 0 END) AS occ_seen
+  FROM test_occ o LEFT JOIN train t ON t.w1 = o.w1 AND t.w2 = o.w2
+),
+dhits AS (
+  SELECT count(*) AS dist_total,
+         sum(CASE WHEN t.w1 IS NOT NULL THEN 1 ELSE 0 END) AS dist_seen
+  FROM (SELECT DISTINCT w1, w2 FROM test_occ) o
+  LEFT JOIN train t ON t.w1 = o.w1 AND t.w2 = o.w2
+)
+SELECT CAST((SELECT count(*) FROM train) AS BIGINT) AS train_bigrams,
+       CAST(h.occ_total AS BIGINT) AS test_occurrences,
+       CAST(h.occ_seen * 1000000 // h.occ_total AS BIGINT)
+         AS occurrence_coverage_ppm,
+       CAST(d.dist_total AS BIGINT) AS test_distinct,
+       CAST(d.dist_seen * 1000000 // d.dist_total AS BIGINT)
+         AS distinct_coverage_ppm
+FROM hits h, dhits d
+"""
+
+
+@_register("bigram_model_coverage", _BIGRAM_COVERAGE_ORACLE)
+def bigram_model_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out coverage of the bigram table — the UNSMOOTHED failure
+    rate that motivates kneser_ney_bigram_model: train on even folds of
+    (doc_id div 20) % 2 (the split that ALTERNATES with source, per the
+    corpus-aliasing note), test on odd folds, and report what fraction
+    of test bigram OCCURRENCES and test DISTINCT bigrams the train
+    table has seen at all. Occurrence coverage is always the higher
+    number (frequent bigrams are seen first) — the gap between the two
+    ppm readouts IS the Zipf tail an n-gram LM must smooth over. Scale
+    shape: corpus-linear bigram explode, one distinct agg per fold,
+    one equi-join on the bigram key."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        F.expr("(doc_id div 20) % 2").alias("fold"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias(
+            "a"
+        ),
+    ).filter(F.size("a") >= 2)
+    bg = toks.select(
+        "fold",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("a"), 1, F.size("a") - 1),
+                F.slice(F.col("a"), 2, F.size("a") - 1),
+                lambda l, r: F.struct(l.alias("w1"), r.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("fold", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = bg.localCheckpoint(eager=False)
+    train = bg.filter(F.col("fold") == 0).select("w1", "w2").distinct()
+    train = train.localCheckpoint(eager=False)
+    test_occ = bg.filter(F.col("fold") == 1).select("w1", "w2")
+    tr = train.alias("t").withColumnRenamed("w1", "tw1").withColumnRenamed(
+        "w2", "tw2"
+    )
+    hits = (
+        test_occ.join(
+            tr,
+            (F.col("w1") == F.col("tw1")) & (F.col("w2") == F.col("tw2")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("occ_total"),
+            F.sum(
+                F.when(F.col("tw1").isNotNull(), 1).otherwise(0)
+            ).alias("occ_seen"),
+        )
+    )
+    dhits = (
+        test_occ.distinct()
+        .join(
+            tr,
+            (F.col("w1") == F.col("tw1")) & (F.col("w2") == F.col("tw2")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("dist_total"),
+            F.sum(
+                F.when(F.col("tw1").isNotNull(), 1).otherwise(0)
+            ).alias("dist_seen"),
+        )
+    )
+    tcount = train.agg(F.count(F.lit(1)).cast("long").alias("train_bigrams"))
+    return (
+        tcount.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(dhits))
+        .select(
+            "train_bigrams",
+            F.col("occ_total").cast("long").alias("test_occurrences"),
+            F.expr(
+                "CAST((occ_seen * 1000000) div occ_total AS BIGINT)"
+            ).alias("occurrence_coverage_ppm"),
+            F.col("dist_total").cast("long").alias("test_distinct"),
+            F.expr(
+                "CAST((dist_seen * 1000000) div dist_total AS BIGINT)"
+            ).alias("distinct_coverage_ppm"),
+        )
+    )

@@ -217,6 +217,11 @@ ENTRIES = [
     "fixed_effects_within_estimator",
     "local_clustering_topk",
     "ktruss_edge_peel",
+    "holm_bonferroni_screen",
+    "language_profile_similarity",
+    "bpe_compression_ratio",
+    "bigram_model_coverage",
+    "dedup_cluster_census",
 ]
 
 
