@@ -2932,3 +2932,262 @@ def holm_bonferroni_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ===========================================================================
+# Wave 6 (final): PR curve, effect size, odds ratios
+# ===========================================================================
+
+_PR_CURVE_ORACLE = """
+WITH scored AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+tot AS (SELECT sum(pos) AS p, count(*) AS n FROM scored),
+dv AS (
+  SELECT score, sum(pos) AS cp, count(*) AS t
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score,
+         sum(t) OVER (ORDER BY score) AS c_le,
+         sum(cp) OVER (ORDER BY score) AS p_le
+  FROM dv
+),
+deciles AS (SELECT unnest(range(1, 10)) AS decile),
+thr AS (
+  SELECT d.decile, min(c.score) AS threshold
+  FROM deciles d, tot, cum c
+  WHERE c.c_le >= (d.decile * tot.n + 9) // 10
+  GROUP BY d.decile
+)
+SELECT t.decile, t.threshold,
+       CAST(o.p - c.p_le AS BIGINT) AS tp,
+       CAST(o.n - c.c_le AS BIGINT) AS n_predicted_pos,
+       CAST((o.p - c.p_le) * 1000000 // (o.n - c.c_le) AS BIGINT)
+         AS precision_ppm,
+       CAST((o.p - c.p_le) * 1000000 // o.p AS BIGINT) AS recall_ppm
+FROM thr t
+JOIN cum c ON c.score = t.threshold
+CROSS JOIN tot o
+WHERE o.n > c.c_le
+ORDER BY t.decile
+"""
+
+
+@_register("pr_curve_points", _PR_CURVE_ORACLE)
+def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall operating points at the same score-decile
+    thresholds as roc_curve_points — the view that matters under class
+    imbalance, where ROC flatters (FPR's denominator is the big
+    negative class; precision's is only what you predicted positive).
+    Same cumulative distinct-score frame, exact ppm; thresholds where
+    nothing is predicted positive are excluded (precision undefined).
+    Together with average_precision_eval (the curve's integral) and
+    cost_threshold_optimization (the decision), the PR story is
+    complete. Scale shape: identical to the ROC entry."""
+    scored = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    tot = scored.agg(
+        F.sum("pos").alias("p"), F.count(F.lit(1)).alias("n")
+    )
+    dv = scored.groupBy("score").agg(
+        F.sum("pos").alias("cp"), F.count(F.lit(1)).alias("t")
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = dv.select(
+        "score",
+        F.sum("t").over(w).alias("c_le"),
+        F.sum("cp").over(w).alias("p_le"),
+    ).localCheckpoint(eager=False)
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    thr = (
+        F.broadcast(deciles.crossJoin(tot))
+        .join(cum, F.col("c_le") >= F.expr("(decile * n + 9) div 10"))
+        .groupBy("decile", "p", "n")
+        .agg(F.min("score").alias("threshold"))
+    )
+    return (
+        thr.join(cum, F.col("score") == F.col("threshold"))
+        .filter(F.col("n") > F.col("c_le"))
+        .select(
+            "decile",
+            "threshold",
+            (F.col("p") - F.col("p_le")).cast("long").alias("tp"),
+            (F.col("n") - F.col("c_le")).cast("long").alias("n_predicted_pos"),
+            F.expr(
+                "CAST(((p - p_le) * 1000000) div (n - c_le) AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(((p - p_le) * 1000000) div p AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+_COHEN_D_ORACLE = """
+WITH s AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'view')
+),
+m AS (
+  SELECT grp, count(*) AS n,
+         sum(CAST(v AS HUGEINT)) AS sv,
+         sum(CAST(v AS HUGEINT) * v) AS qv
+  FROM s GROUP BY grp
+),
+w AS (
+  SELECT max(CASE WHEN grp = 1 THEN n END) AS n1,
+         max(CASE WHEN grp = 0 THEN n END) AS n2,
+         max(CASE WHEN grp = 1 THEN sv END) AS s1,
+         max(CASE WHEN grp = 0 THEN sv END) AS s2,
+         max(CASE WHEN grp = 1 THEN qv END) AS q1,
+         max(CASE WHEN grp = 0 THEN qv END) AS q2
+  FROM m
+)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+       CAST(1000 * s1 // n1 - 1000 * s2 // n2 AS BIGINT)
+         AS mean_diff_milli_cents,
+       round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt(CAST((q1 - s1 * s1 // n1) + (q2 - s2 * s2 // n2)
+                         AS DOUBLE) / (n1 + n2 - 2)), 6) AS cohens_d_6dp
+FROM w
+"""
+
+
+@_register("cohens_d_effect_size", _COHEN_D_ORACLE)
+def cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between click and view event
+    values: mean difference over the pooled standard deviation — the
+    number a significance test (rank_sum_auc, cramer_von_mises) can't
+    give you: HOW BIG is the difference in units of spread. Sums of
+    squares stay exact integers (the floor in q - s^2//n is shared by
+    both engines); the single sqrt + division happen on identical
+    doubles, rounded to 6dp (the portable contract). A/A-shaped data:
+    expect |d| near 0 — effect sizes resist the big-n significance
+    mirage. Scale shape: one 2-group moment agg, 1-row algebra."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("grp"),
+            _cents("value").alias("v"),
+        )
+    )
+    m = s.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("qv"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 1, F.col("sv"))).alias("s1"),
+        F.max(F.when(F.col("grp") == 0, F.col("sv"))).alias("s2"),
+        F.max(F.when(F.col("grp") == 1, F.col("qv"))).alias("q1"),
+        F.max(F.when(F.col("grp") == 0, F.col("qv"))).alias("q2"),
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+        F.expr(
+            "CAST((1000 * s1) div n1 - (1000 * s2) div n2 AS BIGINT)"
+        ).alias("mean_diff_milli_cents"),
+        F.round(
+            F.expr(
+                "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+                " / sqrt(CAST((q1 - (s1 * s1) div n1)"
+                " + (q2 - (s2 * s2) div n2) AS DOUBLE) / (n1 + n2 - 2))"
+            ),
+            6,
+        ).alias("cohens_d_6dp"),
+    )
+
+
+_ODDS_ORACLE = """
+WITH lab AS (
+  SELECT n.n_name,
+         sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 0 ELSE 1 END) AS b
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+),
+tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM lab)
+SELECT l.n_name,
+       CAST(l.a AS BIGINT) AS n_urgent, CAST(l.b AS BIGINT) AS n_other,
+       CAST(1000 * CAST(l.a AS HUGEINT) * (t.tb - l.b)
+            // (CAST(l.b AS HUGEINT) * (t.ta - l.a)) AS BIGINT)
+         AS odds_ratio_milli,
+       CAST(1000 * CAST(l.a AS HUGEINT) * (t.ta + t.tb - l.a - l.b)
+            // (CAST(l.a + l.b AS HUGEINT) * (t.ta - l.a)) AS BIGINT)
+         AS risk_ratio_milli
+FROM lab l CROSS JOIN tot t
+ORDER BY l.n_name
+"""
+
+
+@_register("odds_ratio_by_nation", _ODDS_ORACLE)
+def odds_ratio_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation odds ratio and risk ratio of urgent-priority ordering
+    vs the REST of the population (nation-vs-rest 2x2 tables): OR =
+    a*d/(b*c) and RR = (a/(a+b))/(c/(c+d)) are pure cross-multiplied
+    rationals — one exact 128-bit division each, in milli. The
+    effect-size companions to chisq_independence_screen / fdr_bh /
+    holm (which say IS there an association; OR/RR say HOW STRONG, and
+    differ exactly when the outcome is common — showing both is the
+    epidemiology lesson). Scale shape: one join-agg to 25 rows, 1-row
+    totals broadcast back."""
+    lab = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0
+                ).otherwise(1)
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = lab.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    return (
+        lab.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.col("a").cast("long").alias("n_urgent"),
+            F.col("b").cast("long").alias("n_other"),
+            F.expr(
+                "CAST((1000 * CAST(a AS DECIMAL(38,0)) * (tb - b))"
+                " div (CAST(b AS DECIMAL(38,0)) * (ta - a)) AS BIGINT)"
+            ).alias("odds_ratio_milli"),
+            F.expr(
+                "CAST((1000 * CAST(a AS DECIMAL(38,0)) * (ta + tb - a - b))"
+                " div (CAST(a + b AS DECIMAL(38,0)) * (ta - a)) AS BIGINT)"
+            ).alias("risk_ratio_milli"),
+        )
+        .orderBy("n_name")
+    )

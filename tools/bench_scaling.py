@@ -222,6 +222,9 @@ ENTRIES = [
     "bpe_compression_ratio",
     "bigram_model_coverage",
     "dedup_cluster_census",
+    "pr_curve_points",
+    "cohens_d_effect_size",
+    "odds_ratio_by_nation",
 ]
 
 
