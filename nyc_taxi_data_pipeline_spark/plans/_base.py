@@ -176,7 +176,7 @@ scored AS (
 )
 SELECT s.doc_id,
        s.n_trigrams,
-       (1000000 * s.cnt_sum) // (s.n_trigrams * t.tot) AS score_ppm
+       CAST((1000000 * s.cnt_sum) // (s.n_trigrams * t.tot) AS BIGINT) AS score_ppm
 FROM scored s, total t
 ORDER BY s.doc_id
 """
@@ -206,8 +206,17 @@ def charlm_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"),
         F.col("t"),
     ).select("doc_id", F.expr("substring(t, i, 3)").alias("g"))
-    tri = tri.localCheckpoint(eager=False)
-    model = tri.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    # The trigram explode is ~30x corpus rows but NARROW (map off the scan):
+    # re-deriving it per consumer is cheaper than materializing it, at sf0.1
+    # and overwhelmingly so at 100 TB. Only the bounded model aggregate
+    # (<= |charset|^3 rows) is checkpointed, because it feeds two consumers
+    # (the grand total and the broadcast scoring join) and AQE stage reuse
+    # does not fire across those subtrees.
+    model = (
+        tri.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = model.agg(F.sum("cnt").alias("tot"))
     scored = (
         tri.join(F.broadcast(model), "g")

@@ -892,7 +892,7 @@ WITH sampled AS (
   WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
         < CASE WHEN lang = 'en' THEN '80000000' ELSE '40000000' END
 )
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM sampled
 GROUP BY lang
 ORDER BY lang

@@ -60,7 +60,7 @@ terms AS (
          abs(c.c1 * t.m - c.c2 * t.n) AS absd
   FROM c, tot t
 )
-SELECT t.n AS n_a, t.m AS n_b,
+SELECT CAST(t.n AS BIGINT) AS n_a, CAST(t.m AS BIGINT) AS n_b,
        CAST((SELECT max(absd) FROM terms) AS BIGINT) AS max_abs_d,
        CAST((SELECT sum(term) FROM terms) * 1000000
             // (CAST(t.n AS HUGEINT) * t.m * (t.n + t.m) * (t.n + t.m))
@@ -157,7 +157,7 @@ h AS (
   FROM grp_stats gs, gl g
   GROUP BY g.n, g.t3
 )
-SELECT gs.grp, gs.n_i,
+SELECT gs.grp, CAST(gs.n_i AS BIGINT) AS n_i,
        CAST(gs.r2_sum AS BIGINT) AS r2_sum,
        CAST(1000 * gs.r2_sum // (2 * CAST(gs.n_i AS HUGEINT)) AS BIGINT)
          AS mean_rank_milli,
@@ -279,7 +279,8 @@ q AS (
   FROM agg
 )
 SELECT t.cond,
-       CASE t.i WHEN 1 THEN q.c1 WHEN 2 THEN q.c2 ELSE q.c3 END AS c_j,
+       CAST(CASE t.i WHEN 1 THEN q.c1 WHEN 2 THEN q.c2 ELSE q.c3 END
+            AS BIGINT) AS c_j,
        q.n_blocks, q.q_milli, CAST(2 AS BIGINT) AS df
 FROM q, (VALUES ('click', 1), ('view', 2), ('error', 3)) AS t(cond, i)
 ORDER BY t.cond
@@ -509,7 +510,8 @@ thr AS (
          a.n - (q.q_permille * a.n + 999) // 1000 AS n_above
   FROM qs q, arrs a
 )
-SELECT t.q_permille, t.x_thr, t.y_thr,
+SELECT t.q_permille, CAST(t.x_thr AS BIGINT) AS x_thr,
+       CAST(t.y_thr AS BIGINT) AS y_thr,
        CAST(count(*) FILTER (WHERE d.x > t.x_thr AND d.y > t.y_thr)
             AS BIGINT) AS n_joint,
        CAST(count(*) FILTER (WHERE d.x > t.x_thr AND d.y > t.y_thr)
@@ -608,7 +610,8 @@ terms AS (
            AS naive_diff_milli
   FROM s, gl g
 )
-SELECT stratum, n_s, n_t, n_c, treated_milli, control_milli,
+SELECT stratum, n_s, CAST(n_t AS BIGINT) AS n_t,
+       CAST(n_c AS BIGINT) AS n_c, treated_milli, control_milli,
        naive_diff_milli,
        CAST(sum(treated_milli - control_milli) OVER () AS BIGINT)
          AS ate_ipw_milli
@@ -801,7 +804,7 @@ arms AS (
          sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS sy0
   FROM u
 )
-SELECT n1, n0,
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
        CAST(1000 * CAST(sy1 AS HUGEINT) // n1 AS BIGINT) AS y1_mean_milli,
        CAST(1000 * CAST(sy0 AS HUGEINT) // n0 AS BIGINT) AS y0_mean_milli,
        CAST(1000 * CAST(sx1 AS HUGEINT) // n1 AS BIGINT) AS x1_mean_milli,
@@ -958,7 +961,7 @@ win AS (
   FROM daily
   WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
-SELECT d AS day, x AS revenue_cents, n AS n_win,
+SELECT d AS day, CAST(x AS BIGINT) AS revenue_cents, n AS n_win,
        CAST(CASE
          WHEN (n * CAST(x AS HUGEINT) - s) * (n * CAST(x AS HUGEINT) - s)
               > 4 * (n * q - CAST(s AS HUGEINT) * s)
@@ -3125,10 +3128,10 @@ tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM lab)
 SELECT l.n_name,
        CAST(l.a AS BIGINT) AS n_urgent, CAST(l.b AS BIGINT) AS n_other,
        CAST(1000 * CAST(l.a AS HUGEINT) * (t.tb - l.b)
-            // (CAST(l.b AS HUGEINT) * (t.ta - l.a)) AS BIGINT)
+            // NULLIF(CAST(l.b AS HUGEINT) * (t.ta - l.a), 0) AS BIGINT)
          AS odds_ratio_milli,
        CAST(1000 * CAST(l.a AS HUGEINT) * (t.ta + t.tb - l.a - l.b)
-            // (CAST(l.a + l.b AS HUGEINT) * (t.ta - l.a)) AS BIGINT)
+            // NULLIF(CAST(l.a + l.b AS HUGEINT) * (t.ta - l.a), 0) AS BIGINT)
          AS risk_ratio_milli
 FROM lab l CROSS JOIN tot t
 ORDER BY l.n_name
@@ -3144,8 +3147,12 @@ def odds_ratio_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect-size companions to chisq_independence_screen / fdr_bh /
     holm (which say IS there an association; OR/RR say HOW STRONG, and
     differ exactly when the outcome is common — showing both is the
-    epidemiology lesson). Scale shape: one join-agg to 25 rows, 1-row
-    totals broadcast back."""
+    epidemiology lesson). A nation with ZERO non-urgent orders (b = 0,
+    or degenerate ta = a) makes the OR denominator 0: both lanes emit a
+    DEFINED NULL via an explicit NULLIF rather than erroring under ANSI
+    division — infinite odds is reported as NULL by design (round-4
+    ADVICE). Scale shape: one join-agg to 25 rows, 1-row totals
+    broadcast back."""
     lab = (
         _t(spark, sf_dir, "orders")
         .join(
@@ -3182,11 +3189,13 @@ def odds_ratio_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").cast("long").alias("n_other"),
             F.expr(
                 "CAST((1000 * CAST(a AS DECIMAL(38,0)) * (tb - b))"
-                " div (CAST(b AS DECIMAL(38,0)) * (ta - a)) AS BIGINT)"
+                " div NULLIF(CAST(b AS DECIMAL(38,0)) * (ta - a), 0)"
+                " AS BIGINT)"
             ).alias("odds_ratio_milli"),
             F.expr(
                 "CAST((1000 * CAST(a AS DECIMAL(38,0)) * (ta + tb - a - b))"
-                " div (CAST(a + b AS DECIMAL(38,0)) * (ta - a)) AS BIGINT)"
+                " div NULLIF(CAST(a + b AS DECIMAL(38,0)) * (ta - a), 0)"
+                " AS BIGINT)"
             ).alias("risk_ratio_milli"),
         )
         .orderBy("n_name")

@@ -110,7 +110,7 @@ pr0 AS (
   SELECT node, CAST(1000000000000 AS BIGINT) // nn.n AS pr
   FROM nodes CROSS JOIN nn
 ),{its_sql}
-SELECT node, pr FROM {prev}
+SELECT node, CAST(pr AS BIGINT) AS pr FROM {prev}
 ORDER BY pr DESC, node
 LIMIT 20
 """
@@ -3501,8 +3501,13 @@ supp0 AS (
   GROUP BY e.a, e.b
 ),
 e1 AS (
-  -- peel round 1: keep edges in >= 1 triangle (3-truss candidates)
-  SELECT a, b FROM supp0 WHERE s >= 1
+  -- peel round 1: keep edges in >= 1 triangle (3-truss candidates).
+  -- The INNER joins in supp0 ARE the peel: an edge with no common
+  -- neighbor contributes no wedge row, so it never reaches the grouped
+  -- counts — every surviving (a,b) has s >= 1 by construction and no
+  -- explicit threshold filter is needed at k=3 (round-4 ADVICE; a
+  -- k>3 truss would need a real `WHERE s >= k-2` here).
+  SELECT a, b FROM supp0
 ),
 und1 AS (
   SELECT a AS u, b AS v FROM e1
@@ -3516,7 +3521,7 @@ supp1 AS (
   JOIN und1 nb ON nb.u = e1.b AND nb.v = na.v
   GROUP BY e1.a, e1.b
 ),
-e2 AS (SELECT a, b FROM supp1 WHERE s >= 1)
+e2 AS (SELECT a, b FROM supp1)
 SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edges_round0,
        CAST((SELECT count(*) FROM e1) AS BIGINT) AS edges_round1,
        CAST((SELECT count(*) FROM e2) AS BIGINT) AS edges_round2,
@@ -3580,16 +3585,13 @@ def ktruss_edge_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("s"))
         )
 
-    e1 = (
-        support(e0)
-        .filter(F.col("s") >= 1)
-        .select("a", "b")
-        .localCheckpoint(eager=False)
-    )
+    # support()'s INNER wedge joins are themselves the k=3 peel: an edge in
+    # zero triangles emits no wedge row and silently leaves the frame, so
+    # every grouped count is >= 1 and no threshold filter is applied
+    # (round-4 ADVICE — a k>3 truss would add .filter(s >= k-2) here).
+    e1 = support(e0).select("a", "b").localCheckpoint(eager=False)
     supp1 = support(e1).localCheckpoint(eager=False)
-    e2_count = supp1.filter(F.col("s") >= 1).agg(
-        F.count(F.lit(1)).alias("edges_round2")
-    )
+    e2_count = supp1.agg(F.count(F.lit(1)).alias("edges_round2"))
     und1_nodes = (
         e1.select(F.col("a").alias("u"))
         .unionAll(e1.select(F.col("b").alias("u")))

@@ -1051,7 +1051,7 @@ def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PYDS_ORACLE = """
 SELECT (i * 31) % 265 + 1 AS zone,
        count(*) AS n_trips,
-       sum((i * 7919) % 10000) AS fare_cents
+       CAST(sum((i * 7919) % 10000) AS BIGINT) AS fare_cents
 FROM range(0, 10000) t(i)
 GROUP BY 1
 ORDER BY zone
@@ -1231,10 +1231,10 @@ per_doc AS (
 )
 SELECT lang,
        count(*)          AS n_docs,
-       sum(has_long)     AS docs_with_long_token,
-       sum(all_nonempty) AS docs_all_nonempty,
-       sum(n_a_tokens)   AS total_a_tokens,
-       sum(n_chars)      AS total_token_chars
+       CAST(sum(has_long) AS BIGINT)     AS docs_with_long_token,
+       CAST(sum(all_nonempty) AS BIGINT) AS docs_all_nonempty,
+       CAST(sum(n_a_tokens) AS BIGINT)   AS total_a_tokens,
+       CAST(sum(n_chars) AS BIGINT)      AS total_token_chars
 FROM per_doc
 GROUP BY lang
 ORDER BY lang
@@ -1509,13 +1509,13 @@ gates AS (
 )
 SELECT source,
        count(*)                                             AS n_docs,
-       sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END)          AS n_fail_len,
-       sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END)          AS n_fail_rep,
-       sum(CASE WHEN NOT lm_ok THEN 1 ELSE 0 END)           AS n_fail_lm,
-       sum(CASE WHEN len_ok AND rep_ok AND lm_ok
-                THEN 1 ELSE 0 END)                          AS n_pass,
-       (sum(CASE WHEN len_ok AND rep_ok AND lm_ok
-                 THEN 1 ELSE 0 END) * 100) // count(*)      AS retention_pct
+       CAST(sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+       CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep,
+       CAST(sum(CASE WHEN NOT lm_ok THEN 1 ELSE 0 END) AS BIGINT)  AS n_fail_lm,
+       CAST(sum(CASE WHEN len_ok AND rep_ok AND lm_ok
+                THEN 1 ELSE 0 END) AS BIGINT)               AS n_pass,
+       CAST((sum(CASE WHEN len_ok AND rep_ok AND lm_ok
+                 THEN 1 ELSE 0 END) * 100) // count(*) AS BIGINT) AS retention_pct
 FROM gates
 GROUP BY source
 ORDER BY source
@@ -1646,7 +1646,7 @@ WITH classified AS (
 )
 SELECT event_type,
        count(*)                                     AS n_rows,
-       sum(CASE WHEN is_corrupt THEN 1 ELSE 0 END)  AS n_corrupt,
+       CAST(sum(CASE WHEN is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
        round(CAST(coalesce(sum(v), 0) AS DOUBLE), 2) AS total_value
 FROM classified
 GROUP BY event_type
@@ -1795,7 +1795,8 @@ def identifier_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 _OBSERVE_ORACLE = """
 SELECT count(*)                                        AS n_rows,
-       sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS n_big,
+       CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_big,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
          AS total_price
 FROM orders
@@ -1970,10 +1971,10 @@ WITH per_key AS (
   SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY l_suppkey
 )
 SELECT count(*)                                   AS n_keys,
-       sum(c)                                     AS total_rows,
+       CAST(sum(c) AS BIGINT)                     AS total_rows,
        max(c)                                     AS max_key_rows,
-       (max(c) * 1000000) // sum(c)               AS top1_share_ppm,
-       (max(c) * 1000000 * count(*)) // sum(c)    AS skew_ratio_ppm
+       CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top1_share_ppm,
+       CAST((max(c) * 1000000 * count(*)) // sum(c) AS BIGINT) AS skew_ratio_ppm
 FROM per_key
 """
 

@@ -568,7 +568,7 @@ SELECT d.category,
        count(*) AS n_events,
        round(CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) , 2)
          AS total_value,
-       sum(d.weight) AS total_weight
+       CAST(sum(d.weight) AS BIGINT) AS total_weight
 FROM events e JOIN dim d ON d.event_type = e.event_type
 GROUP BY d.category
 ORDER BY d.category
@@ -623,7 +623,7 @@ recs AS (
 )
 SELECT user_id,
        count(*)          AS n_events,
-       sum(amount_cents) AS total_cents
+       CAST(sum(amount_cents) AS BIGINT) AS total_cents
 FROM recs
 GROUP BY user_id
 ORDER BY user_id
@@ -740,7 +740,7 @@ recs AS (
 )
 SELECT window_start,
        count(*)          AS n_events,
-       sum(amount_cents) AS total_cents
+       CAST(sum(amount_cents) AS BIGINT) AS total_cents
 FROM recs
 GROUP BY window_start
 ORDER BY window_start
@@ -804,7 +804,9 @@ sums AS (
 SELECT m.media_id,
        CASE WHEN m.media_id % 25 = 0 THEN NULL ELSE 8 END AS width,
        CASE WHEN m.media_id % 25 = 0 THEN NULL ELSE 6 END AS height,
-       s.sum_r, s.sum_g, s.sum_b,
+       CAST(s.sum_r AS BIGINT) AS sum_r,
+       CAST(s.sum_g AS BIGINT) AS sum_g,
+       CAST(s.sum_b AS BIGINT) AS sum_b,
        (m.media_id % 25 <> 0) AS decoded
 FROM media m LEFT JOIN sums s ON s.media_id = m.media_id
 ORDER BY m.media_id
@@ -882,7 +884,7 @@ SELECT media_id,
        CAST(8000 AS INT) AS sample_rate,
        CAST(64 AS BIGINT) AS n_samples,
        CAST(8 AS BIGINT) AS duration_ms,
-       sum(v * v) AS energy
+       CAST(sum(v * v) AS BIGINT) AS energy
 FROM samp
 GROUP BY media_id
 ORDER BY media_id

@@ -561,7 +561,7 @@ deduped AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
              / count(*), 6) AS avg_quality
 FROM deduped
@@ -641,7 +641,8 @@ kept AS (
   FROM documents d JOIN rates r ON d.source = r.source
   WHERE d.doc_id % 100 < r.rate_pct
 )
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM kept
 GROUP BY source
 ORDER BY source
@@ -819,7 +820,7 @@ v{k} AS (
 
 def _bpe_oracle(n_merges: int = 3) -> str:
     unions = "\nUNION ALL\n".join(
-        f"SELECT {k} AS merge_rank, l AS merge_left, r AS merge_right, cnt AS pair_count FROM best{k}"
+        f"SELECT {k} AS merge_rank, l AS merge_left, r AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM best{k}"
         for k in range(1, n_merges + 1)
     )
     return (
@@ -930,7 +931,7 @@ docw AS (
 )
 SELECT d.doc_id,
        count(*)                           AS n_words,
-       sum(w.n_sym)                       AS n_bpe_tokens,
+       CAST(sum(w.n_sym) AS BIGINT)       AS n_bpe_tokens,
        min(w.n_sym)                       AS min_word_tokens
 FROM docw d JOIN wmap w ON w.word = d.word
 GROUP BY d.doc_id
@@ -1067,8 +1068,8 @@ pos AS (
 )
 SELECT tier,
        count(*)                               AS n_docs,
-       min(position)                          AS first_pos,
-       max(position)                          AS last_pos,
+       CAST(min(position) AS BIGINT)          AS first_pos,
+       CAST(max(position) AS BIGINT)          AS last_pos,
        (max(position) - min(position) + 1 = count(*)) AS contiguous
 FROM pos
 GROUP BY tier
@@ -1150,10 +1151,10 @@ best AS (
   FROM cnt
 )
 SELECT b.cur                          AS cur_token,
-       t.n_obs,
+       CAST(t.n_obs AS BIGINT)        AS n_obs,
        b.nxt                          AS next_token,
        b.c                            AS next_cnt,
-       (b.c * 1000000) // t.n_obs     AS p_ppm
+       CAST((b.c * 1000000) // t.n_obs AS BIGINT) AS p_ppm
 FROM best b JOIN tot t ON t.cur = b.cur
 WHERE b.rn = 1
 ORDER BY t.n_obs DESC, cur_token

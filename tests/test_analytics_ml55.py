@@ -13,6 +13,17 @@ from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
 SF = "/root/testdata/sf0.001"
 
 
+def tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH engines
+    use (Spark `div`, DuckDB `//`). Python's `//` floors toward -inf, which
+    only coincides on non-negative operands; replays must not depend on the
+    current data generation keeping values non-negative (round-4 ADVICE).
+    """
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+
 def test_pr_curve_python_replay(spark):
     docs = load_table(spark, SF, "documents").collect()
     scored = sorted((r.n_chars, 1 if r.lang == "en" else 0) for r in docs)
@@ -31,8 +42,8 @@ def test_pr_curve_python_replay(spark):
         r = got[decile]
         assert r.threshold == thr
         assert r.tp == tp and r.n_predicted_pos == npred
-        assert r.precision_ppm == tp * 1000000 // npred
-        assert r.recall_ppm == tp * 1000000 // p
+        assert r.precision_ppm == tdiv(tp * 1000000, npred)
+        assert r.recall_ppm == tdiv(tp * 1000000, p)
     # recall decreases with the threshold; precision bounded by 1
     recalls = [got[d].recall_ppm for d in sorted(got)]
     assert recalls == sorted(recalls, reverse=True)
@@ -49,11 +60,11 @@ def test_cohens_d_python_replay(spark):
     s1, s2 = sum(g1), sum(g2)
     q1 = sum(v * v for v in g1)
     q2 = sum(v * v for v in g2)
-    pooled = ((q1 - s1 * s1 // n1) + (q2 - s2 * s2 // n2)) / (n1 + n2 - 2)
+    pooled = ((q1 - tdiv(s1 * s1, n1)) + (q2 - tdiv(s2 * s2, n2))) / (n1 + n2 - 2)
     d = round((s1 / n1 - s2 / n2) / math.sqrt(pooled), 6)
     row = REGISTRY["cohens_d_effect_size"].spark(spark, SF).collect()[0]
     assert (row.n_click, row.n_view) == (n1, n2)
-    assert row.mean_diff_milli_cents == 1000 * s1 // n1 - 1000 * s2 // n2
+    assert row.mean_diff_milli_cents == tdiv(1000 * s1, n1) - tdiv(1000 * s2, n2)
     assert row.cohens_d_6dp == d
     # click and view draw from the same value distribution: tiny effect
     assert abs(row.cohens_d_6dp) < 0.2
@@ -76,10 +87,18 @@ def test_odds_ratio_python_replay(spark):
     for name, (a, b) in ab.items():
         r = got[name]
         assert (r.n_urgent, r.n_other) == (a, b)
-        assert r.odds_ratio_milli == 1000 * a * (tb - b) // (b * (ta - a))
-        assert r.risk_ratio_milli == (
-            1000 * a * (ta + tb - a - b) // ((a + b) * (ta - a))
-        )
+        # degenerate 2x2 cells (b = 0 or ta = a) are a DEFINED NULL on both
+        # engine lanes (explicit NULLIF, see the entry docstring)
+        if b * (ta - a) == 0:
+            assert r.odds_ratio_milli is None
+        else:
+            assert r.odds_ratio_milli == tdiv(1000 * a * (tb - b), b * (ta - a))
+        if (a + b) * (ta - a) == 0:
+            assert r.risk_ratio_milli is None
+        else:
+            assert r.risk_ratio_milli == tdiv(
+                1000 * a * (ta + tb - a - b), (a + b) * (ta - a)
+            )
         # RR is always nearer 1 than OR for a positive association
         # (and the reverse for negative) — check they agree in direction
         assert (r.odds_ratio_milli >= 1000) == (r.risk_ratio_milli >= 1000) or (

@@ -31,7 +31,29 @@ def test_query_matches_oracle(spark, duck, query):
     assert report["spark_rows"] == report["duck_rows"], (
         f"row count: spark={report['spark_rows']} duck={report['duck_rows']}"
     )
+    assert report["types_match"], (
+        f"canonical dtype mismatch (col, spark, duck): {report['type_mismatches']}"
+    )
     assert report["values_match"], f"value mismatch: {report['first_mismatches']}"
+
+
+def test_harness_rejects_hugeint_oracle(spark, duck):
+    """The dtype gate must catch the class that reached the driver three
+    rounds running: a DuckDB oracle whose output column is HUGEINT
+    (sum() over integers) against a value-identical Spark BIGINT."""
+    from nyc_taxi_data_pipeline_spark.plans._base import Query
+    from pyspark.sql import functions as F
+
+    q = Query(
+        name="_hugeint_probe",
+        spark=lambda s, _sf: s.range(3).agg(F.sum("id").alias("x")),
+        oracle="SELECT sum(i) AS x FROM range(3) t(i)",
+        doc="",
+    )
+    report = compare_query(spark, duck, q)
+    assert not report["types_match"]
+    assert report["type_mismatches"] == [("x", "int64", "int128")]
+    assert not report["values_match"]  # the gate folds into the verdict
 
 
 def test_entry_smoke(spark):

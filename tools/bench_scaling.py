@@ -225,6 +225,9 @@ ENTRIES = [
     "pr_curve_points",
     "cohens_d_effect_size",
     "odds_ratio_by_nation",
+    # round-5: the trigram-explode entry whose materialization was dropped
+    # (re-derive per consumer; checkpoint only the bounded model aggregate)
+    "charlm_freq_score",
 ]
 
 

@@ -46,9 +46,12 @@ def main() -> None:
             results[name] = {
                 "rows_match": rep["spark_rows"] == rep["duck_rows"],
                 "schema_match": rep["cols_match"],
+                "types_match": rep["types_match"],
                 "values_match": rep["values_match"],
                 "spark_rows": rep["spark_rows"],
             }
+            if not rep["types_match"]:
+                results[name]["type_mismatches"] = rep["type_mismatches"]
         except Exception as e:  # noqa: BLE001 — record, don't abort the sweep
             results[name] = {
                 "rows_match": False,
