@@ -504,10 +504,10 @@ SELECT CAST(t.n AS BIGINT) AS n_docs,
                          // 1000000)) // t.n AS BIGINT) AS resolution_ppm,
        CAST(t.obar_ppm * (1000000 - t.obar_ppm) // 1000000 AS BIGINT)
          AS uncertainty_ppm,
-       CAST(sum(x.n_b * (x.p_ppm * x.p_ppm // 1000000)
-                - 2 * (x.p_ppm * x.pos_b // 1000)
-                + 1000000 * x.pos_b) // (1000 * t.n) AS BIGINT)
-         AS brier_milli_ppm
+       CAST(sum(x.n_b * CAST(x.p_ppm AS HUGEINT) * x.p_ppm
+                - 2000000 * CAST(x.p_ppm AS HUGEINT) * x.pos_b
+                + 1000000000000 * CAST(x.pos_b AS HUGEINT))
+            // (1000000 * CAST(t.n AS HUGEINT)) AS BIGINT) AS brier_ppm
 FROM terms x, tot t
 GROUP BY t.n, t.obar_ppm
 """
@@ -522,8 +522,9 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     outcome-base-rate floor. Bin forecasts are the decile midpoint ladder
     (11-decile)/10; every term is an exact ppm rational (squares ride the
     ppm grid with explicit //1e6 rescales, identical on both lanes), and
-    the direct Brier expansion sum(n_b p^2 - 2 p pos_b + pos_b)/N rides
-    along in milli-ppm as the identity check. Scale shape: one ntile
+    the direct Brier expansion sum(n_b p^2 - 2e6 p pos_b + 1e12 pos_b)
+    / (1e6 N) rides along in ppm as the executed Murphy-identity check
+    (pytest pins |REL - RES + UNC - Brier| to grid-truncation error). Scale shape: one ntile
     window, a 10-row frame, 1-row totals broadcast."""
     scored = _t(spark, sf_dir, "documents").select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
@@ -569,10 +570,12 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div 1000000 AS BIGINT)"
             ).alias("uncertainty_ppm"),
             F.expr(
-                "CAST(sum(n_b * (p_ppm * p_ppm div 1000000)"
-                " - 2 * (p_ppm * pos_b div 1000)"
-                " + 1000000 * pos_b) div (1000 * n) AS BIGINT)"
-            ).alias("brier_milli_ppm"),
+                "CAST(sum(n_b * CAST(p_ppm AS DECIMAL(38,0)) * p_ppm"
+                " - 2000000 * CAST(p_ppm AS DECIMAL(38,0)) * pos_b"
+                " + 1000000000000 * CAST(pos_b AS DECIMAL(38,0)))"
+                " div (1000000 * CAST(max(n) AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("brier_ppm"),
         )
         .select(
             F.col("n").cast("long").alias("n_docs"),
@@ -580,6 +583,203 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reliability_ppm",
             "resolution_ppm",
             "uncertainty_ppm",
-            "brier_milli_ppm",
+            "brier_ppm",
         )
+    )
+
+
+# ===========================================================================
+# Variance homogeneity + exponential smoothing
+# ===========================================================================
+
+_LEVENE_BF_ORACLE = """
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+rk AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n_g
+  FROM s
+),
+med AS (
+  -- exact doubled median: x_((n+1)//2) + x_(n//2 + 1)
+  SELECT grp,
+         sum(CASE WHEN rn = (n_g + 1) // 2 THEN v ELSE 0 END)
+         + sum(CASE WHEN rn = n_g // 2 + 1 THEN v ELSE 0 END) AS med2
+  FROM rk GROUP BY grp
+),
+z AS (
+  SELECT s.grp, abs(2 * s.v - m.med2) AS z
+  FROM s JOIN med m ON m.grp = s.grp
+),
+g AS (
+  SELECT grp, count(*) AS n_g, sum(z) AS zg,
+         sum(CAST(z AS HUGEINT) * z) AS qg
+  FROM z GROUP BY grp
+),
+gl AS (SELECT count(*) AS k, sum(n_g) AS n, sum(zg) AS ztot FROM g),
+f AS (
+  SELECT CAST(1000 * (gl.n - gl.k)
+              * sum(CAST(gl.n * g.zg - g.n_g * gl.ztot AS HUGEINT)
+                    * (gl.n * g.zg - g.n_g * gl.ztot) // g.n_g)
+              // ((gl.k - 1) * CAST(gl.n AS HUGEINT) * gl.n
+                  * sum((g.n_g * CAST(g.qg AS HUGEINT) - CAST(g.zg AS HUGEINT) * g.zg)
+                        // g.n_g))
+              AS BIGINT) AS f_milli,
+         CAST(gl.k - 1 AS BIGINT) AS df1,
+         CAST(gl.n - gl.k AS BIGINT) AS df2
+  FROM g, gl GROUP BY gl.n, gl.k, gl.ztot
+)
+SELECT g.grp AS event_type,
+       CAST(g.n_g AS BIGINT) AS n_g,
+       CAST(m.med2 AS BIGINT) AS med2_cents,
+       CAST(1000 * g.zg // g.n_g AS BIGINT) AS z_mean_milli,
+       f.f_milli, f.df1, f.df2
+FROM g JOIN med m ON m.grp = g.grp CROSS JOIN f
+ORDER BY g.grp
+"""
+
+
+@_register("levene_brown_forsythe", _LEVENE_BF_ORACLE)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across the five event
+    types — the gatekeeper assumption check BEFORE trusting pooled-variance
+    tests (cohens_d, two-sample t analogs): robust Levene on absolute
+    deviations from the per-group MEDIAN. Doubled-median lanes keep the
+    median integer-exact (x_(k1) + x_(k2)); the F statistic is one 128-bit
+    rational — (N-k)/(k-1) * sum_g((N*Zg - n_g*Z)^2 / n_g) /
+    (N^2 * sum_g((n_g*Qg - Zg^2) / n_g)) — in exact milli. Per-group
+    deviation means ride along. Scale shape: one rank window per group
+    (the single value shuffle), two bounded group aggregates, the 1-row F
+    broadcast back onto 5 rows."""
+    s = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), _cents("value").alias("v")
+    )
+    wg = W.partitionBy("grp").orderBy("v")
+    rk = s.select(
+        "grp",
+        "v",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n_g"),
+    )
+    med = rk.groupBy("grp").agg(
+        (
+            F.sum(F.when(F.expr("rn = (n_g + 1) div 2"), F.col("v")).otherwise(0))
+            + F.sum(F.when(F.expr("rn = n_g div 2 + 1"), F.col("v")).otherwise(0))
+        ).alias("med2")
+    )
+    z = s.join(med, "grp").select(
+        "grp", F.expr("abs(2 * v - med2)").alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("z").alias("zg"),
+        F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * z")).alias("qg"),
+    ).localCheckpoint(eager=False)
+    gl = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("zg").alias("ztot"),
+    )
+    fstat = (
+        g.crossJoin(F.broadcast(gl))
+        .agg(
+            # NB: Spark `div` (IntegralDivide) returns BIGINT even on
+            # DECIMAL operands, so the summed A-terms must be cast BACK to
+            # DECIMAL before the (N-k) scale-up or the long lane overflows.
+            F.expr(
+                "CAST(1000 * (max(n) - max(k))"
+                " * CAST(sum(CAST(n * zg - n_g * ztot AS DECIMAL(38,0))"
+                "       * (n * zg - n_g * ztot) div n_g) AS DECIMAL(38,0))"
+                " div ((max(k) - 1) * CAST(max(n) AS DECIMAL(38,0)) * max(n)"
+                "      * CAST(sum((n_g * CAST(qg AS DECIMAL(38,0))"
+                "             - CAST(zg AS DECIMAL(38,0)) * zg) div n_g)"
+                "             AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("f_milli"),
+            F.expr("CAST(max(k) - 1 AS BIGINT)").alias("df1"),
+            F.expr("CAST(max(n) - max(k) AS BIGINT)").alias("df2"),
+        )
+    )
+    return (
+        g.join(med, "grp")
+        .crossJoin(F.broadcast(fstat))
+        .select(
+            F.col("grp").alias("event_type"),
+            F.col("n_g").cast("long").alias("n_g"),
+            F.col("med2").cast("long").alias("med2_cents"),
+            F.expr("CAST(1000 * zg div n_g AS BIGINT)").alias("z_mean_milli"),
+            "f_milli",
+            "df1",
+            "df2",
+        )
+        .orderBy("event_type")
+    )
+
+
+_HOLT_ORACLE = (
+    "WITH RECURSIVE "
+    + _DAILY_SQL.strip().lstrip()
+    + """,
+idx AS (SELECT row_number() OVER (ORDER BY d) AS t, x FROM daily),
+n AS (SELECT count(*) AS n FROM idx),
+rec AS (
+  SELECT 1 AS t,
+         CAST(1000 * (SELECT x FROM idx WHERE t = 1) AS BIGINT) AS l,
+         CAST(1000 * ((SELECT x FROM idx WHERE t = 2)
+                      - (SELECT x FROM idx WHERE t = 1)) AS BIGINT) AS b
+  UNION ALL
+  SELECT r.t + 1,
+         (200000 * i.x + 800 * (r.l + r.b)) // 1000,
+         (100 * ((200000 * i.x + 800 * (r.l + r.b)) // 1000)
+          - 100 * r.l + 900 * r.b) // 1000
+  FROM rec r JOIN idx i ON i.t = r.t + 1
+)
+SELECT CAST(n.n AS BIGINT) AS n_days,
+       r.l AS level_milli,
+       r.b AS trend_milli,
+       r.l + 7 * r.b AS forecast_7d_milli
+FROM rec r, n WHERE r.t = n.n
+"""
+)
+
+
+@_register("holt_linear_smoothing", _HOLT_ORACLE)
+def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend, alpha=0.2,
+    beta=0.1) over daily revenue, with a 7-day-ahead linear forecast —
+    the sequential-state companion to the catalog's window-based
+    smoothers (ewma_daily_event_counts is single-parameter level-only;
+    croston handles intermittency): l_t = 0.2*x_t + 0.8*(l+b),
+    b_t = 0.1*(l_t - l_{t-1}) + 0.9*b_t{-1}, folded in integer
+    milli-cents with truncating division so the recursion value-checks
+    bit-for-bit (oracle runs the identical recurrence as a recursive
+    CTE). Scale shape: the fold runs over ONE bounded array (<= |days|
+    elements) after the day rollup — per-series state never shuffles,
+    and a 100 TB deployment folds each series independently inside
+    aggregate()."""
+    daily = _daily(spark, sf_dir)
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    ).select(F.expr("transform(s, r -> r.x)").alias("xs"))
+    return arr.select(
+        F.expr("CAST(size(xs) AS BIGINT)").alias("n_days"),
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1),"
+            " named_struct("
+            "   'l', CAST(1000 * element_at(xs, 1) AS BIGINT),"
+            "   'b', CAST(1000 * (element_at(xs, 2) - element_at(xs, 1))"
+            "        AS BIGINT)),"
+            " (acc, x) -> named_struct("
+            "   'l', (200000 * x + 800 * (acc.l + acc.b)) div 1000,"
+            "   'b', (100 * ((200000 * x + 800 * (acc.l + acc.b)) div 1000)"
+            "         - 100 * acc.l + 900 * acc.b) div 1000))"
+        ).alias("st"),
+    ).select(
+        "n_days",
+        F.col("st.l").alias("level_milli"),
+        F.col("st.b").alias("trend_milli"),
+        F.expr("st.l + 7 * st.b").alias("forecast_7d_milli"),
     )

@@ -1890,3 +1890,246 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("pick")
+
+
+# ===========================================================================
+# Round-5: clustering-quality + density audits over the embedding zone
+# ===========================================================================
+
+# Deterministic exact-integer quantization shared by both entries: float32
+# -> double -> round(x * 1000) -> BIGINT, identical in Spark and DuckDB
+# (both round half away from zero on the same double value).
+_MEDOID_IDS = (0, 10, 20, 30)
+
+_SILHOUETTE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+          for x in embedding] AS qv
+  FROM embeddings
+),
+med AS (SELECT vec_id AS mid, qv AS mv FROM q
+        WHERE vec_id IN {_MEDOID_IDS}),
+d2 AS (
+  SELECT q.vec_id, m.mid,
+         list_sum([ (q.qv[i] - m.mv[i]) * (q.qv[i] - m.mv[i])
+                    for i in range(1, len(q.qv) + 1) ]) AS d2
+  FROM q CROSS JOIN med m
+),
+rk AS (
+  SELECT vec_id, mid, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, mid) AS rn
+  FROM d2
+),
+ab AS (
+  SELECT r1.vec_id, r1.mid AS assigned, r1.d2 AS a2, r2.d2 AS b2
+  FROM rk r1 JOIN rk r2 ON r2.vec_id = r1.vec_id AND r2.rn = 2
+  WHERE r1.rn = 1
+)
+SELECT assigned AS medoid_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(1000000 * (b2 - a2) // greatest(b2, 1)) // count(*)
+            AS BIGINT) AS mean_silhouette_ppm,
+       CAST(sum(CASE WHEN 4 * a2 <= b2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_well_separated
+FROM ab
+GROUP BY assigned
+ORDER BY assigned
+"""
+
+
+@_register("silhouette_medoid_eval", _SILHOUETTE_ORACLE)
+def silhouette_medoid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette over a fixed 4-medoid assignment of the
+    embedding zone: per point, a = d^2 to the nearest medoid, b = d^2 to
+    the second nearest, s = (b - a)/max(a, b) in exact ppm on integer-
+    quantized vectors (round(x*1000) lanes, so the distances — and hence
+    the index itself — value-check bit-for-bit). The assignment-quality
+    companion to davies_bouldin_medoid_index (between/within centroids)
+    and knn_label_eval (label agreement): silhouette reads cohesion vs
+    the nearest ALTERNATIVE cluster. Points with 4a <= b are counted as
+    well-separated. Scale shape: a k=4 broadcast join scores every vector
+    in one pass (O(n*k), no pair join); the per-point rank window
+    partitions by vec_id — no global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    med = q.filter(F.col("vec_id").isin(*_MEDOID_IDS)).select(
+        F.col("vec_id").alias("mid"), F.col("qv").alias("mv")
+    )
+    d2 = q.crossJoin(F.broadcast(med)).select(
+        "vec_id",
+        "mid",
+        F.expr(
+            "aggregate(zip_with(qv, mv, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("d2"),
+    )
+    rk = d2.select(
+        "vec_id",
+        "mid",
+        "d2",
+        F.row_number()
+        .over(W.partitionBy("vec_id").orderBy("d2", "mid"))
+        .alias("rn"),
+    )
+    r1 = rk.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("mid").alias("assigned"), F.col("d2").alias("a2")
+    )
+    r2 = rk.filter(F.col("rn") == 2).select(
+        "vec_id", F.col("d2").alias("b2")
+    )
+    return (
+        r1.join(r2, "vec_id")
+        .groupBy("assigned")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.expr(
+                "CAST(sum(1000000 * (b2 - a2) div greatest(b2, 1))"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_silhouette_ppm"),
+            F.sum(F.when(F.expr("4 * a2 <= b2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_well_separated"),
+        )
+        .select(
+            F.col("assigned").alias("medoid_id"),
+            "n_points",
+            "mean_silhouette_ppm",
+            "n_well_separated",
+        )
+        .orderBy("medoid_id")
+    )
+
+
+_DBSCAN_ORACLE = """
+WITH pts AS (
+  SELECT vec_id, label,
+         CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+           + 1000 AS q1,
+         CAST(round(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+           + 1000 AS q2
+  FROM embeddings
+),
+cells AS (SELECT vec_id, label, q1, q2,
+                 q1 // 250 AS cx, q2 // 250 AS cy FROM pts),
+offs AS (SELECT dx, dy
+         FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+nbr AS (
+  SELECT p.vec_id, p.label, count(*) AS n_nbr
+  FROM cells p
+  JOIN offs o ON TRUE
+  JOIN cells r ON r.cx = p.cx + o.dx AND r.cy = p.cy + o.dy
+  WHERE (p.q1 - r.q1) * (p.q1 - r.q1)
+        + (p.q2 - r.q2) * (p.q2 - r.q2) <= 62500
+  GROUP BY p.vec_id, p.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN n_nbr >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_core,
+       CAST(1000000 * sum(CASE WHEN n_nbr >= 4 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS core_ppm,
+       CAST(max(n_nbr) AS BIGINT) AS max_neighbors
+FROM nbr
+GROUP BY label
+ORDER BY label
+"""
+
+
+@_register("dbscan_grid_core_points", _DBSCAN_ORACLE)
+def dbscan_grid_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point detection on the embedding zone's first two
+    dimensions via GRID-cell bucketing: eps = 0.25 (250 on the
+    round(x*1000)+shift integer grid, cell size = eps so the 3x3
+    neighborhood covers every eps-ball), a point is CORE when >= 4
+    points (self included) fall within eps. The density primitive under
+    dbscan clustering and the density view the catalog's other outlier
+    screens (z-score, IQR, HBOS, Mahalanobis) don't have — reported as
+    per-label core rates, i.e. which classes live in dense regions.
+    Scale shape: the neighbor search is an EQUI-join on shifted cell ids
+    (9 probes per point, exact eps residual after), never an all-pairs
+    distance join — the spatial_grid_join recipe applied to density."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        (
+            F.expr(
+                "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 1000)"
+                " AS BIGINT)"
+            )
+            + 1000
+        ).alias("q1"),
+        (
+            F.expr(
+                "CAST(round(CAST(element_at(embedding, 2) AS DOUBLE) * 1000)"
+                " AS BIGINT)"
+            )
+            + 1000
+        ).alias("q2"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "label",
+        "q1",
+        "q2",
+        F.expr("q1 div 250").alias("cx"),
+        F.expr("q2 div 250").alias("cy"),
+    ).localCheckpoint(eager=False)
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    p = cells.alias("p")
+    r = cells.alias("r")
+    probes = p.crossJoin(F.broadcast(offs)).select(
+        F.col("p.vec_id").alias("vid"),
+        F.col("p.label").alias("lbl"),
+        F.col("p.q1").alias("pq1"),
+        F.col("p.q2").alias("pq2"),
+        (F.col("p.cx") + F.col("dx")).alias("jx"),
+        (F.col("p.cy") + F.col("dy")).alias("jy"),
+    )
+    nbr = (
+        probes.join(
+            r,
+            (F.col("r.cx") == F.col("jx")) & (F.col("r.cy") == F.col("jy")),
+        )
+        .filter(
+            F.expr(
+                "(pq1 - r.q1) * (pq1 - r.q1)"
+                " + (pq2 - r.q2) * (pq2 - r.q2) <= 62500"
+            )
+        )
+        .groupBy("vid", "lbl")
+        .agg(F.count(F.lit(1)).alias("n_nbr"))
+    )
+    return (
+        nbr.groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.when(F.col("n_nbr") >= 4, 1).otherwise(0))
+            .cast("long")
+            .alias("n_core"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN n_nbr >= 4 THEN 1 ELSE 0 END)"
+                " div count(*) AS BIGINT)"
+            ).alias("core_ppm"),
+            F.max("n_nbr").cast("long").alias("max_neighbors"),
+        )
+        .select(
+            F.col("lbl").alias("label"),
+            "n_points",
+            "n_core",
+            "core_ppm",
+            "max_neighbors",
+        )
+        .orderBy("label")
+    )

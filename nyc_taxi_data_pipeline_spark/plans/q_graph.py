@@ -3624,3 +3624,101 @@ def ktruss_edge_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_support_after_peel",
         )
     )
+
+
+# ===========================================================================
+# Round-5: SCAN structural similarity (per-edge neighborhood Jaccard)
+# ===========================================================================
+
+_SCAN_SIM_ORACLE = (
+    "WITH "
+    + _COSUPP_EDGES
+    + """,
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+common AS (
+  SELECT e.a, e.b, count(*) AS c
+  FROM e
+  JOIN und na ON na.u = e.a
+  JOIN und nb ON nb.u = e.b AND nb.v = na.v
+  GROUP BY e.a, e.b
+)
+SELECT e.a, e.b,
+       coalesce(c.c, 0) AS n_common,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(1000000 * coalesce(c.c, 0)
+            // (da.d + db.d - coalesce(c.c, 0)) AS BIGINT) AS jaccard_ppm
+FROM e
+JOIN deg da ON da.u = e.a
+JOIN deg db ON db.u = e.b
+LEFT JOIN common c ON c.a = e.a AND c.b = e.b
+ORDER BY jaccard_ppm DESC, e.a, e.b
+LIMIT 15
+"""
+)
+
+
+@_register("scan_structural_similarity", _SCAN_SIM_ORACLE)
+def scan_structural_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN-style structural similarity per EDGE of the co-supply graph:
+    Jaccard of the endpoints' open neighborhoods, |N(a) n N(b)| /
+    (deg(a)+deg(b)-|common|), in exact ppm — the edge-strength measure
+    SCAN clustering thresholds to split community-internal edges from
+    hubs/outliers (per-EDGE, where local_clustering_topk is per-NODE and
+    ktruss_edge_peel thresholds raw triangle counts). Common neighbors
+    come from one two-hop wedge join keyed on the endpoints; zero-common
+    edges are kept via the left join (Jaccard 0), top-15 strongest
+    surfaced deterministically. Scale shape: adjacency wedge join + two
+    broadcast-able degree joins — the triangle entry's measured-linear
+    shape, never all-pairs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("x")
+    b = li.alias("y")
+    cos = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("s1"), F.col("y.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e = cos.filter(
+        (F.col("w") >= 2)
+        & ((F.col("s1") * 31 + F.col("s2") * 17) % 20 == 0)
+    ).select(F.col("s1").alias("a"), F.col("s2").alias("b")).localCheckpoint(
+        eager=False
+    )
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    na = und.alias("na")
+    nb = und.alias("nb")
+    common = (
+        e.join(na, F.col("na.u") == F.col("a"))
+        .join(nb, (F.col("nb.u") == F.col("b")) & (F.col("nb.v") == F.col("na.v")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("deg_b"))
+    return (
+        e.join(da, F.col("ua") == F.col("a"))
+        .join(db, F.col("ub") == F.col("b"))
+        .join(common, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("c", F.lit(0)).cast("long").alias("n_common"),
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(1000000 * coalesce(c, 0)"
+                " div (deg_a + deg_b - coalesce(c, 0)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), "a", "b")
+        .limit(15)
+    )

@@ -3390,3 +3390,228 @@ def merge_into_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+# ===========================================================================
+# Round-5: referential-integrity audit + incremental view maintenance
+# ===========================================================================
+
+_FK_ORPHAN_ORACLE = """
+WITH edges AS (
+  SELECT 'orders.o_custkey -> customer' AS fk_edge,
+         (SELECT count(*) FROM orders) AS n_child,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_orphan,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey
+                              AND c.c_custkey % 97 <> 0)) AS n_orphan_sim
+  UNION ALL
+  SELECT 'lineitem.l_orderkey -> orders',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey
+                              AND o.o_orderkey % 97 <> 0))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey -> supplier',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey)),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey
+                              AND s.s_suppkey % 97 <> 0))
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey)),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey
+                              AND p.p_partkey % 97 <> 0))
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey)),
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey
+                              AND n.n_nationkey % 97 <> 0))
+)
+SELECT fk_edge,
+       CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphan AS BIGINT) AS n_orphan,
+       CAST(1000000 * n_orphan // n_child AS BIGINT) AS orphan_ppm,
+       CAST(n_orphan_sim AS BIGINT) AS n_orphan_sim
+FROM edges
+ORDER BY fk_edge
+"""
+
+
+@_register("fk_orphan_audit", _FK_ORPHAN_ORACLE)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's five FK edges:
+    orphan child rows per edge via LEFT ANTI joins (the DQ rule a
+    warehouse runs after every load; complements
+    inclusion_dependency_audit, which DISCOVERS candidate FKs by
+    containment — this VERIFIES the declared ones). The clean synthetic
+    lake audits to zero orphans, so a second anti-join lane SIMULATES a
+    lost dimension slice (parents with key % 97 == 0 withheld) and counts
+    the orphans that outage would strand — the audit's detection power is
+    executed, not assumed. Scale shape: each edge is one anti join —
+    broadcast for the bounded dims, shuffle hash for
+    lineitem->orders — producing 1-row aggregates unioned to 5 rows."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+
+    def edge(name, child, key, parent, pkey):
+        n_child = child.count()
+        orphan = child.join(
+            parent, F.col(key) == F.col(pkey), "left_anti"
+        ).count()
+        sim = child.join(
+            parent.filter(F.col(pkey) % 97 != 0),
+            F.col(key) == F.col(pkey),
+            "left_anti",
+        ).count()
+        return spark.createDataFrame(
+            [(name, n_child, orphan, 1000000 * orphan // n_child, sim)],
+            "fk_edge string, n_child long, n_orphan long,"
+            " orphan_ppm long, n_orphan_sim long",
+        )
+
+    frames = [
+        edge("orders.o_custkey -> customer", orders, "o_custkey",
+             customer.select("c_custkey"), "c_custkey"),
+        edge("lineitem.l_orderkey -> orders", lineitem, "l_orderkey",
+             orders.select("o_orderkey"), "o_orderkey"),
+        edge("lineitem.l_suppkey -> supplier", lineitem, "l_suppkey",
+             supplier.select("s_suppkey"), "s_suppkey"),
+        edge("lineitem.l_partkey -> part", lineitem, "l_partkey",
+             part.select("p_partkey"), "p_partkey"),
+        edge("customer.c_nationkey -> nation", customer, "c_nationkey",
+             nation.select("n_nationkey"), "n_nationkey"),
+    ]
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionAll(fdf)
+    return out.orderBy("fk_edge")
+
+
+_IVM_ORACLE = """
+WITH base AS (SELECT o_orderpriority AS pri,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     o_orderkey AS k
+              FROM orders),
+delta AS (
+  -- update = retract + assert (price + $10) for keys % 37 == 0
+  SELECT pri, cents, -1 AS mult FROM base WHERE k % 37 = 0
+  UNION ALL
+  SELECT pri, cents + 1000, 1 FROM base WHERE k % 37 = 0
+  -- pure deletes for keys % 43 == 0 (not already updated)
+  UNION ALL
+  SELECT pri, cents, -1 FROM base WHERE k % 43 = 0 AND k % 37 <> 0
+),
+view0 AS (SELECT pri, count(*) AS cnt, sum(cents) AS sc
+          FROM base GROUP BY pri),
+dagg AS (SELECT pri, sum(mult) AS dcnt,
+                sum(CAST(mult AS BIGINT) * cents) AS dsc
+         FROM delta GROUP BY pri),
+ivm AS (
+  SELECT v.pri,
+         v.cnt + coalesce(d.dcnt, 0) AS cnt,
+         v.sc + coalesce(d.dsc, 0) AS sc
+  FROM view0 v LEFT JOIN dagg d ON d.pri = v.pri
+),
+applied AS (
+  SELECT pri, cents FROM base WHERE k % 37 <> 0 AND k % 43 <> 0
+  UNION ALL
+  SELECT pri, cents + 1000 FROM base WHERE k % 37 = 0
+),
+rec AS (SELECT pri, count(*) AS cnt, sum(cents) AS sc
+        FROM applied GROUP BY pri)
+SELECT i.pri AS o_orderpriority,
+       CAST(i.cnt AS BIGINT) AS cnt_ivm,
+       CAST(i.sc AS BIGINT) AS sum_ivm_cents,
+       CAST(r.cnt AS BIGINT) AS cnt_recompute,
+       (i.cnt = r.cnt AND i.sc = r.sc) AS consistent
+FROM ivm i JOIN rec r ON r.pri = i.pri
+ORDER BY i.pri
+"""
+
+
+@_register("ivm_incremental_agg", _IVM_ORACLE)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with RETRACTIONS — the delta algebra
+    behind Materialize/Delta Live Tables and Spark's own streaming
+    update-mode aggregates: a change batch of signed-multiplicity rows
+    (update = retract + assert, delete = retract) folds into a
+    materialized count/sum view WITHOUT rescanning the base table, and
+    the entry carries its own consistency proof (cnt/sum equal to the
+    full recompute on the changed table, per group — executed, not
+    asserted). Extends incremental_rollup_merge (insert-only partial-agg
+    mergeability) with the delete/update half of IVM. Scale shape: the
+    delta is a filtered slice (one scan), both the view update and the
+    delta agg are bounded group-bys; at 100 TB the base is never
+    re-read — exactly the point of IVM."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    ).localCheckpoint(eager=False)
+    upd = base.filter(F.col("k") % 37 == 0)
+    dele = base.filter((F.col("k") % 43 == 0) & (F.col("k") % 37 != 0))
+    delta = (
+        upd.select("pri", "cents", F.lit(-1).alias("mult"))
+        .unionAll(
+            upd.select("pri", (F.col("cents") + 1000).alias("cents"),
+                       F.lit(1).alias("mult"))
+        )
+        .unionAll(dele.select("pri", "cents", F.lit(-1).alias("mult")))
+    )
+    view0 = base.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("sc")
+    )
+    dagg = delta.groupBy("pri").agg(
+        F.sum("mult").alias("dcnt"),
+        F.sum(F.col("mult").cast("long") * F.col("cents")).alias("dsc"),
+    )
+    ivm = view0.join(dagg, "pri", "left").select(
+        "pri",
+        (F.col("cnt") + F.coalesce("dcnt", F.lit(0))).alias("cnt_i"),
+        (F.col("sc") + F.coalesce("dsc", F.lit(0))).alias("sc_i"),
+    )
+    applied = (
+        base.filter((F.col("k") % 37 != 0) & (F.col("k") % 43 != 0))
+        .select("pri", "cents")
+        .unionAll(upd.select("pri", (F.col("cents") + 1000).alias("cents")))
+    )
+    rec = applied.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("cnt_r"), F.sum("cents").alias("sc_r")
+    )
+    return (
+        ivm.join(rec, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.col("cnt_i").cast("long").alias("cnt_ivm"),
+            F.col("sc_i").cast("long").alias("sum_ivm_cents"),
+            F.col("cnt_r").cast("long").alias("cnt_recompute"),
+            ((F.col("cnt_i") == F.col("cnt_r"))
+             & (F.col("sc_i") == F.col("sc_r"))).alias("consistent"),
+        )
+        .orderBy("o_orderpriority")
+    )

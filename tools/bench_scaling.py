@@ -228,6 +228,20 @@ ENTRIES = [
     # round-5: the trigram-explode entry whose materialization was dropped
     # (re-derive per consumer; checkpoint only the bounded model aggregate)
     "charlm_freq_score",
+    # round-5 new entries
+    "ljung_box_portmanteau",
+    "theil_u2_seasonal",
+    "binseg_changepoint_daily",
+    "lift_gain_deciles",
+    "map_at_k_retrieval",
+    "brier_score_decomposition",
+    "levene_brown_forsythe",
+    "holt_linear_smoothing",
+    "fk_orphan_audit",
+    "ivm_incremental_agg",
+    "scan_structural_similarity",
+    "silhouette_medoid_eval",
+    "dbscan_grid_core_points",
 ]
 
 
