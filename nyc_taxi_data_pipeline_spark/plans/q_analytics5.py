@@ -783,3 +783,470 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.b").alias("trend_milli"),
         F.expr("st.l + 7 * st.b").alias("forecast_7d_milli"),
     )
+
+
+# ===========================================================================
+# Tail risk, resampling, sequential testing, monotone fit
+# ===========================================================================
+
+_VAR_CVAR_ORACLE = (
+    "WITH "
+    + _DAILY_SQL
+    + """,
+diffs AS (
+  SELECT x - lag(x) OVER (ORDER BY d) AS dx
+  FROM daily
+  QUALIFY dx IS NOT NULL
+),
+n AS (SELECT count(*) AS n, greatest(1, (10 * count(*)) // 100) AS k
+      FROM diffs),
+rk AS (
+  SELECT dx, row_number() OVER (ORDER BY dx, dx) AS rn
+  FROM diffs
+)
+SELECT CAST(n.n AS BIGINT) AS n_days,
+       CAST(n.k AS BIGINT) AS k_tail,
+       CAST(max(CASE WHEN rk.rn = n.k THEN rk.dx END) AS BIGINT)
+         AS var10_cents,
+       CAST(1000 * sum(CASE WHEN rk.rn <= n.k THEN rk.dx ELSE 0 END)
+            // n.k AS BIGINT) AS cvar10_milli
+FROM rk, n
+GROUP BY n.n, n.k
+"""
+)
+
+
+@_register("historical_var_cvar", _VAR_CVAR_ORACLE)
+def historical_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk and CVaR (expected shortfall) at the 10%
+    tail of day-over-day revenue CHANGES: VaR is the k-th worst observed
+    change (k = ceil-free 10% order statistic), CVaR the exact mean of
+    the k worst — the coherent tail-risk companion to
+    sharpe_ratio_monthly_revenue (volatility-adjusted level) and
+    max_drawdown_monthly_revenue (path risk): CVaR answers 'when the bad
+    10% of days happen, HOW bad on average'. Both are order statistics +
+    one exact division — no distributional assumption. Scale shape: day
+    rollup, one lag window, one rank window on the tiny diff frame."""
+    daily = _daily(spark, sf_dir)
+    diffs = (
+        daily.select((F.col("x") - F.lag("x").over(W.orderBy("d"))).alias("dx"))
+        .filter(F.col("dx").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    n = diffs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("greatest(1, (10 * count(*)) div 100)").alias("k"),
+    )
+    rk = diffs.select(
+        "dx", F.row_number().over(W.orderBy("dx")).alias("rn")
+    )
+    return (
+        rk.crossJoin(F.broadcast(n))
+        .groupBy("n", "k")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("k"), F.col("dx")))
+            .cast("long")
+            .alias("var10_cents"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN rn <= k THEN dx ELSE 0 END)"
+                " div max(k) AS BIGINT)"
+            ).alias("cvar10_milli"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("k").cast("long").alias("k_tail"),
+            "var10_cents",
+            "cvar10_milli",
+        )
+    )
+
+
+_PERM_TEST_ORACLE = """
+WITH s AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp
+  FROM events WHERE event_type IN ('click', 'view')
+),
+tot AS (
+  SELECT sum(grp) AS n1, sum(1 - grp) AS n2,
+         sum(CASE WHEN grp = 1 THEN v ELSE 0 END) AS s1,
+         sum(CASE WHEN grp = 0 THEN v ELSE 0 END) AS s2
+  FROM s
+),
+obs AS (
+  SELECT n1, n2, abs(n2 * CAST(s1 AS HUGEINT) - n1 * s2) AS d_obs FROM tot
+),
+perms AS (
+  SELECT p.seed, s.v,
+         row_number() OVER (
+           PARTITION BY p.seed
+           ORDER BY md5(CAST(s.event_id AS VARCHAR) || ':perm'
+                        || CAST(p.seed AS VARCHAR)), s.event_id) AS rn
+  FROM s CROSS JOIN (SELECT unnest(range(1, 65)) AS seed) p
+),
+pstat AS (
+  SELECT pm.seed,
+         abs(o.n2 * CAST(sum(CASE WHEN pm.rn <= o.n1 THEN pm.v ELSE 0 END)
+                         AS HUGEINT)
+             - o.n1 * sum(CASE WHEN pm.rn > o.n1 THEN pm.v ELSE 0 END))
+           AS d_perm
+  FROM perms pm, obs o
+  GROUP BY pm.seed, o.n1, o.n2
+)
+SELECT CAST(64 AS BIGINT) AS n_perms,
+       CAST(o.d_obs // (o.n1 * o.n2) AS BIGINT) AS obs_mean_diff_scaled,
+       CAST(sum(CASE WHEN p.d_perm >= o.d_obs THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_extreme,
+       CAST(1000 * (sum(CASE WHEN p.d_perm >= o.d_obs THEN 1 ELSE 0 END) + 1)
+            // 65 AS BIGINT) AS p_value_milli
+FROM pstat p, obs o
+GROUP BY o.d_obs, o.n1, o.n2
+"""
+
+
+@_register("permutation_test_mean_diff", _PERM_TEST_ORACLE)
+def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic permutation test of the click-vs-view mean value
+    difference: 64 md5-deterministic label permutations (rank by
+    md5(event_id, seed) — group sizes preserved exactly, the
+    stratified_sample_exact machinery), test statistic |n2*S1 - n1*S2|
+    (the cross-multiplied mean diff, no division until the readout),
+    p = (extreme + 1)/(64 + 1) with the add-one correction. The
+    distribution-free companion to two_proportion_ab_test /
+    cohens_d_effect_size, and the TESTING half of the resampling family
+    poisson_bootstrap_ci opened (CI half). Monte-Carlo yet fully
+    value-oracled: the md5 coin is the same on both engines. Scale
+    shape: one seed-partitioned rank window over 64 deterministic
+    replicas (shuffle keyed on seed, replicas sort in parallel), one
+    grouped aggregate; observed stats broadcast."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            _cents("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "grp"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = s.agg(
+        F.sum("grp").alias("n1"),
+        F.sum(F.expr("1 - grp")).alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("v")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("v")).otherwise(0)).alias("s2"),
+    )
+    obs = tot.select(
+        "n1",
+        "n2",
+        F.expr(
+            "abs(n2 * CAST(s1 AS DECIMAL(38,0)) - n1 * s2)"
+        ).alias("d_obs"),
+    )
+    seeds = spark.range(1, 65).select(F.col("id").alias("seed"))
+    perms = s.crossJoin(F.broadcast(seeds)).select(
+        "seed",
+        "v",
+        F.row_number()
+        .over(
+            W.partitionBy("seed").orderBy(
+                F.expr(
+                    "md5(CAST(event_id AS STRING) || ':perm'"
+                    " || CAST(seed AS STRING))"
+                ),
+                "event_id",
+            )
+        )
+        .alias("rn"),
+    )
+    pstat = (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("seed", "n1", "n2")
+        .agg(
+            F.expr(
+                "abs(n2 * CAST(sum(CASE WHEN rn <= n1 THEN v"
+                " ELSE 0 END) AS DECIMAL(38,0))"
+                " - n1 * sum(CASE WHEN rn > n1 THEN v ELSE 0 END))"
+            ).alias("d_perm")
+        )
+    )
+    return (
+        pstat.crossJoin(F.broadcast(obs.select(F.col("d_obs").alias("dob"))))
+        .groupBy("n1", "n2", "dob")
+        .agg(
+            F.sum(F.when(F.col("d_perm") >= F.col("dob"), 1).otherwise(0))
+            .alias("ne")
+        )
+        .select(
+            F.lit(64).cast("long").alias("n_perms"),
+            F.expr("CAST(dob div (n1 * n2) AS BIGINT)").alias(
+                "obs_mean_diff_scaled"
+            ),
+            F.col("ne").cast("long").alias("n_extreme"),
+            F.expr("CAST(1000 * (ne + 1) div 65 AS BIGINT)").alias(
+                "p_value_milli"
+            ),
+        )
+    )
+
+
+_SPRT_ORACLE = """
+WITH s AS (
+  SELECT ts, event_id,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events WHERE event_type IN ('click', 'view')
+),
+walk AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) AS step,
+         sum(CASE WHEN y = 1 THEN 182 ELSE -223 END)
+           OVER (ORDER BY ts, event_id) AS llr_milli
+  FROM s
+),
+crossed AS (
+  SELECT step, llr_milli,
+         CASE WHEN llr_milli >= 2944 THEN 'accept_h1'
+              WHEN llr_milli <= -2944 THEN 'accept_h0' END AS decision
+  FROM walk
+  WHERE llr_milli >= 2944 OR llr_milli <= -2944
+  ORDER BY step LIMIT 1
+),
+tot AS (SELECT count(*) AS n FROM s)
+SELECT CAST(t.n AS BIGINT) AS n_observations,
+       CAST(c.step AS BIGINT) AS decision_step,
+       CAST(c.llr_milli AS BIGINT) AS llr_at_decision_milli,
+       c.decision
+FROM tot t LEFT JOIN crossed c ON TRUE
+"""
+
+
+@_register("sprt_sequential_ab", _SPRT_ORACLE)
+def sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the click/view stream:
+    H0 p=0.5 vs H1 p=0.6 with alpha=beta=0.05 — the EARLY-STOPPING
+    experiment monitor the fixed-horizon tests (two_proportion_ab_test,
+    permutation_test_mean_diff) cannot be: per observation the
+    log-likelihood ratio moves by literal milli constants ln(.6/.5)=+182 /
+    ln(.4/.5)=-223, and the first crossing of +-ln(19)=2944 milli decides.
+    One event-time-ordered cumsum window; the decision step, the LLR at
+    crossing, and the direction all value-check (the stream is ~50/50 so
+    the walk drifts to accept_h0 — expected drift -20.5 milli/step).
+    Scale shape: a single ordered cumsum (the sequential monitor's
+    inherent total order) + TakeOrdered(1) over the crossing set."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wo = W.orderBy("ts", "event_id")
+    walk = s.select(
+        F.row_number().over(wo).alias("step"),
+        F.sum(F.when(F.col("y") == 1, 182).otherwise(-223))
+        .over(wo)
+        .alias("llr_milli"),
+    )
+    crossed = (
+        walk.filter(
+            (F.col("llr_milli") >= 2944) | (F.col("llr_milli") <= -2944)
+        )
+        .orderBy("step")
+        .limit(1)
+        .select(
+            "step",
+            "llr_milli",
+            F.when(F.col("llr_milli") >= 2944, "accept_h1")
+            .when(F.col("llr_milli") <= -2944, "accept_h0")
+            .alias("decision"),
+        )
+    )
+    tot = s.agg(F.count(F.lit(1)).alias("n"))
+    return tot.join(F.broadcast(crossed), F.lit(True), "left").select(
+        F.col("n").cast("long").alias("n_observations"),
+        F.col("step").cast("long").alias("decision_step"),
+        F.col("llr_milli").cast("long").alias("llr_at_decision_milli"),
+        "decision",
+    )
+
+
+_MOOD_ORACLE = """
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+rk AS (
+  SELECT grp, v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM s
+),
+gmed AS (
+  SELECT sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+         + sum(CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END) AS med2
+  FROM rk
+),
+cls AS (
+  SELECT s.grp, CASE WHEN 2 * s.v > m.med2 THEN 1 ELSE 0 END AS above
+  FROM s, gmed m
+),
+g AS (SELECT grp, count(*) AS n_g, sum(above) AS o_a FROM cls GROUP BY grp),
+gl AS (SELECT sum(n_g) AS n, sum(o_a) AS ta FROM g),
+chi AS (
+  SELECT CAST(1000 * sum(CAST(gl.n * g.o_a - g.n_g * gl.ta AS HUGEINT)
+                         * (gl.n * g.o_a - g.n_g * gl.ta) // g.n_g)
+              // (CAST(gl.ta AS HUGEINT) * (gl.n - gl.ta)) AS BIGINT)
+           AS chi2_milli
+  FROM g, gl GROUP BY gl.n, gl.ta
+)
+SELECT g.grp AS event_type,
+       CAST(g.n_g AS BIGINT) AS n_g,
+       CAST(g.o_a AS BIGINT) AS n_above,
+       CAST(1000000 * g.o_a // g.n_g AS BIGINT) AS above_ppm,
+       c.chi2_milli
+FROM g CROSS JOIN chi c
+ORDER BY g.grp
+"""
+
+
+@_register("mood_median_test", _MOOD_ORACLE)
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five event types: classify every
+    value as above/not-above the GLOBAL doubled median, then the 2xk
+    chi-square on the counts — chi2 = sum_g D_g^2/n_g / (Ta*Tb/N) with
+    D_g = N*O_g - n_g*Ta, collapsed to one exact 128-bit division (the
+    algebraic identity D_ga = -D_gb removes the two-cell sum). The
+    coarsest — and most outlier-robust — of the catalog's k-sample
+    location tests (kruskal_wallis uses full ranks, cramer_von_mises full
+    ECDFs; Mood only the median split), the classic robustness/power
+    tradeoff made executable. Scale shape: one global rank window for
+    the median, one group aggregate, 1-row totals broadcast."""
+    s = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), _cents("value").alias("v")
+    )
+    rk = s.select(
+        "grp",
+        "v",
+        F.row_number().over(W.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    gmed = rk.agg(
+        (
+            F.sum(F.when(F.expr("rn = (n + 1) div 2"), F.col("v")).otherwise(0))
+            + F.sum(F.when(F.expr("rn = n div 2 + 1"), F.col("v")).otherwise(0))
+        ).alias("med2")
+    )
+    cls = s.crossJoin(F.broadcast(gmed)).select(
+        "grp", F.expr("CASE WHEN 2 * v > med2 THEN 1 ELSE 0 END").alias("above")
+    )
+    g = cls.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("above").alias("o_a")
+    ).localCheckpoint(eager=False)
+    gl = g.agg(F.sum("n_g").alias("n"), F.sum("o_a").alias("ta"))
+    chi = (
+        g.crossJoin(F.broadcast(gl))
+        .agg(
+            F.expr(
+                "CAST(1000 * CAST(sum(CAST(n * o_a - n_g * ta AS"
+                " DECIMAL(38,0)) * (n * o_a - n_g * ta) div n_g)"
+                " AS DECIMAL(38,0))"
+                " div (CAST(max(ta) AS DECIMAL(38,0)) * (max(n) - max(ta)))"
+                " AS BIGINT)"
+            ).alias("chi2_milli")
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("grp").alias("event_type"),
+            F.col("n_g").cast("long").alias("n_g"),
+            F.col("o_a").cast("long").alias("n_above"),
+            F.expr("CAST(1000000 * o_a div n_g AS BIGINT)").alias(
+                "above_ppm"
+            ),
+            "chi2_milli",
+        )
+        .orderBy("event_type")
+    )
+
+
+_ISOTONIC_ORACLE = (
+    "WITH "
+    + _DAILY_SQL
+    + """,
+pre AS (
+  SELECT d, x,
+         row_number() OVER (ORDER BY d) AS t,
+         sum(x) OVER (ORDER BY d) AS st
+  FROM daily
+),
+pairs AS (
+  -- segment [j..k]: sum = st_k - st_{j-1}, len = k - j + 1; the exact
+  -- sortable key 900000*sum // len separates any two distinct segment
+  -- averages (min gap 1/(len1*len2) >= 1/900 => key gap >= 999)
+  SELECT j.t AS j, k.t AS k,
+         (900000 * (k.st - j.st + j.x)) // (k.t - j.t + 1) AS key
+  FROM pre j JOIN pre k ON k.t >= j.t
+),
+mn AS (SELECT j, min(key) AS mnk FROM pairs GROUP BY j),
+iso AS (
+  SELECT p.t, p.d, p.x,
+         max(m.mnk) OVER (ORDER BY m.j) AS isok
+  FROM mn m JOIN pre p ON p.t = m.j
+)
+SELECT d AS day, CAST(x AS BIGINT) AS x_cents,
+       CAST(isok // 900 AS BIGINT) AS iso_milli
+FROM iso
+ORDER BY day
+"""
+)
+
+
+@_register("isotonic_regression_minimax", _ISOTONIC_ORACLE)
+def isotonic_regression_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) regression of daily revenue on
+    time via the MINIMAX identity iso(t) = max_{j<=t} min_{k>=j}
+    mean(x[j..k]) — the closed form equivalent to PAVA that needs no
+    sequential pooling loop, so it runs as one pair frame + two window
+    passes over the bounded daily series. Rational segment means are
+    ordered EXACTLY through the integer key 900000*sum//len (distinct
+    averages of <=30-long segments differ by >= 1/900, so key order ==
+    rational order); the readout iso_milli = key//900 is within one
+    milli of the exact isotonic value on both lanes. Monotonicity and
+    agreement with an independent Python PAVA are pytest-pinned. The
+    monotone-fit primitive under calibration (isotonic calibration) and
+    trend extraction. Scale shape: |days|^2/2 pair rows (bounded by the
+    calendar), one grouped min, one cumulative-max window."""
+    daily = _daily(spark, sf_dir)
+    pre = daily.select(
+        "d",
+        "x",
+        F.row_number().over(W.orderBy("d")).alias("t"),
+        F.sum("x")
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("st"),
+    ).localCheckpoint(eager=False)
+    j = pre.alias("j")
+    k = pre.alias("k")
+    pairs = j.join(k, F.col("k.t") >= F.col("j.t")).select(
+        F.col("j.t").alias("jj"),
+        F.expr(
+            "(900000 * (k.st - j.st + j.x)) div (k.t - j.t + 1)"
+        ).alias("key"),
+    )
+    mn = pairs.groupBy("jj").agg(F.min("key").alias("mnk"))
+    iso = mn.join(pre, F.col("t") == F.col("jj")).select(
+        "d",
+        "x",
+        "jj",
+        F.max("mnk")
+        .over(W.orderBy("jj").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("isok"),
+    )
+    return iso.select(
+        F.col("d").alias("day"),
+        F.col("x").cast("long").alias("x_cents"),
+        F.expr("CAST(isok div 900 AS BIGINT)").alias("iso_milli"),
+    ).orderBy("day")

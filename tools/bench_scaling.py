@@ -242,6 +242,11 @@ ENTRIES = [
     "scan_structural_similarity",
     "silhouette_medoid_eval",
     "dbscan_grid_core_points",
+    "historical_var_cvar",
+    "permutation_test_mean_diff",
+    "sprt_sequential_ab",
+    "mood_median_test",
+    "isotonic_regression_minimax",
 ]
 
 
