@@ -1250,3 +1250,331 @@ def isotonic_regression_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("long").alias("x_cents"),
         F.expr("CAST(isok div 900 AS BIGINT)").alias("iso_milli"),
     ).orderBy("day")
+
+
+# ===========================================================================
+# SPC run rules, coordinated sampling, sequence alignment
+# ===========================================================================
+
+_WE_RULES_ORACLE = (
+    "WITH "
+    + _DAILY_SQL
+    + """,
+tot AS (SELECT count(*) AS n, sum(x) AS s,
+               sum(CAST(x AS HUGEINT) * x) AS q
+        FROM daily),
+dev AS (
+  SELECT d, x,
+         CAST(t.n * daily.x - t.s AS HUGEINT) AS e,
+         CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s AS nvar
+  FROM daily, tot t
+),
+fl AS (
+  SELECT d, x, e,
+         CASE WHEN e * e > 9 * nvar THEN 1 ELSE 0 END AS b3,
+         CASE WHEN e * e > 4 * nvar AND e > 0 THEN 1 ELSE 0 END AS b2p,
+         CASE WHEN e * e > 4 * nvar AND e < 0 THEN 1 ELSE 0 END AS b2n,
+         CASE WHEN e * e > nvar AND e > 0 THEN 1 ELSE 0 END AS b1p,
+         CASE WHEN e * e > nvar AND e < 0 THEN 1 ELSE 0 END AS b1n,
+         CASE WHEN e > 0 THEN 1 ELSE 0 END AS sp,
+         CASE WHEN e < 0 THEN 1 ELSE 0 END AS sn
+  FROM dev
+)
+SELECT d AS day, CAST(x AS BIGINT) AS x_cents,
+       CAST(e AS BIGINT) AS dev_scaled,
+       b3 = 1 AS rule1_beyond3,
+       (sum(b2p) OVER w3 >= 2 OR sum(b2n) OVER w3 >= 2) AS rule2_2of3,
+       (sum(b1p) OVER w5 >= 4 OR sum(b1n) OVER w5 >= 4) AS rule3_4of5,
+       (sum(sp) OVER w8 = 8 OR sum(sn) OVER w8 = 8) AS rule4_8side
+FROM fl
+WINDOW w3 AS (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       w5 AS (ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       w8 AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+)
+
+
+@_register("western_electric_rules", _WE_RULES_ORACLE)
+def western_electric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four Western Electric control-chart run rules on the daily
+    revenue series — the SPC decision layer ON TOP of the catalog's
+    control charts (cusum level shifts, ewma smoothing, bollinger bands):
+    rule 1 = beyond 3 sigma, rule 2 = 2-of-3 beyond 2 sigma one-sided,
+    rule 3 = 4-of-5 beyond 1 sigma one-sided, rule 4 = 8 consecutive on
+    one side of the mean. Every sigma comparison is DIVISION-FREE —
+    (n*x - S)^2 > k^2 * (n*Q - S^2) in 128-bit lanes (the chebyshev
+    recipe: never divide, so no width or tie hazard) — and the runs are
+    rolling window counts sharing one time ordering. All 30 days emit
+    with their flags (on near-uniform synthetic data rules 1-2 stay
+    false — max |x - mu| ~ 1.7 sigma — which the oracle checks exactly).
+    Scale shape: day rollup + three ROWS-frame windows on one sort."""
+    daily = _daily(spark, sf_dir)
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("q"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "x",
+        F.expr("CAST(n * x - s AS DECIMAL(38,0))").alias("e"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s"
+        ).alias("nvar"),
+    )
+    fl = dev.select(
+        "d",
+        "x",
+        "e",
+        F.expr("CASE WHEN e * e > 9 * nvar THEN 1 ELSE 0 END").alias("b3"),
+        F.expr(
+            "CASE WHEN e * e > 4 * nvar AND e > 0 THEN 1 ELSE 0 END"
+        ).alias("b2p"),
+        F.expr(
+            "CASE WHEN e * e > 4 * nvar AND e < 0 THEN 1 ELSE 0 END"
+        ).alias("b2n"),
+        F.expr("CASE WHEN e * e > nvar AND e > 0 THEN 1 ELSE 0 END").alias(
+            "b1p"
+        ),
+        F.expr("CASE WHEN e * e > nvar AND e < 0 THEN 1 ELSE 0 END").alias(
+            "b1n"
+        ),
+        F.expr("CASE WHEN e > 0 THEN 1 ELSE 0 END").alias("sp"),
+        F.expr("CASE WHEN e < 0 THEN 1 ELSE 0 END").alias("sn"),
+    )
+    w3 = W.orderBy("d").rowsBetween(-2, 0)
+    w5 = W.orderBy("d").rowsBetween(-4, 0)
+    w8 = W.orderBy("d").rowsBetween(-7, 0)
+    return fl.select(
+        F.col("d").alias("day"),
+        F.col("x").cast("long").alias("x_cents"),
+        F.col("e").cast("long").alias("dev_scaled"),
+        (F.col("b3") == 1).alias("rule1_beyond3"),
+        ((F.sum("b2p").over(w3) >= 2) | (F.sum("b2n").over(w3) >= 2)).alias(
+            "rule2_2of3"
+        ),
+        ((F.sum("b1p").over(w5) >= 4) | (F.sum("b1n").over(w5) >= 4)).alias(
+            "rule3_4of5"
+        ),
+        ((F.sum("sp").over(w8) == 8) | (F.sum("sn").over(w8) == 8)).alias(
+            "rule4_8side"
+        ),
+    ).orderBy("day")
+
+
+_COORD_SAMPLE_ORACLE = """
+WITH os AS (
+  SELECT * FROM orders
+  WHERE substring(md5(CAST(o_orderkey AS VARCHAR) || ':cs'), 1, 8)
+        < '40000000'
+),
+ls AS (
+  SELECT * FROM lineitem
+  WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':cs'), 1, 8)
+        < '40000000'
+),
+sj AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM os o JOIN ls l ON l.l_orderkey = o.o_orderkey
+),
+tj AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT t.pri AS o_orderpriority,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_sampled_lines,
+       CAST(4 * coalesce(s.sc, 0) AS BIGINT) AS est_revenue_cents,
+       CAST(t.sc AS BIGINT) AS true_revenue_cents,
+       CAST(abs(4 * coalesce(s.sc, 0) - t.sc) * 1000000 // t.sc AS BIGINT)
+         AS err_ppm
+FROM (SELECT pri, count(*) AS n, sum(cents) AS sc FROM sj GROUP BY pri) s
+RIGHT JOIN (SELECT pri, sum(cents) AS sc FROM tj GROUP BY pri) t
+  ON t.pri = s.pri
+ORDER BY o_orderpriority
+"""
+
+
+@_register("coordinated_join_sample", _COORD_SAMPLE_ORACLE)
+def coordinated_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COORDINATED sampling across tables: orders and lineitem are each
+    25%-sampled INDEPENDENTLY by the same md5 rule on the shared join key,
+    so the join of the samples IS a 25% sample of the join (join-key
+    coordination — the property naive per-table Bernoulli sampling
+    destroys, since P(both sides keep a key) would be p^2 with broken
+    FK structure). The sampled join's Horvitz-Thompson estimate (x4) of
+    per-priority revenue rides next to the true value with its exact
+    error ppm — the estimator's quality is measured, not assumed.
+    Pytest additionally pins sample-of-join == join-of-samples row-for-
+    row. Scale shape: two map-side hash filters (no shuffle to sample),
+    then the same equi join as the full query on 25% of the data — the
+    cheap-pipeline-debugging pattern for 100 TB joins."""
+    okey_rule = (
+        "substring(md5(CAST(o_orderkey AS STRING) || ':cs'), 1, 8)"
+        " < '40000000'"
+    )
+    lkey_rule = (
+        "substring(md5(CAST(l_orderkey AS STRING) || ':cs'), 1, 8)"
+        " < '40000000'"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    os_ = orders.filter(F.expr(okey_rule))
+    ls = lineitem.filter(F.expr(lkey_rule))
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    sj = (
+        os_.join(ls, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_orderpriority").alias("pri"), cents.alias("cents"))
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc"))
+    )
+    tj = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_orderpriority").alias("pri"), cents.alias("cents"))
+        .groupBy("pri")
+        .agg(F.sum("cents").alias("tsc"))
+    )
+    return (
+        tj.join(sj, "pri", "left")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_sampled_lines"),
+            (4 * F.coalesce("sc", F.lit(0))).cast("long").alias(
+                "est_revenue_cents"
+            ),
+            F.col("tsc").cast("long").alias("true_revenue_cents"),
+            F.expr(
+                "CAST(abs(4 * coalesce(sc, 0) - tsc) * 1000000 div tsc"
+                " AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_DTW_BIG = "1000000000000000"
+
+_DTW_ORACLE = """
+WITH RECURSIVE
+da AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS xa,
+         sum(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS xb
+  FROM events GROUP BY 1
+),
+arrs AS (
+  SELECT list(xa ORDER BY d) AS xs, list(xb ORDER BY d) AS ys,
+         count(*) AS n, count(*) AS m
+  FROM da
+),
+rec AS (
+  SELECT 2 AS d,
+         [CASE WHEN i = 1 THEN abs(xs[1] - ys[1])
+               ELSE {BIG} END for i in range(1, n + 1)] AS p1,
+         [{BIG} for i in range(1, n + 1)] AS p2,
+         xs, ys, n, m
+  FROM arrs
+  UNION ALL
+  SELECT d + 1,
+         [CASE WHEN d + 1 - i BETWEEN 1 AND m AND i BETWEEN 1 AND n
+                    AND NOT (i = 1 AND d + 1 - i = 1)
+               THEN abs(xs[i] - ys[d + 1 - i])
+                    + least(p1[i],
+                            CASE WHEN i > 1 THEN p1[i - 1] ELSE {BIG} END,
+                            CASE WHEN i > 1 THEN p2[i - 1] ELSE {BIG} END)
+               ELSE {BIG} END for i in range(1, n + 1)] AS p1,
+         p1 AS p2, xs, ys, n, m
+  FROM rec WHERE d < n + m
+),
+dtw AS (SELECT p1[n] AS dist FROM rec WHERE d = n + m),
+l1 AS (
+  SELECT sum(abs(CAST(xa - xb AS BIGINT))) AS dist FROM da
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM arrs) AS n_days,
+       CAST(d.dist AS BIGINT) AS dtw_cents,
+       CAST(l.dist AS BIGINT) AS l1_cents,
+       CAST((l.dist - d.dist) * 1000000 // l.dist AS BIGINT)
+         AS warping_gain_ppm
+FROM dtw d, l1 l
+""".replace("{BIG}", _DTW_BIG)
+
+
+@_register("dtw_alignment_distance", _DTW_ORACLE)
+def dtw_alignment_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the daily purchase-revenue
+    and click-value series — the elastic time-series similarity measure
+    (does one series follow the other with lag/stretch?) that pointwise
+    L1/correlation cannot express; the numeric cousin of the catalog's
+    Levenshtein edit distance. The O(n*m) DP runs by ANTI-DIAGONALS so
+    each level depends only on the two previous levels — no within-level
+    dependency — making it one bounded aggregate() fold over 2n-2 list
+    states on the Spark side and the IDENTICAL recursion as a recursive
+    CTE in DuckDB; all costs are exact cents so the alignment
+    value-checks bit-for-bit. The flat L1 distance rides along and the
+    executed inequality DTW <= L1 (warping_gain_ppm >= 0) is part of the
+    oracle. Scale shape: the day rollup is the only data-sized pass; the
+    DP folds a |days|^2 table driver-free inside one expression — at
+    100 TB one folds per series-pair inside the same aggregate()."""
+    da = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", _cents("value")
+                ).otherwise(0)
+            ).alias("xa"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click", _cents("value")
+                ).otherwise(0)
+            ).alias("xb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    arrs = da.agg(
+        F.expr("transform(sort_array(collect_list(struct(d, xa))), r -> r.xa)")
+        .alias("xs"),
+        F.expr("transform(sort_array(collect_list(struct(d, xb))), r -> r.xb)")
+        .alias("ys"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("m"),
+    )
+    big = _DTW_BIG
+    dtw_expr = f"""
+aggregate(
+  sequence(3, n + m),
+  named_struct(
+    'p1', transform(sequence(1, n),
+          i -> IF(i = 1, abs(element_at(xs, 1) - element_at(ys, 1)),
+                  CAST({big} AS BIGINT))),
+    'p2', transform(sequence(1, n), i -> CAST({big} AS BIGINT))),
+  (acc, d) -> named_struct(
+    'p1', transform(sequence(1, n),
+      i -> IF(d - i BETWEEN 1 AND m AND NOT (i = 1 AND d - i = 1),
+              abs(element_at(xs, i) - element_at(ys, d - i))
+              + least(element_at(acc.p1, i),
+                      IF(i > 1, element_at(acc.p1, i - 1),
+                         CAST({big} AS BIGINT)),
+                      IF(i > 1, element_at(acc.p2, i - 1),
+                         CAST({big} AS BIGINT))),
+              CAST({big} AS BIGINT))),
+    'p2', acc.p1),
+  acc -> element_at(acc.p1, n))
+"""
+    l1 = da.agg(F.sum(F.expr("abs(xa - xb)")).alias("l1"))
+    return (
+        arrs.crossJoin(F.broadcast(l1))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.expr(dtw_expr).alias("dtw_cents"),
+            F.col("l1").cast("long").alias("l1_cents"),
+            F.expr(
+                f"CAST((l1 - ({dtw_expr})) * 1000000 div l1 AS BIGINT)"
+            ).alias("warping_gain_ppm"),
+        )
+    )

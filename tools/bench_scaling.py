@@ -247,6 +247,9 @@ ENTRIES = [
     "sprt_sequential_ab",
     "mood_median_test",
     "isotonic_regression_minimax",
+    "western_electric_rules",
+    "coordinated_join_sample",
+    "dtw_alignment_distance",
 ]
 
 
