@@ -3722,3 +3722,123 @@ def scan_structural_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_ppm").desc(), "a", "b")
         .limit(15)
     )
+
+
+# ===========================================================================
+# Round-5: personalized PageRank (random walk with restart)
+# ===========================================================================
+
+
+def _ppr_oracle(iterations: int = 3) -> str:
+    its = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT n2.node,
+         CASE WHEN n2.node = sd.s
+              THEN (15 * CAST(1000000000000 AS BIGINT)) // 100
+              ELSE 0 END
+         + (85 * coalesce(s.s2, 0)) // 100 AS pr
+  FROM nodes n2 CROSS JOIN seed sd
+  LEFT JOIN (SELECT e.dst AS node, sum(p.pr // d.deg) AS s2
+             FROM edges e
+             JOIN {prev} p ON p.node = e.src
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) s ON s.node = n2.node
+)""")
+        prev = f"it{i}"
+    its_sql = ",".join(its)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst AS src, src AS dst FROM e0
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seed AS (SELECT min(node) AS s FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pr0 AS (
+  SELECT node,
+         CASE WHEN node = sd.s THEN CAST(1000000000000 AS BIGINT)
+              ELSE 0 END AS pr
+  FROM nodes CROSS JOIN seed sd
+),{its_sql}
+SELECT node, CAST(pr AS BIGINT) AS pr FROM {prev}
+ORDER BY pr DESC, node
+LIMIT 20
+"""
+
+
+@_register("personalized_pagerank_restart", _ppr_oracle())
+def personalized_pagerank_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random walk with restart from ONE seed node
+    (the lexicographic-min node of the trade graph): the teleport mass
+    lands entirely on the seed instead of uniformly, so the stationary
+    scores measure proximity TO THE SEED — the graph-recommendation
+    primitive ('suppliers relevant to this customer') that global
+    pagerank_supplier_graph cannot express. Same scaled-integer bigint
+    lanes (ranks sum to ~1e12, floor division) so three unrolled power
+    iterations value-check bit-for-bit cross-engine. Scale shape
+    identical to global PageRank: per iteration one edge-list join + one
+    destination aggregate, rank lineage checkpoint-truncated per round;
+    the restart vector is a 1-row broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+            eager=False
+        )
+    )
+    seed = nodes.agg(F.min("node").alias("s"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
+    pr = nodes.crossJoin(F.broadcast(seed)).select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(10**12).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("pr"),
+    )
+    for _ in range(3):
+        summed = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"), F.expr("pr div deg").alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s2"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(seed))
+            .join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("node") == F.col("s"),
+                        F.expr("(15 * CAST(1000000000000 AS BIGINT)) div 100"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    + F.expr("(85 * coalesce(s2, CAST(0 AS BIGINT))) div 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.orderBy(F.col("pr").desc(), "node").limit(20)

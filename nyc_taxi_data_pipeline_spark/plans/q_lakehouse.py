@@ -3615,3 +3615,171 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ===========================================================================
+# Round-5: compaction planning + position-delete (merge-on-read) semantics
+# ===========================================================================
+
+_COMPACTION_ORACLE = """
+WITH files AS (
+  SELECT l_suppkey % 64 AS file_id, count(*) AS size_rows
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(size_rows) AS total,
+               2 * (sum(size_rows) // 64) AS cap
+        FROM files),
+ordered AS (
+  SELECT f.file_id, f.size_rows, t.cap, t.total,
+         sum(f.size_rows) OVER (ORDER BY f.size_rows DESC, f.file_id)
+           AS fill
+  FROM files f, tot t
+),
+binned AS (
+  SELECT *, (fill - size_rows) // cap AS bin_id FROM ordered
+)
+SELECT CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size_rows) AS BIGINT) AS rows_total,
+       CAST(1000000 * sum(size_rows) // max(cap) AS BIGINT) AS fill_ppm,
+       CAST((max(total) + max(cap) - 1) // max(cap) AS BIGINT)
+         AS bins_lower_bound
+FROM binned
+GROUP BY bin_id
+ORDER BY bin_id
+"""
+
+
+@_register("small_file_compaction_plan", _COMPACTION_ORACLE)
+def small_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style small-file compaction planning: 64 simulated data
+    files (row counts as the size proxy) packed sorted-descending into
+    target bins of 2x the mean file size by one cumulative-fill window —
+    bin = prefix_fill div capacity, the sequence-packing assignment
+    applied to the table-maintenance problem every lakehouse runs. The
+    per-bin fill ppm and the ceil(total/cap) lower bound ride along, so
+    the plan's quality (how close to the bin-count lower bound the
+    sorted-fill heuristic lands) is an executed value, not a claim.
+    Scale shape: file listing is metadata-sized (one group-by), the plan
+    itself is one window over 64 rows — the actual rewrite this plan
+    drives is embarrassingly parallel per bin."""
+    files = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_suppkey") % 64).alias("file_id"))
+        .agg(F.count(F.lit(1)).alias("size_rows"))
+        .localCheckpoint(eager=False)
+    )
+    tot = files.agg(
+        F.sum("size_rows").alias("total"),
+        F.expr("2 * (sum(size_rows) div 64)").alias("cap"),
+    )
+    ordered = files.crossJoin(F.broadcast(tot)).select(
+        "file_id",
+        "size_rows",
+        "cap",
+        "total",
+        F.sum("size_rows")
+        .over(
+            W.orderBy(F.col("size_rows").desc(), "file_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("fill"),
+    )
+    binned = ordered.select(
+        "*", F.expr("(fill - size_rows) div cap").alias("bin_id")
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("size_rows").cast("long").alias("rows_total"),
+            F.expr(
+                "CAST(1000000 * sum(size_rows) div max(cap) AS BIGINT)"
+            ).alias("fill_ppm"),
+            F.expr(
+                "CAST((max(total) + max(cap) - 1) div max(cap) AS BIGINT)"
+            ).alias("bins_lower_bound"),
+        )
+        .select(
+            F.col("bin_id").cast("long").alias("bin_id"),
+            "n_files",
+            "rows_total",
+            "fill_ppm",
+            "bins_lower_bound",
+        )
+        .orderBy("bin_id")
+    )
+
+
+_POS_DELETE_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) AS pos
+  FROM orders
+),
+dels AS (
+  SELECT pos FROM base WHERE (pos * 2654435761) % 100 < 7
+),
+surv AS (
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM dels d WHERE d.pos = b.pos)
+)
+SELECT b.pri AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS rows_before,
+       CAST(count(*) - count(s.pos) AS BIGINT) AS rows_deleted,
+       CAST(count(s.pos) AS BIGINT) AS rows_after,
+       CAST(coalesce(sum(s.cents), 0) AS BIGINT) AS sum_cents_after
+FROM base b LEFT JOIN surv s ON s.pos = b.pos
+GROUP BY b.pri
+ORDER BY o_orderpriority
+"""
+
+
+@_register("position_delete_read", _POS_DELETE_ORACLE)
+def position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style POSITION-delete merge-on-read: deletes are a list of
+    ROW POSITIONS within a data file (here: a deterministic 7% of
+    positions in the orderkey-ordered 'file'), and the read path
+    anti-joins the base rows against the delete list by position — the
+    complement of merge_into_emulation's KEY-based upsert and
+    delta_read_snapshot_agg's whole-file add/remove: deletion vectors
+    kill rows INSIDE a live file without rewriting it. Per-priority
+    before/deleted/after counts and surviving revenue value-check the
+    merge-on-read semantics end to end. Scale shape: one rank window to
+    materialize positions (per-file in a real layout, so parallel), one
+    anti join keyed on position, one group-by."""
+    base = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            F.row_number().over(W.orderBy("o_orderkey")).alias("pos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dels = base.filter(F.expr("(pos * 2654435761) % 100 < 7")).select("pos")
+    surv = base.join(dels, "pos", "left_anti")
+    before = base.groupBy("pri").agg(F.count(F.lit(1)).alias("rows_before"))
+    after = surv.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("rows_after"),
+        F.sum("cents").alias("sum_cents_after"),
+    )
+    return (
+        before.join(after, "pri", "left")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.col("rows_before").cast("long").alias("rows_before"),
+            (
+                F.col("rows_before") - F.coalesce("rows_after", F.lit(0))
+            ).cast("long").alias("rows_deleted"),
+            F.coalesce("rows_after", F.lit(0)).cast("long").alias(
+                "rows_after"
+            ),
+            F.coalesce("sum_cents_after", F.lit(0)).cast("long").alias(
+                "sum_cents_after"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

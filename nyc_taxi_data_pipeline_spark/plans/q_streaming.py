@@ -1401,3 +1401,108 @@ def streaming_chained_dedup_window(spark: SparkSession, sf_dir: str) -> DataFram
         agg, f"cdw_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
     return sink.orderBy("window_start")
+
+
+# ===========================================================================
+# Round-5: sequential hypothesis monitor over a real micro-batch drain
+# ===========================================================================
+
+_STREAM_SPRT_ORACLE = """
+WITH parts AS (SELECT unnest(range(0, 4)) AS p),
+offs  AS (SELECT unnest(range(0, 150)) AS o),
+recs AS (
+  SELECT o // 50 AS b,
+         CASE WHEN ((p * 31 + o * 17) % 1000) % 2 = 1
+              THEN 182 ELSE -223 END AS inc
+  FROM parts, offs
+),
+per AS (
+  SELECT b, count(*) AS n_obs, sum(inc) AS batch_llr
+  FROM recs GROUP BY b
+),
+cum AS (
+  SELECT b, n_obs, batch_llr,
+         sum(batch_llr) OVER (ORDER BY b) AS cum_llr
+  FROM per
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN cum_llr >= 2944 THEN 'accept_h1'
+              WHEN cum_llr <= -2944 THEN 'accept_h0' END AS raw_dec,
+         min(CASE WHEN cum_llr >= 2944 OR cum_llr <= -2944 THEN b END)
+           OVER () AS first_cross
+  FROM cum
+)
+SELECT CAST(b AS BIGINT) AS batch_id,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(batch_llr AS BIGINT) AS batch_llr_milli,
+       CAST(cum_llr AS BIGINT) AS cum_llr_milli,
+       CASE WHEN b = first_cross THEN raw_dec END AS decision
+FROM flagged
+ORDER BY batch_id
+"""
+
+
+@_register("streaming_sprt_monitor", _STREAM_SPRT_ORACLE)
+def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPRT sequential experiment monitor (sprt_sequential_ab's
+    batch semantics) run AS a streaming job over a real paced
+    micro-batch drain: each offset_log micro-batch contributes its
+    log-likelihood-ratio mass (odd/even amount parity as the Bernoulli
+    outcome, the same +182/-223 milli literal increments), foreachBatch
+    accumulates the cumulative LLR in drain order, and the decision
+    fires on the first batch whose cumulative crosses +-ln(19) — early
+    stopping at MICRO-BATCH granularity, exactly how a production
+    monitor would watch a live experiment. Deterministic seeded log +
+    deterministic batch planning (50 offsets/trigger) = full value
+    oracle for a streaming sequential test. Scale shape: one 1-row
+    aggregate per micro-batch (the only driver-side state is the
+    running LLR — constant memory regardless of stream size)."""
+    import uuid
+
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+
+    register_offset_log(spark)
+    stream = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 4)
+        .option("n_rows", 150)
+        .option("rows_per_batch", 50)
+        .load()
+    )
+    batches: list[tuple[int, int, int]] = []
+
+    def observe(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("amount_cents") % 2 == 1, 182).otherwise(-223)
+            ).alias("llr"),
+        ).collect()[0]
+        if agg["n"] and agg["n"] > 0:
+            batches.append((batch_id, int(agg["n"]), int(agg["llr"])))
+
+    q = stream.writeStream.queryName(
+        f"sprt_{uuid.uuid4().hex[:8]}"
+    ).foreachBatch(observe).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = []
+    cum = 0
+    crossed = False
+    for i, (_bid, n, llr) in enumerate(sorted(batches)):
+        cum += llr
+        decision = None
+        if not crossed and (cum >= 2944 or cum <= -2944):
+            decision = "accept_h1" if cum >= 2944 else "accept_h0"
+            crossed = True
+        rows.append((i, n, llr, cum, decision))
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, n_obs long, batch_llr_milli long,"
+        " cum_llr_milli long, decision string",
+    ).orderBy("batch_id")

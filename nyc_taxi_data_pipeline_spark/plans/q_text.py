@@ -4518,3 +4518,115 @@ def bigram_model_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_coverage_ppm"),
         )
     )
+
+
+# ===========================================================================
+# Round-5: token co-occurrence lift
+# ===========================================================================
+
+_TOKEN_LIFT_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+),
+post AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(t, '[a-z]+')) AS tok
+  FROM docs
+),
+df AS (SELECT tok, count(*) AS n FROM post GROUP BY tok),
+vocab AS (
+  SELECT tok, n FROM (
+    SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM df
+  ) WHERE rnk <= 30
+),
+vp AS (SELECT p.doc_id, p.tok, v.n FROM post p JOIN vocab v USING (tok)),
+tot AS (SELECT count(*) AS nd FROM docs),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b,
+         max(a.n) AS n_a, max(b.n) AS n_b, count(*) AS n_ab
+  FROM vp a JOIN vp b ON b.doc_id = a.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+)
+SELECT p.tok_a, p.tok_b,
+       CAST(p.n_a AS BIGINT) AS n_a,
+       CAST(p.n_b AS BIGINT) AS n_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(1000 * p.n_ab * t.nd // (p.n_a * p.n_b) AS BIGINT) AS lift_milli
+FROM pairs p, tot t
+ORDER BY lift_milli DESC, p.tok_a, p.tok_b
+LIMIT 20
+"""
+
+
+@_register("token_cooccurrence_lift", _TOKEN_LIFT_ORACLE)
+def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token co-occurrence LIFT over the top-30-by-df
+    vocabulary: lift = P(a,b)/(P(a)P(b)) in exact milli — the text-corpus
+    sibling of basket_pair_affinity (events market baskets), and the
+    ratio-form stand-in for PMI that needs no logarithm, so it carries a
+    full integer value oracle. Collocation mining is the curation signal
+    behind phrase detection and boilerplate discovery (templated docs
+    push token pairs far above independence). Scale shape: the vocabulary
+    is CAPPED at 30 (broadcast semi-join prunes postings before any
+    shuffle), so the pair join fans out to at most C(30,2) grouped pairs
+    per doc — bounded the way the PPJoin/LSH entries bound their
+    candidate sets; one distinct + one group-by on the pruned postings."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.lower(F.col("text")).alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    post = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(t, '[a-z]+', 0)")
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    df = post.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        df.select(
+            "tok",
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), "tok"))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 30)
+        .drop("rnk")
+    )
+    vp = post.join(F.broadcast(vocab), "tok")
+    tot = docs.agg(F.count(F.lit(1)).alias("nd"))
+    a = vp.alias("a")
+    b = vp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(
+            F.max("a.n").alias("n_a"),
+            F.max("b.n").alias("n_b"),
+            F.count(F.lit(1)).alias("n_ab"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr(
+                "CAST(1000 * n_ab * nd div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+        .orderBy(F.col("lift_milli").desc(), "tok_a", "tok_b")
+        .limit(20)
+    )

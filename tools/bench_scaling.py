@@ -250,6 +250,10 @@ ENTRIES = [
     "western_electric_rules",
     "coordinated_join_sample",
     "dtw_alignment_distance",
+    "token_cooccurrence_lift",
+    "personalized_pagerank_restart",
+    "small_file_compaction_plan",
+    "position_delete_read",
 ]
 
 
