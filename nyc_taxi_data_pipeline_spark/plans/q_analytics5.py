@@ -1578,3 +1578,678 @@ aggregate(
             ).alias("warping_gain_ppm"),
         )
     )
+
+
+# ===========================================================================
+# Multiple testing (BY), optimal stopping, operations simulations,
+# business-calendar SLA, multi-criteria ranking
+# ===========================================================================
+
+# chi-square(1) critical values (milli) at alpha*i/(m*c(m)) for the
+# Benjamini-Yekutieli step-up under arbitrary dependence: alpha = 0.05,
+# m = 25, c(25) = H_25 = 3.81595817... (exact harmonic sum). Generated by
+# bisection on the normal CDF (z^2 identity) — the same literal-ladder
+# role as fdr_bh_screen's table; pytest regenerates and pins them.
+_BY_LADDER = (
+    "[12028,10740,9992,9463,9054,8722,8441,8198,7985,7794,7622,7465,"
+    "7321,7188,7065,6949,6841,6739,6642,6551,6464,6382,6303,6227,6155]"
+)
+
+_BY_ORACLE = f"""
+WITH lab AS (
+  SELECT n.n_name,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y1
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS nn, CAST(sum(y1) AS BIGINT) AS yy
+  FROM lab
+),
+z AS (
+  SELECT l.n_name, l.n1, l.y1,
+         CAST(CAST(l.y1 * (t.nn - l.n1) - (t.yy - l.y1) * l.n1 AS HUGEINT)
+              * (l.y1 * (t.nn - l.n1) - (t.yy - l.y1) * l.n1)
+              * t.nn * 1000
+              // (CAST(l.n1 AS HUGEINT) * (t.nn - l.n1) * t.yy
+                  * (t.nn - t.yy)) AS BIGINT) AS z2_milli
+  FROM lab l CROSS JOIN tot t
+),
+rk AS (
+  SELECT n_name, n1, y1, z2_milli,
+         CAST(row_number() OVER (ORDER BY z2_milli DESC, n_name) AS BIGINT)
+           AS rank
+  FROM z
+),
+hit AS (
+  SELECT *, ({_BY_LADDER})[rank] AS by_critical_milli FROM rk
+),
+kmax AS (
+  SELECT CAST(coalesce(max(CASE WHEN z2_milli >= by_critical_milli
+                                THEN rank END), 0) AS BIGINT) AS k
+  FROM hit
+)
+SELECT h.n_name, h.n1, h.y1, h.z2_milli, h.rank, h.by_critical_milli,
+       CAST(CASE WHEN h.rank <= k.k THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM hit h CROSS JOIN kmax k
+ORDER BY h.rank
+"""
+
+
+@_register("benjamini_yekutieli_screen", _BY_ORACLE)
+def benjamini_yekutieli_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR control over the same 25 per-nation
+    two-proportion chi-square statistics as fdr_bh_screen, completing
+    the multiple-testing trio (BH assumes independence/PRDS; Holm
+    controls FWER; BY controls FDR under ARBITRARY dependence by
+    shrinking every level by the harmonic factor c(m) = H_25 ~ 3.816).
+    The only new machinery is the 25-literal critical ladder at
+    alpha*i/(m*c(m)); everything else is the shared exact z^2 milli
+    lane, so BY-rejections-subset-of-BH is an executable theorem the
+    pytest pins. Scale shape: one nation rollup, 1-row totals broadcast,
+    a 25-row window."""
+    lab = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("y1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = lab.agg(F.sum("n1").alias("nn"), F.sum("y1").alias("yy"))
+    z = lab.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n1",
+        "y1",
+        F.expr(
+            "CAST(CAST(y1 * (nn - n1) - (yy - y1) * n1 AS DECIMAL(38,0))"
+            " * (y1 * (nn - n1) - (yy - y1) * n1) * nn * 1000"
+            " div (CAST(n1 AS DECIMAL(38,0)) * (nn - n1) * yy * (nn - yy))"
+            " AS BIGINT)"
+        ).alias("z2_milli"),
+    )
+    rk = z.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.col("z2_milli").desc(), "n_name"))
+        .cast("long")
+        .alias("rank"),
+    )
+    hit = rk.select(
+        "*",
+        F.expr(f"element_at(array{tuple(int(x) for x in _BY_LADDER.strip('[]').split(','))}, CAST(rank AS INT))").alias(
+            "by_critical_milli"
+        ),
+    ).localCheckpoint(eager=False)
+    kmax = hit.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("z2_milli") >= F.col("by_critical_milli"),
+                    F.col("rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        hit.crossJoin(F.broadcast(kmax))
+        .select(
+            "n_name",
+            "n1",
+            "y1",
+            "z2_milli",
+            "rank",
+            F.col("by_critical_milli").cast("long").alias(
+                "by_critical_milli"
+            ),
+            F.expr(
+                "CAST(CASE WHEN rank <= k THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("rejected"),
+        )
+        .orderBy("rank")
+    )
+
+
+_SECRETARY_ORACLE = """
+WITH panel AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM (SELECT *, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+  WHERE rn <= 100
+),
+best AS (SELECT max(v) AS vmax FROM panel),
+seeds AS (SELECT unnest(range(1, 65)) AS seed),
+shuffled AS (
+  SELECT s.seed, p.v,
+         row_number() OVER (
+           PARTITION BY s.seed
+           ORDER BY md5(CAST(p.k AS VARCHAR) || ':sec'
+                        || CAST(s.seed AS VARCHAR)), p.k) AS pos
+  FROM panel p CROSS JOIN seeds s
+),
+thr AS (
+  SELECT seed, max(CASE WHEN pos <= 36 THEN v END) AS t
+  FROM shuffled GROUP BY seed
+),
+pick AS (
+  SELECT sh.seed,
+         coalesce(min(CASE WHEN sh.pos > 36 AND sh.v > th.t
+                           THEN sh.pos END), 100) AS pick_pos
+  FROM shuffled sh JOIN thr th ON th.seed = sh.seed
+  GROUP BY sh.seed
+),
+outcome AS (
+  SELECT p.seed,
+         max(CASE WHEN sh.pos = p.pick_pos THEN sh.v END) AS picked_v
+  FROM pick p JOIN shuffled sh ON sh.seed = p.seed
+  GROUP BY p.seed
+)
+SELECT CAST(100 AS BIGINT) AS n_items,
+       CAST(64 AS BIGINT) AS n_trials,
+       CAST(sum(CASE WHEN o.picked_v = b.vmax THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_success,
+       CAST(1000000 * sum(CASE WHEN o.picked_v = b.vmax THEN 1 ELSE 0 END)
+            // 64 AS BIGINT) AS success_ppm
+FROM outcome o, best b
+GROUP BY b.vmax
+"""
+
+
+@_register("secretary_optimal_stopping", _SECRETARY_ORACLE)
+def secretary_optimal_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The secretary problem's 1/e stopping rule, REPLAYED: over a fixed
+    100-order panel, 64 md5-deterministic arrival orders each observe the
+    first 36 (~n/e) candidates, then accept the first later candidate
+    beating that threshold (or the last if none does); the measured
+    success-at-picking-the-maximum rate sits near the theoretical 1/e ~
+    368000 ppm. Optimal stopping is the online-decision primitive behind
+    threshold-based admission (when to stop screening and take a
+    candidate) — here made a deterministic Monte-Carlo with a FULL value
+    oracle via the md5 coin, like poisson_bootstrap_ci/
+    permutation_test_mean_diff. Scale shape: a 100-row broadcast panel
+    x 64 seeds = 6400 rows; two grouped aggregates; nothing data-sized
+    except the one rank window picking the panel."""
+    orders = _t(spark, sf_dir, "orders")
+    panel = (
+        orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+            F.row_number().over(W.orderBy("o_orderkey")).alias("rn"),
+        )
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    best = panel.agg(F.max("v").alias("vmax"))
+    seeds = spark.range(1, 65).select(F.col("id").alias("seed"))
+    shuffled = panel.crossJoin(F.broadcast(seeds)).select(
+        "seed",
+        "v",
+        F.row_number()
+        .over(
+            W.partitionBy("seed").orderBy(
+                F.expr(
+                    "md5(CAST(k AS STRING) || ':sec' || CAST(seed AS STRING))"
+                ),
+                "k",
+            )
+        )
+        .alias("pos"),
+    ).localCheckpoint(eager=False)
+    thr = shuffled.groupBy("seed").agg(
+        F.max(F.when(F.col("pos") <= 36, F.col("v"))).alias("t")
+    )
+    pick = (
+        shuffled.join(thr, "seed")
+        .groupBy("seed")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        (F.col("pos") > 36) & (F.col("v") > F.col("t")),
+                        F.col("pos"),
+                    )
+                ),
+                F.lit(100),
+            ).alias("pick_pos")
+        )
+    )
+    outcome = (
+        pick.join(shuffled, "seed")
+        .filter(F.col("pos") == F.col("pick_pos"))
+        .select("seed", F.col("v").alias("picked_v"))
+    )
+    return (
+        outcome.crossJoin(F.broadcast(best))
+        .groupBy("vmax")
+        .agg(
+            F.sum(
+                F.when(F.col("picked_v") == F.col("vmax"), 1).otherwise(0)
+            ).alias("ns")
+        )
+        .select(
+            F.lit(100).cast("long").alias("n_items"),
+            F.lit(64).cast("long").alias("n_trials"),
+            F.col("ns").cast("long").alias("n_success"),
+            F.expr("CAST(1000000 * ns div 64 AS BIGINT)").alias(
+                "success_ppm"
+            ),
+        )
+    )
+
+
+_INVENTORY_ORACLE = """
+WITH RECURSIVE
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS demand
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+idx AS (SELECT row_number() OVER (ORDER BY d) AS t, demand FROM daily),
+pol AS (SELECT count(*) AS n, sum(demand) // count(*) AS s_small,
+               3 * (sum(demand) // count(*)) AS s_big
+        FROM daily),
+rec AS (
+  SELECT 0 AS t, p.s_big AS lvl, 0 AS reorders, 0 AS stockouts, p.s_small,
+         p.s_big
+  FROM pol p
+  UNION ALL
+  SELECT r.t + 1,
+         CASE WHEN greatest(r.lvl - i.demand, 0) < r.s_small
+              THEN r.s_big ELSE greatest(r.lvl - i.demand, 0) END,
+         r.reorders + CASE WHEN greatest(r.lvl - i.demand, 0) < r.s_small
+                           THEN 1 ELSE 0 END,
+         r.stockouts + greatest(i.demand - r.lvl, 0),
+         r.s_small, r.s_big
+  FROM rec r JOIN idx i ON i.t = r.t + 1
+)
+SELECT CAST(p.n AS BIGINT) AS n_days,
+       CAST(p.s_small AS BIGINT) AS s_reorder_point,
+       CAST(p.s_big AS BIGINT) AS s_order_up_to,
+       CAST(r.reorders AS BIGINT) AS n_reorders,
+       CAST(r.stockouts AS BIGINT) AS stockout_units,
+       CAST(r.lvl AS BIGINT) AS ending_level
+FROM rec r, pol p WHERE r.t = p.n
+"""
+
+
+@_register("inventory_policy_simulation", _INVENTORY_ORACLE)
+def inventory_policy_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, S) inventory policy SIMULATION over the daily purchase demand
+    stream: start at S = 3x mean daily demand, serve each day's demand
+    (unserved units count as stockouts), and when the post-demand level
+    falls below s = mean demand, reorder up to S — the day-by-day policy
+    replay that the catalog's closed-form inventory entries
+    (eoq_order_quantity, newsvendor) cannot see: reorder cadence,
+    stockout exposure, and ending position are PATH properties. The fold
+    is exact integers (units), run as one aggregate() over the bounded
+    daily array on the Spark side and the identical recursion as a
+    recursive CTE in DuckDB. Scale shape: one day rollup; the fold state
+    is O(1) per series — at 100 TB each SKU folds independently inside
+    the same aggregate()."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("demand"))
+    )
+    arr = daily.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, demand))),"
+            " r -> r.demand)"
+        ).alias("xs")
+    ).select(
+        "xs",
+        F.expr("CAST(size(xs) AS BIGINT)").alias("n"),
+        F.expr(
+            "aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + x) div size(xs)"
+        ).alias("s_small"),
+    ).select(
+        "xs",
+        "n",
+        "s_small",
+        F.expr("3 * s_small").alias("s_big"),
+    )
+    return arr.select(
+        F.col("n").alias("n_days"),
+        F.col("s_small").alias("s_reorder_point"),
+        F.col("s_big").alias("s_order_up_to"),
+        F.expr(
+            "aggregate(xs,"
+            " named_struct('lvl', s_big, 'reorders', CAST(0 AS BIGINT),"
+            "              'stockouts', CAST(0 AS BIGINT)),"
+            " (acc, x) -> named_struct("
+            "   'lvl', CASE WHEN greatest(acc.lvl - x, CAST(0 AS BIGINT))"
+            "                    < s_small"
+            "               THEN s_big"
+            "               ELSE greatest(acc.lvl - x, CAST(0 AS BIGINT)) END,"
+            "   'reorders', acc.reorders"
+            "     + CASE WHEN greatest(acc.lvl - x, CAST(0 AS BIGINT))"
+            "                 < s_small THEN 1 ELSE 0 END,"
+            "   'stockouts', acc.stockouts"
+            "     + greatest(x - acc.lvl, CAST(0 AS BIGINT))))"
+        ).alias("st"),
+    ).select(
+        "n_days",
+        "s_reorder_point",
+        "s_order_up_to",
+        F.col("st.reorders").alias("n_reorders"),
+        F.col("st.stockouts").alias("stockout_units"),
+        F.col("st.lvl").alias("ending_level"),
+    )
+
+
+_LINDLEY_ORACLE = """
+WITH RECURSIVE
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS arrivals
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1
+),
+idx AS (SELECT row_number() OVER (ORDER BY d) AS t, arrivals FROM daily),
+cap AS (SELECT count(*) AS n,
+               (sum(arrivals) + count(*) - 1) // count(*) AS c
+        FROM daily),
+rec AS (
+  SELECT 0 AS t, CAST(0 AS BIGINT) AS backlog, CAST(0 AS BIGINT) AS maxb,
+         CAST(0 AS BIGINT) AS busy, c.c
+  FROM cap c
+  UNION ALL
+  SELECT r.t + 1,
+         greatest(r.backlog + i.arrivals - r.c, 0),
+         greatest(r.maxb, greatest(r.backlog + i.arrivals - r.c, 0)),
+         r.busy + CASE WHEN greatest(r.backlog + i.arrivals - r.c, 0) > 0
+                       THEN 1 ELSE 0 END,
+         r.c
+  FROM rec r JOIN idx i ON i.t = r.t + 1
+)
+SELECT CAST(c.n AS BIGINT) AS n_days,
+       CAST(c.c AS BIGINT) AS daily_capacity,
+       CAST(r.backlog AS BIGINT) AS ending_backlog,
+       CAST(r.maxb AS BIGINT) AS max_backlog,
+       CAST(r.busy AS BIGINT) AS n_backlogged_days
+FROM rec r, cap c WHERE r.t = c.n
+"""
+
+
+@_register("lindley_queue_backlog", _LINDLEY_ORACLE)
+def lindley_queue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lindley's recursion W_t = max(0, W_{t-1} + A_t - C) simulated over
+    the daily click-arrival stream with capacity = ceil-mean arrivals —
+    the path-level queue the catalog's closed forms summarize
+    (kingman_gg1 approximates the MEAN wait, erlang_b/c the blocking/
+    delay PROBABILITY, littles_law the conservation identity; Lindley
+    shows the actual backlog trajectory: peak, ending, and how many days
+    run hot). max() makes the recursion nonlinear, so it is a true fold:
+    one aggregate() over the bounded daily array (Spark) == the same
+    recursion as a recursive CTE (DuckDB), exact integers throughout.
+    Scale shape: one day rollup; O(1) fold state per queue."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("arrivals"))
+    )
+    arr = daily.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, arrivals))),"
+            " r -> r.arrivals)"
+        ).alias("xs")
+    ).select(
+        "xs",
+        F.expr("CAST(size(xs) AS BIGINT)").alias("n"),
+        F.expr(
+            "(aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            " + size(xs) - 1) div size(xs)"
+        ).alias("c"),
+    )
+    return arr.select(
+        F.col("n").alias("n_days"),
+        F.col("c").alias("daily_capacity"),
+        F.expr(
+            "aggregate(xs,"
+            " named_struct('b', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT),"
+            "              'busy', CAST(0 AS BIGINT)),"
+            " (acc, x) -> named_struct("
+            "   'b', greatest(acc.b + x - c, CAST(0 AS BIGINT)),"
+            "   'mx', greatest(acc.mx,"
+            "                  greatest(acc.b + x - c, CAST(0 AS BIGINT))),"
+            "   'busy', acc.busy"
+            "     + CASE WHEN greatest(acc.b + x - c, CAST(0 AS BIGINT)) > 0"
+            "            THEN 1 ELSE 0 END))"
+        ).alias("st"),
+    ).select(
+        "n_days",
+        "daily_capacity",
+        F.col("st.b").alias("ending_backlog"),
+        F.col("st.mx").alias("max_backlog"),
+        F.col("st.busy").alias("n_backlogged_days"),
+    )
+
+
+_SLA_ORACLE = """
+WITH li AS (
+  SELECT l_linestatus,
+         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS ship_ed,
+         CAST(l_orderkey % 5 AS BIGINT) AS transit_days
+  FROM lineitem
+),
+calc AS (
+  SELECT l_linestatus,
+         ship_ed,
+         transit_days,
+         -- +3 BUSINESS days from ship date, closed form on the
+         -- engine-neutral weekday (epoch_days + 4) % 7, 0 = Sunday
+         CASE (ship_ed + 4) % 7
+           WHEN 0 THEN 3  -- Sun -> Wed
+           WHEN 1 THEN 3  -- Mon -> Thu
+           WHEN 2 THEN 3  -- Tue -> Fri
+           WHEN 3 THEN 5  -- Wed -> Mon
+           WHEN 4 THEN 5  -- Thu -> Tue
+           WHEN 5 THEN 5  -- Fri -> Wed
+           ELSE 4         -- Sat -> Wed
+         END AS sla_offset
+  FROM li
+)
+SELECT l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN transit_days > sla_offset THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(1000000 * sum(CASE WHEN transit_days > sla_offset
+                               THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+         AS late_ppm,
+       CAST(sum(sla_offset) AS BIGINT) AS total_sla_days
+FROM calc
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@_register("business_days_sla_audit", _SLA_ORACLE)
+def business_days_sla_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-calendar SLA audit: every lineitem must arrive within 3
+    BUSINESS days of shipping (weekends don't count), transit time is a
+    deterministic orderkey-derived lane — late rate per linestatus. The
+    +3-business-days deadline is a CLOSED FORM on the engine-neutral
+    weekday (epoch_days + 4) % 7 (Spark dayofweek is 1-7 Sunday-first,
+    DuckDB 0-6 — deriving the weekday from the epoch-day count sidesteps
+    the dialect trap entirely, the catalog's recorded cross-engine
+    hazard). Calendar arithmetic without a calendar TABLE — pure integer
+    expressions that push into the scan. Scale shape: one narrow map +
+    one group-by; zero joins."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
+        ).alias("ship_ed"),
+        F.expr("CAST(l_orderkey % 5 AS BIGINT)").alias("transit_days"),
+    )
+    calc = li.select(
+        "l_linestatus",
+        "transit_days",
+        F.expr(
+            "CASE (ship_ed + 4) % 7"
+            " WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 3"
+            " WHEN 3 THEN 5 WHEN 4 THEN 5 WHEN 5 THEN 5"
+            " ELSE 4 END"
+        ).alias("sla_offset"),
+    )
+    return (
+        calc.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("transit_days") > F.col("sla_offset"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_late"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN transit_days > sla_offset"
+                " THEN 1 ELSE 0 END) div count(*) AS BIGINT)"
+            ).alias("late_ppm"),
+            F.sum("sla_offset").cast("long").alias("total_sla_days"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_TOPSIS_ORACLE = """
+WITH crit AS (
+  SELECT l_suppkey AS supp,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue,
+         count(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem GROUP BY 1
+),
+c2 AS (
+  SELECT supp,
+         CAST(revenue AS BIGINT) AS revenue_cents,
+         CAST(n_orders AS BIGINT) AS n_orders,
+         CAST(1000 * revenue // n_orders AS BIGINT) AS avg_price_milli
+  FROM crit
+),
+rng AS (
+  SELECT min(revenue_cents) AS r_lo, max(revenue_cents) AS r_hi,
+         min(n_orders) AS o_lo, max(n_orders) AS o_hi,
+         min(avg_price_milli) AS p_lo, max(avg_price_milli) AS p_hi
+  FROM c2
+),
+norm AS (
+  SELECT c.supp, c.revenue_cents, c.n_orders, c.avg_price_milli,
+         1000000 * (c.revenue_cents - r.r_lo) // nullif(r.r_hi - r.r_lo, 0)
+           AS nr,
+         1000000 * (c.n_orders - r.o_lo) // nullif(r.o_hi - r.o_lo, 0) AS no_,
+         1000000 * (c.avg_price_milli - r.p_lo)
+           // nullif(r.p_hi - r.p_lo, 0) AS np
+  FROM c2 c, rng r
+),
+score AS (
+  SELECT supp, revenue_cents, n_orders, avg_price_milli,
+         -- weighted L1 distances to anti-ideal (d_minus) and ideal
+         -- (d_plus); benefits: revenue (w=50), orders (w=30);
+         -- cost: avg price (w=20, ideal at the MINIMUM)
+         50 * nr + 30 * no_ + 20 * (1000000 - np) AS d_minus,
+         50 * (1000000 - nr) + 30 * (1000000 - no_) + 20 * np AS d_plus
+  FROM norm
+)
+SELECT CAST(supp AS BIGINT) AS s_suppkey,
+       revenue_cents, n_orders, avg_price_milli,
+       CAST(1000000 * d_minus // (d_plus + d_minus) AS BIGINT)
+         AS topsis_score_ppm
+FROM score
+ORDER BY topsis_score_ppm DESC, s_suppkey
+LIMIT 10
+"""
+
+
+@_register("topsis_l1_ranking", _TOPSIS_ORACLE)
+def topsis_l1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-criteria supplier ranking by L1-TOPSIS: three criteria per
+    supplier (total revenue UP, distinct orders UP, average line price
+    DOWN), range-normalized to an exact ppm grid, scored by closeness to
+    the ideal point score = d(anti-ideal) / (d(ideal) + d(anti-ideal))
+    under Manhattan distance with literal 50/30/20 weights — the
+    multi-objective decision layer the catalog's single-metric top-k
+    rankings lack (and the L1 variant keeps every step an exact integer;
+    classic Euclidean TOPSIS would need square roots). Scale shape: one
+    supplier rollup, a 1-row min/max broadcast, then pure per-row
+    arithmetic + TakeOrdered(10)."""
+    li = _t(spark, sf_dir, "lineitem")
+    c2 = (
+        li.groupBy(F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).alias("revenue_cents"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .select(
+            "supp",
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(1000 * revenue_cents div n_orders AS BIGINT)"
+            ).alias("avg_price_milli"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rng = c2.agg(
+        F.min("revenue_cents").alias("r_lo"),
+        F.max("revenue_cents").alias("r_hi"),
+        F.min("n_orders").alias("o_lo"),
+        F.max("n_orders").alias("o_hi"),
+        F.min("avg_price_milli").alias("p_lo"),
+        F.max("avg_price_milli").alias("p_hi"),
+    )
+    norm = c2.crossJoin(F.broadcast(rng)).select(
+        "supp",
+        "revenue_cents",
+        "n_orders",
+        "avg_price_milli",
+        F.expr(
+            "1000000 * (revenue_cents - r_lo) div nullif(r_hi - r_lo, 0)"
+        ).alias("nr"),
+        F.expr(
+            "1000000 * (n_orders - o_lo) div nullif(o_hi - o_lo, 0)"
+        ).alias("no_"),
+        F.expr(
+            "1000000 * (avg_price_milli - p_lo) div nullif(p_hi - p_lo, 0)"
+        ).alias("np"),
+    )
+    score = norm.select(
+        "supp",
+        "revenue_cents",
+        "n_orders",
+        "avg_price_milli",
+        F.expr("50 * nr + 30 * no_ + 20 * (1000000 - np)").alias("d_minus"),
+        F.expr(
+            "50 * (1000000 - nr) + 30 * (1000000 - no_) + 20 * np"
+        ).alias("d_plus"),
+    )
+    return score.select(
+        F.col("supp").cast("long").alias("s_suppkey"),
+        "revenue_cents",
+        "n_orders",
+        "avg_price_milli",
+        F.expr(
+            "CAST(1000000 * d_minus div (d_plus + d_minus) AS BIGINT)"
+        ).alias("topsis_score_ppm"),
+    ).orderBy(F.col("topsis_score_ppm").desc(), "s_suppkey").limit(10)

@@ -254,6 +254,12 @@ ENTRIES = [
     "personalized_pagerank_restart",
     "small_file_compaction_plan",
     "position_delete_read",
+    "benjamini_yekutieli_screen",
+    "secretary_optimal_stopping",
+    "inventory_policy_simulation",
+    "lindley_queue_backlog",
+    "business_days_sla_audit",
+    "topsis_l1_ranking",
 ]
 
 
