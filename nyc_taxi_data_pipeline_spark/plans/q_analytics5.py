@@ -2253,3 +2253,444 @@ def topsis_l1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * d_minus div (d_plus + d_minus) AS BIGINT)"
         ).alias("topsis_score_ppm"),
     ).orderBy(F.col("topsis_score_ppm").desc(), "s_suppkey").limit(10)
+
+
+# ===========================================================================
+# Wavelets, matrix profile, MATCH_RECOGNIZE emulation, optimizer estimates
+# ===========================================================================
+
+_HAAR_ORACLE = (
+    "WITH RECURSIVE "
+    + _DAILY_SQL.strip().lstrip()
+    + """,
+arr0 AS (
+  SELECT list(x ORDER BY d) AS a, count(*) AS n0 FROM daily
+),
+-- pad to 32 with the final value (series has 30 days at every SF)
+padded AS (
+  SELECT a || [a[n0] for i in range(1, 33 - n0)] AS a, n0 FROM arr0
+),
+rec AS (
+  SELECT 0 AS lvl, a,
+         CAST(0 AS HUGEINT) AS energy, len(a) AS sz, n0
+  FROM padded
+  UNION ALL
+  SELECT lvl + 1,
+         [a[2 * i - 1] + a[2 * i] for i in range(1, sz // 2 + 1)],
+         list_sum([CAST(a[2 * i - 1] - a[2 * i] AS HUGEINT)
+                   * (a[2 * i - 1] - a[2 * i])
+                   for i in range(1, sz // 2 + 1)]),
+         sz // 2, n0
+  FROM rec WHERE lvl < 5
+),
+tot AS (
+  SELECT sum(CAST(x AS HUGEINT) * x) AS sx2 FROM (
+    SELECT unnest(a) AS x FROM padded)
+),
+fin AS (SELECT a[1] AS approx FROM rec WHERE lvl = 5),
+wsum AS (
+  SELECT sum((1 << (5 - r.lvl)) * r.energy) AS we
+  FROM rec r WHERE r.lvl >= 1
+)
+SELECT CAST(r.lvl AS BIGINT) AS level,
+       CAST(r.sz AS BIGINT) AS n_coeffs,
+       CAST(r.energy AS BIGINT) AS detail_energy,
+       CAST(1000000 * (1 << (5 - r.lvl)) * r.energy
+            // nullif(w.we, 0) AS BIGINT) AS energy_share_ppm,
+       (w.we + CAST(f.approx AS HUGEINT) * f.approx
+        = 32 * t.sx2) AS parseval_exact
+FROM rec r, tot t, fin f, wsum w
+WHERE r.lvl >= 1
+ORDER BY level
+"""
+)
+
+
+@_register("haar_wavelet_energy", _HAAR_ORACLE)
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of the (pad-to-32) daily
+    revenue series: five levels of pairwise sum/difference, reporting
+    each level's detail ENERGY and its share of the 2^(L-l)-weighted
+    spectrum — which TIME SCALE (day-to-day, 2-day, ..., 16-day) carries
+    the variability, the multiresolution view beside the catalog's
+    autocorrelation/seasonal-strength entries. Staying unnormalized
+    keeps every coefficient an exact integer, and Parseval's identity
+    becomes the exact integer equation sum_l 2^(L-l) E_l + a_L^2 =
+    2^L sum x^2 — EXECUTED as a column, the whole-transform
+    self-test. Scale shape: one day rollup, then a bounded 5-step fold
+    over one 32-element array (per-series at 100 TB)."""
+    daily = _daily(spark, sf_dir)
+    arr = daily.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, x))), r -> r.x)"
+        ).alias("a0")
+    ).select(
+        F.expr(
+            "concat(a0, transform(sequence(1, 32 - size(a0)),"
+            " i -> element_at(a0, size(a0))))"
+        ).alias("a")
+    )
+    fold = arr.select(
+        "a",
+        F.expr(
+            "aggregate(sequence(1, 5),"
+            " named_struct('arr', a,"
+            "   'es', CAST(array() AS ARRAY<DECIMAL(38,0)>)),"
+            " (acc, l) -> named_struct("
+            "   'arr', transform(sequence(1, size(acc.arr) div 2),"
+            "     i -> element_at(acc.arr, CAST(2 * i - 1 AS INT))"
+            "          + element_at(acc.arr, CAST(2 * i AS INT))),"
+            "   'es', concat(acc.es, array(aggregate("
+            "     sequence(1, size(acc.arr) div 2),"
+            "     CAST(0 AS DECIMAL(38,0)),"
+            "     (s, i) -> s + CAST(element_at(acc.arr, CAST(2 * i - 1 AS INT))"
+            "          - element_at(acc.arr, CAST(2 * i AS INT)) AS DECIMAL(38,0))"
+            "          * (element_at(acc.arr, CAST(2 * i - 1 AS INT))"
+            "             - element_at(acc.arr, CAST(2 * i AS INT))))))))"
+        ).alias("st"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DECIMAL(38,0)),"
+            " (s, x) -> s + CAST(x AS DECIMAL(38,0)) * x)"
+        ).alias("sx2"),
+    ).localCheckpoint(eager=False)
+    lvl = fold.select(
+        F.col("st.arr")[0].alias("approx"),
+        "sx2",
+        F.posexplode(F.col("st.es")).alias("lidx", "energy"),
+    ).select(
+        (F.col("lidx") + 1).cast("long").alias("level"),
+        F.expr("CAST(32 div shiftleft(1, lidx + 1) AS BIGINT)").alias(
+            "n_coeffs"
+        ),
+        F.col("energy").cast("long").alias("detail_energy"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), 5 - (lidx + 1))"
+            " * CAST(energy AS DECIMAL(38,0))"
+        ).alias("wenergy"),
+        "approx",
+        "sx2",
+    ).localCheckpoint(eager=False)
+    tot = lvl.agg(
+        F.sum("wenergy").alias("we"),
+        F.max("approx").alias("ap"),
+        F.max("sx2").alias("tsx2"),
+    )
+    return (
+        lvl.crossJoin(F.broadcast(tot))
+        .select(
+            "level",
+            "n_coeffs",
+            "detail_energy",
+            F.expr(
+                "CAST(1000000 * wenergy div nullif(we, 0) AS BIGINT)"
+            ).alias("energy_share_ppm"),
+            F.expr(
+                "we + CAST(ap AS DECIMAL(38,0)) * ap"
+                " = 32 * CAST(tsx2 AS DECIMAL(38,0))"
+            ).alias("parseval_exact"),
+        )
+        .orderBy("level")
+    )
+
+
+_MATRIX_PROFILE_ORACLE = (
+    "WITH "
+    + _DAILY_SQL
+    + """,
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, d, x,
+         count(*) OVER () AS n
+  FROM daily
+),
+win AS (
+  SELECT t, d,
+         list(x) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                       AND 6 FOLLOWING) AS w,
+         n
+  FROM idx
+  QUALIFY t <= n - 6
+),
+pairs AS (
+  SELECT a.t, a.d,
+         b.t AS u,
+         (SELECT sum(CAST(a.w[i] - b.w[i] AS HUGEINT)
+                     * (a.w[i] - b.w[i]))
+          FROM range(1, 8) r(i)) AS d2
+  FROM win a JOIN win b ON abs(a.t - b.t) >= 7
+),
+prof AS (
+  -- positions are < 1000, so d2*1000 + pos is an exact (d2, pos)
+  -- lexicographic key: min/argmin in one integer aggregate per lane
+  SELECT t, d, min(d2) AS p_d2,
+         CAST(min(d2 * 1000 + u) % 1000 AS BIGINT) AS nn_t
+  FROM pairs GROUP BY t, d
+),
+ext AS (
+  SELECT CAST(min(CAST(p_d2 AS HUGEINT) * 1000 + t) % 1000 AS BIGINT)
+           AS motif_t,
+         CAST(999 - max(CAST(p_d2 AS HUGEINT) * 1000 + (999 - t)) % 1000
+              AS BIGINT) AS discord_t
+  FROM prof
+)
+SELECT p.t AS window_start_pos, p.d AS window_start_day,
+       CAST(p.p_d2 AS BIGINT) AS profile_d2,
+       CAST(p.nn_t AS BIGINT) AS nn_pos,
+       p.t = e.motif_t AS is_motif,
+       p.t = e.discord_t AS is_discord
+FROM prof p CROSS JOIN ext e
+ORDER BY window_start_pos
+"""
+)
+
+
+@_register("matrix_profile_motif", _MATRIX_PROFILE_ORACLE)
+def matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile over 7-day windows of the daily revenue series:
+    for every window, the exact squared L2 distance to its nearest
+    NON-OVERLAPPING neighbor (exclusion zone |t-u| >= 7) — the
+    motif-and-discord discovery primitive (Yeh et al.'s matrix profile,
+    here the exact-distance cousin of sax_symbolic_motifs' symbolic
+    match): the global min is the most-repeated weekly shape, the global
+    max the anomaly week no other week resembles. Ties break to the
+    earliest position on both lanes. Scale shape: windows come from one
+    ROWS-frame list aggregation; the pair frame is |days-6|^2 rows —
+    calendar-bounded, and at real scale banded by the exclusion/locality
+    structure exactly like the catalog's other bounded pair frames."""
+    daily = _daily(spark, sf_dir)
+    n_frame = daily.agg(F.count(F.lit(1)).alias("n"))
+    idx = daily.crossJoin(F.broadcast(n_frame)).select(
+        "d", "x", "n", F.row_number().over(W.orderBy("d")).alias("t")
+    )
+    win = (
+        idx.select(
+            "t",
+            "d",
+            F.collect_list("x")
+            .over(W.orderBy("t").rowsBetween(0, 6))
+            .alias("w"),
+            "n",
+        )
+        .filter(F.col("t") <= F.col("n") - 6)
+        .localCheckpoint(eager=False)
+    )
+    a = win.alias("a")
+    b = win.alias("b")
+    pairs = a.join(
+        b, F.expr("abs(a.t - b.t) >= 7")
+    ).select(
+        F.col("a.t").alias("t"),
+        F.col("a.d").alias("d"),
+        F.col("b.t").alias("u"),
+        F.expr(
+            "aggregate(zip_with(a.w, b.w,"
+            " (p, q) -> CAST(p - q AS DECIMAL(38,0)) * (p - q)),"
+            " CAST(0 AS DECIMAL(38,0)), (s, v) -> s + v)"
+        ).alias("d2"),
+    )
+    prof = pairs.groupBy("t", "d").agg(
+        F.min("d2").alias("p_d2"),
+        F.expr("CAST(min(d2 * 1000 + u) % 1000 AS BIGINT)").alias("nn_t"),
+    ).localCheckpoint(eager=False)
+    ext = prof.agg(
+        F.expr(
+            "CAST(min(CAST(p_d2 AS DECIMAL(38,0)) * 1000 + t) % 1000"
+            " AS BIGINT)"
+        ).alias("motif_t"),
+        F.expr(
+            "CAST(999 - max(CAST(p_d2 AS DECIMAL(38,0)) * 1000 + (999 - t))"
+            " % 1000 AS BIGINT)"
+        ).alias("discord_t"),
+    )
+    return (
+        prof.crossJoin(F.broadcast(ext))
+        .select(
+            F.col("t").cast("long").alias("window_start_pos"),
+            F.col("d").alias("window_start_day"),
+            F.col("p_d2").cast("long").alias("profile_d2"),
+            F.col("nn_t").cast("long").alias("nn_pos"),
+            (F.col("t") == F.col("motif_t")).alias("is_motif"),
+            (F.col("t") == F.col("discord_t")).alias("is_discord"),
+        )
+        .orderBy("window_start_pos")
+    )
+
+
+_VSHAPE_ORACLE = (
+    "WITH "
+    + _DAILY_SQL
+    + """,
+dd AS (SELECT d, x, x - lag(x) OVER (ORDER BY d) AS dx FROM daily),
+sg AS (
+  SELECT d, x, CASE WHEN dx > 0 THEN 1 WHEN dx < 0 THEN -1 ELSE 0 END AS s
+  FROM dd WHERE dx IS NOT NULL
+),
+chg AS (
+  SELECT *, CASE WHEN s <> lag(s, 1, 0) OVER (ORDER BY d)
+                 THEN 1 ELSE 0 END AS isnew
+  FROM sg
+),
+runs AS (SELECT *, sum(isnew) OVER (ORDER BY d) AS rid FROM chg),
+agg AS (
+  SELECT rid, max(s) AS s, count(*) AS len,
+         min(d) AS lo, max(d) AS hi,
+         max_by(x, d) AS x_end
+  FROM runs GROUP BY rid
+),
+base AS (SELECT d, x FROM daily),
+v AS (
+  SELECT a.lo AS down_start, a.hi AS bottom_day, b.hi AS up_end,
+         a.len AS down_len, b.len AS up_len,
+         a.x_end AS x_bottom, b.x_end AS x_recover
+  FROM agg a JOIN agg b ON b.rid = a.rid + 1
+  WHERE a.s = -1 AND b.s = 1
+)
+SELECT v.down_start, v.bottom_day, v.up_end,
+       CAST(v.down_len AS BIGINT) AS down_len,
+       CAST(v.up_len AS BIGINT) AS up_len,
+       CAST(v.x_recover - v.x_bottom AS BIGINT) AS recovery_cents,
+       (v.down_len >= 2 AND v.up_len >= 2) AS is_strict_v
+FROM v
+ORDER BY down_start
+"""
+)
+
+
+@_register("vshape_pattern_detect", _VSHAPE_ORACLE)
+def vshape_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE emulation — the row-pattern query
+    (PATTERN (DOWN+ UP+)) Spark has no native operator for, compiled to
+    gaps-and-islands algebra: daily diffs -> sign runs (change-flag
+    cumsum islands) -> adjacent (down-run, up-run) pairs = every local
+    minimum, with run lengths, recovery magnitude, and a strict-V flag
+    (both legs >= 2 days). Each detected V is one row, ordered by onset;
+    the pattern-match state machine becomes two windows and one
+    self-join of the bounded runs frame — the standard translation when
+    porting Oracle/Flink MATCH_RECOGNIZE workloads to Spark. Scale
+    shape: one day rollup, two windows on one time ordering, a
+    runs-frame join at |runs| rows."""
+    daily = _daily(spark, sf_dir)
+    wd = W.orderBy("d")
+    dd = daily.select(
+        "d", "x", (F.col("x") - F.lag("x").over(wd)).alias("dx")
+    ).filter(F.col("dx").isNotNull())
+    sg = dd.select(
+        "d",
+        "x",
+        F.when(F.col("dx") > 0, 1)
+        .when(F.col("dx") < 0, -1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    chg = sg.select(
+        "*",
+        F.when(F.col("s") != F.lag("s", 1, 0).over(wd), 1)
+        .otherwise(0)
+        .alias("isnew"),
+    )
+    runs = chg.select("*", F.sum("isnew").over(wd).alias("rid"))
+    agg = runs.groupBy("rid").agg(
+        F.max("s").alias("s"),
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("lo"),
+        F.max("d").alias("hi"),
+        F.expr("max_by(x, d)").alias("x_end"),
+    ).localCheckpoint(eager=False)
+    a = agg.alias("a")
+    b = agg.alias("b")
+    return (
+        a.join(b, F.col("b.rid") == F.col("a.rid") + 1)
+        .filter((F.col("a.s") == -1) & (F.col("b.s") == 1))
+        .select(
+            F.col("a.lo").alias("down_start"),
+            F.col("a.hi").alias("bottom_day"),
+            F.col("b.hi").alias("up_end"),
+            F.col("a.len").cast("long").alias("down_len"),
+            F.col("b.len").cast("long").alias("up_len"),
+            (F.col("b.x_end") - F.col("a.x_end")).cast("long").alias(
+                "recovery_cents"
+            ),
+            ((F.col("a.len") >= 2) & (F.col("b.len") >= 2)).alias(
+                "is_strict_v"
+            ),
+        )
+        .orderBy("down_start")
+    )
+
+
+_JOINSIZE_HIST_ORACLE = """
+WITH keys AS (
+  SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+),
+rng AS (SELECT min(k) AS lo, max(k) AS hi FROM keys),
+bucketed AS (
+  SELECT least(CAST(16 * (k.k - r.lo) // (r.hi - r.lo + 1) AS BIGINT), 15)
+           AS bucket,
+         k.c
+  FROM keys k, rng r
+),
+per AS (
+  SELECT bucket,
+         count(*) AS n_keys,
+         sum(c) AS n_rows,
+         sum(CAST(c AS HUGEINT) * c) AS exact_b
+  FROM bucketed GROUP BY bucket
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(CAST(n_rows AS HUGEINT) * n_rows // n_keys AS BIGINT)
+         AS est_join_rows,
+       CAST(exact_b AS BIGINT) AS exact_join_rows,
+       CAST(1000000 * CAST(exact_b - CAST(n_rows AS HUGEINT) * n_rows
+                           // n_keys AS HUGEINT)
+            // exact_b AS BIGINT) AS underest_ppm
+FROM per
+ORDER BY bucket
+"""
+
+
+@_register("join_size_histogram_estimate", _JOINSIZE_HIST_ORACLE)
+def join_size_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selinger-style join-cardinality estimation from an equi-width
+    16-bucket histogram: per bucket the uniform-within-bucket estimate
+    of the suppkey self-join size (rows^2 / distinct keys) sits next to
+    the EXACT size sum(c_k^2), and underest_ppm measures exactly how
+    much within-bucket skew the histogram hides — Jensen's inequality
+    executed per bucket (the estimate can only undershoot). The
+    HISTOGRAM half of the optimizer's cardinality toolbox, beside
+    join_size_sketch_estimate's CMS/AGMS half — these two estimators
+    are why engines pick the wrong join order, made measurable. Scale
+    shape: one key rollup, a 1-row range broadcast, a 16-row frame."""
+    keys = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rng = keys.agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    bucketed = keys.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            "least(CAST(16 * (k - lo) div (hi - lo + 1) AS BIGINT), 15)"
+        ).alias("bucket"),
+        "c",
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("exact_b"),
+    )
+    return per.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr(
+            "CAST(CAST(n_rows AS DECIMAL(38,0)) * n_rows div n_keys"
+            " AS BIGINT)"
+        ).alias("est_join_rows"),
+        F.col("exact_b").cast("long").alias("exact_join_rows"),
+        F.expr(
+            "CAST(1000000 * CAST(exact_b - CAST(n_rows AS DECIMAL(38,0))"
+            " * n_rows div n_keys AS DECIMAL(38,0))"
+            " div exact_b AS BIGINT)"
+        ).alias("underest_ppm"),
+    ).orderBy("bucket")

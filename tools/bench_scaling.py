@@ -260,6 +260,10 @@ ENTRIES = [
     "lindley_queue_backlog",
     "business_days_sla_audit",
     "topsis_l1_ranking",
+    "haar_wavelet_energy",
+    "matrix_profile_motif",
+    "vshape_pattern_detect",
+    "join_size_histogram_estimate",
 ]
 
 
