@@ -58,6 +58,13 @@ FLAGSHIPS = [
     "record_linkage_fs_scoring",  # blocked equi candidate join + integer FS weights
     "join_size_sketch_estimate",  # two 1024-counter sketch aggs + tiny inner product
     "sssp_weighted_frontier",   # bounded Bellman-Ford: relax join + min-agg per round
+    # round-5 flagships
+    "dtw_alignment_distance",   # anti-diagonal DP as one aggregate() fold
+    "matrix_profile_motif",     # ROWS-frame window lists + bounded pair join
+    "permutation_test_mean_diff",  # 64 seed-partitioned rank windows in parallel
+    "dbscan_grid_core_points",  # 9-offset cell equi-join, exact eps residual
+    "token_cooccurrence_lift",  # capped-vocab broadcast prune before pair join
+    "position_delete_read",     # position anti join (merge-on-read deletes)
     # round-3 analytics/ML-eval wave flagships
     "cusum_changepoint_screen",  # CUSUM closed form: two windows, one shuffle
     "apriori_frequent_triples",  # level-wise prune: L1/L2 semi-joins + candidate broadcast
