@@ -2694,3 +2694,399 @@ def join_size_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div exact_b AS BIGINT)"
         ).alias("underest_ppm"),
     ).orderBy("bucket")
+
+
+# ===========================================================================
+# Distributional distance, dose-response trend, index numbers, shift-share
+# ===========================================================================
+
+_W1_ORACLE = """
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END
+           AS period
+  FROM events WHERE event_type = 'purchase'
+),
+rng AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+binned AS (
+  SELECT least(CAST(20 * (s.v - r.lo) // (r.hi - r.lo + 1) AS BIGINT), 19)
+           AS bucket,
+         s.period
+  FROM s, rng r
+),
+per AS (
+  SELECT bucket,
+         sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n1
+  FROM binned GROUP BY bucket
+),
+tot AS (SELECT sum(n0) AS t0, sum(n1) AS t1 FROM per),
+spine AS (SELECT unnest(range(0, 20)) AS bucket),
+shares AS (
+  SELECT sp.bucket,
+         CAST(1000000 * coalesce(p.n0, 0) // t.t0 AS BIGINT) AS p_ppm,
+         CAST(1000000 * coalesce(p.n1, 0) // t.t1 AS BIGINT) AS q_ppm
+  FROM spine sp LEFT JOIN per p ON p.bucket = sp.bucket, tot t
+),
+cum AS (
+  SELECT bucket, p_ppm, q_ppm,
+         abs(sum(p_ppm - q_ppm) OVER (ORDER BY bucket)) AS cum_diff_ppm
+  FROM shares
+),
+w1 AS (SELECT sum(cum_diff_ppm) AS w1_total FROM cum)
+SELECT c.bucket, c.p_ppm, c.q_ppm,
+       CAST(c.cum_diff_ppm AS BIGINT) AS cum_diff_ppm,
+       CAST(w.w1_total AS BIGINT) AS w1_total_ppm_bins
+FROM cum c CROSS JOIN w1 w
+ORDER BY c.bucket
+"""
+
+
+@_register("wasserstein1_binned_drift", _W1_ORACLE)
+def wasserstein1_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the first and
+    second half-month purchase-value distributions on a 20-bin
+    equi-width grid: W1 = sum over bins of |CDF_p - CDF_q| — the drift
+    metric that, unlike PSI (distribution_drift_psi) and total variation
+    (total_variation_drift), RESPECTS the metric structure of the value
+    axis (mass moved two bins costs twice mass moved one bin). On a
+    fixed grid the whole computation is exact ppm integers: bin shares,
+    one cumulative-sum window, one absolute-difference rollup. Scale
+    shape: one scan + grid bucketing (no sort), a 20-row spine frame."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            _cents("value").alias("v"),
+            F.when(
+                F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0
+            ).otherwise(1).alias("period"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rng = s.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = s.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            "least(CAST(20 * (v - lo) div (hi - lo + 1) AS BIGINT), 19)"
+        ).alias("bucket"),
+        "period",
+    )
+    per = binned.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    tot = per.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    spine = spark.range(0, 20).select(F.col("id").alias("bucket"))
+    shares = (
+        spine.join(per, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                "CAST(1000000 * coalesce(n0, 0) div t0 AS BIGINT)"
+            ).alias("p_ppm"),
+            F.expr(
+                "CAST(1000000 * coalesce(n1, 0) div t1 AS BIGINT)"
+            ).alias("q_ppm"),
+        )
+    )
+    cum = shares.select(
+        "bucket",
+        "p_ppm",
+        "q_ppm",
+        F.abs(
+            F.sum(F.col("p_ppm") - F.col("q_ppm")).over(W.orderBy("bucket"))
+        ).alias("cum_diff_ppm"),
+    ).localCheckpoint(eager=False)
+    w1 = cum.agg(F.sum("cum_diff_ppm").alias("w1_total"))
+    return (
+        cum.crossJoin(F.broadcast(w1))
+        .select(
+            "bucket",
+            "p_ppm",
+            "q_ppm",
+            F.col("cum_diff_ppm").cast("long").alias("cum_diff_ppm"),
+            F.col("w1_total").cast("long").alias("w1_total_ppm_bins"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_CA_TREND_ORACLE = """
+WITH s AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS dose,
+         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+g AS (SELECT dose, count(*) AS n_i, sum(y) AS y_i FROM s GROUP BY dose),
+tot AS (
+  SELECT sum(n_i) AS n, sum(y_i) AS yy,
+         sum(dose * n_i) AS swn,
+         sum(dose * y_i) AS swy,
+         sum(dose * dose * n_i) AS sw2n
+  FROM g
+),
+z AS (
+  SELECT CAST(CAST(t.n * t.swy - t.yy * t.swn AS HUGEINT)
+              * (t.n * t.swy - t.yy * t.swn) * t.n * 1000
+              // (CAST(t.yy AS HUGEINT) * (t.n - t.yy)
+                  * (t.n * t.sw2n - CAST(t.swn AS HUGEINT) * t.swn))
+              AS BIGINT) AS z2_milli
+  FROM tot t
+)
+SELECT g.dose,
+       CAST(g.n_i AS BIGINT) AS n_i,
+       CAST(g.y_i AS BIGINT) AS n_high,
+       CAST(1000000 * g.y_i // g.n_i AS BIGINT) AS high_rate_ppm,
+       z.z2_milli
+FROM g CROSS JOIN z
+ORDER BY g.dose
+"""
+
+
+@_register("cochran_armitage_trend", _CA_TREND_ORACLE)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the high-value-order rate move
+    MONOTONICALLY with order priority (dose 1..5 parsed from the
+    priority label)? z^2 = (N*sum(w*y) - Y*sum(w*n))^2 * N /
+    (Y(N-Y)(N*sum(w^2 n) - sum(w n)^2)) in one exact 128-bit rational —
+    the ORDERED-alternative version of the 2xk chi-square
+    (chisq_independence_screen treats categories as unordered and wastes
+    the ordering; jonckheere_terpstra is its continuous-outcome cousin).
+    Per-dose rates ride along so the direction is visible next to the
+    test. Scale shape: one rollup to 5 dose rows, a 1-row moment
+    aggregate, everything else constant-size."""
+    s = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "dose"
+        ),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("dose").agg(
+        F.count(F.lit(1)).alias("n_i"), F.sum("y").alias("y_i")
+    ).localCheckpoint(eager=False)
+    tot = g.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("y_i").alias("yy"),
+        F.sum(F.expr("dose * n_i")).alias("swn"),
+        F.sum(F.expr("dose * y_i")).alias("swy"),
+        F.sum(F.expr("dose * dose * n_i")).alias("sw2n"),
+    )
+    z = tot.select(
+        F.expr(
+            "CAST(CAST(n * swy - yy * swn AS DECIMAL(38,0))"
+            " * (n * swy - yy * swn) * n * 1000"
+            " div (CAST(yy AS DECIMAL(38,0)) * (n - yy)"
+            "      * (n * sw2n - CAST(swn AS DECIMAL(38,0)) * swn))"
+            " AS BIGINT)"
+        ).alias("z2_milli")
+    )
+    return (
+        g.crossJoin(F.broadcast(z))
+        .select(
+            "dose",
+            F.col("n_i").cast("long").alias("n_i"),
+            F.col("y_i").cast("long").alias("n_high"),
+            F.expr("CAST(1000000 * y_i div n_i AS BIGINT)").alias(
+                "high_rate_ppm"
+            ),
+            "z2_milli",
+        )
+        .orderBy("dose")
+    )
+
+
+_PRICE_INDEX_ORACLE = """
+WITH li AS (
+  SELECT l_partkey AS pk,
+         CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+           AS period,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+per AS (
+  SELECT pk, period, sum(cents) AS c, sum(qty) AS q
+  FROM li GROUP BY pk, period
+),
+matched AS (
+  SELECT p0.pk,
+         CAST(1000 * p0.c // p0.q AS BIGINT) AS u0,
+         CAST(1000 * p1.c // p1.q AS BIGINT) AS u1,
+         p0.q AS q0, p1.q AS q1
+  FROM per p0 JOIN per p1 ON p1.pk = p0.pk AND p1.period = 1
+  WHERE p0.period = 0
+),
+idx AS (
+  SELECT count(*) AS n_parts,
+         CAST(1000000 * sum(CAST(u1 AS HUGEINT) * q0)
+              // sum(CAST(u0 AS HUGEINT) * q0) AS BIGINT) AS laspeyres_ppm,
+         CAST(1000000 * sum(CAST(u1 AS HUGEINT) * q1)
+              // sum(CAST(u0 AS HUGEINT) * q1) AS BIGINT) AS paasche_ppm
+  FROM matched
+)
+SELECT CAST(n_parts AS BIGINT) AS n_matched_parts,
+       laspeyres_ppm, paasche_ppm,
+       CAST(CAST(laspeyres_ppm AS HUGEINT) * paasche_ppm // 1000000
+            AS BIGINT) AS fisher_sq_ppm
+FROM idx
+"""
+
+
+@_register("price_index_fisher", _PRICE_INDEX_ORACLE)
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index numbers over the matched part basket across the two
+    ship-date eras (pre/post 1998): Laspeyres (base-period quantity
+    weights), Paasche (current weights), and the Fisher ideal index
+    (their geometric mean, reported as its exact SQUARE in ppm — the
+    sqrt-free lane, like theil_u2's squared form). Unit values are
+    milli-cents per unit (one division per part-period), the index
+    ratios one 128-bit division each — the econ-statistics aggregation
+    (CPI construction) the revenue rollups in the catalog don't
+    express: price change SEPARATED from quantity change. Scale shape:
+    one part-period rollup, a self-join matching the basket on the
+    part key (equi hash join), two weighted-sum aggregates."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.when(
+            F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"), 0
+        ).otherwise(1).alias("period"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    per = li.groupBy("pk", "period").agg(
+        F.sum("cents").alias("c"), F.sum("qty").alias("q")
+    ).localCheckpoint(eager=False)
+    p0 = per.filter(F.col("period") == 0).select(
+        "pk",
+        F.expr("CAST(1000 * c div q AS BIGINT)").alias("u0"),
+        F.col("q").alias("q0"),
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "pk",
+        F.expr("CAST(1000 * c div q AS BIGINT)").alias("u1"),
+        F.col("q").alias("q1"),
+    )
+    matched = p0.join(p1, "pk")
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched_parts"),
+        F.expr(
+            "CAST(1000000 * sum(CAST(u1 AS DECIMAL(38,0)) * q0)"
+            " div sum(CAST(u0 AS DECIMAL(38,0)) * q0) AS BIGINT)"
+        ).alias("laspeyres_ppm"),
+        F.expr(
+            "CAST(1000000 * sum(CAST(u1 AS DECIMAL(38,0)) * q1)"
+            " div sum(CAST(u0 AS DECIMAL(38,0)) * q1) AS BIGINT)"
+        ).alias("paasche_ppm"),
+    ).select(
+        "n_matched_parts",
+        "laspeyres_ppm",
+        "paasche_ppm",
+        F.expr(
+            "CAST(CAST(laspeyres_ppm AS DECIMAL(38,0)) * paasche_ppm"
+            " div 1000000 AS BIGINT)"
+        ).alias("fisher_sq_ppm"),
+    )
+
+
+_SHIFT_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name,
+         CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+           AS period,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+per AS (
+  SELECT n_name,
+         sum(CASE WHEN period = 0 THEN cents ELSE 0 END) AS r0,
+         sum(CASE WHEN period = 1 THEN cents ELSE 0 END) AS r1
+  FROM rev GROUP BY n_name
+),
+tot AS (SELECT sum(r0) AS t0, sum(r1) AS t1 FROM per)
+SELECT p.n_name,
+       CAST(p.r0 AS BIGINT) AS r0_cents,
+       CAST(p.r1 - p.r0 AS BIGINT) AS delta_cents,
+       -- national effect: growth at the aggregate rate
+       CAST(CAST(p.r0 AS HUGEINT) * (t.t1 - t.t0) // t.t0 AS BIGINT)
+         AS national_effect_cents,
+       -- competitive effect: the remainder (local vs national growth);
+       -- national + competitive == delta up to the one truncation
+       CAST((p.r1 - p.r0)
+            - CAST(p.r0 AS HUGEINT) * (t.t1 - t.t0) // t.t0 AS BIGINT)
+         AS competitive_effect_cents,
+       CAST(1000 * (p.r1 - p.r0) // nullif(p.r0, 0) AS BIGINT)
+         AS local_growth_milli,
+       CAST(1000 * (t.t1 - t.t0) // t.t0 AS BIGINT) AS national_growth_milli
+FROM per p, tot t
+ORDER BY p.n_name
+"""
+
+
+@_register("shift_share_decomposition", _SHIFT_SHARE_ORACLE)
+def shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of per-nation revenue growth across the
+    two order eras: each nation's change splits into the NATIONAL effect
+    (what growing at the aggregate rate would have delivered,
+    r0 * G_nat) and the COMPETITIVE effect (the residual — did this
+    nation out- or under-perform the aggregate), with national +
+    competitive == delta exactly (the residual form absorbs the single
+    truncation, so the identity is executed, not approximate). The
+    regional-economics attribution tool beside yoy_revenue_growth (which
+    reports growth but doesn't decompose it). Scale shape: one join-agg
+    rollup to 25 nations, 1-row totals broadcast back."""
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+                0,
+            ).otherwise(1).alias("period"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    per = rev.groupBy("n_name").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("cents")).otherwise(0)).alias(
+            "r0"
+        ),
+        F.sum(F.when(F.col("period") == 1, F.col("cents")).otherwise(0)).alias(
+            "r1"
+        ),
+    ).localCheckpoint(eager=False)
+    tot = per.agg(F.sum("r0").alias("t0"), F.sum("r1").alias("t1"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.col("r0").cast("long").alias("r0_cents"),
+            (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
+            F.expr(
+                "CAST(CAST(r0 AS DECIMAL(38,0)) * (t1 - t0) div t0"
+                " AS BIGINT)"
+            ).alias("national_effect_cents"),
+            F.expr(
+                "CAST((r1 - r0) - CAST(r0 AS DECIMAL(38,0)) * (t1 - t0)"
+                " div t0 AS BIGINT)"
+            ).alias("competitive_effect_cents"),
+            F.expr(
+                "CAST(1000 * (r1 - r0) div nullif(r0, 0) AS BIGINT)"
+            ).alias("local_growth_milli"),
+            F.expr(
+                "CAST(1000 * (t1 - t0) div t0 AS BIGINT)"
+            ).alias("national_growth_milli"),
+        )
+        .orderBy("n_name")
+    )

@@ -264,6 +264,10 @@ ENTRIES = [
     "matrix_profile_motif",
     "vshape_pattern_detect",
     "join_size_histogram_estimate",
+    "wasserstein1_binned_drift",
+    "cochran_armitage_trend",
+    "price_index_fisher",
+    "shift_share_decomposition",
 ]
 
 
