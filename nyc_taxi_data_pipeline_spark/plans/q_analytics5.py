@@ -3090,3 +3090,287 @@ def shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ===========================================================================
+# Rolling regression, graph topology, tail-weighted EDF test
+# ===========================================================================
+
+_ROLLING_BETA_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS a,
+         sum(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS b
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT d, a, b,
+         count(*) OVER w AS n,
+         sum(CAST(a AS HUGEINT)) OVER w AS sa,
+         sum(CAST(b AS HUGEINT)) OVER w AS sb,
+         sum(CAST(a AS HUGEINT) * b) OVER w AS sab,
+         sum(CAST(a AS HUGEINT) * a) OVER w AS saa,
+         sum(CAST(b AS HUGEINT) * b) OVER w AS sbb
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT d AS day,
+       CAST(1000 * (n * sab - sa * sb)
+            // nullif(n * sbb - sb * sb, 0) AS BIGINT) AS beta_milli,
+       CAST(1000 * (n * sab - sa * sb) * (n * sab - sa * sb)
+            // nullif((n * saa - sa * sa) * (n * sbb - sb * sb), 0)
+            AS BIGINT) AS r2_milli
+FROM win WHERE n = 14
+ORDER BY day
+"""
+
+
+@_register("rolling_beta_window", _ROLLING_BETA_ORACLE)
+def rolling_beta_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day OLS beta of daily purchase revenue ON daily click
+    value (plus rolling R^2): beta = (n*Sab - Sa*Sb)/(n*Sbb - Sb^2) from
+    five exact moment sums in ONE ROWS-frame window — the TIME-VARYING
+    version of regression_trend_aggregates' static per-group slope, the
+    finance/monitoring question 'is the relationship between engagement
+    and revenue drifting'. Both readouts are single 128-bit divisions
+    with NULLIF degenerate guards. Scale shape: one day rollup, five
+    window sums sharing one sort, emitted only where the window is
+    full."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", _cents("value")
+                ).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click", _cents("value")
+                ).otherwise(0)
+            ).alias("b"),
+        )
+    )
+    w = W.orderBy("d").rowsBetween(-13, 0)
+    win = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.expr("CAST(a AS DECIMAL(38,0))")).over(w).alias("sa"),
+        F.sum(F.expr("CAST(b AS DECIMAL(38,0))")).over(w).alias("sb"),
+        F.sum(F.expr("CAST(a AS DECIMAL(38,0)) * b")).over(w).alias("sab"),
+        F.sum(F.expr("CAST(a AS DECIMAL(38,0)) * a")).over(w).alias("saa"),
+        F.sum(F.expr("CAST(b AS DECIMAL(38,0)) * b")).over(w).alias("sbb"),
+    ).filter(F.col("n") == 14)
+    return win.select(
+        F.col("d").alias("day"),
+        F.expr(
+            "CAST(1000 * (n * sab - sa * sb)"
+            " div nullif(n * sbb - sb * sb, 0) AS BIGINT)"
+        ).alias("beta_milli"),
+        F.expr(
+            "CAST(1000 * (n * sab - sa * sb) * (n * sab - sa * sb)"
+            " div nullif((n * saa - sa * sa) * (n * sbb - sb * sb), 0)"
+            " AS BIGINT)"
+        ).alias("r2_milli"),
+    ).orderBy("day")
+
+
+_RICH_CLUB_ORACLE = (
+    "WITH "
+    + """
+cos AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT s1 AS a, s2 AS b FROM cos
+  WHERE w >= 2 AND (s1 * 31 + s2 * 17) % 20 = 0
+),
+und AS (
+  SELECT a AS u, b AS v FROM e
+  UNION ALL
+  SELECT b AS u, a AS v FROM e
+),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+ks AS (SELECT unnest([2, 4, 8]) AS k),
+rich AS (
+  SELECT k.k, count(*) AS n_rich
+  FROM ks k JOIN deg ON deg.d > k.k
+  GROUP BY k.k
+),
+within AS (
+  SELECT k.k, count(*) AS n_edges
+  FROM ks k
+  JOIN e ON TRUE
+  JOIN deg da ON da.u = e.a AND da.d > k.k
+  JOIN deg db ON db.u = e.b AND db.d > k.k
+  GROUP BY k.k
+)
+SELECT r.k AS k_degree,
+       CAST(r.n_rich AS BIGINT) AS n_rich_nodes,
+       CAST(coalesce(w.n_edges, 0) AS BIGINT) AS n_edges_within,
+       CAST(2000000 * coalesce(w.n_edges, 0)
+            // nullif(r.n_rich * (r.n_rich - 1), 0) AS BIGINT) AS phi_ppm
+FROM rich r LEFT JOIN within w ON w.k = r.k
+ORDER BY k_degree
+"""
+)
+
+
+@_register("rich_club_coefficient", _RICH_CLUB_ORACLE)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-supply graph at degree cutoffs
+    k = 2, 4, 8: phi(k) = 2*E(>k) / (N(>k)*(N(>k)-1)) — do high-degree
+    suppliers preferentially trade with EACH OTHER (core-periphery
+    structure)? The hub-interconnection view the catalog's other global
+    topology stats (clustering coefficient, assortativity, modularity)
+    don't isolate: assortativity is a correlation over all edges,
+    phi(k) is the realized density INSIDE the hub club. Exact ppm; the
+    three cutoffs share one degree aggregate and one double
+    degree-join over the edge list. Scale shape: the wedge-join edge
+    build (the family's measured-linear shape) + broadcast-able degree
+    joins; the k ladder is a 3-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("x")
+    b = li.alias("y")
+    cos = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("s1"), F.col("y.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e = cos.filter(
+        (F.col("w") >= 2)
+        & ((F.col("s1") * 31 + F.col("s2") * 17) % 20 == 0)
+    ).select(F.col("s1").alias("a"), F.col("s2").alias("b")).localCheckpoint(
+        eager=False
+    )
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=False
+    )
+    ks = spark.createDataFrame([(2,), (4,), (8,)], "k long")
+    rich = (
+        F.broadcast(ks)
+        .join(deg, F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("db"))
+    ej = e.join(da, F.col("ua") == F.col("a")).join(
+        db, F.col("ub") == F.col("b")
+    )
+    within = (
+        ej.crossJoin(F.broadcast(ks))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        rich.join(within, "k", "left")
+        .select(
+            F.col("k").alias("k_degree"),
+            F.col("n_rich").cast("long").alias("n_rich_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias(
+                "n_edges_within"
+            ),
+            F.expr(
+                "CAST(2000000 * coalesce(n_edges, 0)"
+                " div nullif(n_rich * (n_rich - 1), 0) AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+        .orderBy("k_degree")
+    )
+
+
+_AD_ORACLE = """
+WITH s AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'view')
+),
+rk AS (
+  SELECT v, is_a,
+         row_number() OVER (ORDER BY v, event_id) AS i,
+         sum(is_a) OVER (ORDER BY v, event_id) AS m,
+         count(*) OVER () AS nn,
+         sum(is_a) OVER () AS na
+  FROM s
+),
+terms AS (
+  SELECT CAST(m * nn - na * i AS HUGEINT)
+         * (m * nn - na * i) // (i * (nn - i)) AS t,
+         nn, na
+  FROM rk WHERE i < nn
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nn) - max(na) AS BIGINT) AS n_b,
+       CAST(1000 * sum(t)
+            // (CAST(max(na) AS HUGEINT) * (max(nn) - max(na)))
+            AS BIGINT) AS a2_milli
+FROM terms
+"""
+
+
+@_register("anderson_darling_two_sample", _AD_ORACLE)
+def anderson_darling_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic for click vs view values:
+    A^2 = (1/(n*m)) * sum over pooled positions i of
+    (M_i*N - n*i)^2 / (i*(N-i)) — the TAIL-WEIGHTED member of the EDF
+    test family (ks_test weights the sup uniformly, cramer_von_mises the
+    L2 body; the 1/(i(N-i)) weight makes AD the most powerful against
+    tail differences). Pooled ranks break value ties deterministically
+    by event_id — the same total order on both engines, so the statistic
+    is an exact milli integer (per-position terms ride 128-bit lanes
+    with truncating division, identical recipes). Scale shape: one
+    global sort window (the EDF family's inherent order), one aggregate;
+    at 100 TB this runs per stratum/segment in parallel windows."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            _cents("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "is_a"
+            ),
+        )
+    )
+    wo = W.orderBy("v", "event_id")
+    rk = s.select(
+        F.row_number().over(wo).alias("i"),
+        F.sum("is_a").over(wo).alias("m"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
+        F.sum("is_a").over(W.partitionBy()).alias("na"),
+    )
+    terms = rk.filter(F.col("i") < F.col("nn")).select(
+        F.expr(
+            "CAST(m * nn - na * i AS DECIMAL(38,0))"
+            " * (m * nn - na * i) div (i * (nn - i))"
+        ).alias("t"),
+        "nn",
+        "na",
+    )
+    return terms.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.expr("CAST(max(nn) - max(na) AS BIGINT)").alias("n_b"),
+        F.expr(
+            "CAST(1000 * CAST(sum(t) AS DECIMAL(38,0))"
+            " div (CAST(max(na) AS DECIMAL(38,0)) * (max(nn) - max(na)))"
+            " AS BIGINT)"
+        ).alias("a2_milli"),
+    )

@@ -268,6 +268,9 @@ ENTRIES = [
     "cochran_armitage_trend",
     "price_index_fisher",
     "shift_share_decomposition",
+    "rolling_beta_window",
+    "rich_club_coefficient",
+    "anderson_darling_two_sample",
 ]
 
 
