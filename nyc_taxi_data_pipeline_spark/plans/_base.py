@@ -211,7 +211,11 @@ def charlm_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and overwhelmingly so at 100 TB. Only the bounded model aggregate
     # (<= |charset|^3 rows) is checkpointed, because it feeds two consumers
     # (the grand total and the broadcast scoring join) and AQE stage reuse
-    # does not fire across those subtrees.
+    # does not fire across those subtrees. (A/B-measured in one session:
+    # dropping this checkpoint and deriving the total from sum(len-2)
+    # reads 5.5-5.9 s warm vs 4.4-4.5 s with it — the checkpointed tiny
+    # model broadcasts cheaper than re-running its subtree inside the
+    # broadcast exchange.)
     model = (
         tri.groupBy("g")
         .agg(F.count(F.lit(1)).alias("cnt"))
