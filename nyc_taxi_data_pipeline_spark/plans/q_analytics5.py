@@ -3374,3 +3374,162 @@ def anderson_darling_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("a2_milli"),
     )
+
+
+# ===========================================================================
+# Ordinal association + distributional treatment effects
+# ===========================================================================
+
+_GAMMA_ORACLE = """
+WITH s AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS r,
+         ntile(5) OVER (ORDER BY o_totalprice, o_orderkey) AS c
+  FROM orders
+),
+grid AS (SELECT r, c, count(*) AS n FROM s GROUP BY r, c),
+pairs AS (
+  SELECT a.r, a.c,
+         sum(CASE WHEN b.r > a.r AND b.c > a.c
+                  THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS conc,
+         sum(CASE WHEN b.r > a.r AND b.c < a.c
+                  THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS disc
+  FROM grid a CROSS JOIN grid b
+  GROUP BY a.r, a.c
+),
+tot AS (SELECT sum(conc) AS cc, sum(disc) AS dd FROM pairs)
+SELECT CAST(cc AS BIGINT) AS n_concordant,
+       CAST(dd AS BIGINT) AS n_discordant,
+       CAST(1000 * (cc - dd) // nullif(cc + dd, 0) AS BIGINT)
+         AS gamma_milli
+FROM tot
+"""
+
+
+@_register("goodman_kruskal_gamma", _GAMMA_ORACLE)
+def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between order priority (ordinal 1..5) and
+    total-price quintile: gamma = (C - D)/(C + D) over concordant/
+    discordant pairs — the TIE-DROPPING ordinal association measure
+    beside kendall_tau_by_year (which tie-corrects) and
+    cochran_armitage_trend (binary outcome): gamma reads association
+    strength on a pure ordinal grid. The pair counts come from the 5x5
+    contingency GRID (25x25 cell products), never from row-level pairs —
+    the contingency-collapse trick that makes O(n^2) pair statistics one
+    rollup + a constant-size grid join. Exact 128-bit integer lanes, one
+    division. Scale shape: one rollup to 25 cells (the ntile window is
+    the only data-sized sort), then constant work."""
+    s = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").alias("r"),
+        F.ntile(5)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("c"),
+    )
+    grid = s.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=False
+    )
+    a = grid.alias("a")
+    b = grid.alias("b")
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.when(
+                (F.col("b.r") > F.col("a.r")) & (F.col("b.c") > F.col("a.c")),
+                F.expr("CAST(a.n AS DECIMAL(38,0)) * b.n"),
+            ).otherwise(F.expr("CAST(0 AS DECIMAL(38,0))"))
+        ).alias("cc"),
+        F.sum(
+            F.when(
+                (F.col("b.r") > F.col("a.r")) & (F.col("b.c") < F.col("a.c")),
+                F.expr("CAST(a.n AS DECIMAL(38,0)) * b.n"),
+            ).otherwise(F.expr("CAST(0 AS DECIMAL(38,0))"))
+        ).alias("dd"),
+    )
+    return pairs.select(
+        F.col("cc").cast("long").alias("n_concordant"),
+        F.col("dd").cast("long").alias("n_discordant"),
+        F.expr(
+            "CAST(1000 * (cc - dd) div nullif(cc + dd, 0) AS BIGINT)"
+        ).alias("gamma_milli"),
+    )
+
+
+_QTE_ORACLE = """
+WITH s AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp
+  FROM events WHERE event_type IN ('click', 'view')
+),
+rk AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n_g
+  FROM s
+),
+qs AS (SELECT unnest(range(1, 10)) AS q),
+quant AS (
+  SELECT q.q, r.grp, max(r.v) AS vq
+  FROM qs q JOIN rk r ON r.rn = (q.q * r.n_g + 9) // 10
+  GROUP BY q.q, r.grp
+)
+SELECT a.q AS decile,
+       CAST(a.vq AS BIGINT) AS v_click_cents,
+       CAST(b.vq AS BIGINT) AS v_view_cents,
+       CAST(a.vq - b.vq AS BIGINT) AS qte_cents
+FROM quant a JOIN quant b ON b.q = a.q AND b.grp = 0
+WHERE a.grp = 1
+ORDER BY decile
+"""
+
+
+@_register("quantile_treatment_effect", _QTE_ORACLE)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the click-vs-view value difference at
+    every decile of the two distributions (exact order statistics via
+    per-group rank selection at ceil(q*n/10)) — the DISTRIBUTIONAL view
+    of an effect that mean-based tests (cohens_d, permutation test)
+    collapse to one number: a treatment can move the tails without
+    moving the mean, and the QTE profile is where that shows. Exact
+    integer cents throughout; both engines select the identical rank.
+    Scale shape: one rank window per group (the value shuffle), a 9-row
+    quantile ladder broadcast-joined against the rank frame."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            _cents("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "grp"
+            ),
+        )
+    )
+    rk = s.select(
+        "grp",
+        "v",
+        F.row_number()
+        .over(W.partitionBy("grp").orderBy("v", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n_g"),
+    )
+    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+    quant = (
+        rk.crossJoin(F.broadcast(qs))
+        .filter(F.expr("rn = (q * n_g + 9) div 10"))
+        .groupBy("q", "grp")
+        .agg(F.max("v").alias("vq"))
+    )
+    a = quant.filter(F.col("grp") == 1).select(
+        F.col("q").alias("decile"), F.col("vq").alias("va")
+    )
+    b = quant.filter(F.col("grp") == 0).select(
+        F.col("q").alias("decile"), F.col("vq").alias("vb")
+    )
+    return (
+        a.join(b, "decile")
+        .select(
+            "decile",
+            F.col("va").cast("long").alias("v_click_cents"),
+            F.col("vb").cast("long").alias("v_view_cents"),
+            (F.col("va") - F.col("vb")).cast("long").alias("qte_cents"),
+        )
+        .orderBy("decile")
+    )

@@ -271,6 +271,8 @@ ENTRIES = [
     "rolling_beta_window",
     "rich_club_coefficient",
     "anderson_darling_two_sample",
+    "goodman_kruskal_gamma",
+    "quantile_treatment_effect",
 ]
 
 
