@@ -273,6 +273,13 @@ ENTRIES = [
     "anderson_darling_two_sample",
     "goodman_kruskal_gamma",
     "quantile_treatment_effect",
+    # round-5 wave 11
+    "welch_t_test",
+    "anova_oneway_f",
+    "mantel_haenszel_pooled_or",
+    "james_stein_shrinkage",
+    "kde_triangular_grid",
+    "dft_weekly_power",
 ]
 
 
