@@ -611,3 +611,616 @@ def dft_weekly_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * 100000000 * q) AS BIGINT)"
         ).alias("weekly_power_ppm"),
     )
+
+
+# ===========================================================================
+# Seasonal exponential smoothing: Holt-Winters additive
+# ===========================================================================
+
+_HW_ORACLE = (
+    "WITH RECURSIVE "
+    + _DAILY_SQL.strip().lstrip()
+    + """,
+idx AS (SELECT row_number() OVER (ORDER BY d) AS t, x FROM daily),
+xsl AS (SELECT list(x ORDER BY t) AS xs FROM idx),
+init AS (
+  SELECT (1000 * list_sum(xs[1:7])) // 7 AS l0,
+         (1000 * (list_sum(xs[8:14]) - list_sum(xs[1:7]))) // 49 AS b0
+  FROM xsl
+),
+rec(t, l, b, sv) AS (
+  SELECT 7, init.l0, init.b0,
+         [1000 * xs[k] - init.l0 for k in range(1, 8)]
+  FROM xsl, init
+  UNION ALL
+  SELECT r.t + 1,
+         (200 * (1000 * xs[r.t + 1] - r.sv[(r.t % 7) + 1])
+          + 800 * (r.l + r.b)) // 1000,
+         (100 * ((200 * (1000 * xs[r.t + 1] - r.sv[(r.t % 7) + 1])
+                  + 800 * (r.l + r.b)) // 1000 - r.l)
+          + 900 * r.b) // 1000,
+         [CASE WHEN i = (r.t % 7) + 1
+               THEN (300 * (1000 * xs[r.t + 1]
+                            - ((200 * (1000 * xs[r.t + 1]
+                                       - r.sv[(r.t % 7) + 1])
+                                + 800 * (r.l + r.b)) // 1000))
+                     + 700 * r.sv[(r.t % 7) + 1]) // 1000
+               ELSE r.sv[i] END
+          for i in range(1, 8)]
+  FROM rec r, xsl WHERE r.t < len(xs)
+)
+SELECT CAST(len(xs) AS BIGINT) AS n_days,
+       CAST(r.l AS BIGINT) AS level_milli,
+       CAST(r.b AS BIGINT) AS trend_milli,
+       CAST(r.l + r.b + r.sv[(len(xs) % 7) + 1] AS BIGINT) AS f1_milli,
+       CAST(r.l + 7 * r.b + r.sv[((len(xs) + 6) % 7) + 1] AS BIGINT)
+         AS f7_milli
+FROM rec r, xsl WHERE r.t = len(xs)
+"""
+)
+
+
+@_register("holt_winters_additive", _HW_ORACLE)
+def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend + 7-slot
+    weekly seasonal state; alpha=0.2, beta=0.1, gamma=0.3) over daily
+    revenue, completing the exponential-smoothing ladder the catalog
+    climbs (ewma = level, holt_linear = +trend, croston = intermittent;
+    this adds the seasonal component): l_t = a(x_t - s_{t-7}) +
+    (1-a)(l+b), b_t = B(l_t - l) + (1-B)b, s_t = g(x_t - l_t) +
+    (1-g)s_{t-7}, initialized from the first two weeks. All state rides
+    integer milli-cents with truncating division, so the fold
+    value-checks bit-for-bit against a recursive-CTE oracle carrying the
+    7-slot seasonal LIST through the recursion. Scale shape: one bounded
+    array fold after the day rollup — per-series state never shuffles;
+    at 100 TB each series folds independently inside aggregate()."""
+    daily = _daily(spark, sf_dir)
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    ).select(F.expr("transform(s, r -> r.x)").alias("xs"))
+    su = lambda lo, ln: (  # noqa: E731 — local SQL fragment builder
+        f"aggregate(slice(xs, {lo}, {ln}), CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    init = arr.select(
+        "xs",
+        F.expr(f"(1000 * {su(1, 7)}) div 7").alias("l0"),
+        F.expr(f"(1000 * ({su(8, 7)} - {su(1, 7)})) div 49").alias("b0"),
+    )
+    st = init.select(
+        F.expr("CAST(size(xs) AS BIGINT)").alias("n_days"),
+        F.expr(
+            "aggregate(slice(xs, 8, size(xs) - 7),"
+            " named_struct("
+            "   'l', l0, 'b', b0,"
+            "   'sv', transform(slice(xs, 1, 7), v -> 1000 * v - l0),"
+            "   'i', 0),"
+            # nested single-element transforms BIND s_old then l_new once
+            # (lambda-binding idiom: codegen CSE does not cross lambdas)
+            " (acc, x) -> element_at(transform("
+            "   array(element_at(acc.sv, acc.i + 1)), so ->"
+            "   element_at(transform("
+            "     array((200 * (1000 * x - so) + 800 * (acc.l + acc.b))"
+            "           div 1000), ln ->"
+            "     named_struct("
+            "       'l', ln,"
+            "       'b', (100 * (ln - acc.l) + 900 * acc.b) div 1000,"
+            "       'sv', transform(acc.sv, (v, j) -> IF(j = acc.i,"
+            "             (300 * (1000 * x - ln) + 700 * so) div 1000, v)),"
+            "       'i', CAST((acc.i + 1) % 7 AS INT))"
+            "   ), 1)"
+            " ), 1))"
+        ).alias("st"),
+    )
+    return st.select(
+        "n_days",
+        F.col("st.l").alias("level_milli"),
+        F.col("st.b").alias("trend_milli"),
+        F.expr(
+            "st.l + st.b + element_at(st.sv, CAST(n_days % 7 + 1 AS INT))"
+        ).alias("f1_milli"),
+        F.expr(
+            "st.l + 7 * st.b"
+            " + element_at(st.sv, CAST((n_days + 6) % 7 + 1 AS INT))"
+        ).alias("f7_milli"),
+    )
+
+
+# ===========================================================================
+# Actuarial: chain-ladder loss development over the order-year triangle
+# ===========================================================================
+
+_CL_ORACLE = """
+WITH cutoff AS (SELECT max(year(l_shipdate)) AS ky FROM lineitem),
+cells AS (
+  SELECT year(o.o_orderdate) AS oy,
+         year(l.l_shipdate) - year(o.o_orderdate) AS w,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS sv
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(l.l_shipdate) >= year(o.o_orderdate)
+  GROUP BY 1, 2
+),
+origins AS (
+  SELECT oy, least(6, ky - oy) AS wl
+  FROM (SELECT DISTINCT year(o_orderdate) AS oy FROM orders), cutoff
+  WHERE ky - oy >= 0
+),
+spine AS (
+  SELECT o.oy, o.wl, g.w
+  FROM origins o JOIN (SELECT unnest(range(0, 7)) AS w) g ON g.w <= o.wl
+),
+cum AS (
+  SELECT s.oy, s.wl, s.w,
+         CAST(sum(coalesce(c.sv, 0))
+              OVER (PARTITION BY s.oy ORDER BY s.w) AS BIGINT) AS c
+  FROM spine s LEFT JOIN cells c ON c.oy = s.oy AND c.w = s.w
+),
+factors AS (
+  SELECT
+    1000000 * CAST(sum(CASE WHEN w = 1 THEN c END) AS BIGINT)
+      // nullif(sum(CASE WHEN w = 0 AND wl >= 1 THEN c END), 0) AS f0,
+    1000000 * CAST(sum(CASE WHEN w = 2 THEN c END) AS BIGINT)
+      // nullif(sum(CASE WHEN w = 1 AND wl >= 2 THEN c END), 0) AS f1,
+    1000000 * CAST(sum(CASE WHEN w = 3 THEN c END) AS BIGINT)
+      // nullif(sum(CASE WHEN w = 2 AND wl >= 3 THEN c END), 0) AS f2,
+    1000000 * CAST(sum(CASE WHEN w = 4 THEN c END) AS BIGINT)
+      // nullif(sum(CASE WHEN w = 3 AND wl >= 4 THEN c END), 0) AS f3,
+    1000000 * CAST(sum(CASE WHEN w = 5 THEN c END) AS BIGINT)
+      // nullif(sum(CASE WHEN w = 4 AND wl >= 5 THEN c END), 0) AS f4,
+    1000000 * CAST(sum(CASE WHEN w = 6 THEN c END) AS BIGINT)
+      // nullif(sum(CASE WHEN w = 5 AND wl >= 6 THEN c END), 0) AS f5
+  FROM cum
+),
+latest AS (SELECT oy, wl, c AS latest_c FROM cum WHERE w = wl)
+SELECT CAST(l.oy AS BIGINT) AS origin_year,
+       CAST(l.wl AS BIGINT) AS dev_years_observed,
+       l.latest_c AS latest_cents,
+       CAST(CASE l.wl WHEN 0 THEN ((((((l.latest_c * f.f0 // 1000000) * f.f1 // 1000000) * f.f2 // 1000000) * f.f3 // 1000000) * f.f4 // 1000000) * f.f5 // 1000000) WHEN 1 THEN (((((l.latest_c * f.f1 // 1000000) * f.f2 // 1000000) * f.f3 // 1000000) * f.f4 // 1000000) * f.f5 // 1000000) WHEN 2 THEN ((((l.latest_c * f.f2 // 1000000) * f.f3 // 1000000) * f.f4 // 1000000) * f.f5 // 1000000) WHEN 3 THEN (((l.latest_c * f.f3 // 1000000) * f.f4 // 1000000) * f.f5 // 1000000) WHEN 4 THEN ((l.latest_c * f.f4 // 1000000) * f.f5 // 1000000) WHEN 5 THEN (l.latest_c * f.f5 // 1000000) WHEN 6 THEN l.latest_c END AS BIGINT) AS ultimate_cents,
+       CAST(CASE l.wl WHEN 0 THEN ((((((l.latest_c * f.f0 // 1000000) * f.f1 // 1000000) * f.f2 // 1000000) * f.f3 // 1000000) * f.f4 // 1000000) * f.f5 // 1000000) WHEN 1 THEN (((((l.latest_c * f.f1 // 1000000) * f.f2 // 1000000) * f.f3 // 1000000) * f.f4 // 1000000) * f.f5 // 1000000) WHEN 2 THEN ((((l.latest_c * f.f2 // 1000000) * f.f3 // 1000000) * f.f4 // 1000000) * f.f5 // 1000000) WHEN 3 THEN (((l.latest_c * f.f3 // 1000000) * f.f4 // 1000000) * f.f5 // 1000000) WHEN 4 THEN ((l.latest_c * f.f4 // 1000000) * f.f5 // 1000000) WHEN 5 THEN (l.latest_c * f.f5 // 1000000) WHEN 6 THEN l.latest_c END - l.latest_c AS BIGINT) AS reserve_cents
+FROM latest l, factors f
+ORDER BY origin_year
+"""
+
+
+@_register("chain_ladder_reserve", _CL_ORACLE)
+def chain_ladder_reserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder reserving on the natural run-off triangle the lake
+    already contains: origin = order year, development lag = ship year
+    minus order year (0..6), amount = shipped revenue — the calendar
+    cutoff at the newest ship date truncates later origins to fewer
+    observed development years, the classic actuarial triangle.
+    Volume-weighted age-to-age factors f_j = sum_i C(i,j+1) /
+    sum_i C(i,j) (denominator restricted to origins that observe dev
+    j+1) develop each origin's latest cumulative to ultimate through
+    the remaining factor chain (ppm truncating products, identical on
+    both lanes); reserve = ultimate - latest. The projection member of
+    the cohort family: cohort_ltv_curves reports observed development,
+    this entry completes the unseen tail — and the same estimator IS
+    insurance IBNR reserving. The partial-last-diagonal bias (the
+    newest calendar year is incomplete) is the textbook CL caveat and
+    is retained deliberately. Scale shape: one fact rollup to <= 28
+    cells, a dense 7-slot spine, one window cumsum, a 1-row factor
+    broadcast — mergeable at any volume."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cutoff = li.agg(F.expr("max(year(l_shipdate))").alias("ky"))
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.expr("year(l_shipdate) >= year(o_orderdate)"))
+        .groupBy(
+            F.expr("year(o_orderdate)").alias("oy"),
+            F.expr("year(l_shipdate) - year(o_orderdate)").alias("w"),
+        )
+        .agg(F.sum(_cents("l_extendedprice")).alias("sv"))
+    )
+    origins = (
+        o.select(F.expr("year(o_orderdate)").alias("oy"))
+        .distinct()
+        .crossJoin(F.broadcast(cutoff))
+        .select("oy", F.expr("least(6, ky - oy)").alias("wl"))
+        .filter(F.col("wl") >= 0)
+    )
+    grid = spark.range(0, 7).select(F.col("id").cast("int").alias("w"))
+    spine = origins.crossJoin(F.broadcast(grid)).filter(
+        F.col("w") <= F.col("wl")
+    )
+    cum = (
+        spine.join(cells, ["oy", "w"], "left")
+        .select(
+            "oy",
+            "wl",
+            "w",
+            F.sum(F.expr("coalesce(sv, CAST(0 AS BIGINT))"))
+            .over(W.partitionBy("oy").orderBy("w"))
+            .alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    factors = cum.agg(
+        *[
+            F.expr(
+                f"1000000 * CAST(sum(CASE WHEN w = {j + 1} THEN c END)"
+                " AS BIGINT)"
+                f" div nullif(sum(CASE WHEN w = {j} AND wl >= {j + 1}"
+                " THEN c END), 0)"
+            ).alias(f"f{j}")
+            for j in range(6)
+        ]
+    )
+    def _chain(wl: int) -> str:
+        e = "latest_c"
+        for j in range(wl, 6):
+            e = f"({e} * f{j} div 1000000)"
+        return e
+
+    case_spark = (
+        "CASE wl "
+        + " ".join(f"WHEN {wl} THEN {_chain(wl)}" for wl in range(7))
+        + " END"
+    )
+    return (
+        cum.filter(F.col("w") == F.col("wl"))
+        .select("oy", "wl", F.col("c").alias("latest_c"))
+        .crossJoin(F.broadcast(factors))
+        .select(
+            F.col("oy").cast("long").alias("origin_year"),
+            F.col("wl").cast("long").alias("dev_years_observed"),
+            F.col("latest_c").cast("long").alias("latest_cents"),
+            F.expr(f"CAST({case_spark} AS BIGINT)").alias("ultimate_cents"),
+            F.expr(f"CAST({case_spark} - latest_c AS BIGINT)").alias(
+                "reserve_cents"
+            ),
+        )
+        .orderBy("origin_year")
+    )
+
+
+# ===========================================================================
+# Portfolio theory: two-asset minimum-variance weights
+# ===========================================================================
+
+_MINVAR_ORACLE = """
+WITH pa AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xa
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pb AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xb
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+j AS (SELECT pa.xa, pb.xb FROM pa JOIN pb ON pa.d = pb.d),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb,
+         CAST(sum(xa * xa) AS BIGINT) AS qa,
+         CAST(sum(xb * xb) AS BIGINT) AS qb,
+         CAST(sum(xa * xb) AS BIGINT) AS p
+  FROM j
+),
+c AS (
+  SELECT n,
+         n * qa - sa * sa AS va,
+         n * qb - sb * sb AS vb,
+         n * p - sa * sb  AS cv
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(1000000 * CAST(vb - cv AS HUGEINT)
+            // nullif(va + vb - 2 * cv, 0) AS BIGINT) AS w_a_ppm,
+       CAST(1000000 - 1000000 * CAST(vb - cv AS HUGEINT)
+            // nullif(va + vb - 2 * cv, 0) AS BIGINT) AS w_b_ppm,
+       CAST(1000000 * CAST(cv // 1000 AS HUGEINT) * abs(cv // 1000)
+            // nullif(CAST(va // 1000 AS HUGEINT) * (vb // 1000), 0)
+            AS BIGINT) AS corr2_signed_ppm,
+       CAST(1000000 * (CAST(va // 1000 AS HUGEINT) * (vb // 1000)
+                       - CAST(cv // 1000 AS HUGEINT) * (cv // 1000))
+            // nullif(CAST((va + vb - 2 * cv) // 1000 AS HUGEINT)
+                      * (least(va, vb) // 1000), 0) AS BIGINT)
+         AS minvar_ratio_ppm
+FROM c
+"""
+
+
+@_register("min_variance_two_asset", _MINVAR_ORACLE)
+def min_variance_two_asset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markowitz two-asset minimum-variance portfolio over the daily
+    purchase-revenue and click-value series: w_a = (var_b - cov) /
+    (var_a + var_b - 2 cov), with every moment expressed as the integer
+    numerator n*Q - S^2 (n^2-scaled variance) so the weights, the signed
+    squared correlation, and the variance-reduction ratio var_min /
+    min(var_a, var_b) are all exact truncating divisions — the
+    portfolio-construction member of the finance family
+    (sharpe_ratio = reward/risk readout, rolling_beta = exposure,
+    historical_var_cvar = tail; this entry allocates). The ratio is
+    bounded at 1e6 by construction (diversification never hurts the
+    minimum-variance point), an executed invariant. Scale shape: two
+    day rollups, one tiny join, one 1-row moment aggregate."""
+    ev = _t(spark, sf_dir, "events")
+
+    def series(etype: str, name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.col("ts").cast("date").alias("d"))
+            .agg(F.sum(_cents("value")).alias(name))
+        )
+
+    j = series("purchase", "xa").join(series("click", "xb"), "d")
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sa"),
+        F.sum("xb").alias("sb"),
+        F.sum(F.expr("xa * xa")).alias("qa"),
+        F.sum(F.expr("xb * xb")).alias("qb"),
+        F.sum(F.expr("xa * xb")).alias("p"),
+    )
+    c = m.select(
+        "n",
+        F.expr("n * qa - sa * sa").alias("va"),
+        F.expr("n * qb - sb * sb").alias("vb"),
+        F.expr("n * p - sa * sb").alias("cv"),
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(1000000 * CAST(vb - cv AS DECIMAL(38,0))"
+            " div nullif(va + vb - 2 * cv, 0) AS BIGINT)"
+        ).alias("w_a_ppm"),
+        F.expr(
+            "CAST(1000000 - 1000000 * CAST(vb - cv AS DECIMAL(38,0))"
+            " div nullif(va + vb - 2 * cv, 0) AS BIGINT)"
+        ).alias("w_b_ppm"),
+        F.expr(
+            "CAST(1000000 * CAST(cv div 1000 AS DECIMAL(38,0))"
+            " * abs(cv div 1000)"
+            " div nullif(CAST(va div 1000 AS DECIMAL(38,0))"
+            "            * (vb div 1000), 0) AS BIGINT)"
+        ).alias("corr2_signed_ppm"),
+        F.expr(
+            "CAST(1000000 * (CAST(va div 1000 AS DECIMAL(38,0))"
+            "                * (vb div 1000)"
+            "                - CAST(cv div 1000 AS DECIMAL(38,0))"
+            "                  * (cv div 1000))"
+            " div nullif(CAST((va + vb - 2 * cv) div 1000 AS DECIMAL(38,0))"
+            "            * (least(va, vb) div 1000), 0) AS BIGINT)"
+        ).alias("minvar_ratio_ppm"),
+    )
+
+
+# ===========================================================================
+# Scheduling: Johnson's rule for the two-machine flow shop
+# ===========================================================================
+
+_JOHNSON_ORACLE = """
+WITH pa AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS p1
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pb AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS p2
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+jobs AS (SELECT pa.d, pa.p1, pb.p2 FROM pa JOIN pb ON pa.d = pb.d),
+jo AS (
+  SELECT p1, p2,
+         row_number() OVER (
+           ORDER BY CASE WHEN p1 < p2 THEN 0 ELSE 1 END,
+                    CASE WHEN p1 < p2 THEN p1 ELSE -p2 END, d) AS pos
+  FROM jobs
+),
+jm AS (
+  SELECT max(span) AS mk FROM (
+    SELECT sum(p1) OVER (ORDER BY pos)
+           + sum(p2) OVER (ORDER BY pos DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS span
+    FROM jo)
+),
+fo AS (
+  SELECT p1, p2, row_number() OVER (ORDER BY d) AS pos FROM jobs
+),
+fm AS (
+  SELECT max(span) AS mk FROM (
+    SELECT sum(p1) OVER (ORDER BY pos)
+           + sum(p2) OVER (ORDER BY pos DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS span
+    FROM fo)
+)
+SELECT CAST((SELECT count(*) FROM jobs) AS BIGINT) AS n_jobs,
+       CAST(jm.mk AS BIGINT) AS makespan_johnson_cents,
+       CAST(fm.mk AS BIGINT) AS makespan_fifo_cents,
+       CAST(fm.mk - jm.mk AS BIGINT) AS saving_cents
+FROM jm, fm
+"""
+
+
+@_register("johnsons_rule_schedule", _JOHNSON_ORACLE)
+def johnsons_rule_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson's rule for the two-machine flow shop: each day is a job
+    whose machine-1 / machine-2 processing times are that day's purchase
+    and click workloads; Johnson's optimal order (jobs with p1 < p2
+    first ascending by p1, the rest descending by p2) is PROVABLY
+    makespan-minimal, and the makespan evaluates by the closed form
+    max_i (sum_{j<=i} p1_j + sum_{j>=i} p2_j) — two window cumsums, no
+    simulation loop. The FIFO (chronological) makespan rides along so
+    the saving is an EXECUTED optimality observation (johnson <= fifo
+    value-checks every run; the adjacent-swap optimality condition is
+    pinned in pytest). The scheduling-theory companion to
+    critical_path_longest (PERT reads the DAG bound; Johnson chooses
+    the order). Scale shape: day rollups, then windows over the bounded
+    job frame — at real scale jobs are batches and the frame stays
+    driver-small."""
+    ev = _t(spark, sf_dir, "events")
+
+    def series(etype: str, name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.col("ts").cast("date").alias("d"))
+            .agg(F.sum(_cents("value")).alias(name))
+        )
+
+    jobs = series("purchase", "p1").join(
+        series("click", "p2"), "d"
+    ).localCheckpoint(eager=False)
+
+    def makespan(ordered: DataFrame) -> DataFrame:
+        head = F.sum("p1").over(
+            W.orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+        )
+        tail = F.sum("p2").over(
+            W.orderBy(F.col("pos").desc()).rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        return ordered.select((head + tail).alias("span")).agg(
+            F.max("span").alias("mk")
+        )
+
+    jo = jobs.select(
+        "p1",
+        "p2",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.expr("CASE WHEN p1 < p2 THEN 0 ELSE 1 END"),
+                F.expr("CASE WHEN p1 < p2 THEN p1 ELSE -p2 END"),
+                "d",
+            )
+        )
+        .alias("pos"),
+    )
+    fo = jobs.select(
+        "p1", "p2", F.row_number().over(W.orderBy("d")).alias("pos")
+    )
+    nj = jobs.agg(F.count(F.lit(1)).alias("n_jobs"))
+    return (
+        makespan(jo)
+        .withColumnRenamed("mk", "mkj")
+        .crossJoin(F.broadcast(makespan(fo).withColumnRenamed("mk", "mkf")))
+        .crossJoin(F.broadcast(nj))
+        .select(
+            F.col("n_jobs").cast("long").alias("n_jobs"),
+            F.col("mkj").cast("long").alias("makespan_johnson_cents"),
+            F.col("mkf").cast("long").alias("makespan_fifo_cents"),
+            F.expr("CAST(mkf - mkj AS BIGINT)").alias("saving_cents"),
+        )
+    )
+
+
+# ===========================================================================
+# Record linkage: sorted-neighborhood blocking audit
+# ===========================================================================
+
+_SNM_ORACLE = """
+WITH c AS (
+  SELECT c_custkey,
+         c_nationkey AS nat,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer
+),
+k AS (
+  SELECT c_custkey, nat, v,
+         CASE WHEN v >= 0 THEN v // 10000 ELSE -((-v) // 10000) END AS bkt
+  FROM c
+),
+sorted_k AS (
+  SELECT nat, bkt,
+         lead(nat, 1) OVER w AS n1, lead(bkt, 1) OVER w AS b1,
+         lead(nat, 2) OVER w AS n2, lead(bkt, 2) OVER w AS b2,
+         lead(nat, 3) OVER w AS n3, lead(bkt, 3) OVER w AS b3,
+         lead(nat, 4) OVER w AS n4, lead(bkt, 4) OVER w AS b4,
+         lead(nat, 5) OVER w AS n5, lead(bkt, 5) OVER w AS b5
+  FROM k
+  WINDOW w AS (ORDER BY v, c_custkey)
+),
+caught AS (
+  SELECT CAST(sum(
+    CASE WHEN n1 = nat AND b1 = bkt THEN 1 ELSE 0 END
+    + CASE WHEN n2 = nat AND b2 = bkt THEN 1 ELSE 0 END
+    + CASE WHEN n3 = nat AND b3 = bkt THEN 1 ELSE 0 END
+    + CASE WHEN n4 = nat AND b4 = bkt THEN 1 ELSE 0 END
+    + CASE WHEN n5 = nat AND b5 = bkt THEN 1 ELSE 0 END
+  ) AS BIGINT) AS n_caught, count(*) AS n FROM sorted_k
+),
+truth AS (
+  SELECT CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS n_true
+  FROM (SELECT count(*) AS cnt FROM k GROUP BY nat, bkt)
+)
+SELECT CAST(c.n AS BIGINT) AS n_records,
+       t.n_true AS n_true_pairs,
+       CAST(5 * c.n - 15 AS BIGINT) AS n_candidates,
+       c.n_caught,
+       CAST(1000000 * c.n_caught // nullif(t.n_true, 0) AS BIGINT)
+         AS recall_ppm,
+       CAST(1000000 * (5 * c.n - 15) // (c.n * (c.n - 1) // 2) AS BIGINT)
+         AS reduction_ppm
+FROM caught c, truth t
+"""
+
+
+@_register("sorted_neighborhood_blocking", _SNM_ORACLE)
+def sorted_neighborhood_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking audit: sort customers by account
+    balance, emit candidate pairs only within a sliding window of w=5
+    successors, and measure RECALL against the deterministic truth set
+    (same nation + same 100-dollar balance bucket) and the candidate
+    REDUCTION vs the n(n-1)/2 full cross — the window-based member of
+    the linkage-blocking family (phonetic_blocking_join keys on sound,
+    record_linkage_fs blocks on equality; SNM is what production MDM
+    uses when match keys are continuous). The sort key correlates with
+    the truth (same bucket => close balances), which is SNM's premise
+    and exactly what the measured recall quantifies. Bucket boundaries
+    truncate toward zero identically in both engines (negative
+    balances). Scale shape: one global sort (range-partitioned at
+    scale, with w-row partition-boundary overlap), w lead windows, one
+    rollup — candidates stay O(w n), never quadratic."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        _cents("c_acctbal").alias("v"),
+    )
+    k = c.select(
+        "c_custkey", "nat", "v", F.expr("v div 10000").alias("bkt")
+    ).localCheckpoint(eager=False)
+    w = W.orderBy("v", "c_custkey")
+    leads = k.select(
+        "nat",
+        "bkt",
+        *[
+            col
+            for i in (1, 2, 3, 4, 5)
+            for col in (
+                F.lead("nat", i).over(w).alias(f"n{i}"),
+                F.lead("bkt", i).over(w).alias(f"b{i}"),
+            )
+        ],
+    )
+    caught_expr = " + ".join(
+        f"CASE WHEN n{i} = nat AND b{i} = bkt THEN 1 ELSE 0 END"
+        for i in (1, 2, 3, 4, 5)
+    )
+    caught = leads.agg(
+        F.expr(f"CAST(sum({caught_expr}) AS BIGINT)").alias("n_caught"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    truth = (
+        k.groupBy("nat", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.expr("CAST(sum(cnt * (cnt - 1) div 2) AS BIGINT)").alias(
+            "n_true"
+        ))
+    )
+    return caught.crossJoin(F.broadcast(truth)).select(
+        F.col("n").cast("long").alias("n_records"),
+        F.col("n_true").alias("n_true_pairs"),
+        F.expr("CAST(5 * n - 15 AS BIGINT)").alias("n_candidates"),
+        F.col("n_caught"),
+        F.expr(
+            "CAST(1000000 * n_caught div nullif(n_true, 0) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(1000000 * (5 * n - 15) div (n * (n - 1) div 2) AS BIGINT)"
+        ).alias("reduction_ppm"),
+    )

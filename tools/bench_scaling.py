@@ -280,6 +280,12 @@ ENTRIES = [
     "james_stein_shrinkage",
     "kde_triangular_grid",
     "dft_weekly_power",
+    # round-5 wave 12
+    "holt_winters_additive",
+    "chain_ladder_reserve",
+    "min_variance_two_asset",
+    "johnsons_rule_schedule",
+    "sorted_neighborhood_blocking",
 ]
 
 
