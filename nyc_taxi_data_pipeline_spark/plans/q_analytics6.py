@@ -1224,3 +1224,379 @@ def sorted_neighborhood_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * (5 * n - 15) div (n * (n - 1) div 2) AS BIGINT)"
         ).alias("reduction_ppm"),
     )
+
+
+# ===========================================================================
+# Inventory: Wagner-Whitin optimal lot sizing (exact DP)
+# ===========================================================================
+
+_WW_K = 3000  # setup cost per order, in unit-day holding equivalents
+
+_WW_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS dv
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+idx AS (SELECT row_number() OVER (ORDER BY d) AS t, CAST(dv AS BIGINT) AS dv
+        FROM daily),
+pre AS (
+  SELECT t, dv,
+         CAST(sum(dv) OVER (ORDER BY t) AS BIGINT) AS dcum,
+         CAST(sum(t * dv) OVER (ORDER BY t) AS BIGINT) AS udcum
+  FROM idx
+),
+arrs AS (
+  SELECT list(dcum ORDER BY t) AS dl, list(udcum ORDER BY t) AS ul,
+         count(*) AS n
+  FROM pre
+),
+rec(t, cl) AS (
+  SELECT 0, [CAST(0 AS BIGINT)] FROM arrs
+  UNION ALL
+  SELECT r.t + 1,
+         list_append(r.cl, list_min(
+           [r.cl[j] + {_WW_K}
+              + (a.ul[r.t + 1] - CASE WHEN j > 1 THEN a.ul[j - 1]
+                                      ELSE 0 END)
+              - j * (a.dl[r.t + 1] - CASE WHEN j > 1 THEN a.dl[j - 1]
+                                          ELSE 0 END)
+            for j in range(1, r.t + 2)]))
+  FROM rec r, arrs a WHERE r.t < a.n
+)
+SELECT CAST(a.n AS BIGINT) AS n_days,
+       CAST(r.cl[CAST(a.n + 1 AS INT)] AS BIGINT) AS cost_optimal,
+       CAST(a.n * {_WW_K} AS BIGINT) AS cost_lot_for_lot,
+       CAST({_WW_K} + a.ul[CAST(a.n AS INT)]
+            - a.dl[CAST(a.n AS INT)] AS BIGINT) AS cost_single_order
+FROM rec r, arrs a WHERE r.t = a.n
+"""
+
+
+@_register("wagner_whitin_lotsizing", _WW_ORACLE)
+def wagner_whitin_lotsizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wagner-Whitin dynamic lot sizing over the daily purchase-demand
+    series (setup cost K=3000 unit-days, holding cost 1 per unit-day):
+    c_t = min_j (c_{{j-1}} + K + H(j,t)) with the holding cost H(j,t) =
+    sum_{{u=j..t}} (u-j) d_u read off two prefix arrays — the EXACT
+    optimum the eoq_order_quantity entry's stationary square-root rule
+    approximates, and the textbook planning DP (the policy adapts to
+    demand shape instead of assuming it constant). The lot-for-lot and
+    single-order envelope costs ride along so optimality is an EXECUTED
+    observation (optimal <= both, value-checked every run). All integer;
+    the O(n^2) DP runs over the bounded day spine only. Scale shape: one
+    rollup + two window cumsums shuffle once; the DP folds a bounded
+    array on one row — at 100 TB the demand grain is the bounded
+    planning calendar, never the fact table."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("dv"))
+    )
+    pre = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "dv"
+    ).select(
+        "t",
+        F.sum("dv").over(W.orderBy("t")).alias("dcum"),
+        F.sum(F.expr("t * dv")).over(W.orderBy("t")).alias("udcum"),
+    )
+    arrs = pre.agg(
+        F.expr("sort_array(collect_list(struct(t, dcum)))").alias("ds"),
+        F.expr("sort_array(collect_list(struct(t, udcum)))").alias("us"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.expr("transform(ds, r -> r.dcum)").alias("dl"),
+        F.expr("transform(us, r -> r.udcum)").alias("ul"),
+        "n",
+    )
+    hold = (
+        "element_at(ul, CAST(t AS INT))"
+        " - IF(j > 1, element_at(ul, CAST(j - 1 AS INT)), CAST(0 AS BIGINT))"
+        " - j * (element_at(dl, CAST(t AS INT))"
+        "        - IF(j > 1, element_at(dl, CAST(j - 1 AS INT)),"
+        "             CAST(0 AS BIGINT)))"
+    )
+    return arrs.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "element_at(aggregate(sequence(1, CAST(n AS INT)),"
+            " array(CAST(0 AS BIGINT)),"
+            " (cl, t) -> array_append(cl, array_min(transform("
+            f"   sequence(1, t), j -> element_at(cl, CAST(j AS INT))"
+            f"     + {_WW_K} + {hold})))), CAST(n + 1 AS INT))"
+        ).alias("cost_optimal"),
+        F.expr(f"CAST(n * {_WW_K} AS BIGINT)").alias("cost_lot_for_lot"),
+        F.expr(
+            f"CAST({_WW_K} + element_at(ul, CAST(n AS INT))"
+            " - element_at(dl, CAST(n AS INT)) AS BIGINT)"
+        ).alias("cost_single_order"),
+    )
+
+
+# ===========================================================================
+# Project scheduling: CPM slack / total float via forward+backward pass
+# ===========================================================================
+
+_SLACK_ORACLE = """
+WITH RECURSIVE parts AS (
+  SELECT p_partkey AS pk FROM part
+),
+bom AS (
+  SELECT p.pk AS parent, c.pk AS child
+  FROM parts p JOIN parts c ON c.pk = p.pk * 5 + 1
+  UNION ALL
+  SELECT p.pk, c.pk
+  FROM parts p JOIN parts c ON c.pk = p.pk * 5 + 2
+),
+roots AS (
+  SELECT DISTINCT b.parent AS pk FROM bom b
+  WHERE NOT EXISTS (SELECT 1 FROM bom b2 WHERE b2.child = b.parent)
+),
+walk AS (
+  SELECT pk AS root, pk AS node, pk % 7 + 1 AS es_incl,
+         CAST(0 AS BIGINT) AS depth
+  FROM roots
+  UNION ALL
+  SELECT w.root, b.child, w.es_incl + b.child % 7 + 1,
+         CAST(w.depth + 1 AS BIGINT)
+  FROM walk w JOIN bom b ON b.parent = w.node
+  WHERE w.depth < 6
+),
+leaves AS (
+  SELECT w.node FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM bom b WHERE b.parent = w.node)
+),
+up AS (
+  SELECT node, node % 7 + 1 AS climb FROM leaves
+  UNION ALL
+  SELECT b.parent, u.climb + b.parent % 7 + 1
+  FROM up u JOIN bom b ON b.child = u.node
+),
+below AS (SELECT node, max(climb) AS d FROM up GROUP BY node),
+proj AS (SELECT root, max(es_incl) AS t_days FROM walk GROUP BY root),
+slack AS (
+  SELECT w.root, w.node,
+         p.t_days - w.es_incl - (b.d - (w.node % 7 + 1)) AS fl
+  FROM walk w
+  JOIN below b ON b.node = w.node
+  JOIN proj p ON p.root = w.root
+)
+SELECT CAST(count(DISTINCT root) AS BIGINT) AS n_projects,
+       CAST(count(*) AS BIGINT) AS n_tasks,
+       CAST(sum(CASE WHEN fl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_critical_tasks,
+       CAST(sum(fl) AS BIGINT) AS total_slack_days,
+       CAST(max(fl) AS BIGINT) AS max_slack_days,
+       CAST(1000000 * sum(CASE WHEN fl = 0 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS critical_ppm
+FROM slack
+"""
+
+
+@_register("critical_path_slack", _SLACK_ORACLE)
+def critical_path_slack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPM total float (slack) per task over the BOM project forest that
+    critical_path_longest schedules: the forward pass carries the
+    root-to-task duration (earliest finish), the backward pass climbs
+    leaf-to-root accumulating the longest remaining chain, and total
+    float = T - es_incl - (longest_below - own_duration); float-0 tasks
+    ARE the critical path — the part CPM adds beyond the longest-path
+    number: which tasks can slip, and by how much, without moving the
+    deadline. Both passes are depth-bounded WITH RECURSIVE walks
+    executed identically by both engines (the backward max-merge
+    happens OUTSIDE the recursion as one rollup over leaf-ancestor
+    climbs). Every critical task count is an executed invariant (each
+    project has >= 1 zero-float chain). Scale shape: per-level
+    equi-joins, two rollups; branching factor 2 bounds both walks."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SLACK_ORACLE.replace("//", "div"))
+
+
+# ===========================================================================
+# Normality: Jarque-Bera from exact power sums
+# ===========================================================================
+
+_JB_ORACLE = """
+WITH p AS (
+  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(9,2)) AS x FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s1,
+         CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s2,
+         CAST(sum(CAST(x * x * x AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s3,
+         CAST(sum(CAST(x * x * x * x AS DECIMAL(38,8))) AS DECIMAL(38,8))
+           AS s4
+  FROM p GROUP BY 1
+),
+mom AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / n AS m1,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM sums
+),
+sk AS (
+  SELECT l_returnflag, n,
+         (r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1)
+           / power(r2 - m1 * m1, 1.5) AS skew,
+         (r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+          - 3.0 * m1 * m1 * m1 * m1)
+           / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3.0 AS kurt
+  FROM mom
+)
+SELECT l_returnflag, n,
+       round(skew, 6) AS skewness,
+       round(kurt, 6) AS excess_kurtosis,
+       round(n * (skew * skew + kurt * kurt / 4.0) / 6.0, 4) AS jb_stat,
+       CAST(CASE WHEN n * (skew * skew + kurt * kurt / 4.0) / 6.0 > 5.991
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_normal_5pct
+FROM sk
+ORDER BY l_returnflag
+"""
+
+
+@_register("jarque_bera_normality", _JB_ORACLE)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per return-flag group: JB = n/6 *
+    (skew^2 + excess_kurtosis^2/4), built from the same EXACT decimal
+    power sums distribution_moments_skew_kurt ships (order-independent,
+    mergeable partials; all divisions start from identical exact
+    decimals so the double math is bit-stable cross-engine) — the
+    omnibus moment-based member of the distribution-test family
+    (ks/cvm/ad compare to an empirical reference; JB asks 'is it
+    normal' from moments alone, the standard pre-check before
+    z-interval machinery). Uniform quantity data FAILS normality hard
+    (kurtosis -> -1.2), so the 5.991 chi2(2) rejection fires — an
+    executed detection-power observation, not a vacuous pass. Scale
+    shape: one hash aggregate of four decimal sums, scalar math after."""
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    sums = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", x.alias("x"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,8)"))
+            .cast("decimal(38,8)")
+            .alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)"))
+            .cast("decimal(38,8)")
+            .alias("s2"),
+            F.sum(
+                (F.col("x") * F.col("x") * F.col("x")).cast("decimal(38,8)")
+            )
+            .cast("decimal(38,8)")
+            .alias("s3"),
+            F.sum(
+                (F.col("x") * F.col("x") * F.col("x") * F.col("x")).cast(
+                    "decimal(38,8)"
+                )
+            )
+            .cast("decimal(38,8)")
+            .alias("s4"),
+        )
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    var_pop = r2 - m1 * m1
+    skew = (r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(
+        var_pop, F.lit(1.5)
+    )
+    kurt = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / (var_pop * var_pop) - F.lit(3.0)
+    jb = n * (skew * skew + kurt * kurt / F.lit(4.0)) / F.lit(6.0)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        F.when(jb > 5.991, 1).otherwise(0).cast("long").alias(
+            "reject_normal_5pct"
+        ),
+    ).orderBy("l_returnflag")
+
+
+# ===========================================================================
+# Ops: TTL cache hit-rate simulation from access reuse gaps
+# ===========================================================================
+
+_TTL_ORACLE = """
+WITH acc AS (
+  SELECT user_id,
+         epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pu
+  FROM events
+),
+grid AS (SELECT CAST(unnest([60, 600, 3600]) AS BIGINT) AS ttl_seconds)
+SELECT CAST(g.ttl_seconds AS BIGINT) AS ttl_seconds,
+       CAST(count(*) AS BIGINT) AS n_accesses,
+       CAST(sum(CASE WHEN a.pu IS NOT NULL
+                      AND a.tu - a.pu <= g.ttl_seconds * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(1000000 * sum(CASE WHEN a.pu IS NOT NULL
+                      AND a.tu - a.pu <= g.ttl_seconds * 1000000
+                     THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS hit_ppm
+FROM acc a CROSS JOIN grid g
+GROUP BY g.ttl_seconds
+ORDER BY ttl_seconds
+"""
+
+
+@_register("ttl_cache_hit_simulation", _TTL_ORACLE)
+def ttl_cache_hit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-cache hit-rate simulation over the event stream (cache key =
+    user profile): an access hits iff the SAME key was fetched within
+    the TTL — exactly one lag window over (key, time), evaluated at a
+    3-point TTL grid (1min/10min/1h), because a time-to-live cache's
+    behavior is a pure function of same-key reuse gaps. This is the
+    measured curve CDN/feature-store TTL tuning reads (hit-rate vs
+    staleness budget), the cache-sizing sibling of the queueing entries
+    (erlang/kingman size servers; this sizes staleness). Hit counts are
+    monotone in TTL by construction — an executed invariant. Scale
+    shape: one keyed window shuffle, a 3-row broadcast grid, one
+    rollup; no state beyond the lag."""
+    acc = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts)").alias("tu"),
+        F.lag(F.expr("unix_micros(ts)"))
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("pu"),
+    )
+    grid = spark.createDataFrame(
+        [(60,), (600,), (3600,)], "ttl_seconds long"
+    )
+    hit = (
+        "CASE WHEN pu IS NOT NULL AND tu - pu <= ttl_seconds * 1000000"
+        " THEN 1 ELSE 0 END"
+    )
+    return (
+        acc.crossJoin(F.broadcast(grid))
+        .groupBy("ttl_seconds")
+        .agg(
+            F.count(F.lit(1)).alias("n_accesses"),
+            F.expr(f"CAST(sum({hit}) AS BIGINT)").alias("n_hits"),
+            F.expr(
+                f"CAST(1000000 * sum({hit}) div count(*) AS BIGINT)"
+            ).alias("hit_ppm"),
+        )
+        .select(
+            F.col("ttl_seconds").cast("long").alias("ttl_seconds"),
+            F.col("n_accesses").cast("long").alias("n_accesses"),
+            "n_hits",
+            "hit_ppm",
+        )
+        .orderBy("ttl_seconds")
+    )

@@ -286,6 +286,11 @@ ENTRIES = [
     "min_variance_two_asset",
     "johnsons_rule_schedule",
     "sorted_neighborhood_blocking",
+    # round-5 wave 13
+    "wagner_whitin_lotsizing",
+    "critical_path_slack",
+    "jarque_bera_normality",
+    "ttl_cache_hit_simulation",
 ]
 
 
