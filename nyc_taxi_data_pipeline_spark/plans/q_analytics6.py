@@ -1600,3 +1600,618 @@ def ttl_cache_hit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ttl_seconds")
     )
+
+
+# ===========================================================================
+# Time series: Yule-Walker AR(2) fit via Cramer's rule
+# ===========================================================================
+
+_YW_ORACLE = (
+    "WITH "
+    + _DAILY_SQL
+    + """,
+idx AS (SELECT row_number() OVER (ORDER BY d) AS t, x FROM daily),
+tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM idx),
+dm AS (
+  SELECT t, CAST(tot.n * idx.x - tot.s AS BIGINT) AS xd, tot.n AS n,
+         tot.s AS s
+  FROM idx, tot
+),
+lagd AS (
+  SELECT t, xd, n, s,
+         lead(xd, 1) OVER (ORDER BY t) AS x1,
+         lead(xd, 2) OVER (ORDER BY t) AS x2
+  FROM dm
+),
+acv AS (
+  SELECT max(n) AS n, max(s) AS s,
+         CAST(sum(CAST(xd AS HUGEINT) * xd) AS HUGEINT) AS c0,
+         CAST(sum(CASE WHEN x1 IS NOT NULL
+                       THEN CAST(xd AS HUGEINT) * x1 ELSE 0 END)
+              AS HUGEINT) AS c1,
+         CAST(sum(CASE WHEN x2 IS NOT NULL
+                       THEN CAST(xd AS HUGEINT) * x2 ELSE 0 END)
+              AS HUGEINT) AS c2,
+         CAST(max(CASE WHEN t = n THEN xd END) AS BIGINT) AS devn,
+         CAST(max(CASE WHEN t = n - 1 THEN xd END) AS BIGINT) AS devn1
+  FROM lagd
+),
+fit AS (
+  SELECT n, s, devn, devn1,
+         CAST(1000 * c1 * (c0 - c2)
+              // nullif(c0 * c0 - c1 * c1, 0) AS BIGINT) AS phi1_milli,
+         CAST(1000 * (c0 * c2 - c1 * c1)
+              // nullif(c0 * c0 - c1 * c1, 0) AS BIGINT) AS phi2_milli
+  FROM acv
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       phi1_milli,
+       phi2_milli,
+       CAST(1000 * s // n
+            + (phi1_milli * devn + phi2_milli * devn1) // (1000 * n)
+            AS BIGINT) AS forecast_next_milli
+FROM fit
+"""
+)
+
+
+@_register("yule_walker_ar2", _YW_ORACLE)
+def yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit on daily revenue: the 2x2 normal equations
+    [c0 c1; c1 c0] phi = [c1 c2] solved EXACTLY by Cramer's rule on
+    integer autocovariance lanes (xd = n*x - S demeaning, 128-bit
+    products, one truncating division per coefficient), plus the
+    one-step-ahead forecast mean + phi1(x_n - m) + phi2(x_{n-1} - m) —
+    the parametric autoregression member of the serial-dependence
+    family (autocorrelation_lag_k reads the raw ACF,
+    pacf_durbin_levinson the partial ACF ladder; this entry turns them
+    into a generative model and a forecast). Scale shape: day rollup,
+    one 1-row total broadcast, one lead window, one aggregate — at
+    100 TB the fit is per-series constants off mergeable lag-moment
+    partials."""
+    daily = _daily(spark, sf_dir).localCheckpoint(eager=False)
+    idx = daily.select(F.row_number().over(W.orderBy("d")).alias("t"), "x")
+    tot = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    dm = idx.crossJoin(F.broadcast(tot)).select(
+        "t", F.expr("CAST(n * x - s AS BIGINT)").alias("xd"), "n", "s"
+    )
+    lagd = dm.select(
+        "t",
+        "xd",
+        "n",
+        "s",
+        F.lead("xd", 1).over(W.orderBy("t")).alias("x1"),
+        F.lead("xd", 2).over(W.orderBy("t")).alias("x2"),
+    )
+    acv = lagd.agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum(F.expr("CAST(xd AS DECIMAL(38,0)) * xd")).alias("c0"),
+        F.sum(
+            F.expr(
+                "CASE WHEN x1 IS NOT NULL"
+                " THEN CAST(xd AS DECIMAL(38,0)) * x1"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )
+        ).alias("c1"),
+        F.sum(
+            F.expr(
+                "CASE WHEN x2 IS NOT NULL"
+                " THEN CAST(xd AS DECIMAL(38,0)) * x2"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )
+        ).alias("c2"),
+        F.expr("CAST(max(CASE WHEN t = n THEN xd END) AS BIGINT)").alias(
+            "devn"
+        ),
+        F.expr("CAST(max(CASE WHEN t = n - 1 THEN xd END) AS BIGINT)").alias(
+            "devn1"
+        ),
+    )
+    fit = acv.select(
+        "n",
+        "s",
+        "devn",
+        "devn1",
+        F.expr(
+            "CAST(1000 * c1 * (c0 - c2)"
+            " div nullif(c0 * c0 - c1 * c1, 0) AS BIGINT)"
+        ).alias("phi1_milli"),
+        F.expr(
+            "CAST(1000 * (c0 * c2 - c1 * c1)"
+            " div nullif(c0 * c0 - c1 * c1, 0) AS BIGINT)"
+        ).alias("phi2_milli"),
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_days"),
+        "phi1_milli",
+        "phi2_milli",
+        F.expr(
+            "CAST(1000 * s div n"
+            " + (phi1_milli * devn + phi2_milli * devn1) div (1000 * n)"
+            " AS BIGINT)"
+        ).alias("forecast_next_milli"),
+    )
+
+
+# ===========================================================================
+# Queueing: Pollaczek-Khinchine M/G/1 mean wait
+# ===========================================================================
+
+_PK_ORACLE = """
+WITH jobs AS (
+  SELECT epoch_us(ts) AS tu,
+         CAST(round(value * 100) AS BIGINT) * 1000 AS s_us
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(max(tu) - min(tu) AS BIGINT) AS span_us,
+         CAST(sum(s_us) AS BIGINT) AS work_us,
+         CAST(sum(CAST(s_us AS HUGEINT) * s_us) AS HUGEINT) AS q2
+  FROM jobs
+)
+SELECT CAST(n AS BIGINT) AS n_jobs,
+       CAST(work_us // n AS BIGINT) AS mean_service_us,
+       CAST(1000000 * CAST(work_us AS HUGEINT) // span_us AS BIGINT)
+         AS rho_ppm,
+       CAST(1000000 * q2
+            // (2 * CAST(span_us AS HUGEINT)
+                * (1000000 - 1000000 * CAST(work_us AS HUGEINT) // span_us))
+            AS BIGINT) AS wq_pk_us
+FROM agg
+"""
+
+
+@_register("pollaczek_khinchine_wait", _PK_ORACLE)
+def pollaczek_khinchine_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pollaczek-Khinchine M/G/1 mean queueing delay for the purchase
+    work stream (service time = order value read as milliseconds of
+    work): Wq = lambda E[S^2] / (2(1-rho)) collapses to
+    Q2 / (2 T (1-rho)) with T the observed arrival span and rho =
+    total work / T — the EXACT single-server result that completes the
+    queueing family's ladder (erlang_b/c assume exponential service,
+    kingman_queue_estimate approximates G/G/1 from CVs,
+    lindley_queue_backlog replays one path; PK is the closed form the
+    others bracket, sensitive to the service SECOND moment, which is
+    why heavy-tailed jobs wreck latency). All lanes exact integer
+    microseconds (second moments summed in 128-bit). Scale shape: one
+    aggregate with mergeable (n, min, max, S, Q2) partials — nothing
+    else."""
+    jobs = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr("unix_micros(ts)").alias("tu"),
+            (_cents("value") * 1000).alias("s_us"),
+        )
+    )
+    agg = jobs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(max(tu) - min(tu) AS BIGINT)").alias("span_us"),
+        F.sum("s_us").alias("work_us"),
+        F.sum(F.expr("CAST(s_us AS DECIMAL(38,0)) * s_us")).alias("q2"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_jobs"),
+        F.expr("CAST(work_us div n AS BIGINT)").alias("mean_service_us"),
+        F.expr(
+            "CAST(1000000 * CAST(work_us AS DECIMAL(38,0)) div span_us"
+            " AS BIGINT)"
+        ).alias("rho_ppm"),
+        F.expr(
+            "CAST(1000000 * q2"
+            " div (2 * CAST(span_us AS DECIMAL(38,0))"
+            "      * (1000000 - 1000000 * CAST(work_us AS DECIMAL(38,0))"
+            "         div span_us)) AS BIGINT)"
+        ).alias("wq_pk_us"),
+    )
+
+
+# ===========================================================================
+# Survival: restricted mean survival time (area under the KM curve)
+# ===========================================================================
+
+_RMST_ORACLE = """
+WITH RECURSIVE dur AS (
+  SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS t,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'urgent' ELSE 'normal' END AS grp
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+),
+at_t AS (
+  SELECT grp, t, CAST(count(*) AS BIGINT) AS d FROM dur GROUP BY grp, t
+),
+tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS nn FROM dur GROUP BY grp),
+risk AS (
+  SELECT a.grp, a.t, a.d,
+         CAST(tt.nn - coalesce(sum(a.d) OVER (PARTITION BY a.grp
+              ORDER BY a.t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_at,
+         row_number() OVER (PARTITION BY a.grp ORDER BY a.t) AS rk
+  FROM at_t a JOIN tot tt ON tt.grp = a.grp
+),
+km AS (
+  SELECT grp, CAST(0 AS BIGINT) AS rk, CAST(0 AS BIGINT) AS t,
+         CAST(1000000 AS BIGINT) AS s_ppm
+  FROM tot
+  UNION ALL
+  SELECT r.grp, r.rk, r.t,
+         CAST(k.s_ppm * (r.n_at - r.d) // r.n_at AS BIGINT)
+  FROM km k JOIN risk r ON r.grp = k.grp AND r.rk = k.rk + 1
+),
+stepped AS (
+  SELECT grp, t, s_ppm,
+         lead(t, 1, 60) OVER (PARTITION BY grp
+                              ORDER BY t, s_ppm DESC) AS nt
+  FROM km
+),
+area AS (
+  SELECT grp,
+         CAST(sum(CASE WHEN t < 60
+                       THEN s_ppm * (least(nt, 60) - t) ELSE 0 END)
+              AS BIGINT) AS rmst_ppm_days
+  FROM stepped GROUP BY grp
+)
+SELECT grp,
+       CAST(60 AS BIGINT) AS tau_days,
+       rmst_ppm_days,
+       CAST(rmst_ppm_days // 1000 AS BIGINT) AS rmst_milli_days
+FROM area
+ORDER BY grp
+"""
+
+
+@_register("rmst_survival_area", _RMST_ORACLE)
+def rmst_survival_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau=60 days for ship latency,
+    urgent vs normal: the exact area under the Kaplan-Meier step curve
+    (sum of s_ppm * step width, steps clipped at tau) — the EFFECT-SIZE
+    summary the survival family's tests lack: logrank_test_groups says
+    the curves differ, kaplan_meier_product_limit plots them, RMST
+    says BY HOW MANY DAYS on average within the horizon — the estimand
+    regulators now ask for when hazards aren't proportional. The KM
+    product-limit recursion folds per-group risk-table ARRAYS through
+    aggregate() on the Spark side (the ~2500-step latency spine exceeds
+    Spark's recursion level budget; DuckDB walks the identical
+    recurrence as a recursive CTE), then integrates with one lead
+    window ordered (t, s_ppm DESC) so the duplicate t=0 anchor point
+    contributes zero width deterministically. Scale shape: adds one
+    window + rollup to the KM plan — still bounded by the
+    distinct-latency frame."""
+    dur = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.expr("l_shipdate >= o_orderdate"))
+        .select(
+            F.expr(
+                "CAST(datediff(CAST(l_shipdate AS DATE),"
+                " CAST(o_orderdate AS DATE)) AS BIGINT)"
+            ).alias("t"),
+            F.expr(
+                "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 'urgent' ELSE 'normal' END"
+            ).alias("grp"),
+        )
+    )
+    at_t = dur.groupBy("grp", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    tot = dur.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    wg = (
+        W.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    risk = at_t.join(tot, "grp").select(
+        "grp",
+        "t",
+        "d",
+        (F.col("nn") - F.coalesce(F.sum("d").over(wg), F.lit(0)))
+        .cast("long")
+        .alias("n_at"),
+    )
+    folded = risk.groupBy("grp").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(t, d, n_at))),"
+            " named_struct('s', CAST(1000000 AS BIGINT),"
+            " 'curve', CAST(array() AS ARRAY<STRUCT<t: BIGINT,"
+            " s: BIGINT>>)),"
+            " (acc, x) -> named_struct("
+            "'s', CAST(acc.s * (x.n_at - x.d) div x.n_at AS BIGINT),"
+            "'curve', concat(acc.curve, array(named_struct("
+            "'t', x.t,"
+            " 's', CAST(acc.s * (x.n_at - x.d) div x.n_at AS BIGINT))))),"
+            " acc -> acc.curve)"
+        ).alias("curve")
+    )
+    points = folded.select("grp", F.explode("curve").alias("p")).select(
+        "grp", F.expr("p.t").alias("t"), F.expr("p.s").alias("s_ppm")
+    )
+    base = tot.select(
+        "grp",
+        F.lit(0).cast("long").alias("t"),
+        F.lit(1000000).cast("long").alias("s_ppm"),
+    )
+    allp = points.unionByName(base)
+    stepped = allp.select(
+        "grp",
+        "t",
+        "s_ppm",
+        F.lead("t", 1, 60)
+        .over(W.partitionBy("grp").orderBy("t", F.col("s_ppm").desc()))
+        .alias("nt"),
+    )
+    return (
+        stepped.groupBy("grp")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN t < 60"
+                " THEN s_ppm * (least(nt, 60) - t) ELSE 0 END) AS BIGINT)"
+            ).alias("rmst_ppm_days")
+        )
+        .select(
+            "grp",
+            F.lit(60).cast("long").alias("tau_days"),
+            "rmst_ppm_days",
+            F.expr("CAST(rmst_ppm_days div 1000 AS BIGINT)").alias(
+                "rmst_milli_days"
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
+# ===========================================================================
+# Multiple testing: Storey's pi0 (true-null share) estimate
+# ===========================================================================
+
+_STOREY_ORACLE = """
+WITH lab AS (
+  SELECT n.n_name,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y1
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS nn, CAST(sum(y1) AS BIGINT) AS yy
+  FROM lab
+),
+z AS (
+  SELECT l.n_name,
+         CAST(CAST(l.y1 * (t.nn - l.n1) - (t.yy - l.y1) * l.n1 AS HUGEINT)
+              * (l.y1 * (t.nn - l.n1) - (t.yy - l.y1) * l.n1)
+              * t.nn * 1000
+              // (CAST(l.n1 AS HUGEINT) * (t.nn - l.n1) * t.yy
+                  * (t.nn - t.yy)) AS BIGINT) AS z2_milli
+  FROM lab l CROSS JOIN tot t
+),
+m AS (SELECT count(*) AS m FROM z),
+grid AS (
+  SELECT * FROM (VALUES (CAST(25 AS BIGINT), CAST(1323 AS BIGINT),
+                         CAST(4 AS BIGINT), CAST(3 AS BIGINT)),
+                        (50, 455, 2, 1),
+                        (75, 102, 4, 1))
+         AS g(lambda_pct, thresh_milli, mult, den)
+)
+SELECT g.lambda_pct,
+       CAST(sum(CASE WHEN z.z2_milli < g.thresh_milli THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pvals_above,
+       CAST(least(1000000,
+            1000000 * g.mult
+            * sum(CASE WHEN z.z2_milli < g.thresh_milli THEN 1 ELSE 0 END)
+            // (g.den * m.m)) AS BIGINT) AS pi0_ppm
+FROM z CROSS JOIN grid g CROSS JOIN m
+GROUP BY g.lambda_pct, g.mult, g.den, m.m
+ORDER BY lambda_pct
+"""
+
+
+@_register("storey_pi0_estimate", _STOREY_ORACLE)
+def storey_pi0_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storey's pi0 estimator — the share of TRUE NULLS among the 25
+    simultaneous per-nation urgency tests: pi0(lambda) = #(p > lambda)
+    / ((1-lambda) m), read off the same exact chi-square milli lanes
+    fdr_bh_screen ranks, with p > lambda translated to z^2 below the
+    literal chi2(1) quantile (1.323/0.455/0.102 at lambda = .25/.5/.75
+    — constants both engines compare identically, the ladder device).
+    pi0 is what upgrades BH to the adaptive q-value procedure: when
+    most hypotheses are null (pi0 ~ 1, the expected reading on this
+    independent synthetic lake) BH is already tight; a small pi0 would
+    license proportionally more rejections. The three-lambda grid
+    exposes the estimator's lambda-sensitivity instead of hiding it.
+    Scale shape: one rollup to 25 strata, 1-row totals broadcast, a
+    3-row literal grid."""
+    lab = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("y1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = lab.agg(
+        F.sum("n1").cast("long").alias("nn"),
+        F.sum("y1").cast("long").alias("yy"),
+    )
+    z = (
+        lab.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("y1 * (nn - n1) - (yy - y1) * n1").alias("diff"),
+            F.expr(
+                "CAST(n1 AS DECIMAL(38,0)) * (nn - n1) * yy * (nn - yy)"
+            ).alias("den"),
+            "nn",
+        )
+        .select(
+            F.expr(
+                "CAST(diff AS DECIMAL(38,0)) * CAST(diff AS DECIMAL(38,0))"
+                " * nn * 1000"
+            ).alias("num"),
+            "den",
+        )
+        .select(
+            "num",
+            "den",
+            F.expr(
+                "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+                " AS DECIMAL(38,0))"
+            ).alias("q0"),
+        )
+        .select(
+            F.expr(
+                "CAST(CASE WHEN (q0 + 1) * den <= num THEN q0 + 1"
+                " WHEN q0 * den > num THEN q0 - 1 ELSE q0 END AS BIGINT)"
+            ).alias("z2_milli"),
+        )
+    )
+    m = z.agg(F.count(F.lit(1)).alias("m"))
+    grid = spark.createDataFrame(
+        [(25, 1323, 4, 3), (50, 455, 2, 1), (75, 102, 4, 1)],
+        "lambda_pct long, thresh_milli long, mult long, den long",
+    )
+    return (
+        z.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(m))
+        .groupBy("lambda_pct", "mult", "den", "m")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN z2_milli < thresh_milli THEN 1 ELSE 0"
+                " END) AS BIGINT)"
+            ).alias("n_pvals_above")
+        )
+        .select(
+            "lambda_pct",
+            "n_pvals_above",
+            F.expr(
+                "CAST(least(CAST(1000000 AS BIGINT),"
+                " 1000000 * mult * n_pvals_above div (den * m)) AS BIGINT)"
+            ).alias("pi0_ppm"),
+        )
+        .orderBy("lambda_pct")
+    )
+
+
+# ===========================================================================
+# Packing: first-fit-decreasing bin packing with executed lower bound
+# ===========================================================================
+
+_FFD_ORACLE = (
+    "WITH RECURSIVE "
+    + _DAILY_SQL.strip().lstrip()
+    + """,
+items AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, d) AS rk FROM daily
+),
+consts AS (
+  SELECT count(*) AS n, 2 * max(x) AS cap, CAST(sum(x) AS BIGINT) AS total
+  FROM items
+),
+il AS (SELECT list(x ORDER BY rk) AS xs FROM items),
+rec(k, bins) AS (
+  SELECT 0, CAST([] AS BIGINT[]) FROM il
+  UNION ALL
+  SELECT r.k + 1,
+         CASE WHEN coalesce(list_position(
+                [CASE WHEN r.bins[i] + xs[r.k + 1] <= c.cap THEN 1
+                      ELSE 0 END for i in range(1, len(r.bins) + 1)], 1), 0)
+              = 0
+         THEN list_append(r.bins, xs[r.k + 1])
+         ELSE [CASE WHEN i = coalesce(list_position(
+                 [CASE WHEN r.bins[i2] + xs[r.k + 1] <= c.cap THEN 1
+                       ELSE 0 END for i2 in range(1, len(r.bins) + 1)],
+                 1), 0)
+               THEN r.bins[i] + xs[r.k + 1] ELSE r.bins[i] END
+               for i in range(1, len(r.bins) + 1)]
+         END
+  FROM rec r, il, consts c WHERE r.k < len(xs)
+)
+SELECT CAST(c.n AS BIGINT) AS n_items,
+       CAST(c.cap AS BIGINT) AS capacity_cents,
+       CAST(len(r.bins) AS BIGINT) AS n_bins_ffd,
+       CAST((c.total + c.cap - 1) // c.cap AS BIGINT) AS lower_bound,
+       CAST(1000000 * c.total // (len(r.bins) * c.cap) AS BIGINT)
+         AS occupancy_ppm
+FROM rec r, il, consts c WHERE r.k = len(il.xs)
+"""
+)
+
+
+@_register("binpacking_ffd_bound", _FFD_ORACLE)
+def binpacking_ffd_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing of the daily revenue loads into
+    bins of capacity 2*max(load): items sorted descending, each placed
+    into the FIRST bin with room (the 11/9-approximation workhorse of
+    shard packing, file compaction sizing, and batch assembly), with
+    the ceil(total/capacity) volume lower bound and the achieved
+    occupancy riding along — so FFD's near-optimality is an EXECUTED
+    observation (lower_bound <= n_bins, occupancy close to 1). The
+    greedy fold carries the bin-load list through one bounded
+    recursion (oracle) / one aggregate() fold (Spark) with first-fit
+    chosen by list position — the same list-state device as
+    holt_winters and wagner_whitin. Scale shape: day rollup then a
+    bounded fold; at 100 TB items are shard/file sizes from a
+    metadata rollup, never fact rows."""
+    daily = _daily(spark, sf_dir)
+    il = daily.agg(
+        F.expr(
+            "reverse(sort_array(collect_list(struct(x, d)))) "
+        ).alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("2 * max(x)").alias("cap"),
+        F.sum("x").alias("total"),
+    ).select(
+        F.expr("transform(sd, r -> r.x)").alias("xs"), "n", "cap", "total"
+    )
+    # first-fit position bound once per step via the single-element
+    # transform idiom; pos = 0 means "no bin fits -> open a new one"
+    fold = (
+        "aggregate(xs, CAST(array() AS ARRAY<BIGINT>),"
+        " (bins, s) -> element_at(transform(array("
+        "   coalesce(array_position(transform(bins,"
+        "     l -> IF(l + s <= cap, 1, 0)), 1), 0)), pos ->"
+        "   IF(pos = 0, array_append(bins, s),"
+        "      transform(bins, (l, j) -> IF(j = pos - 1, l + s, l)))"
+        " ), 1))"
+    )
+    return il.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.col("cap").cast("long").alias("capacity_cents"),
+        F.expr(f"CAST(size({fold}) AS BIGINT)").alias("n_bins_ffd"),
+        F.expr("CAST((total + cap - 1) div cap AS BIGINT)").alias(
+            "lower_bound"
+        ),
+        F.expr(
+            f"CAST(1000000 * total div (size({fold}) * cap) AS BIGINT)"
+        ).alias("occupancy_ppm"),
+    )

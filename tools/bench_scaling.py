@@ -291,6 +291,12 @@ ENTRIES = [
     "critical_path_slack",
     "jarque_bera_normality",
     "ttl_cache_hit_simulation",
+    # round-5 wave 14
+    "yule_walker_ar2",
+    "pollaczek_khinchine_wait",
+    "rmst_survival_area",
+    "storey_pi0_estimate",
+    "binpacking_ffd_bound",
 ]
 
 
