@@ -2215,3 +2215,439 @@ def binpacking_ffd_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(1000000 * total div (size({fold}) * cap) AS BIGINT)"
         ).alias("occupancy_ppm"),
     )
+
+
+# ===========================================================================
+# Graph distance profile: eccentricity / diameter / radius via bitmasks
+# ===========================================================================
+
+_DIAM_ORACLE = """
+WITH ui AS (
+  SELECT DISTINCT o.o_custkey AS u, CAST(l.l_partkey % 50 AS BIGINT) AS i
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+e AS (
+  SELECT DISTINCT a.i AS a, b.i AS b
+  FROM ui a JOIN ui b ON b.u = a.u AND b.i != a.i
+),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+b0 AS (SELECT v, CAST(1 << v AS BIGINT) AS ball FROM nodes),
+b1 AS (
+  SELECT b.v, CAST(coalesce(bit_or(nb.ball), 0) | max(b.ball) AS BIGINT)
+           AS ball
+  FROM b0 b LEFT JOIN e ON e.a = b.v LEFT JOIN b0 nb ON nb.v = e.b
+  GROUP BY b.v
+),
+b2 AS (
+  SELECT b.v, CAST(coalesce(bit_or(nb.ball), 0) | max(b.ball) AS BIGINT)
+           AS ball
+  FROM b1 b LEFT JOIN e ON e.a = b.v LEFT JOIN b1 nb ON nb.v = e.b
+  GROUP BY b.v
+),
+b3 AS (
+  SELECT b.v, CAST(coalesce(bit_or(nb.ball), 0) | max(b.ball) AS BIGINT)
+           AS ball
+  FROM b2 b LEFT JOIN e ON e.a = b.v LEFT JOIN b2 nb ON nb.v = e.b
+  GROUP BY b.v
+),
+b4 AS (
+  SELECT b.v, CAST(coalesce(bit_or(nb.ball), 0) | max(b.ball) AS BIGINT)
+           AS ball
+  FROM b3 b LEFT JOIN e ON e.a = b.v LEFT JOIN b3 nb ON nb.v = e.b
+  GROUP BY b.v
+),
+ecc AS (
+  SELECT b0.v,
+         CASE WHEN b0.ball = b4.ball THEN 0
+              WHEN b1.ball = b4.ball THEN 1
+              WHEN b2.ball = b4.ball THEN 2
+              WHEN b3.ball = b4.ball THEN 3
+              ELSE 4 END AS ecc,
+         CASE WHEN b3.ball = b4.ball THEN 1 ELSE 0 END AS conv
+  FROM b0 JOIN b1 USING (v) JOIN b2 USING (v) JOIN b3 USING (v)
+          JOIN b4 USING (v)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(max(ecc) AS BIGINT) AS diameter,
+       CAST(min(ecc) AS BIGINT) AS radius,
+       CAST(sum(CASE WHEN ecc = (SELECT max(ecc) FROM ecc)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_peripheral,
+       CAST(sum(CASE WHEN ecc = (SELECT min(ecc) FROM ecc)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_central,
+       CAST(min(conv) AS BIGINT) AS converged
+FROM ecc
+"""
+
+
+@_register("graph_diameter_bitmask", _DIAM_ORACLE)
+def graph_diameter_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact eccentricity profile of the co-purchase item graph via the
+    64-bit bitmask-OR device (neighborhood_function_bitmask's sibling,
+    read per NODE instead of per radius): ecc(v) = first radius whose
+    reach ball equals the converged ball, diameter = max ecc, radius =
+    min ecc, with the graph CENTER (ecc = radius) and PERIPHERY (ecc =
+    diameter) counted — the distance profile a topology audit reads
+    before choosing broadcast depths or gossip fan-outs. Four unrolled
+    OR-rounds bound the walk; `converged` records that round 3 already
+    reached the fixpoint (executed, not assumed — a larger-diameter
+    graph would flag 0 rather than silently misreport). Exact because
+    the item domain fits one BIGINT mask; both engines share 1<<v /
+    bit_or / popcount semantics. Scale shape: the only data-sized pass
+    builds the edge list; four join+agg rounds touch <= 50-row frames."""
+    ui = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_partkey") % 50).cast("long").alias("i"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = (
+        ui.select("u", F.col("i").alias("a"))
+        .join(ui.select("u", F.col("i").alias("b")), "u")
+        .filter(F.col("b") != F.col("a"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("a").alias("v")).distinct()
+    balls = nodes.select(
+        "v",
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(v AS INT)) AS BIGINT)"
+        ).alias("ball"),
+    ).localCheckpoint(eager=False)
+    frames = [balls]
+    for _ in range(4):
+        prev = frames[-1]
+        nxt = (
+            prev.join(e, prev["v"] == e["a"], "left")
+            .join(
+                prev.select(
+                    F.col("v").alias("b"), F.col("ball").alias("nb_ball")
+                ),
+                "b",
+                "left",
+            )
+            .groupBy(prev["v"].alias("v"))
+            .agg(
+                F.expr(
+                    "CAST(coalesce(bit_or(nb_ball), 0) | max(ball)"
+                    " AS BIGINT)"
+                ).alias("ball")
+            )
+            .localCheckpoint(eager=False)
+        )
+        frames.append(nxt)
+    j = frames[0].select("v", F.col("ball").alias("r0"))
+    for k in range(1, 5):
+        j = j.join(
+            frames[k].select("v", F.col("ball").alias(f"r{k}")), "v"
+        )
+    ecc = j.select(
+        "v",
+        F.expr(
+            "CASE WHEN r0 = r4 THEN 0 WHEN r1 = r4 THEN 1"
+            " WHEN r2 = r4 THEN 2 WHEN r3 = r4 THEN 3 ELSE 4 END"
+        ).alias("ecc"),
+        F.expr("CASE WHEN r3 = r4 THEN 1 ELSE 0 END").alias("conv"),
+    ).localCheckpoint(eager=False)
+    ext = ecc.agg(
+        F.max("ecc").alias("mx"), F.min("ecc").alias("mn")
+    )
+    return ecc.crossJoin(F.broadcast(ext)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("CAST(max(ecc) AS BIGINT)").alias("diameter"),
+        F.expr("CAST(min(ecc) AS BIGINT)").alias("radius"),
+        F.expr(
+            "CAST(sum(CASE WHEN ecc = mx THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_peripheral"),
+        F.expr(
+            "CAST(sum(CASE WHEN ecc = mn THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_central"),
+        F.expr("CAST(min(conv) AS BIGINT)").alias("converged"),
+    )
+
+
+# ===========================================================================
+# Graph: Boruvka minimum-spanning-forest rounds
+# ===========================================================================
+
+def _boruvka_oracle() -> str:
+    """Generate the Boruvka oracle SQL: 2 rounds, each = per-component
+    min-edge pick (integer-packed argmin) + pointer-doubling merge."""
+
+    def round_sql(r: int, labsrc: str) -> str:
+        # pick: per component, min (cost, u, v) edge leaving it
+        sql = f"""
+cand{r} AS MATERIALIZED (
+  SELECT lu.c AS cu, lv.c AS cv, e.u, e.v, e.cost
+  FROM und e
+  JOIN {labsrc} lu ON lu.node = e.u
+  JOIN {labsrc} lv ON lv.node = e.v
+  WHERE lu.c != lv.c
+),
+pick{r} AS MATERIALIZED (
+  SELECT cu,
+         min(cost * 1000000000000 + u * 1000000 + v) AS pk
+  FROM cand{r} GROUP BY cu
+),
+dec{r} AS MATERIALIZED (
+  SELECT cu,
+         pk // 1000000000000 AS cost,
+         (pk // 1000000) % 1000000 AS u,
+         pk % 1000000 AS v
+  FROM pick{r}
+),
+sel{r} AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b, cost
+  FROM dec{r}
+),
+f{r} AS MATERIALIZED (
+  SELECT d.cu AS c, lv.c AS fc
+  FROM dec{r} d JOIN {labsrc} lv ON lv.node = d.v
+),
+comps{r} AS MATERIALIZED (SELECT DISTINCT c FROM {labsrc}),
+g{r} AS MATERIALIZED (
+  SELECT cm.c,
+         CASE WHEN f1.fc IS NULL THEN cm.c
+              WHEN f2.fc = cm.c THEN least(cm.c, f1.fc)
+              ELSE f1.fc END AS h
+  FROM comps{r} cm
+  LEFT JOIN f{r} f1 ON f1.c = cm.c
+  LEFT JOIN f{r} f2 ON f2.c = f1.fc
+),
+h{r}_0 AS MATERIALIZED (SELECT c, h FROM g{r})"""
+        for k in range(1, 7):
+            sql += f""",
+h{r}_{k} AS MATERIALIZED (
+  SELECT a.c, b.h
+  FROM h{r}_{k - 1} a JOIN h{r}_{k - 1} b ON b.c = a.h
+)"""
+        sql += f""",
+conv{r} AS MATERIALIZED (
+  SELECT CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+  FROM h{r}_6 a JOIN h{r}_6 b ON b.c = a.h
+  WHERE b.h != a.h
+),
+lab{r} AS MATERIALIZED (
+  SELECT l.node, h.h AS c
+  FROM {labsrc} l JOIN h{r}_6 h ON h.c = l.c
+)"""
+        return sql
+
+    return (
+        """
+WITH cos AS MATERIALIZED (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (
+  SELECT s1, s2,
+         CAST(1000000 // w + (s1 * 31 + s2 * 17) % 997 AS BIGINT) AS cost
+  FROM cos WHERE w >= 2 AND (s1 * 31 + s2 * 17) % 20 = 0
+),
+und AS MATERIALIZED (
+  SELECT s1 AS u, s2 AS v, cost FROM e
+  UNION ALL
+  SELECT s2 AS u, s1 AS v, cost FROM e
+),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),
+lab0 AS MATERIALIZED (SELECT node, node AS c FROM nodes),"""
+        + round_sql(1, "lab0").lstrip("\n")
+        + ","
+        + round_sql(2, "lab1")
+        + """,
+allsel AS MATERIALIZED (
+  SELECT a, b, cost FROM sel1 UNION SELECT a, b, cost FROM sel2
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(DISTINCT c) FROM lab1) AS BIGINT)
+         AS n_components_r1,
+       CAST((SELECT count(DISTINCT c) FROM lab2) AS BIGINT)
+         AS n_components_r2,
+       CAST((SELECT count(*) FROM allsel) AS BIGINT) AS mst_edges,
+       CAST((SELECT sum(cost) FROM allsel) AS BIGINT) AS mst_weight,
+       CAST((SELECT min(ok) FROM (SELECT ok FROM conv1
+                                  UNION ALL SELECT ok FROM conv2))
+            AS BIGINT) AS converged
+"""
+    )
+
+
+_BORUVKA_ORACLE = _boruvka_oracle()
+
+
+@_register("boruvka_mst_rounds", _BORUVKA_ORACLE)
+def boruvka_mst_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Boruvka rounds of minimum-spanning-forest construction over
+    the co-supplier graph (edge cost = 1e6/w plus a deterministic salt
+    making weights totally ordered, so min-edge cycles are exactly the
+    mutual 2-cycles): every component picks its cheapest outgoing edge
+    (integer-packed (cost,u,v) argmin — one rollup), picked edges merge
+    components by POINTER DOUBLING on the follow-the-pick map (6
+    doublings cover chains to depth 64; `converged` EXECUTES the
+    fixpoint check instead of assuming it), and the distinct picked
+    edges accumulate the forest weight. Boruvka is THE parallel MST
+    algorithm (Prim/Kruskal are inherently sequential): each round is
+    pure joins + rollups, halving components — the missing constructive
+    member of the graph family beside the diagnostic ones (CC says what
+    is connected; Boruvka builds the cheapest backbone). Scale shape:
+    the only data-sized pass builds co-supply edges; rounds touch
+    component-sized frames with the doubling joins on <= |V| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2")
+    )
+    cos = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e = (
+        cos.filter(
+            (F.col("w") >= 2) & (F.expr("(s1 * 31 + s2 * 17) % 20 = 0"))
+        )
+        .select(
+            "s1",
+            "s2",
+            F.expr(
+                "CAST(1000000 div w + (s1 * 31 + s2 * 17) % 997 AS BIGINT)"
+            ).alias("cost"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    und = e.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v"), "cost"
+    ).unionByName(
+        e.select(F.col("s2").alias("u"), F.col("s1").alias("v"), "cost")
+    ).localCheckpoint(eager=False)
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    lab = nodes.select("node", F.col("node").alias("c")).localCheckpoint(
+        eager=False
+    )
+
+    sels = []
+    convs = []
+    for _ in range(2):
+        lu = lab.select(F.col("node").alias("u"), F.col("c").alias("cu"))
+        lv = lab.select(F.col("node").alias("v"), F.col("c").alias("cv"))
+        cand = (
+            und.join(lu, "u")
+            .join(lv, "v")
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        dec = (
+            cand.groupBy("cu")
+            .agg(
+                F.min(
+                    F.expr("cost * 1000000000000 + u * 1000000 + v")
+                ).alias("pk")
+            )
+            .select(
+                "cu",
+                F.expr("pk div 1000000000000").alias("cost"),
+                F.expr("(pk div 1000000) % 1000000").alias("u"),
+                F.expr("pk % 1000000").alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        sels.append(
+            dec.select(
+                F.expr("least(u, v)").alias("a"),
+                F.expr("greatest(u, v)").alias("b"),
+                "cost",
+            ).distinct()
+        )
+        f = dec.join(
+            lab.select(F.col("node").alias("v"), F.col("c").alias("fc")),
+            "v",
+        ).select(F.col("cu").alias("c"), "fc")
+        comps = lab.select("c").distinct()
+        f1 = f.select("c", F.col("fc").alias("f1"))
+        f2 = f.select(F.col("c").alias("f1"), F.col("fc").alias("f2"))
+        h = (
+            comps.join(f1, "c", "left")
+            .join(f2, "f1", "left")
+            .select(
+                "c",
+                F.expr(
+                    "CASE WHEN f1 IS NULL THEN c"
+                    " WHEN f2 = c THEN least(c, f1)"
+                    " ELSE f1 END"
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        for _k in range(6):
+            h = (
+                h.alias("x")
+                .join(
+                    h.select(
+                        F.col("c").alias("h"), F.col("h").alias("h2")
+                    ).alias("y"),
+                    "h",
+                )
+                .select(F.col("c"), F.col("h2").alias("h"))
+                .localCheckpoint(eager=False)
+            )
+        convs.append(
+            h.alias("x")
+            .join(
+                h.select(F.col("c").alias("h"), F.col("h").alias("h2")),
+                "h",
+            )
+            .agg(
+                F.expr(
+                    "CAST(CASE WHEN sum(CASE WHEN h2 != h THEN 1 ELSE 0"
+                    " END) = 0 THEN 1 ELSE 0 END AS BIGINT)"
+                ).alias("ok")
+            )
+        )
+        lab = (
+            lab.join(h, "c")
+            .select("node", F.col("h").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        if len(sels) == 1:
+            lab1_count = lab.select("c").distinct().count()
+    allsel = sels[0].unionByName(sels[1]).distinct().localCheckpoint(
+        eager=False
+    )
+    n_nodes = nodes.count()
+    n_edges = e.count()
+    lab2_count = lab.select("c").distinct().count()
+    msts = allsel.agg(
+        F.count(F.lit(1)).cast("long").alias("mst_edges"),
+        F.sum("cost").cast("long").alias("mst_weight"),
+    )
+    conv = (
+        convs[0]
+        .unionByName(convs[1])
+        .agg(F.expr("CAST(min(ok) AS BIGINT)").alias("converged"))
+    )
+    return (
+        msts.crossJoin(F.broadcast(conv))
+        .select(
+            F.lit(n_nodes).cast("long").alias("n_nodes"),
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            F.lit(lab1_count).cast("long").alias("n_components_r1"),
+            F.lit(lab2_count).cast("long").alias("n_components_r2"),
+            "mst_edges",
+            "mst_weight",
+            "converged",
+        )
+    )

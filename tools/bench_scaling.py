@@ -297,6 +297,9 @@ ENTRIES = [
     "rmst_survival_area",
     "storey_pi0_estimate",
     "binpacking_ffd_bound",
+    # round-5 wave 15
+    "graph_diameter_bitmask",
+    "boruvka_mst_rounds",
 ]
 
 
