@@ -2651,3 +2651,494 @@ def boruvka_mst_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "converged",
         )
     )
+
+
+# ===========================================================================
+# Regression: exact two-predictor OLS via Cramer's rule
+# ===========================================================================
+
+_OLS2_ORACLE = """
+WITH s AS (
+  SELECT n.n_name,
+         CAST(l.l_quantity AS BIGINT) AS x1,
+         CAST(round(l.l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+m AS (
+  SELECT n_name, count(*) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS q11,
+         CAST(sum(x2 * x2) AS BIGINT) AS q22,
+         CAST(sum(x1 * x2) AS BIGINT) AS q12,
+         CAST(sum(x1 * y) AS BIGINT) AS q1y,
+         CAST(sum(x2 * y) AS BIGINT) AS q2y,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qyy
+  FROM s GROUP BY n_name
+),
+c AS (
+  SELECT n_name, n,
+         CAST(n AS HUGEINT) * q11 - CAST(s1 AS HUGEINT) * s1 AS s11,
+         CAST(n AS HUGEINT) * q22 - CAST(s2 AS HUGEINT) * s2 AS s22,
+         CAST(n AS HUGEINT) * q12 - CAST(s1 AS HUGEINT) * s2 AS s12,
+         CAST(n AS HUGEINT) * q1y - CAST(s1 AS HUGEINT) * sy AS s1y,
+         CAST(n AS HUGEINT) * q2y - CAST(s2 AS HUGEINT) * sy AS s2y,
+         CAST(n AS HUGEINT) * qyy - CAST(sy AS HUGEINT) * sy AS syy,
+         s1, s2, sy
+  FROM m
+),
+fit AS (
+  SELECT n_name, n, s1, s2, sy, s1y, s2y, syy,
+         CAST(1000 * (s22 * s1y - s12 * s2y)
+              // nullif(s11 * s22 - s12 * s12, 0) AS BIGINT) AS b1_milli,
+         CAST(1000 * (s11 * s2y - s12 * s1y)
+              // nullif(s11 * s22 - s12 * s12, 0) AS BIGINT) AS b2_milli
+  FROM c
+)
+SELECT n_name,
+       CAST(n AS BIGINT) AS n,
+       b1_milli,
+       b2_milli,
+       CAST((1000 * sy - b1_milli * s1 - b2_milli * s2) // (1000 * n)
+            AS BIGINT) AS intercept_cents,
+       CAST(1000000 * (b1_milli * s1y + b2_milli * s2y)
+            // nullif(1000 * syy, 0) AS BIGINT) AS r2_ppm
+FROM fit
+ORDER BY n_name
+"""
+
+
+@_register("ols_two_predictor_nation", _OLS2_ORACLE)
+def ols_two_predictor_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor OLS per nation — revenue on quantity and discount —
+    solved EXACTLY by Cramer's rule on the demeaned normal equations
+    (S11 S22 - S12^2 determinant, 128-bit integer lanes, one truncating
+    division per coefficient), with intercept and the R^2 share
+    explained: the MULTIPLE-regression member the single-predictor
+    entries build toward (rolling_beta_window fits one x in a window,
+    fixed_effects_within one x with entity demeaning; two correlated
+    predictors is where OLS starts needing the matrix solve, and
+    quantity/discount are the canonical confounded pair). All moments
+    are one mergeable hash aggregate; everything after is per-group
+    scalar math — the exact shape a 100 TB regression runs. On this
+    lake price is INDEPENDENT of quantity/discount, so R^2 reads near
+    zero — the executed no-signal baseline a real deployment's nonzero
+    R^2 is judged against."""
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("l_quantity").cast("long").alias("x1"),
+            F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x2"),
+            _cents("l_extendedprice").alias("y"),
+        )
+    )
+    m = s.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x1 * x1")).alias("q11"),
+        F.sum(F.expr("x2 * x2")).alias("q22"),
+        F.sum(F.expr("x1 * x2")).alias("q12"),
+        F.sum(F.expr("x1 * y")).alias("q1y"),
+        F.sum(F.expr("x2 * y")).alias("q2y"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("qyy"),
+    )
+    c = m.select(
+        "n_name",
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        F.expr("CAST(n AS DECIMAL(38,0)) * q11 - CAST(s1 AS DECIMAL(38,0))"
+               " * s1").alias("s11"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * q22 - CAST(s2 AS DECIMAL(38,0))"
+               " * s2").alias("s22"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * q12 - CAST(s1 AS DECIMAL(38,0))"
+               " * s2").alias("s12"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * q1y - CAST(s1 AS DECIMAL(38,0))"
+               " * sy").alias("s1y"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * q2y - CAST(s2 AS DECIMAL(38,0))"
+               " * sy").alias("s2y"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * qyy - CAST(sy AS DECIMAL(38,0))"
+               " * sy").alias("syy"),
+    )
+    fit = c.select(
+        "n_name",
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        F.expr(
+            "CAST(1000 * (s22 * s1y - s12 * s2y)"
+            " div nullif(s11 * s22 - s12 * s12, 0) AS BIGINT)"
+        ).alias("b1_milli"),
+        F.expr(
+            "CAST(1000 * (s11 * s2y - s12 * s1y)"
+            " div nullif(s11 * s22 - s12 * s12, 0) AS BIGINT)"
+        ).alias("b2_milli"),
+    )
+    return fit.select(
+        "n_name",
+        F.col("n").cast("long").alias("n"),
+        "b1_milli",
+        "b2_milli",
+        F.expr(
+            "CAST((1000 * sy - b1_milli * s1 - b2_milli * s2)"
+            " div (1000 * n) AS BIGINT)"
+        ).alias("intercept_cents"),
+        F.expr(
+            "CAST(1000000 * (b1_milli * CAST(s1y AS DECIMAL(38,0))"
+            " + b2_milli * s2y) div nullif(1000 * syy, 0) AS BIGINT)"
+        ).alias("r2_ppm"),
+    ).orderBy("n_name")
+
+
+# ===========================================================================
+# Robust location shift: Hodges-Lehmann estimator
+# ===========================================================================
+
+_HL_ORACLE = """
+WITH pa AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xa
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pb AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xb
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+diffs AS (
+  SELECT pa.xa - pb.xb AS dv FROM pa CROSS JOIN pb
+),
+rk AS (
+  SELECT dv, row_number() OVER (ORDER BY dv) AS rn, count(*) OVER () AS np
+  FROM diffs
+),
+med AS (
+  SELECT max(np) AS n_pairs,
+         CAST((max(CASE WHEN rn = np // 2 THEN dv END)
+               + max(CASE WHEN rn = np // 2 + 1 THEN dv END))
+              AS BIGINT) AS ssum
+  FROM rk
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN ssum >= 0 THEN ssum // 2
+                 ELSE -((-ssum) // 2) END AS BIGINT) AS hl_shift_cents
+FROM med
+"""
+
+
+@_register("hodges_lehmann_shift", _HL_ORACLE)
+def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann two-sample shift estimate between the daily
+    purchase and click revenue series: the MEDIAN of all pairwise
+    differences x_i - y_j — the robust location-shift estimator paired
+    with the Wilcoxon/Mann-Whitney test family (rank_sum_auc detects
+    the shift; HL says HOW BIG, with 50% breakdown against outliers vs
+    the mean difference's 0%). The pair frame is the bounded day x day
+    cross (the contingency-collapse rule: pair statistics only ever on
+    bounded rollups, never raw rows), and the even-count median
+    averages the two central order statistics with truncate-toward-
+    zero halving identical on both lanes. Scale shape: two day
+    rollups, one broadcast cross of bounded frames, one rank window."""
+    ev = _t(spark, sf_dir, "events")
+
+    def series(etype: str, name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.col("ts").cast("date").alias("d"))
+            .agg(F.sum(_cents("value")).alias(name))
+        )
+
+    diffs = (
+        series("purchase", "xa")
+        .crossJoin(F.broadcast(series("click", "xb")))
+        .select((F.col("xa") - F.col("xb")).alias("dv"))
+    )
+    rk = diffs.select(
+        "dv",
+        F.row_number().over(W.orderBy("dv")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
+    )
+    med = rk.agg(
+        F.max("np").alias("n_pairs"),
+        F.expr(
+            "CAST(max(CASE WHEN rn = np div 2 THEN dv END)"
+            " + max(CASE WHEN rn = np div 2 + 1 THEN dv END)"
+            " AS BIGINT)"
+        ).alias("ssum"),
+    )
+    return med.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(CASE WHEN ssum >= 0 THEN ssum div 2"
+            " ELSE -((-ssum) div 2) END AS BIGINT)"
+        ).alias("hl_shift_cents"),
+    )
+
+
+# ===========================================================================
+# Forecasting: the theta method (M3 benchmark winner)
+# ===========================================================================
+
+_THETA_ORACLE = (
+    "WITH RECURSIVE "
+    + _DAILY_SQL.strip().lstrip()
+    + """,
+idx AS (SELECT row_number() OVER (ORDER BY d) AS t, x FROM daily),
+cnt AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sy FROM idx),
+ols AS (
+  SELECT cnt.n, cnt.sy,
+         CAST(sum((2 * t - (cnt.n + 1)) * x) AS BIGINT) AS sty2,
+         CAST(sum((2 * t - (cnt.n + 1)) * (2 * t - (cnt.n + 1)))
+              AS BIGINT) AS stt2
+  FROM idx, cnt GROUP BY cnt.n, cnt.sy
+),
+fit AS (
+  SELECT n, sy,
+         CAST(2000 * sty2 // stt2 AS BIGINT) AS b_milli
+  FROM ols
+),
+ab AS (
+  SELECT n, b_milli,
+         CAST((1000 * sy - b_milli * (n * (n + 1) // 2)) // n AS BIGINT)
+           AS a_milli
+  FROM fit
+),
+z AS (
+  SELECT i.t, CAST(2000 * i.x - (ab.a_milli + ab.b_milli * i.t) AS BIGINT)
+           AS z_milli
+  FROM idx i, ab
+),
+rec(t, s) AS (
+  SELECT 1, z_milli FROM z WHERE t = 1
+  UNION ALL
+  SELECT r.t + 1,
+         CASE WHEN z.z_milli + r.s >= 0 THEN (z.z_milli + r.s) // 2
+              ELSE -((-(z.z_milli + r.s)) // 2) END
+  FROM rec r JOIN z ON z.t = r.t + 1
+)
+SELECT CAST(ab.n AS BIGINT) AS n_days,
+       ab.b_milli,
+       CAST(r.s AS BIGINT) AS ses_theta2_milli,
+       CAST(CASE WHEN r.s + ab.a_milli + ab.b_milli * (ab.n + 1) >= 0
+                 THEN (r.s + ab.a_milli + ab.b_milli * (ab.n + 1)) // 2
+                 ELSE -((-(r.s + ab.a_milli + ab.b_milli * (ab.n + 1)))
+                        // 2) END AS BIGINT) AS f1_milli,
+       CAST(CASE WHEN r.s + ab.a_milli + ab.b_milli * (ab.n + 7) >= 0
+                 THEN (r.s + ab.a_milli + ab.b_milli * (ab.n + 7)) // 2
+                 ELSE -((-(r.s + ab.a_milli + ab.b_milli * (ab.n + 7)))
+                        // 2) END AS BIGINT) AS f7_milli
+FROM rec r, ab WHERE r.t = ab.n
+"""
+)
+
+
+@_register("theta_method_forecast", _THETA_ORACLE)
+def theta_method_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The theta method (Assimakopoulos-Nikolopoulos, the M3
+    competition's winning univariate forecaster) on daily revenue:
+    decompose into theta=0 (the OLS trend line, long-run direction)
+    and theta=2 (2x_t - trend, doubled-curvature) lines, SES-smooth the
+    theta-2 line (alpha = 1/2, a truncating halving fold), and forecast
+    the average of the two extrapolations — equivalent to SES with
+    drift, and the standard hard-to-beat baseline the fancier members
+    (holt_winters, yule_walker) must outperform to earn their keep. The
+    trend uses the doubled-deviation integer lanes (2t - (n+1) is
+    integer for every n) so slope and intercept are exact; the SES fold
+    mirrors as a recursive CTE. Scale shape: day rollup, one aggregate,
+    one bounded fold."""
+    daily = _daily(spark, sf_dir)
+    idx = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "x"
+    ).localCheckpoint(eager=False)
+    # window-in-aggregate is illegal: compute n first, broadcast it back
+    n_s = idx.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sy")
+    )
+    mo = (
+        idx.crossJoin(F.broadcast(n_s))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("sy").alias("sy"),
+            F.sum(F.expr("(2 * t - (n + 1)) * x")).alias("sty2"),
+            F.sum(F.expr("(2 * t - (n + 1)) * (2 * t - (n + 1))")).alias(
+                "stt2"
+            ),
+        )
+    )
+    ab = mo.select(
+        "n",
+        F.expr("CAST(2000 * sty2 div stt2 AS BIGINT)").alias("b_milli"),
+        F.expr(
+            "CAST((1000 * sy - (2000 * sty2 div stt2)"
+            " * (n * (n + 1) div 2)) div n AS BIGINT)"
+        ).alias("a_milli"),
+    )
+    z = (
+        idx.crossJoin(F.broadcast(ab))
+        .select(
+            "t",
+            F.expr(
+                "CAST(2000 * x - (a_milli + b_milli * t) AS BIGINT)"
+            ).alias("z_milli"),
+            "n",
+            "a_milli",
+            "b_milli",
+        )
+    )
+    tz = "CASE WHEN {v} >= 0 THEN ({v}) div 2 ELSE -((-({v})) div 2) END"
+    folded = z.agg(
+        F.max("n").alias("n"),
+        F.max("a_milli").alias("a_milli"),
+        F.max("b_milli").alias("b_milli"),
+        F.expr(
+            "aggregate(slice(array_sort(collect_list(struct(t, z_milli))),"
+            " 2, 1000000),"
+            " element_at(array_sort(collect_list(struct(t, z_milli))), 1)"
+            ".z_milli,"
+            f" (acc, e) -> {tz.format(v='e.z_milli + acc')})"
+        ).alias("s"),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        "b_milli",
+        F.col("s").cast("long").alias("ses_theta2_milli"),
+        F.expr(
+            "CAST("
+            + tz.format(v="s + a_milli + b_milli * (n + 1)")
+            + " AS BIGINT)"
+        ).alias("f1_milli"),
+        F.expr(
+            "CAST("
+            + tz.format(v="s + a_milli + b_milli * (n + 7)")
+            + " AS BIGINT)"
+        ).alias("f7_milli"),
+    )
+
+
+# ===========================================================================
+# State space: 1-D Kalman filter (local level) fold
+# ===========================================================================
+
+_KALMAN_ORACLE = (
+    "WITH RECURSIVE "
+    + _DAILY_SQL.strip().lstrip()
+    + """,
+idx AS (SELECT row_number() OVER (ORDER BY d) AS t, x FROM daily),
+nv AS (
+  SELECT count(*) AS n,
+         CAST((count(*) * CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+               - CAST(sum(x) AS HUGEINT) * sum(x))
+              // (CAST(count(*) AS HUGEINT) * (count(*) - 1)) AS BIGINT)
+           AS r
+  FROM idx
+),
+rec(t, xf, p) AS (
+  SELECT 1, CAST(1000 * x AS BIGINT), nv.r
+  FROM idx, nv WHERE t = 1
+  UNION ALL
+  SELECT r2.t + 1,
+         r2.xf + (1000000 * (r2.p + nv.r // 10)
+                  // (r2.p + nv.r // 10 + nv.r))
+                 * (1000 * i.x - r2.xf) // 1000000,
+         (1000000 - 1000000 * (r2.p + nv.r // 10)
+                    // (r2.p + nv.r // 10 + nv.r))
+         * (r2.p + nv.r // 10) // 1000000
+  FROM rec r2
+  JOIN idx i ON i.t = r2.t + 1
+  CROSS JOIN nv
+)
+SELECT CAST(nv.n AS BIGINT) AS n_days,
+       CAST(nv.r AS BIGINT) AS obs_var_cents2,
+       CAST(r.xf AS BIGINT) AS level_milli,
+       CAST(r.p AS BIGINT) AS p_final_cents2,
+       CAST(1000000 * (r.p + nv.r // 10) // (r.p + nv.r // 10 + nv.r)
+            AS BIGINT) AS gain_next_ppm
+FROM rec r, nv WHERE r.t = nv.n
+"""
+)
+
+
+@_register("kalman_local_level", _KALMAN_ORACLE)
+def kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level / random-walk-plus-noise model)
+    over daily revenue, with the observation variance R estimated from
+    the data's own sample variance and process noise Q = R/10: the
+    predict-update recursion p_pred = p + Q, K = p_pred/(p_pred + R),
+    x' = x + K(y - x), p' = (1-K) p_pred runs as integer milli/ppm
+    lanes with truncating division — the OPTIMAL-weighting member of
+    the smoothing family (ewma fixes its alpha forever; the Kalman
+    gain ADAPTS, starting high while uncertain and settling to the
+    steady-state ratio, which gain_next_ppm reports — the value EWMA's
+    alpha should have been). Fold == recursive CTE, bit-equal. Scale
+    shape: day rollup, one variance aggregate, one bounded fold;
+    per-series state never shuffles."""
+    daily = _daily(spark, sf_dir).localCheckpoint(eager=False)
+    nv = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST((count(*) * CAST(sum(CAST(x AS DECIMAL(38,0)) * x)"
+            " AS DECIMAL(38,0)) - CAST(sum(x) AS DECIMAL(38,0)) * sum(x))"
+            " div (CAST(count(*) AS DECIMAL(38,0)) * (count(*) - 1))"
+            " AS BIGINT)"
+        ).alias("r"),
+    )
+    arr = daily.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, x))),"
+               " e -> e.x)").alias("xs")
+    )
+    st = arr.crossJoin(F.broadcast(nv)).select(
+        "n",
+        "r",
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1),"
+            " named_struct('xf', CAST(1000 * element_at(xs, 1) AS BIGINT),"
+            "              'p', r),"
+            " (acc, y) -> named_struct("
+            "   'xf', acc.xf + (1000000 * (acc.p + r div 10)"
+            "                   div (acc.p + r div 10 + r))"
+            "                  * (1000 * y - acc.xf) div 1000000,"
+            "   'p', (1000000 - 1000000 * (acc.p + r div 10)"
+            "                   div (acc.p + r div 10 + r))"
+            "        * (acc.p + r div 10) div 1000000))"
+        ).alias("st"),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("r").cast("long").alias("obs_var_cents2"),
+        F.col("st.xf").alias("level_milli"),
+        F.col("st.p").alias("p_final_cents2"),
+        F.expr(
+            "CAST(1000000 * (st.p + r div 10)"
+            " div (st.p + r div 10 + r) AS BIGINT)"
+        ).alias("gain_next_ppm"),
+    )

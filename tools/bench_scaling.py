@@ -300,6 +300,11 @@ ENTRIES = [
     # round-5 wave 15
     "graph_diameter_bitmask",
     "boruvka_mst_rounds",
+    # round-5 wave 16
+    "ols_two_predictor_nation",
+    "hodges_lehmann_shift",
+    "theta_method_forecast",
+    "kalman_local_level",
 ]
 
 
