@@ -3142,3 +3142,524 @@ def kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (st.p + r div 10 + r) AS BIGINT)"
         ).alias("gain_next_ppm"),
     )
+
+
+# ===========================================================================
+# Conformal prediction: split-conformal intervals with executed coverage
+# ===========================================================================
+
+_CONFORMAL_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         event_id,
+         CASE WHEN CAST(CONCAT('0x',
+                substr(md5(CAST(event_id AS VARCHAR) || ':conf:42'), 1, 15))
+                AS BIGINT) % 2 = 0 THEN 'cal' ELSE 'test' END AS part
+  FROM events
+),
+calr AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nc
+  FROM s WHERE part = 'cal'
+),
+pred AS (
+  SELECT event_type, max(nc) AS n_cal,
+         CAST(max(CASE WHEN rn = (nc + 1) // 2 THEN v END) AS BIGINT)
+           AS pred_cents
+  FROM calr GROUP BY event_type
+),
+scorer AS (
+  SELECT c.event_type,
+         abs(c.v - p.pred_cents) AS sc,
+         row_number() OVER (PARTITION BY c.event_type
+                            ORDER BY abs(c.v - p.pred_cents), c.event_id)
+           AS rn,
+         p.n_cal
+  FROM (SELECT * FROM s WHERE part = 'cal') c
+  JOIN pred p ON p.event_type = c.event_type
+),
+qhat AS (
+  SELECT event_type, max(n_cal) AS n_cal,
+         CAST(max(CASE WHEN rn = ((n_cal + 1) * 9 + 9) // 10 THEN sc END)
+              AS BIGINT) AS q_cents
+  FROM scorer GROUP BY event_type
+)
+SELECT t.event_type,
+       CAST(q.n_cal AS BIGINT) AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       p.pred_cents,
+       q.q_cents,
+       CAST(1000000 * sum(CASE WHEN abs(t.v - p.pred_cents) <= q.q_cents
+                               THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+         AS coverage_ppm
+FROM (SELECT * FROM s WHERE part = 'test') t
+JOIN pred p ON p.event_type = t.event_type
+JOIN qhat q ON q.event_type = t.event_type
+GROUP BY t.event_type, q.n_cal, p.pred_cents, q.q_cents
+ORDER BY t.event_type
+"""
+
+
+@_register("conformal_interval_coverage", _CONFORMAL_ORACLE)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type: a
+    deterministic md5 half-split separates calibration from test, the
+    point predictor is the calibration median, the interval half-width
+    is the ceil((n+1)*0.9)-th order statistic of calibration absolute
+    residuals, and the EXECUTED test coverage rides along — conformal's
+    distribution-free >= 90% guarantee observed on data, not assumed.
+    This is the uncertainty-quantification member the eval family lacks
+    (calibration_reliability_bins audits probability calibration;
+    conformal wraps ANY predictor with finite-sample-valid intervals,
+    the method production ML ships when models lie about confidence).
+    All order statistics are exact rank selections with (value, id)
+    tie-breaks identical cross-engine. Scale shape: two rank windows
+    per group, one rollup — no model, no iteration."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("event_id"), F.lit("conf"), F.lit("42")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    s = _t(spark, sf_dir, "events").select(
+        "event_type",
+        _cents("value").alias("v"),
+        "event_id",
+        F.when(bucket == 0, "cal").otherwise("test").alias("part"),
+    ).localCheckpoint(eager=False)
+    cal = s.filter(F.col("part") == "cal")
+    wv = W.partitionBy("event_type").orderBy("v", "event_id")
+    calr = cal.select(
+        "event_type",
+        "v",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("nc"),
+    )
+    pred = calr.groupBy("event_type").agg(
+        F.max("nc").alias("n_cal"),
+        F.expr(
+            "CAST(max(CASE WHEN rn = (nc + 1) div 2 THEN v END) AS BIGINT)"
+        ).alias("pred_cents"),
+    ).localCheckpoint(eager=False)
+    ws = W.partitionBy("event_type").orderBy("sc", "event_id")
+    scorer = cal.join(F.broadcast(pred), "event_type").select(
+        "event_type",
+        F.expr("abs(v - pred_cents)").alias("sc"),
+        "event_id",
+        "n_cal",
+    ).select(
+        "event_type",
+        "sc",
+        F.row_number().over(ws).alias("rn"),
+        "n_cal",
+    )
+    qhat = scorer.groupBy("event_type").agg(
+        F.max("n_cal").alias("n_cal"),
+        F.expr(
+            "CAST(max(CASE WHEN rn = ((n_cal + 1) * 9 + 9) div 10"
+            " THEN sc END) AS BIGINT)"
+        ).alias("q_cents"),
+    )
+    test = s.filter(F.col("part") == "test")
+    return (
+        test.join(F.broadcast(pred.select("event_type", "pred_cents")),
+                  "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "pred_cents", "q_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN abs(v - pred_cents)"
+                " <= q_cents THEN 1 ELSE 0 END) div count(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .select(
+            "event_type",
+            F.col("n_cal").cast("long").alias("n_cal"),
+            "n_test",
+            "pred_cents",
+            "q_cents",
+            "coverage_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# Empirical Bayes for proportions: beta-binomial shrinkage
+# ===========================================================================
+
+_BETABIN_ORACLE = """
+WITH lab AS (
+  SELECT n.n_name,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y1
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+),
+pool AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS nn,
+         CAST(1000000 * sum(y1) // sum(n1) AS BIGINT) AS m1_ppm,
+         count(*) AS k
+  FROM lab
+),
+disp AS (
+  SELECT p.nn, p.m1_ppm, p.k,
+         CAST(sum(CAST(n1 AS HUGEINT)
+                  * (1000000 * y1 // n1 - p.m1_ppm)
+                  * (1000000 * y1 // n1 - p.m1_ppm)) // p.nn AS BIGINT)
+           AS s2_ppm2
+  FROM lab, pool p
+  GROUP BY p.nn, p.m1_ppm, p.k
+),
+prior AS (
+  SELECT nn, m1_ppm, k, s2_ppm2,
+         greatest(CAST(1 AS BIGINT),
+           CAST(m1_ppm AS HUGEINT) * (1000000 - m1_ppm)
+             // nullif(s2_ppm2, 0) - 1) AS m_strength
+  FROM disp
+)
+SELECT l.n_name,
+       l.n1,
+       l.y1,
+       CAST(1000000 * l.y1 // l.n1 AS BIGINT) AS raw_ppm,
+       CAST((1000000 * l.y1 + p.m_strength * p.m1_ppm)
+            // (l.n1 + p.m_strength) AS BIGINT) AS shrunk_ppm,
+       CAST(p.m_strength AS BIGINT) AS prior_strength,
+       p.m1_ppm AS pooled_ppm
+FROM lab l, prior p
+ORDER BY l.n_name
+"""
+
+
+@_register("beta_binomial_shrinkage", _BETABIN_ORACLE)
+def beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial empirical-Bayes shrinkage of the 25 per-nation
+    urgent-order RATES: method-of-moments prior strength M =
+    m(1-m)/s^2 - 1 (s^2 the n-weighted between-group rate variance),
+    posterior rate = (y + M m)/(n + M) — the PROPORTIONS sibling of
+    james_stein_shrinkage (means): small nations shrink hard toward
+    the pooled rate, big ones barely move, which is exactly what
+    ranking raw small-sample rates gets wrong (wilson_score_ranking
+    fixes ranking by bounds; this fixes the ESTIMATE itself). All ppm
+    lanes truncate identically cross-engine; shrunk rates land between
+    raw and pooled by construction, an executed invariant. Scale
+    shape: one rollup to 25 strata, two 1-row aggregates broadcast
+    back."""
+    lab = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("y1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pool = lab.agg(
+        F.sum("n1").alias("nn"),
+        F.expr("CAST(1000000 * sum(y1) div sum(n1) AS BIGINT)").alias(
+            "m1_ppm"
+        ),
+    )
+    disp = (
+        lab.crossJoin(F.broadcast(pool))
+        .groupBy("nn", "m1_ppm")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(n1 AS DECIMAL(38,0))"
+                " * (1000000 * y1 div n1 - m1_ppm)"
+                " * (1000000 * y1 div n1 - m1_ppm)) div max(nn) AS BIGINT)"
+            ).alias("s2_ppm2")
+        )
+    )
+    prior = disp.select(
+        "m1_ppm",
+        F.expr(
+            "greatest(CAST(1 AS BIGINT),"
+            " CAST(CAST(m1_ppm AS DECIMAL(38,0)) * (1000000 - m1_ppm)"
+            " div nullif(s2_ppm2, 0) AS BIGINT) - 1)"
+        ).alias("m_strength"),
+    )
+    return (
+        lab.crossJoin(F.broadcast(prior))
+        .select(
+            "n_name",
+            "n1",
+            "y1",
+            F.expr("CAST(1000000 * y1 div n1 AS BIGINT)").alias("raw_ppm"),
+            F.expr(
+                "CAST((1000000 * y1 + m_strength * m1_ppm)"
+                " div (n1 + m_strength) AS BIGINT)"
+            ).alias("shrunk_ppm"),
+            F.col("m_strength").cast("long").alias("prior_strength"),
+            F.col("m1_ppm").alias("pooled_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ===========================================================================
+# Centrality: Katz index via exact walk counts
+# ===========================================================================
+
+_KATZ_ORACLE = """
+WITH cos AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT s1, s2 FROM cos
+  WHERE w >= 2 AND (s1 * 31 + s2 * 17) % 20 = 0
+),
+und AS (
+  SELECT s1 AS u, s2 AS v FROM e
+  UNION ALL SELECT s2 AS u, s1 AS v FROM e
+),
+w1 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS c FROM und GROUP BY u),
+w2 AS (
+  SELECT und.u AS node, CAST(sum(w1.c) AS BIGINT) AS c
+  FROM und JOIN w1 ON w1.node = und.v GROUP BY und.u
+),
+w3 AS (
+  SELECT und.u AS node, CAST(sum(w2.c) AS BIGINT) AS c
+  FROM und JOIN w2 ON w2.node = und.v GROUP BY und.u
+)
+SELECT w1.node,
+       w1.c AS walks_1,
+       w2.c AS walks_2,
+       w3.c AS walks_3,
+       CAST(100 * w1.c + 10 * w2.c + w3.c AS BIGINT) AS katz_scaled
+FROM w1 JOIN w2 USING (node) JOIN w3 USING (node)
+ORDER BY katz_scaled DESC, node
+LIMIT 15
+"""
+
+
+@_register("katz_centrality_rounds", _KATZ_ORACLE)
+def katz_centrality_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (3-term truncation, beta = 0.1) over the
+    co-supplier graph via EXACT walk counts: w_k(v) = number of k-step
+    walks from v (three join+aggregate rounds), and since beta is a
+    decimal power of ten the weighted sum 0.1 w1 + 0.01 w2 + 0.001 w3
+    is the exact INTEGER 100 w1 + 10 w2 + w3 at the 1e-3 scale — no
+    floats anywhere in a centrality that textbooks compute by matrix
+    inversion. Completes the centrality spectrum: degree (walks_1) is
+    purely local, pagerank_supplier_graph normalizes by out-degree,
+    hits_hub_authority is bipartite-dual; Katz counts ALL walks with
+    geometric damping, the one that credits nodes near hubs. Scale
+    shape: the data-sized pass builds edges; three rounds of
+    equi-join + rollup on the node frame, top-15 via
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_suppkey").alias("s2"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter((F.col("w") >= 2) & F.expr("(s1 * 31 + s2 * 17) % 20 = 0"))
+        .select("s1", "s2")
+    )
+    und = e.select(F.col("s1").alias("u"), F.col("s2").alias("v")).unionByName(
+        e.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    ).localCheckpoint(eager=False)
+    w1 = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+
+    def step(prev: DataFrame) -> DataFrame:
+        return (
+            und.join(prev.select(F.col("node").alias("v"), "c"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("c").cast("long").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+
+    w2 = step(w1)
+    w3 = step(w2)
+    return (
+        w1.select("node", F.col("c").alias("walks_1"))
+        .join(w2.select("node", F.col("c").alias("walks_2")), "node")
+        .join(w3.select("node", F.col("c").alias("walks_3")), "node")
+        .select(
+            "node",
+            "walks_1",
+            "walks_2",
+            "walks_3",
+            F.expr(
+                "CAST(100 * walks_1 + 10 * walks_2 + walks_3 AS BIGINT)"
+            ).alias("katz_scaled"),
+        )
+        .orderBy(F.col("katz_scaled").desc(), "node")
+        .limit(15)
+    )
+
+
+# ===========================================================================
+# Causal: mediation analysis (product of paths)
+# ===========================================================================
+
+_MEDIATION_ORACLE = """
+WITH s AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS m,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+mo AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sm,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS qxx,
+         CAST(sum(m * m) AS BIGINT) AS qmm,
+         CAST(sum(x * m) AS BIGINT) AS qxm,
+         CAST(sum(x * y) AS BIGINT) AS qxy,
+         CAST(sum(m * y) AS BIGINT) AS qmy
+  FROM s
+),
+c AS (
+  SELECT n,
+         CAST(n AS HUGEINT) * qxx - CAST(sx AS HUGEINT) * sx AS sxx,
+         CAST(n AS HUGEINT) * qmm - CAST(sm AS HUGEINT) * sm AS smm,
+         CAST(n AS HUGEINT) * qxm - CAST(sx AS HUGEINT) * sm AS sxm,
+         CAST(n AS HUGEINT) * qxy - CAST(sx AS HUGEINT) * sy AS sxy,
+         CAST(n AS HUGEINT) * qmy - CAST(sm AS HUGEINT) * sy AS smy
+  FROM mo
+),
+r AS (
+  SELECT n,
+         sxx, sxy, sxm,
+         sxx // 1000 AS rxx, smm // 1000 AS rmm, sxm // 1000 AS rxm,
+         sxy // 1000 AS rxy, smy // 1000 AS rmy
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(1000 * sxm // sxx AS BIGINT) AS a_path_milli,
+       CAST(1000 * (rxx * rmy - rxm * rxy)
+            // (rxx * rmm - rxm * rxm) AS BIGINT) AS b_path_milli,
+       CAST(1000 * (rmm * rxy - rxm * rmy)
+            // (rxx * rmm - rxm * rxm) AS BIGINT) AS direct_milli,
+       CAST((1000 * sxm // sxx)
+            * (1000 * (rxx * rmy - rxm * rxy)
+               // (rxx * rmm - rxm * rxm)) // 1000 AS BIGINT)
+         AS indirect_milli,
+       CAST(1000 * sxy // sxx AS BIGINT) AS total_milli
+FROM r
+"""
+
+
+@_register("mediation_product_paths", _MEDIATION_ORACLE)
+def mediation_product_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baron-Kenny mediation decomposition of the discount -> quantity
+    -> revenue pathway: the a-path (x->m simple OLS slope), the b-path
+    and direct effect (y ~ x + m via the exact Cramer solve), the
+    indirect effect a*b, and the total effect c — with the mediation
+    identity c = c' + a*b holding up to milli truncation (pinned in
+    pytest): the MECHANISM member of the causal family (ipw/rdd/iv/did
+    estimate whether x moves y; mediation asks through WHAT). On this
+    lake quantity is near-independent of discount, so the mediated
+    share of the total effect is small — the executed near-placebo
+    reading that validates the machinery the way the A/A arms do for
+    difference_in_differences. One mergeable moment aggregate, scalar
+    math after; the canonical 100 TB regression shape."""
+    s = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x"),
+        F.col("l_quantity").cast("long").alias("m"),
+        _cents("l_extendedprice").alias("y"),
+    )
+    mo = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("qxx"),
+        F.sum(F.expr("m * m")).alias("qmm"),
+        F.sum(F.expr("x * m")).alias("qxm"),
+        F.sum(F.expr("x * y")).alias("qxy"),
+        F.sum(F.expr("m * y")).alias("qmy"),
+    )
+    c = mo.select(
+        "n",
+        F.expr("CAST(n AS DECIMAL(38,0)) * qxx - CAST(sx AS DECIMAL(38,0))"
+               " * sx").alias("sxx"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * qmm - CAST(sm AS DECIMAL(38,0))"
+               " * sm").alias("smm"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * qxm - CAST(sx AS DECIMAL(38,0))"
+               " * sm").alias("sxm"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * qxy - CAST(sx AS DECIMAL(38,0))"
+               " * sy").alias("sxy"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * qmy - CAST(sm AS DECIMAL(38,0))"
+               " * sy").alias("smy"),
+    )
+    # the Cramer quadratic forms are reduced by 1000 per S-term (the
+    # b-ratio is invariant under uniform scaling) so the 128-bit lanes
+    # stay inside DECIMAL(38,0) at 5x whole-table volume; Spark div
+    # results are re-CAST to DECIMAL (they land in BIGINT otherwise)
+    r = c.select(
+        "n",
+        "sxx",
+        "sxy",
+        "sxm",
+        F.expr("CAST(sxx div 1000 AS DECIMAL(38,0))").alias("rxx"),
+        F.expr("CAST(smm div 1000 AS DECIMAL(38,0))").alias("rmm"),
+        F.expr("CAST(sxm div 1000 AS DECIMAL(38,0))").alias("rxm"),
+        F.expr("CAST(sxy div 1000 AS DECIMAL(38,0))").alias("rxy"),
+        F.expr("CAST(smy div 1000 AS DECIMAL(38,0))").alias("rmy"),
+    )
+    return r.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(1000 * sxm div sxx AS BIGINT)").alias("a_path_milli"),
+        F.expr(
+            "CAST(1000 * (rxx * rmy - rxm * rxy)"
+            " div (rxx * rmm - rxm * rxm) AS BIGINT)"
+        ).alias("b_path_milli"),
+        F.expr(
+            "CAST(1000 * (rmm * rxy - rxm * rmy)"
+            " div (rxx * rmm - rxm * rxm) AS BIGINT)"
+        ).alias("direct_milli"),
+        F.expr(
+            "CAST((1000 * sxm div sxx)"
+            " * (1000 * (rxx * rmy - rxm * rxy)"
+            "    div (rxx * rmm - rxm * rxm)) div 1000 AS BIGINT)"
+        ).alias("indirect_milli"),
+        F.expr("CAST(1000 * sxy div sxx AS BIGINT)").alias("total_milli"),
+    )

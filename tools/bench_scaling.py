@@ -305,6 +305,11 @@ ENTRIES = [
     "hodges_lehmann_shift",
     "theta_method_forecast",
     "kalman_local_level",
+    # round-5 wave 17
+    "conformal_interval_coverage",
+    "beta_binomial_shrinkage",
+    "katz_centrality_rounds",
+    "mediation_product_paths",
 ]
 
 
