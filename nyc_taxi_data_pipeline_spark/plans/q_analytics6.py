@@ -3663,3 +3663,445 @@ def mediation_product_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("indirect_milli"),
         F.expr("CAST(1000 * sxy div sxx AS BIGINT)").alias("total_milli"),
     )
+
+
+# ===========================================================================
+# Hyperparameter-search core: successive halving over arms
+# ===========================================================================
+
+_SH_ORACLE = """
+WITH obs AS (
+  SELECT n.n_name,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+r0 AS (
+  SELECT n_name, CAST(sum(CASE WHEN rn <= 16 THEN v END) AS BIGINT) AS s
+  FROM obs GROUP BY n_name
+),
+k0 AS (
+  SELECT n_name, s,
+         row_number() OVER (ORDER BY s DESC, n_name) AS rk
+  FROM r0
+),
+r1 AS (
+  SELECT o.n_name, CAST(sum(CASE WHEN o.rn <= 32 THEN o.v END) AS BIGINT)
+           AS s
+  FROM obs o JOIN k0 ON k0.n_name = o.n_name AND k0.rk <= 12
+  GROUP BY o.n_name
+),
+k1 AS (
+  SELECT n_name, s,
+         row_number() OVER (ORDER BY s DESC, n_name) AS rk
+  FROM r1
+),
+r2 AS (
+  SELECT o.n_name, CAST(sum(CASE WHEN o.rn <= 48 THEN o.v END) AS BIGINT)
+           AS s
+  FROM obs o JOIN k1 ON k1.n_name = o.n_name AND k1.rk <= 6
+  GROUP BY o.n_name
+),
+k2 AS (
+  SELECT n_name, s,
+         row_number() OVER (ORDER BY s DESC, n_name) AS rk
+  FROM r2
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS rung, CAST(16 AS BIGINT) AS budget,
+         n_name, s AS sum_cents, CAST(rk AS BIGINT) AS rank_in_rung,
+         CAST(CASE WHEN rk <= 12 THEN 1 ELSE 0 END AS BIGINT) AS kept
+  FROM k0
+  UNION ALL
+  SELECT 1, 32, n_name, s, CAST(rk AS BIGINT),
+         CAST(CASE WHEN rk <= 6 THEN 1 ELSE 0 END AS BIGINT)
+  FROM k1
+  UNION ALL
+  SELECT 2, 48, n_name, s, CAST(rk AS BIGINT),
+         CAST(CASE WHEN rk <= 3 THEN 1 ELSE 0 END AS BIGINT)
+  FROM k2
+)
+ORDER BY rung, rank_in_rung
+"""
+
+
+@_register("successive_halving_arms", _SH_ORACLE)
+def successive_halving_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive halving (the core of Hyperband) over 25 arms (nations,
+    reward = order value in arrival order): rung 0 scores every arm on
+    its first 16 observations and keeps the top 12, rung 1 re-scores
+    survivors at budget 32 and keeps 6, rung 2 at budget 48 keeps the 3
+    winners — the budget-efficient alternative to the fixed-horizon
+    designs the experiment family already carries (two_proportion tests
+    one pair to the end; sprt stops ONE test early; halving allocates a
+    shared budget ACROSS arms). Equal per-arm budgets make mean-ranking
+    exact integer SUM-ranking (no division anywhere); arrival order is
+    the deterministic (date, key) sort. Scale shape: one rank window
+    over the fact, three rollups on shrinking arm sets — budgets are
+    row-count caps, so the scan cost is bounded regardless of table
+    size."""
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            _cents("o_totalprice").alias("v"),
+            F.row_number()
+            .over(
+                W.partitionBy("n_name").orderBy("o_orderdate", "o_orderkey")
+            )
+            .alias("rn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def rung(survivors: DataFrame | None, budget: int) -> DataFrame:
+        base = obs if survivors is None else obs.join(
+            F.broadcast(survivors), "n_name"
+        )
+        return (
+            base.groupBy("n_name")
+            .agg(
+                F.expr(
+                    f"CAST(sum(CASE WHEN rn <= {budget} THEN v END)"
+                    " AS BIGINT)"
+                ).alias("s")
+            )
+            .select(
+                "n_name",
+                "s",
+                F.row_number()
+                .over(W.orderBy(F.col("s").desc(), "n_name"))
+                .cast("long")
+                .alias("rk"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    k0 = rung(None, 16)
+    k1 = rung(k0.filter(F.col("rk") <= 12).select("n_name"), 32)
+    k2 = rung(k1.filter(F.col("rk") <= 6).select("n_name"), 48)
+
+    def out(k: DataFrame, rg: int, budget: int, keep: int) -> DataFrame:
+        return k.select(
+            F.lit(rg).cast("long").alias("rung"),
+            F.lit(budget).cast("long").alias("budget"),
+            "n_name",
+            F.col("s").alias("sum_cents"),
+            F.col("rk").alias("rank_in_rung"),
+            F.expr(f"CAST(CASE WHEN rk <= {keep} THEN 1 ELSE 0 END"
+                   " AS BIGINT)").alias("kept"),
+        )
+
+    return (
+        out(k0, 0, 16, 12)
+        .unionByName(out(k1, 1, 32, 6))
+        .unionByName(out(k2, 2, 48, 3))
+        .orderBy("rung", "rank_in_rung")
+    )
+
+
+# ===========================================================================
+# Text: RAKE keyphrase extraction (exact integer scoring)
+# ===========================================================================
+
+_RAKE_STOPS = "('a', 'the', 'is', 'of', 'and', 'to', 'in')"
+
+_RAKE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, w.word, w.pos
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(lower(d.text), ' ')) AS word,
+                       generate_subscripts(
+                         string_split(lower(d.text), ' '), 1) AS pos) w
+  WHERE d.text IS NOT NULL AND w.word != ''
+),
+flagged AS (
+  SELECT doc_id, word, pos,
+         CASE WHEN word IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS st,
+         sum(CASE WHEN word IN {_RAKE_STOPS} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM words
+),
+members AS (SELECT doc_id, grp, word, pos FROM flagged WHERE st = 0),
+phrases AS (
+  SELECT doc_id, grp,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM members GROUP BY doc_id, grp
+),
+wstat AS (
+  SELECT m.word,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(p.plen) AS BIGINT) AS deg
+  FROM members m JOIN phrases p ON p.doc_id = m.doc_id AND p.grp = m.grp
+  GROUP BY m.word
+),
+scored AS (
+  SELECT p.phrase, CAST(max(p.plen) AS BIGINT) AS n_words,
+         CAST(sum(1000 * ws.deg // ws.freq) AS BIGINT) AS score_milli
+  FROM phrases p
+  JOIN members m ON m.doc_id = p.doc_id AND m.grp = p.grp
+  JOIN wstat ws ON ws.word = m.word
+  GROUP BY p.doc_id, p.grp, p.phrase
+),
+dedup AS (
+  SELECT phrase, max(n_words) AS n_words, max(score_milli) AS score_milli
+  FROM scored GROUP BY phrase
+)
+SELECT phrase, CAST(n_words AS BIGINT) AS n_words, score_milli
+FROM dedup
+ORDER BY score_milli DESC, phrase
+LIMIT 20
+"""
+
+
+@_register("rake_keyphrase_scores", _RAKE_ORACLE)
+def rake_keyphrase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus: candidate phrases are
+    maximal stopword-free word runs (gaps-and-islands on the stopword
+    flag — no fancy regex, so both engines tokenize identically), each
+    word scores degree/frequency (degree = total length of phrases it
+    appears in, the co-occurrence credit), and a phrase scores the sum
+    of its members' milli-scores — the unsupervised keyphrase member of
+    the text family (tfidf_top_terms ranks single terms per doc;
+    token_cooccurrence_lift ranks pairs; RAKE surfaces multi-word
+    phrases corpus-wide, the summarization primitive). Identical
+    phrases dedupe to one row (same string => same members => same
+    score, so max == the value). Scale shape: tokenize map, one window
+    per doc, three hash rollups — the phrase and word frames are
+    corpus-vocabulary bounded."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos0", "word"
+        ),
+    ).filter(F.col("word") != "")
+    stops = _RAKE_STOPS
+    flagged = words.select(
+        "doc_id",
+        "word",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(f"CASE WHEN word IN {stops} THEN 1 ELSE 0 END").alias("st"),
+    ).select(
+        "doc_id",
+        "word",
+        "pos",
+        "st",
+        F.sum("st").over(W.partitionBy("doc_id").orderBy("pos")).alias("grp"),
+    )
+    members = flagged.filter(F.col("st") == 0).select(
+        "doc_id", "grp", "word", "pos"
+    ).localCheckpoint(eager=False)
+    phrases = members.groupBy("doc_id", "grp").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, word))),"
+            " e -> e.word), ' ')"
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    ).localCheckpoint(eager=False)
+    wstat = (
+        members.join(phrases, ["doc_id", "grp"])
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    scored = (
+        phrases.join(members, ["doc_id", "grp"])
+        .join(F.broadcast(wstat), "word")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(
+            F.max("plen").cast("long").alias("n_words"),
+            F.expr("CAST(sum(1000 * deg div freq) AS BIGINT)").alias(
+                "score_milli"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.max("score_milli").alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), "phrase")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Optimizer statistics: V-optimal histogram via DP
+# ===========================================================================
+
+def _vopt_sse(j: str, t: str, engine: str) -> str:
+    """SSE of bucket [j..t] from prefix sums, truncating division:
+    sse = ((t-j+1)*(Q_t - Q_{j-1}) - (S_t - S_{j-1})^2) / (t-j+1)."""
+    if engine == "spark":
+        s = (f"(element_at(sl, CAST({t} AS INT))"
+             f" - IF({j} > 1, element_at(sl, CAST({j} - 1 AS INT)),"
+             " CAST(0 AS BIGINT)))")
+        q = (f"(element_at(ql, CAST({t} AS INT))"
+             f" - IF({j} > 1, element_at(ql, CAST({j} - 1 AS INT)),"
+             " CAST(0 AS BIGINT)))")
+        return f"((({t} - {j} + 1) * {q} - {s} * {s}) div ({t} - {j} + 1))"
+    s = (f"(sl[{t}] - CASE WHEN {j} > 1 THEN sl[{j} - 1] ELSE 0 END)")
+    q = (f"(ql[{t}] - CASE WHEN {j} > 1 THEN ql[{j} - 1] ELSE 0 END)")
+    return f"((({t} - {j} + 1) * {q} - {s} * {s}) // ({t} - {j} + 1))"
+
+
+def _vopt_oracle() -> str:
+    sse1 = _vopt_sse("1", "t", "duck")
+    ssej = _vopt_sse("j", "t", "duck")
+    ctes = ["c1 AS MATERIALIZED (\n"
+            "  SELECT [" + sse1 + " for t in range(1, n + 1)] AS c, n,\n"
+            "         sl, ql FROM arrs\n)"]
+    for b in range(2, 6):
+        ctes.append(
+            f"c{b} AS MATERIALIZED (\n"
+            f"  SELECT [CASE WHEN t < {b} THEN CAST(1152921504606846976 AS BIGINT)\n"
+            f"               ELSE list_min([p.c[j - 1] + {ssej}\n"
+            f"                    for j in range(2, t + 1)]) END\n"
+            "          for t in range(1, n + 1)] AS c, n, sl, ql\n"
+            f"  FROM c{b - 1} p\n)"
+        )
+    selects = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({b} AS BIGINT) AS n_buckets,"
+        f" CAST(c[CAST(n AS INT)] AS BIGINT) AS sse_total FROM c{b}"
+        for b in range(1, 6)
+    )
+    return (
+        "WITH daily AS MATERIALIZED (\n"
+        "  SELECT CAST(ts AS DATE) AS d,\n"
+        "         sum(CAST(round(value * 100) AS BIGINT)) AS x\n"
+        "  FROM events WHERE event_type = 'purchase'\n"
+        "  GROUP BY 1\n"
+        "),\n"
+        "sorted_v AS MATERIALIZED (\n"
+        "  SELECT x, row_number() OVER (ORDER BY x, d) AS t FROM daily\n"
+        "),\n"
+        "arrs AS MATERIALIZED (\n"
+        "  SELECT list(x ORDER BY t) AS xs,\n"
+        "         [list_sum((list(x ORDER BY t))[1:k])\n"
+        "          for k in range(1, count(*) + 1)] AS sl,\n"
+        "         [list_sum([y * y for y in (list(x ORDER BY t))[1:k]])\n"
+        "          for k in range(1, count(*) + 1)] AS ql,\n"
+        "         count(*) AS n\n"
+        "  FROM sorted_v\n"
+        "),\n"
+        + ",\n".join(ctes)
+        + ",\nfinal_rows AS (\n"
+        + selects
+        + "\n)\n"
+        "SELECT f.n_buckets, f.sse_total,\n"
+        "       CAST(1000000 * (b1.sse_total - f.sse_total)\n"
+        "            // nullif(b1.sse_total, 0) AS BIGINT)\n"
+        "         AS reduction_ppm\n"
+        "FROM final_rows f,\n"
+        "     (SELECT sse_total FROM final_rows WHERE n_buckets = 1) b1\n"
+        "ORDER BY f.n_buckets\n"
+    )
+
+
+_VOPT_ORACLE = _vopt_oracle()
+
+
+@_register("voptimal_histogram_dp", _VOPT_ORACLE)
+def voptimal_histogram_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal histogram construction (Jagadish et al.): partition the
+    sorted daily-revenue values into B contiguous buckets minimizing
+    total within-bucket SSE, solved exactly by the classic O(n^2 B) DP
+    on prefix sums for B = 1..5 — the OPTIMizer-statistics member the
+    histogram family was missing (equiwidth quantizes the range,
+    equidepth the mass; V-optimal minimizes the estimation error an
+    optimizer actually cares about, and the SSE-vs-B curve read across
+    the five rows is the elbow that picks bucket counts). SSE lanes are
+    exact integer cents^2 with one truncating division per bucket;
+    Spark folds the DP arrays through chained transforms, DuckDB walks
+    the identical comprehensions through materialized CTEs. Scale
+    shape: day rollup, then bounded-array math on one row."""
+    daily = _daily(spark, sf_dir)
+    sorted_v = daily.select(
+        "x", F.row_number().over(W.orderBy("x", "d")).alias("t")
+    )
+    arrs = sorted_v.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(t, x))), e -> e.x)"
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "xs",
+        "n",
+        F.expr(
+            "transform(sequence(1, CAST(n AS INT)), k ->"
+            " aggregate(slice(xs, 1, k), CAST(0 AS BIGINT),"
+            " (a, v) -> a + v))"
+        ).alias("sl"),
+        F.expr(
+            "transform(sequence(1, CAST(n AS INT)), k ->"
+            " aggregate(slice(xs, 1, k), CAST(0 AS BIGINT),"
+            " (a, v) -> a + v * v))"
+        ).alias("ql"),
+    )
+    sse1 = _vopt_sse("1", "t", "spark")
+    ssej = _vopt_sse("j", "t", "spark")
+    frame = arrs.select(
+        "n",
+        "sl",
+        "ql",
+        F.expr(
+            f"transform(sequence(1, CAST(n AS INT)), t -> {sse1})"
+        ).alias("c1"),
+    )
+    for b in range(2, 6):
+        frame = frame.select(
+            "n",
+            "sl",
+            "ql",
+            *[f"c{k}" for k in range(1, b)],
+            F.expr(
+                f"transform(sequence(1, CAST(n AS INT)), t ->"
+                f" IF(t < {b}, CAST({1 << 60} AS BIGINT),"
+                f" array_min(transform(sequence(2, t), j ->"
+                f" element_at(c{b - 1}, CAST(j - 1 AS INT)) + {ssej}))))"
+            ).alias(f"c{b}"),
+            # checkpoint per DP level: projection collapse would inline
+            # each level's expression into the next (exponential tree)
+        ).localCheckpoint(eager=False)
+    rows = None
+    for b in range(1, 6):
+        r = frame.select(
+            F.lit(b).cast("long").alias("n_buckets"),
+            F.expr(f"CAST(element_at(c{b}, CAST(n AS INT)) AS BIGINT)").alias(
+                "sse_total"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    base = rows.filter(F.col("n_buckets") == 1).select(
+        F.col("sse_total").alias("sse1")
+    )
+    return (
+        rows.crossJoin(F.broadcast(base))
+        .select(
+            "n_buckets",
+            "sse_total",
+            F.expr(
+                "CAST(1000000 * (sse1 - sse_total) div nullif(sse1, 0)"
+                " AS BIGINT)"
+            ).alias("reduction_ppm"),
+        )
+        .orderBy("n_buckets")
+    )

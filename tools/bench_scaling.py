@@ -310,6 +310,10 @@ ENTRIES = [
     "beta_binomial_shrinkage",
     "katz_centrality_rounds",
     "mediation_product_paths",
+    # round-5 wave 18
+    "successive_halving_arms",
+    "rake_keyphrase_scores",
+    "voptimal_histogram_dp",
 ]
 
 
