@@ -4105,3 +4105,351 @@ def voptimal_histogram_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_buckets")
     )
+
+
+# ===========================================================================
+# Econometrics: Dickey-Fuller unit-root test
+# ===========================================================================
+
+_DF_ORACLE = (
+    "WITH "
+    + _DAILY_SQL
+    + """,
+idx AS (SELECT row_number() OVER (ORDER BY d) AS t, x FROM daily),
+pairs AS (
+  SELECT x - lag(x) OVER (ORDER BY t) AS dy,
+         lag(x) OVER (ORDER BY t) AS z
+  FROM idx
+  QUALIFY z IS NOT NULL
+),
+mo AS (
+  SELECT count(*) AS m,
+         CAST(sum(z) AS BIGINT) AS sz, CAST(sum(dy) AS BIGINT) AS sd,
+         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS qzz,
+         CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS qdd,
+         CAST(sum(CAST(z AS HUGEINT) * dy) AS HUGEINT) AS qzd
+  FROM pairs
+),
+c AS (
+  SELECT m,
+         m * qzz - CAST(sz AS HUGEINT) * sz AS sxx,
+         m * qdd - CAST(sd AS HUGEINT) * sd AS syy,
+         m * qzd - CAST(sz AS HUGEINT) * sd AS sxy
+  FROM mo
+),
+r AS (
+  SELECT m, sxx, sxy,
+         sxx // 1000 AS rxx, syy // 1000 AS ryy, sxy // 1000 AS rxy
+  FROM c
+)
+SELECT CAST(m AS BIGINT) AS n_diffs,
+       CAST(1000 * sxy // sxx AS BIGINT) AS gamma_milli,
+       CAST(1000 * rxy * rxy * (m - 2)
+            // nullif(rxx * ryy - rxy * rxy, 0) AS BIGINT) AS t2_milli,
+       CAST(CASE WHEN 1000 * sxy // sxx < 0
+                  AND 1000 * rxy * rxy * (m - 2)
+                      // nullif(rxx * ryy - rxy * rxy, 0) > 8180
+                 THEN 1 ELSE 0 END AS BIGINT) AS unit_root_rejected
+FROM r
+"""
+)
+
+
+@_register("dickey_fuller_unit_root", _DF_ORACLE)
+def dickey_fuller_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test on daily revenue: regress the day
+    change on the lagged level (with intercept, via demeaned moments),
+    gamma < 0 with t^2 = Sxy^2 (m-2) / (Sxx Syy - Sxy^2) beyond the
+    squared 5% DF critical value (2.86^2 = 8.180, a literal both
+    engines compare) rejects the random-walk null — the
+    STATIONARITY gate every forecasting member of the catalog
+    implicitly assumes (yule_walker, theta, holt fits mean-revert;
+    this entry is the test that says fitting them to a random walk is
+    spurious, the Granger-Newbold lesson). Quadratic forms ride the
+    reduce-by-1000 lanes so the 128-bit products stay in range at 5x
+    volume. Scale shape: day rollup, one lag window, one moment
+    aggregate — constants after."""
+    daily = _daily(spark, sf_dir)
+    idx = daily.select(F.row_number().over(W.orderBy("d")).alias("t"), "x")
+    pairs = idx.select(
+        (F.col("x") - F.lag("x").over(W.orderBy("t"))).alias("dy"),
+        F.lag("x").over(W.orderBy("t")).alias("z"),
+    ).filter(F.col("z").isNotNull())
+    mo = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("z").alias("sz"),
+        F.sum("dy").alias("sd"),
+        F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * z")).alias("qzz"),
+        F.sum(F.expr("CAST(dy AS DECIMAL(38,0)) * dy")).alias("qdd"),
+        F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * dy")).alias("qzd"),
+    )
+    c = mo.select(
+        "m",
+        F.expr("m * qzz - CAST(sz AS DECIMAL(38,0)) * sz").alias("sxx"),
+        F.expr("m * qdd - CAST(sd AS DECIMAL(38,0)) * sd").alias("syy"),
+        F.expr("m * qzd - CAST(sz AS DECIMAL(38,0)) * sd").alias("sxy"),
+    )
+    r = c.select(
+        "m",
+        "sxx",
+        "sxy",
+        F.expr("CAST(sxx div 1000 AS DECIMAL(38,0))").alias("rxx"),
+        F.expr("CAST(syy div 1000 AS DECIMAL(38,0))").alias("ryy"),
+        F.expr("CAST(sxy div 1000 AS DECIMAL(38,0))").alias("rxy"),
+    )
+    return r.select(
+        F.col("m").cast("long").alias("n_diffs"),
+        F.expr("CAST(1000 * sxy div sxx AS BIGINT)").alias("gamma_milli"),
+        F.expr(
+            "CAST(1000 * rxy * rxy * (m - 2)"
+            " div nullif(rxx * ryy - rxy * rxy, 0) AS BIGINT)"
+        ).alias("t2_milli"),
+        F.expr(
+            "CAST(CASE WHEN 1000 * sxy div sxx < 0"
+            " AND 1000 * rxy * rxy * (m - 2)"
+            "     div nullif(rxx * ryy - rxy * rxy, 0) > 8180"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("unit_root_rejected"),
+    )
+
+
+# ===========================================================================
+# Nonparametric scale test: Ansari-Bradley
+# ===========================================================================
+
+_AB_ORACLE = """
+WITH s AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'view')
+),
+rk AS (
+  SELECT is_a,
+         row_number() OVER (ORDER BY v, event_id) AS i,
+         count(*) OVER () AS nn
+  FROM s
+),
+ab AS (
+  SELECT max(nn) AS nn,
+         CAST(sum(is_a) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN is_a = 1
+                       THEN least(i, nn + 1 - i) ELSE 0 END) AS BIGINT)
+           AS ab_stat
+  FROM rk
+),
+z AS (
+  SELECT nn, na, nn - na AS nb, ab_stat,
+         CASE WHEN nn % 2 = 0
+              THEN 1000 * CAST(4 * ab_stat - na * (nn + 2) AS HUGEINT)
+                   * (4 * ab_stat - na * (nn + 2)) * 3 * (nn - 1)
+                   // (CAST(na AS HUGEINT) * (nn - na) * (nn + 2)
+                       * (nn - 2) * 16)
+              ELSE 1000 * CAST(4 * nn * ab_stat
+                               - na * (nn + 1) * (nn + 1) AS HUGEINT)
+                   * (4 * nn * ab_stat - na * (nn + 1) * (nn + 1)) * 3
+                   // (CAST(na AS HUGEINT) * (nn - na) * (nn + 1)
+                       * (3 + CAST(nn AS HUGEINT) * nn) * 16)
+         END AS z2_milli
+  FROM ab
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       ab_stat,
+       CAST(z2_milli AS BIGINT) AS z2_milli,
+       CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT)
+         AS scale_differs_5pct
+FROM z
+"""
+
+
+@_register("ansari_bradley_scale_test", _AB_ORACLE)
+def ansari_bradley_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank test for SCALE (dispersion) difference
+    between click and view values: pooled ranks scored from both ends
+    (a_i = min(i, N+1-i) — small scores at the extremes), summed over
+    group A; a group with larger spread collects more extreme ranks
+    and a LOWER AB statistic. This is the dispersion member of the
+    two-sample family (rank_sum_auc tests location, ks/cvm/ad the
+    whole distribution, levene_brown_forsythe scale via deviations —
+    AB is the pure-rank scale test, valid with no moment assumptions).
+    z^2 against the exact null moments (even/odd-N closed forms as a
+    CASE both engines evaluate identically) rides one 128-bit
+    division; ties break deterministically by event_id. Scale shape:
+    one global rank window, one aggregate."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            _cents("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "is_a"
+            ),
+        )
+    )
+    rk = s.select(
+        "is_a",
+        F.row_number().over(W.orderBy("v", "event_id")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
+    )
+    ab = rk.agg(
+        F.max("nn").alias("nn"),
+        F.sum("is_a").cast("long").alias("na"),
+        F.sum(
+            F.expr(
+                "CASE WHEN is_a = 1 THEN least(i, nn + 1 - i) ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("ab_stat"),
+    )
+    z = ab.select(
+        "nn",
+        "na",
+        F.expr("nn - na").alias("nb"),
+        "ab_stat",
+        F.expr(
+            "CASE WHEN nn % 2 = 0"
+            " THEN 1000 * CAST(4 * ab_stat - na * (nn + 2) AS DECIMAL(38,0))"
+            "      * (4 * ab_stat - na * (nn + 2)) * 3 * (nn - 1)"
+            "      div (CAST(na AS DECIMAL(38,0)) * (nn - na) * (nn + 2)"
+            "           * (nn - 2) * 16)"
+            " ELSE 1000 * CAST(4 * nn * ab_stat"
+            "                  - na * (nn + 1) * (nn + 1) AS DECIMAL(38,0))"
+            "      * (4 * nn * ab_stat - na * (nn + 1) * (nn + 1)) * 3"
+            "      div (CAST(na AS DECIMAL(38,0)) * (nn - na) * (nn + 1)"
+            "           * (3 + CAST(nn AS DECIMAL(38,0)) * nn) * 16)"
+            " END"
+        ).alias("z2_milli"),
+    )
+    return z.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        "ab_stat",
+        F.col("z2_milli").cast("long").alias("z2_milli"),
+        F.expr(
+            "CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("scale_differs_5pct"),
+    )
+
+
+# ===========================================================================
+# Economics: arc price elasticity of demand
+# ===========================================================================
+
+_ELASTICITY_ORACLE = """
+WITH li AS (
+  SELECT p.p_brand,
+         CAST(l.l_quantity AS BIGINT) AS q,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rev,
+         (CAST(round(l.l_extendedprice * 100) AS BIGINT) * 1000)
+           // CAST(l.l_quantity AS BIGINT) AS pu,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+rk AS (
+  SELECT p_brand, q, rev, pu,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY pu, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY p_brand) AS n
+  FROM li
+),
+halves AS (
+  SELECT p_brand, max(n) AS n,
+         CAST(sum(CASE WHEN rn * 2 <= n THEN q END) AS BIGINT) AS q_lo,
+         CAST(sum(CASE WHEN rn * 2 > n THEN q END) AS BIGINT) AS q_hi,
+         CAST(sum(CASE WHEN rn * 2 <= n THEN rev END)
+              // sum(CASE WHEN rn * 2 <= n THEN q END) AS BIGINT) AS p_lo,
+         CAST(sum(CASE WHEN rn * 2 > n THEN rev END)
+              // sum(CASE WHEN rn * 2 > n THEN q END) AS BIGINT) AS p_hi
+  FROM rk GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n,
+       p_lo AS p_low_cents, p_hi AS p_high_cents,
+       q_lo AS q_low_units, q_hi AS q_high_units,
+       CAST(1000 * (q_hi - q_lo) * (p_hi + p_lo)
+            // nullif((q_hi + q_lo) * (p_hi - p_lo), 0) AS BIGINT)
+         AS arc_elasticity_milli
+FROM halves
+ORDER BY p_brand
+"""
+
+
+@_register("arc_price_elasticity", _ELASTICITY_ORACLE)
+def arc_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc price elasticity of demand per part brand: order each
+    brand's line items by unit price (an integer milli key — rev*1000
+    div qty — so the split needs no float division), compare the
+    low-price and high-price halves' average unit price and total
+    quantity, and read the midpoint-formula elasticity
+    (dq/q̄)/(dp/p̄) as one cross-multiplied division — the demand-curve
+    member of the pricing family (price_index_fisher aggregates price
+    LEVELS; elasticity reads the quantity RESPONSE, the number margin
+    optimization needs). On this lake quantity is independent of
+    price, so elasticities hover near zero — the executed no-response
+    baseline that distinguishes 'we measured nothing' from 'demand is
+    inelastic'. Scale shape: one broadcast dim join, one per-brand
+    rank window, one rollup."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.col("l_quantity").cast("long").alias("q"),
+            _cents("l_extendedprice").alias("rev"),
+            F.expr(
+                "(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)"
+                " div CAST(l_quantity AS BIGINT)"
+            ).alias("pu"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    rk = li.select(
+        "p_brand",
+        "q",
+        "rev",
+        F.row_number()
+        .over(
+            W.partitionBy("p_brand").orderBy(
+                "pu", "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("p_brand")).alias("n"),
+    )
+    halves = rk.groupBy("p_brand").agg(
+        F.max("n").alias("n"),
+        F.expr("CAST(sum(CASE WHEN rn * 2 <= n THEN q END) AS BIGINT)").alias(
+            "q_lo"
+        ),
+        F.expr("CAST(sum(CASE WHEN rn * 2 > n THEN q END) AS BIGINT)").alias(
+            "q_hi"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN rn * 2 <= n THEN rev END)"
+            " div sum(CASE WHEN rn * 2 <= n THEN q END) AS BIGINT)"
+        ).alias("p_lo"),
+        F.expr(
+            "CAST(sum(CASE WHEN rn * 2 > n THEN rev END)"
+            " div sum(CASE WHEN rn * 2 > n THEN q END) AS BIGINT)"
+        ).alias("p_hi"),
+    )
+    return halves.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.col("p_lo").alias("p_low_cents"),
+        F.col("p_hi").alias("p_high_cents"),
+        F.col("q_lo").alias("q_low_units"),
+        F.col("q_hi").alias("q_high_units"),
+        F.expr(
+            "CAST(1000 * (q_hi - q_lo) * (p_hi + p_lo)"
+            " div nullif((q_hi + q_lo) * (p_hi - p_lo), 0) AS BIGINT)"
+        ).alias("arc_elasticity_milli"),
+    ).orderBy("p_brand")

@@ -314,6 +314,10 @@ ENTRIES = [
     "successive_halving_arms",
     "rake_keyphrase_scores",
     "voptimal_histogram_dp",
+    # round-5 wave 19
+    "dickey_fuller_unit_root",
+    "ansari_bradley_scale_test",
+    "arc_price_elasticity",
 ]
 
 
