@@ -4453,3 +4453,400 @@ def arc_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif((q_hi + q_lo) * (p_hi - p_lo), 0) AS BIGINT)"
         ).alias("arc_elasticity_milli"),
     ).orderBy("p_brand")
+
+
+# ===========================================================================
+# Model evaluation: k-fold cross-validation of a group-median predictor
+# ===========================================================================
+
+_KFOLD_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         event_id,
+         CAST(CONCAT('0x',
+              substr(md5(CAST(event_id AS VARCHAR) || ':cv:42'), 1, 15))
+              AS BIGINT) % 5 AS fold
+  FROM events
+),
+grid AS (SELECT CAST(unnest(range(0, 5)) AS BIGINT) AS f),
+train AS (
+  SELECT g.f, s.event_type, s.v,
+         row_number() OVER (PARTITION BY g.f, s.event_type
+                            ORDER BY s.v, s.event_id) AS rn,
+         count(*) OVER (PARTITION BY g.f, s.event_type) AS nt
+  FROM grid g JOIN s ON s.fold != g.f
+),
+model AS (
+  SELECT f, event_type,
+         CAST(max(CASE WHEN rn = (nt + 1) // 2 THEN v END) AS BIGINT)
+           AS med
+  FROM train GROUP BY f, event_type
+)
+SELECT s.fold,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(1000 * sum(abs(s.v - m.med)) // count(*) AS BIGINT)
+         AS mae_milli
+FROM s JOIN model m ON m.f = s.fold AND m.event_type = s.event_type
+GROUP BY s.fold
+ORDER BY s.fold
+"""
+
+
+@_register("cross_validation_kfold", _KFOLD_ORACLE)
+def cross_validation_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the per-event-type median predictor:
+    folds are a pure function of md5(event_id) (the train_val_test
+    device, so membership is engine- and rerun-stable), each fold's
+    model is the out-of-fold median (exact rank selection), and the
+    out-of-sample MAE per fold is the deliverable — the GENERALIZATION
+    estimate the eval family reads before trusting any score
+    (confusion_matrix/roc grade ONE split; CV grades the protocol, and
+    the fold-to-fold MAE spread is the variance a single split hides).
+    Scale shape: a 5-row fold grid joins the scan (each row processed
+    k-1 times for training, once for test — the k-fold cost identity),
+    one rank window per (fold, type), two rollups."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("event_id"), F.lit("cv"), F.lit("42")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    s = _t(spark, sf_dir, "events").select(
+        "event_type",
+        _cents("value").alias("v"),
+        "event_id",
+        bucket.alias("fold"),
+    ).localCheckpoint(eager=False)
+    grid = spark.range(0, 5).select(F.col("id").alias("f"))
+    train = (
+        F.broadcast(grid)
+        .join(s, F.col("fold") != F.col("f"))
+        .select(
+            "f",
+            "event_type",
+            "v",
+            F.row_number()
+            .over(
+                W.partitionBy("f", "event_type").orderBy("v", "event_id")
+            )
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("f", "event_type"))
+            .alias("nt"),
+        )
+    )
+    model = train.groupBy("f", "event_type").agg(
+        F.expr(
+            "CAST(max(CASE WHEN rn = (nt + 1) div 2 THEN v END) AS BIGINT)"
+        ).alias("med")
+    )
+    return (
+        s.join(
+            F.broadcast(model),
+            (F.col("f") == F.col("fold"))
+            & (model["event_type"] == s["event_type"]),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                "CAST(1000 * sum(abs(v - med)) div count(*) AS BIGINT)"
+            ).alias("mae_milli"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ===========================================================================
+# SPC: X-bar / R control chart (subgrouped, literal constants)
+# ===========================================================================
+
+_XBARR_ORACLE = """
+WITH sub AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT d,
+         CAST(sum(v) AS BIGINT) AS xs,
+         CAST(max(v) - min(v) AS BIGINT) AS r
+  FROM sub WHERE rn <= 5
+  GROUP BY d
+  HAVING count(*) = 5
+),
+cl AS (
+  SELECT count(*) AS n,
+         CAST(200 * sum(xs) // count(*) AS BIGINT) AS xbb_milli,
+         CAST(1000 * sum(r) // count(*) AS BIGINT) AS rbar_milli
+  FROM g
+)
+SELECT CAST(cl.n AS BIGINT) AS n_subgroups,
+       cl.xbb_milli,
+       cl.rbar_milli,
+       CAST(cl.xbb_milli + 577 * cl.rbar_milli // 1000 AS BIGINT)
+         AS ucl_x_milli,
+       CAST(cl.xbb_milli - 577 * cl.rbar_milli // 1000 AS BIGINT)
+         AS lcl_x_milli,
+       CAST(2114 * cl.rbar_milli // 1000 AS BIGINT) AS ucl_r_milli,
+       CAST(sum(CASE WHEN 200 * g.xs > cl.xbb_milli
+                          + 577 * cl.rbar_milli // 1000
+                      OR 200 * g.xs < cl.xbb_milli
+                          - 577 * cl.rbar_milli // 1000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_xbar_violations,
+       CAST(sum(CASE WHEN 1000 * g.r > 2114 * cl.rbar_milli // 1000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_r_violations
+FROM g, cl
+GROUP BY cl.n, cl.xbb_milli, cl.rbar_milli
+"""
+
+
+@_register("xbar_r_control_chart", _XBARR_ORACLE)
+def xbar_r_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-bar / R control chart over daily purchase subgroups
+    (the first 5 purchases per day, deterministic (ts, id) order):
+    center lines from subgroup means and ranges, limits from the
+    CLASSIC tabulated constants for n=5 as milli literals (A2 = 0.577,
+    D4 = 2.114, D3 = 0 — the same literal-table device as the chi2 and
+    Elo ladders), violations counted on both charts — the SUBGROUPED
+    member of the SPC family (western_electric runs rules on
+    individual points, cusum/ewma track drifts; X-bar/R is the
+    factory-floor standard that separates within-subgroup noise from
+    between-subgroup shifts). Subgroup means hit exact milli via
+    200*sum (1000/5). Scale shape: one rank window bounded to 5 rows
+    per day, one rollup, a 1-row center-line broadcast."""
+    sub = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("ts").cast("date").alias("d"),
+            _cents("value").alias("v"),
+            F.row_number()
+            .over(
+                W.partitionBy(F.col("ts").cast("date")).orderBy(
+                    "ts", "event_id"
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    g = (
+        sub.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("xs"),
+            F.expr("CAST(max(v) - min(v) AS BIGINT)").alias("r"),
+        )
+        .filter(F.col("cnt") == 5)
+        .localCheckpoint(eager=False)
+    )
+    cl = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(200 * sum(xs) div count(*) AS BIGINT)").alias(
+            "xbb_milli"
+        ),
+        F.expr("CAST(1000 * sum(r) div count(*) AS BIGINT)").alias(
+            "rbar_milli"
+        ),
+    )
+    return (
+        g.crossJoin(F.broadcast(cl))
+        .groupBy("n", "xbb_milli", "rbar_milli")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN 200 * xs > xbb_milli"
+                " + 577 * rbar_milli div 1000"
+                " OR 200 * xs < xbb_milli - 577 * rbar_milli div 1000"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_xbar_violations"),
+            F.expr(
+                "CAST(sum(CASE WHEN 1000 * r > 2114 * rbar_milli div 1000"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_r_violations"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_subgroups"),
+            "xbb_milli",
+            "rbar_milli",
+            F.expr(
+                "CAST(xbb_milli + 577 * rbar_milli div 1000 AS BIGINT)"
+            ).alias("ucl_x_milli"),
+            F.expr(
+                "CAST(xbb_milli - 577 * rbar_milli div 1000 AS BIGINT)"
+            ).alias("lcl_x_milli"),
+            F.expr("CAST(2114 * rbar_milli div 1000 AS BIGINT)").alias(
+                "ucl_r_milli"
+            ),
+            "n_xbar_violations",
+            "n_r_violations",
+        )
+    )
+
+
+# ===========================================================================
+# Scheduling: weighted interval scheduling (exact DP on a session panel)
+# ===========================================================================
+
+_WIS_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+flagged AS (
+  SELECT user_id, tu, v,
+         CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu)
+                   > 1800000000
+               OR lag(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tu) AS sid,
+         tu, v
+  FROM flagged
+),
+ivals AS (
+  SELECT user_id, sid,
+         CAST(min(tu) AS BIGINT) AS s,
+         CAST(max(tu) AS BIGINT) AS e,
+         CAST(sum(v) AS BIGINT) AS val
+  FROM sess GROUP BY user_id, sid
+),
+panel AS (
+  SELECT s, e, val,
+         row_number() OVER (ORDER BY val DESC, user_id, sid) AS pr
+  FROM ivals
+),
+arrs AS (
+  SELECT list(s ORDER BY e, s, val) AS ss,
+         list(e ORDER BY e, s, val) AS es,
+         list(val ORDER BY e, s, val) AS vs,
+         count(*) AS k,
+         (SELECT count(*) FROM ivals) AS n_total,
+         (SELECT max(val) FROM ivals) AS top1,
+         CAST(sum(val) AS BIGINT) AS panel_sum
+  FROM panel WHERE pr <= 40
+),
+rec(i, cl) AS (
+  SELECT 0, [CAST(0 AS BIGINT)] FROM arrs
+  UNION ALL
+  SELECT r.i + 1,
+         list_append(r.cl, greatest(
+           r.cl[r.i + 1],
+           a.vs[r.i + 1] + r.cl[coalesce(list_max(
+             [CASE WHEN a.es[j] <= a.ss[r.i + 1] THEN j ELSE 0 END
+              for j in range(1, r.i + 1)]), 0) + 1]))
+  FROM rec r, arrs a WHERE r.i < a.k
+)
+SELECT CAST(a.n_total AS BIGINT) AS n_sessions_total,
+       CAST(a.k AS BIGINT) AS n_panel,
+       CAST(r.cl[CAST(a.k + 1 AS INT)] AS BIGINT) AS best_total_cents,
+       CAST(a.top1 AS BIGINT) AS top1_value_cents,
+       a.panel_sum AS panel_value_cents
+FROM rec r, arrs a WHERE r.i = a.k
+"""
+
+
+@_register("weighted_interval_scheduling", _WIS_ORACLE)
+def weighted_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted interval scheduling over user sessions (30-minute-gap
+    sessionization; value = session revenue): pick the non-overlapping
+    set of the top-40 most valuable sessions maximizing total value —
+    the classic predecessor-DP c_i = max(c_{i-1}, v_i + c_{p(i)}) with
+    p(i) the last end-sorted interval ending at or before i starts,
+    solved EXACTLY by one bounded list-state fold (the knapsack/
+    interval-family completion: knapsack_greedy packs by density,
+    interval_islands merges overlaps; WIS OPTIMIZES over them — the
+    booking/auction/batch-window allocator). Panel pinning (top-40 by
+    value) keeps the O(k^2) predecessor scan constant-size at any data
+    volume — the same fixed-panel rule as the ANN brute baselines. The
+    DP optimum is bounded by [max single value, panel sum], both
+    executed columns. Scale shape: sessionization windows, one
+    TakeOrdered panel, then bounded array math."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("tu"),
+        _cents("value").alias("v"),
+    )
+    wu = W.partitionBy("user_id").orderBy("tu")
+    flagged = ev.select(
+        "user_id",
+        "tu",
+        "v",
+        F.expr(
+            "CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu)"
+            " > 1800000000"
+            " OR lag(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL"
+            " THEN 1 ELSE 0 END"
+        ).alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id", F.sum("new_s").over(wu).alias("sid"), "tu", "v"
+    )
+    ivals = sess.groupBy("user_id", "sid").agg(
+        F.min("tu").cast("long").alias("s"),
+        F.max("tu").cast("long").alias("e"),
+        F.sum("v").cast("long").alias("val"),
+    ).localCheckpoint(eager=False)
+    tot = ivals.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.max("val").alias("top1"),
+    )
+    panel = ivals.select(
+        "s",
+        "e",
+        "val",
+        F.row_number()
+        .over(W.orderBy(F.col("val").desc(), "user_id", "sid"))
+        .alias("pr"),
+    ).filter(F.col("pr") <= 40)
+    arrs = panel.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(e, s, val))),"
+            " x -> x.s)"
+        ).alias("ss"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(e, s, val))),"
+            " x -> x.e)"
+        ).alias("es"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(e, s, val))),"
+            " x -> x.val)"
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("val").cast("long").alias("panel_sum"),
+    )
+    dp = (
+        "aggregate(sequence(1, CAST(k AS INT)), array(CAST(0 AS BIGINT)),"
+        " (cl, i) -> array_append(cl, greatest("
+        "   element_at(cl, i),"
+        "   element_at(vs, i) + element_at(cl,"
+        "     CAST(IF(i = 1, 0, array_max(transform(sequence(1, i - 1),"
+        "       j -> IF(element_at(es, CAST(j AS INT))"
+        "               <= element_at(ss, i), j, 0)))) + 1 AS INT)))))"
+    )
+    return arrs.crossJoin(F.broadcast(tot)).select(
+        F.col("n_total").cast("long").alias("n_sessions_total"),
+        F.col("k").cast("long").alias("n_panel"),
+        F.expr(
+            f"CAST(element_at({dp}, CAST(k + 1 AS INT)) AS BIGINT)"
+        ).alias("best_total_cents"),
+        F.col("top1").cast("long").alias("top1_value_cents"),
+        F.col("panel_sum").alias("panel_value_cents"),
+    )

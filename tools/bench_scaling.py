@@ -318,6 +318,10 @@ ENTRIES = [
     "dickey_fuller_unit_root",
     "ansari_bradley_scale_test",
     "arc_price_elasticity",
+    # round-5 wave 20
+    "cross_validation_kfold",
+    "xbar_r_control_chart",
+    "weighted_interval_scheduling",
 ]
 
 
