@@ -102,7 +102,7 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance two-sample t test (click vs view event
     values), reported as t^2 so the statistic stays rational: with
     S=sum(v), Q=sum(v^2) per group and nv_g = (n_g*Q_g - S_g^2)/(n_g-1)
-    (= n_g^2 * sample variance, reduced FIRST so it stays int64),
+    (= n_g * sample variance, reduced FIRST so it stays int64),
       t^2 = (Sa*nb - Sb*na)^2 / (nb^2 * nv_a + na^2 * nv_b)
     — one 128-bit truncating division, no square root, no float
     intermediate. This is the PARAMETRIC member the catalog's location
@@ -1408,10 +1408,94 @@ def critical_path_slack(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens OUTSIDE the recursion as one rollup over leaf-ancestor
     climbs). Every critical task count is an executed invariant (each
     project has >= 1 zero-float chain). Scale shape: per-level
-    equi-joins, two rollups; branching factor 2 bounds both walks."""
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100")
-    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_SLACK_ORACLE.replace("//", "div"))
+    equi-joins, two rollups; branching factor 2 bounds both walks.
+    The Spark lane is an independent DataFrame implementation (the
+    oracle's WITH RECURSIVE walks become bounded driver loops over
+    equi-joins — the same pattern as the graph module), so the DuckDB
+    oracle genuinely cross-checks the logic, not just the engine."""
+    parts = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("pk"))
+    c1 = parts.select(F.col("pk").alias("parent"), (F.col("pk") * 5 + 1).alias("child"))
+    c2 = parts.select(F.col("pk").alias("parent"), (F.col("pk") * 5 + 2).alias("child"))
+    keys = parts.select(F.col("pk").alias("child"))
+    bom = (
+        c1.join(keys, "child").select("parent", "child")
+        .unionAll(c2.join(keys, "child").select("parent", "child"))
+        .localCheckpoint(eager=False)
+    )
+    children = bom.select(F.col("child").alias("pk")).distinct()
+    roots = (
+        bom.select(F.col("parent").alias("pk")).distinct()
+        .join(children, "pk", "left_anti")
+    )
+    # forward pass: depth-bounded descent accumulating earliest finish
+    frontier = roots.select(
+        F.col("pk").alias("root"),
+        F.col("pk").alias("node"),
+        (F.col("pk") % 7 + 1).cast("long").alias("es_incl"),
+    )
+    levels = [frontier]
+    for _ in range(6):
+        frontier = (
+            frontier.join(bom, frontier["node"] == bom["parent"])
+            .select(
+                "root",
+                F.col("child").alias("node"),
+                (F.col("es_incl") + F.col("child") % 7 + 1).alias("es_incl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        levels.append(frontier)
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionAll(lv)
+    walk = walk.localCheckpoint(eager=False)
+    # backward pass: climb leaf->root accumulating the longest chain
+    leaves = walk.select("node").join(
+        bom.select(F.col("parent").alias("node")).distinct(), "node", "left_anti"
+    )
+    up = leaves.select("node", (F.col("node") % 7 + 1).cast("long").alias("climb"))
+    climbs = [up]
+    while True:
+        up = (
+            up.join(bom, up["node"] == bom["child"])
+            .select(
+                F.col("parent").alias("node"),
+                (F.col("climb") + F.col("parent") % 7 + 1).alias("climb"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if up.isEmpty():
+            break
+        climbs.append(up)
+    allup = climbs[0]
+    for lv in climbs[1:]:
+        allup = allup.unionAll(lv)
+    below = allup.groupBy("node").agg(F.max("climb").alias("d"))
+    proj = walk.groupBy("root").agg(F.max("es_incl").alias("t_days"))
+    slack = (
+        walk.join(below, "node")
+        .join(proj, "root")
+        .select(
+            "root",
+            (
+                F.col("t_days") - F.col("es_incl")
+                - (F.col("d") - (F.col("node") % 7 + 1))
+            ).alias("fl"),
+        )
+    )
+    return slack.agg(
+        F.countDistinct("root").cast("long").alias("n_projects"),
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        F.sum(F.when(F.col("fl") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_critical_tasks"),
+        F.sum("fl").cast("long").alias("total_slack_days"),
+        F.max("fl").cast("long").alias("max_slack_days"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN fl = 0 THEN 1 ELSE 0 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("critical_ppm"),
+    )
 
 
 # ===========================================================================
@@ -4243,12 +4327,12 @@ z AS (
               THEN 1000 * CAST(4 * ab_stat - na * (nn + 2) AS HUGEINT)
                    * (4 * ab_stat - na * (nn + 2)) * 3 * (nn - 1)
                    // (CAST(na AS HUGEINT) * (nn - na) * (nn + 2)
-                       * (nn - 2) * 16)
+                       * (nn - 2))
               ELSE 1000 * CAST(4 * nn * ab_stat
                                - na * (nn + 1) * (nn + 1) AS HUGEINT)
                    * (4 * nn * ab_stat - na * (nn + 1) * (nn + 1)) * 3
                    // (CAST(na AS HUGEINT) * (nn - na) * (nn + 1)
-                       * (3 + CAST(nn AS HUGEINT) * nn) * 16)
+                       * (3 + CAST(nn AS HUGEINT) * nn))
          END AS z2_milli
   FROM ab
 )
@@ -4313,12 +4397,12 @@ def ansari_bradley_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1000 * CAST(4 * ab_stat - na * (nn + 2) AS DECIMAL(38,0))"
             "      * (4 * ab_stat - na * (nn + 2)) * 3 * (nn - 1)"
             "      div (CAST(na AS DECIMAL(38,0)) * (nn - na) * (nn + 2)"
-            "           * (nn - 2) * 16)"
+            "           * (nn - 2))"
             " ELSE 1000 * CAST(4 * nn * ab_stat"
             "                  - na * (nn + 1) * (nn + 1) AS DECIMAL(38,0))"
             "      * (4 * nn * ab_stat - na * (nn + 1) * (nn + 1)) * 3"
             "      div (CAST(na AS DECIMAL(38,0)) * (nn - na) * (nn + 1)"
-            "           * (3 + CAST(nn AS DECIMAL(38,0)) * nn) * 16)"
+            "           * (3 + CAST(nn AS DECIMAL(38,0)) * nn))"
             " END"
         ).alias("z2_milli"),
     )

@@ -59,12 +59,15 @@ def test_ansari_bradley_python_replay(spark):
     ab = sum(min(i, nn + 1 - i)
              for i, (_, _, et) in enumerate(pooled, start=1)
              if et == "click")
+    # even N: E[AB] = na(N+2)/4, Var = na*nb*(N+2)(N-2)/(48(N-1)) so
+    # z^2 = (4AB - na(N+2))^2 * 3(N-1) / (na*nb*(N+2)(N-2)) — the 16
+    # from squaring the scaled numerator cancels into 48/16 = 3.
     if nn % 2 == 0:
         z2 = tdiv(1000 * (4 * ab - na * (nn + 2)) ** 2 * 3 * (nn - 1),
-                  na * (nn - na) * (nn + 2) * (nn - 2) * 16)
+                  na * (nn - na) * (nn + 2) * (nn - 2))
     else:
         z2 = tdiv(1000 * (4 * nn * ab - na * (nn + 1) ** 2) ** 2 * 3,
-                  na * (nn - na) * (nn + 1) * (3 + nn * nn) * 16)
+                  na * (nn - na) * (nn + 1) * (3 + nn * nn))
     r = REGISTRY["ansari_bradley_scale_test"].spark(spark, SF).collect()[0]
     assert (r.n_a, r.n_b, r.ab_stat) == (na, nn - na, ab)
     assert r.z2_milli == z2

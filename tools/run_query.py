@@ -3,7 +3,8 @@
 Usage:
     python tools/run_query.py <entry_name> [sf_dir] [--plan] [--oracle]
 
-      <entry_name>  a key from the 174-entry registry (see COVERAGE.md)
+      <entry_name>  a key from the catalog registry (run with no args
+                    for the full current list; see COVERAGE.md)
       [sf_dir]      parquet lake dir (default /root/testdata/sf0.01)
       --plan        also print the executed physical plan (after AQE)
       --oracle      also run the DuckDB oracle side-by-side and diff
