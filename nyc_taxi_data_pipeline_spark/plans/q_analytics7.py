@@ -1,0 +1,1706 @@
+"""Catalog wave 21 (round 6): voting/apportionment, scale/variance tests,
+heavy-tail & power-law fits, attribute control charts, sequence DP,
+classifier-apply curation, synthetic control, and sampled betweenness.
+
+Same contract as every plans/ module: DataFrame-first Spark plans with
+full DuckDB value oracles, every computed column aliased identically in
+both lanes, doubles rounded on both sides, integer arithmetic (bigint +
+truncating division) wherever an exact cross-engine value is feasible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from nyc_taxi_data_pipeline_spark.plans._base import (
+    _register,
+    _t,
+)
+
+__all__: list[str] = []
+
+
+def _cents(col: str) -> F.Column:
+    """value -> integer cents, half away from zero (cross-engine exact)."""
+    return F.expr(
+        f"CAST(CASE WHEN {col} >= 0 THEN floor({col} * 100 + 0.5)"
+        f" ELSE -floor(-({col}) * 100 + 0.5) END AS BIGINT)"
+    )
+
+
+# ===========================================================================
+# Apportionment: D'Hondt and Sainte-Lague highest-averages methods
+# ===========================================================================
+
+_SEATS = 60
+
+_DHONDT_ORACLE = f"""
+WITH votes AS (
+  SELECT r.r_name AS party, CAST(count(*) AS BIGINT) AS v
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1
+),
+ks AS (SELECT unnest(range(1, {_SEATS} + 1)) AS k),
+dq AS (
+  SELECT party, v, k, v * 1000000 // k AS q
+  FROM votes CROSS JOIN ks
+),
+dtop AS (
+  SELECT party FROM dq
+  ORDER BY q DESC, party, k LIMIT {_SEATS}
+),
+sq AS (
+  SELECT party, v, k, v * 1000000 // (2 * k - 1) AS q
+  FROM votes CROSS JOIN ks
+),
+stop AS (
+  SELECT party FROM sq
+  ORDER BY q DESC, party, k LIMIT {_SEATS}
+)
+SELECT v.party, v.v AS votes,
+       CAST(coalesce(d.s, 0) AS BIGINT) AS seats_dhondt,
+       CAST(coalesce(s.s, 0) AS BIGINT) AS seats_sainte_lague
+FROM votes v
+LEFT JOIN (SELECT party, count(*) AS s FROM dtop GROUP BY 1) d
+  ON d.party = v.party
+LEFT JOIN (SELECT party, count(*) AS s FROM stop GROUP BY 1) s
+  ON s.party = v.party
+ORDER BY v.party
+"""
+
+
+@_register("dhondt_seat_apportionment", _DHONDT_ORACLE)
+def dhondt_seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-averages seat apportionment — D'Hondt (divisors 1,2,3,..)
+    and Sainte-Lague (1,3,5,..) side by side — allocating 60 seats to
+    the five regions by order count. The divisor table is a 60-row
+    literal sequence cross-joined onto the 5-row vote tally (bounded:
+    parties x seats rows total, never data-sized); the seat winners are
+    the top-S quotients with a fully deterministic tie-break
+    (quotient, party, divisor). Quotients are scaled-integer
+    (v*10^6 // k) so both engines rank identical bigints — the
+    companion to quota_allocation_largest_remainder, covering the
+    OTHER family of proportional-allocation methods (divisor vs quota;
+    Sainte-Lague's odd divisors favor small parties, D'Hondt large).
+    Scale shape: one count aggregate over the fact join, then
+    constant-size arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    votes = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("party"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    ks = spark.range(1, _SEATS + 1).select(F.col("id").alias("k"))
+    dq = votes.crossJoin(F.broadcast(ks))
+
+    def _seats(quot: str) -> DataFrame:
+        top = (
+            dq.select("party", F.expr(quot).alias("q"), "k")
+            .orderBy(F.col("q").desc(), "party", "k")
+            .limit(_SEATS)
+        )
+        return top.groupBy("party").agg(F.count(F.lit(1)).alias("s"))
+
+    d = _seats("v * 1000000 div k")
+    s = _seats("v * 1000000 div (2 * k - 1)")
+    return (
+        votes.join(d.withColumnRenamed("s", "sd"), "party", "left")
+        .join(s.withColumnRenamed("s", "ss"), "party", "left")
+        .select(
+            "party",
+            F.col("v").alias("votes"),
+            F.coalesce("sd", F.lit(0)).cast("long").alias("seats_dhondt"),
+            F.coalesce("ss", F.lit(0)).cast("long").alias("seats_sainte_lague"),
+        )
+        .orderBy("party")
+    )
+
+
+# ===========================================================================
+# Attribute control chart: p-chart with exact integer 3-sigma test
+# ===========================================================================
+
+_PCHART_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS xx
+  FROM daily
+)
+SELECT d.d AS day,
+       d.n AS n_events,
+       d.x AS n_defect,
+       CAST(1000000 * d.x // d.n AS BIGINT) AS p_ppm,
+       CAST(1000000 * t.xx // t.nn AS BIGINT) AS pbar_ppm,
+       CAST(CASE WHEN (d.x * t.nn - t.xx * d.n)
+                      * (d.x * t.nn - t.xx * d.n)
+                 > 9 * t.xx * (t.nn - t.xx) * d.n
+            THEN CASE WHEN d.x * t.nn > t.xx * d.n THEN 1 ELSE -1 END
+            ELSE 0 END AS BIGINT) AS ooc_sign
+FROM daily d CROSS JOIN tot t
+ORDER BY d.d
+"""
+
+
+@_register("p_chart_attribute_control", _PCHART_ORACLE)
+def p_chart_attribute_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart (attribute control chart) over the daily error-event
+    fraction: centerline pbar from the pooled totals, per-day 3-sigma
+    limits with the classic binomial sigma sqrt(pbar(1-pbar)/n_i) —
+    the ATTRIBUTE-data member of the SPC family (xbar_r_control_chart
+    covers variables data, western_electric_rules the run rules,
+    cusum/ewma the memory charts). The out-of-control test is kept
+    EXACT by clearing denominators: |p_i - pbar| > 3*sigma_i is
+    equivalent to (x_i*N - X*n_i)^2 > 9*X*(N-X)*n_i, all int64 — no
+    sqrt, no floats, so the flag carries a full value oracle. Scale
+    shape: one daily aggregate, a 1-row total broadcast onto it."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("x").cast("long").alias("xx")
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("day"),
+            F.col("n").alias("n_events"),
+            F.col("x").alias("n_defect"),
+            F.expr("CAST(1000000 * x div n AS BIGINT)").alias("p_ppm"),
+            F.expr("CAST(1000000 * xx div nn AS BIGINT)").alias("pbar_ppm"),
+            F.expr(
+                "CAST(CASE WHEN (x * nn - xx * n) * (x * nn - xx * n)"
+                " > 9 * xx * (nn - xx) * n"
+                " THEN CASE WHEN x * nn > xx * n THEN 1 ELSE -1 END"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("ooc_sign"),
+        )
+        .orderBy("day")
+    )
+
+
+# ===========================================================================
+# Curation: apply a fixed logistic quality classifier to documents
+# ===========================================================================
+
+_LOGREG_ORACLE = """
+WITH feat AS (
+  SELECT doc_id, source,
+         CAST(1000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              // greatest(length(text), 1) AS BIGINT) AS alpha_milli,
+         CAST(1000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+              // greatest(length(text), 1) AS BIGINT) AS digit_milli,
+         CAST(1000 * (length(text) - length(replace(text, ' ', '')))
+              // greatest(length(text), 1) AS BIGINT) AS space_milli,
+         CAST(least(length(text), 4000) AS BIGINT) AS len_capped
+  FROM documents WHERE text IS NOT NULL
+),
+scored AS (
+  SELECT doc_id, source,
+         -2000 + 4 * alpha_milli - 6 * digit_milli
+         + 2 * space_milli + len_capped // 4 AS logit_micro
+  FROM feat
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN logit_micro > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       CAST(sum(CASE WHEN logit_micro <= -1000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discard,
+       CAST(sum(logit_micro) // count(*) AS BIGINT) AS mean_logit_micro
+FROM scored
+GROUP BY source ORDER BY source
+"""
+
+
+@_register("quality_classifier_logreg_apply", _LOGREG_ORACLE)
+def quality_classifier_logreg_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apply an offline-trained logistic quality classifier to the corpus
+    — the fastText/logreg quality-gate step of an LLM curation pipeline
+    (CCNet-style): engineered features (alphabetic ratio, digit ratio,
+    whitespace ratio, capped length) are combined with a FIXED integer
+    weight vector into a logit, and documents bucket into
+    keep / review / discard by logit thresholds. Weights live in the
+    plan as literals — the model is "broadcast" at codegen time, the
+    way a production scorer ships coefficient files to executors; only
+    the decision thresholds and per-source rollup leave the map side.
+    All features and the logit are scaled integers (regexp counts,
+    floor division), so the gate carries a full value oracle. Scale
+    shape: pure narrow map over documents + one small aggregate —
+    JVM-codegen regexps, no Python lane."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(1000 * length(regexp_replace(text, '[^a-zA-Z]', ''))"
+            " div greatest(length(text), 1) AS BIGINT)"
+        ).alias("alpha_milli"),
+        F.expr(
+            "CAST(1000 * length(regexp_replace(text, '[^0-9]', ''))"
+            " div greatest(length(text), 1) AS BIGINT)"
+        ).alias("digit_milli"),
+        F.expr(
+            "CAST(1000 * (length(text) - length(replace(text, ' ', '')))"
+            " div greatest(length(text), 1) AS BIGINT)"
+        ).alias("space_milli"),
+        F.expr("CAST(least(length(text), 4000) AS BIGINT)").alias("len_capped"),
+    )
+    scored = feat.select(
+        "source",
+        F.expr(
+            "-2000 + 4 * alpha_milli - 6 * digit_milli"
+            " + 2 * space_milli + len_capped div 4"
+        ).alias("logit_micro"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("logit_micro") > 1000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            F.sum(F.when(F.col("logit_micro") <= -1000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_discard"),
+            F.expr("CAST(sum(logit_micro) div count(*) AS BIGINT)").alias(
+                "mean_logit_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Parametric scale homogeneity: Bartlett's test
+# ===========================================================================
+
+_BARTLETT_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_quantity * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+g AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v * v) AS BIGINT) AS s2
+  FROM s GROUP BY grp
+),
+v AS (
+  SELECT grp, n,
+         (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n AS DOUBLE) * (n - 1)) AS s2i
+  FROM g
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(round((n - 1) * s2i, 4) AS DECIMAL(38,8)))
+              AS DOUBLE) AS pooled_num,
+         CAST(sum(CAST(round((n - 1) * ln(s2i), 8) AS DECIMAL(38,8)))
+              AS DOUBLE) AS sum_ln,
+         CAST(sum(CAST(round(1.0 / (n - 1), 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sum_inv
+  FROM v
+)
+SELECT nn AS n_total,
+       k AS n_groups,
+       round((nn - k) * ln(pooled_num / (nn - k)) - sum_ln, 4) AS bartlett_b,
+       round(1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1)), 6)
+         AS correction_c,
+       round(((nn - k) * ln(pooled_num / (nn - k)) - sum_ln)
+             / (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1))), 4)
+         AS bartlett_stat,
+       CAST(CASE WHEN ((nn - k) * ln(pooled_num / (nn - k)) - sum_ln)
+                      / (1.0 + (sum_inv - 1.0 / (nn - k))
+                               / (3.0 * (k - 1))) > 5.991
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_var_5pct
+FROM tot
+"""
+
+
+@_register("bartlett_variance_homogeneity", _BARTLETT_ORACLE)
+def bartlett_variance_homogeneity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bartlett's test for homogeneity of variances across the three
+    return-flag groups of l_quantity — the PARAMETRIC member of the
+    scale-test family (levene_brown_forsythe is the robust deviation
+    version, ansari_bradley_scale_test the pure-rank version): B =
+    ((N-k) ln Sp^2 - sum (n_i-1) ln s_i^2) / C with Bartlett's
+    correction C. Group variances are derived from exact integer
+    power sums (cents-scaled), so the only doubles are the final ln
+    ratios — both engines divide identical exact integers before the
+    log, and results round at 4 decimals. Scale shape: one hash
+    aggregate to k rows of (n, S1, S2) mergeable partials, constant
+    arithmetic after; chi2(k-1) threshold 5.991 at k=3."""
+    s = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), _cents("l_quantity").alias("v")
+    )
+    g = s.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.expr("v * v")).cast("long").alias("s2"),
+    )
+    v = g.select(
+        "grp",
+        "n",
+        F.expr(
+            "(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            " / (CAST(n AS DOUBLE) * (n - 1))"
+        ).alias("s2i"),
+    )
+    tot = v.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(
+            "CAST(sum(CAST(round((n - 1) * s2i, 4) AS DECIMAL(38,8)))"
+            " AS DOUBLE)"
+        ).alias("pooled_num"),
+        F.expr(
+            "CAST(sum(CAST(round((n - 1) * ln(s2i), 8) AS DECIMAL(38,8)))"
+            " AS DOUBLE)"
+        ).alias("sum_ln"),
+        F.expr(
+            "CAST(sum(CAST(round(1.0 / (n - 1), 12) AS DECIMAL(38,12)))"
+            " AS DOUBLE)"
+        ).alias("sum_inv"),
+    )
+    return tot.select(
+        F.col("nn").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        F.round(
+            F.expr("(nn - k) * ln(pooled_num / (nn - k)) - sum_ln"), 4
+        ).alias("bartlett_b"),
+        F.round(
+            F.expr("1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1))"), 6
+        ).alias("correction_c"),
+        F.round(
+            F.expr(
+                "((nn - k) * ln(pooled_num / (nn - k)) - sum_ln)"
+                " / (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1)))"
+            ),
+            4,
+        ).alias("bartlett_stat"),
+        F.expr(
+            "CAST(CASE WHEN ((nn - k) * ln(pooled_num / (nn - k)) - sum_ln)"
+            " / (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1))) > 5.991"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_equal_var_5pct"),
+    )
+
+
+# ===========================================================================
+# Taylor's law: variance-mean power scaling of daily event counts
+# ===========================================================================
+
+_TAYLOR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+),
+mv AS (
+  SELECT event_type, n_days,
+         CAST(s1 AS DOUBLE) / n_days AS mean_c,
+         (CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n_days AS DOUBLE) * (n_days - 1)) AS var_c
+  FROM g
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(round(ln(mean_c), 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(ln(var_c), 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(ln(mean_c) * ln(mean_c), 10)
+                       AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(ln(mean_c) * ln(var_c), 10)
+                       AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+  FROM mv
+)
+SELECT m.event_type,
+       m.n_days,
+       round(m.mean_c, 4) AS mean_daily,
+       round(m.var_c, 4) AS var_daily,
+       round((f.k * f.sxy - f.sx * f.sy)
+             / (f.k * f.sxx - f.sx * f.sx), 6) AS taylor_slope_b,
+       round((f.sy - f.sx * (f.k * f.sxy - f.sx * f.sy)
+                     / (f.k * f.sxx - f.sx * f.sx)) / f.k, 6)
+         AS taylor_intercept_ln_a
+FROM mv m CROSS JOIN fit f
+ORDER BY m.event_type
+"""
+
+
+@_register("taylors_law_powerfit", _TAYLOR_ORACLE)
+def taylors_law_powerfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power law (variance = a * mean^b) fitted across the five
+    event types' daily-count distributions: per-type mean/variance of
+    the 30 daily counts from exact integer sums, then the OLS slope of
+    ln(var) on ln(mean) over the k=5 (mean, var) points — the classic
+    ecology/operations fluctuation-scaling diagnostic (b=1 Poisson,
+    b=2 clustered/bursty; complements overdispersion_fano_burstiness,
+    which tests ONE series, by fitting the cross-series scaling law).
+    Every per-type moment comes from int64 partials; only the final
+    ln/OLS step is double, rounded on both sides. Scale shape: one
+    (type, day) aggregate, then a k-row regression — constant."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.expr("c * c")).cast("long").alias("s2"),
+    )
+    mv = g.select(
+        "event_type",
+        "n_days",
+        F.expr("CAST(s1 AS DOUBLE) / n_days").alias("mean_c"),
+        F.expr(
+            "(CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            " / (CAST(n_days AS DOUBLE) * (n_days - 1))"
+        ).alias("var_c"),
+    )
+    fit = mv.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(
+            "CAST(sum(CAST(round(ln(mean_c), 10) AS DECIMAL(38,10)))"
+            " AS DOUBLE)"
+        ).alias("sx"),
+        F.expr(
+            "CAST(sum(CAST(round(ln(var_c), 10) AS DECIMAL(38,10)))"
+            " AS DOUBLE)"
+        ).alias("sy"),
+        F.expr(
+            "CAST(sum(CAST(round(ln(mean_c) * ln(mean_c), 10)"
+            " AS DECIMAL(38,10))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(sum(CAST(round(ln(mean_c) * ln(var_c), 10)"
+            " AS DECIMAL(38,10))) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    return (
+        mv.crossJoin(F.broadcast(fit))
+        .select(
+            "event_type",
+            "n_days",
+            F.round("mean_c", 4).alias("mean_daily"),
+            F.round("var_c", 4).alias("var_daily"),
+            F.round(
+                F.expr("(k * sxy - sx * sy) / (k * sxx - sx * sx)"), 6
+            ).alias("taylor_slope_b"),
+            F.round(
+                F.expr(
+                    "(sy - sx * (k * sxy - sx * sy) / (k * sxx - sx * sx)) / k"
+                ),
+                6,
+            ).alias("taylor_intercept_ln_a"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# Extreme values: peaks-over-threshold GPD moment fit
+# ===========================================================================
+
+_GPD_ORACLE = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+),
+rk AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, x) AS r,
+         count(*) OVER () AS n
+  FROM v
+),
+thr AS (
+  SELECT min(x) AS u FROM rk WHERE r <= (n + 19) // 20
+),
+exc AS (
+  SELECT v.x - t.u AS y FROM v CROSS JOIN thr t WHERE v.x > t.u
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(y) AS BIGINT) AS s1,
+         CAST(sum(y * y) AS BIGINT) AS s2
+  FROM exc
+),
+fit AS (
+  SELECT k, s1,
+         CAST(s1 AS DOUBLE) / k AS ybar,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1)
+           AS s2y
+  FROM m
+)
+SELECT f.k AS n_exceed,
+       t.u AS threshold_cents,
+       round(f.ybar / 100.0, 4) AS mean_excess,
+       round(0.5 * (1.0 - f.ybar * f.ybar / f.s2y), 6) AS gpd_shape_xi,
+       round(0.5 * f.ybar * (f.ybar * f.ybar / f.s2y + 1.0) / 100.0, 4)
+         AS gpd_scale_beta,
+       CAST(CASE WHEN 0.5 * (1.0 - f.ybar * f.ybar / f.s2y) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS heavy_tail_flag
+FROM fit f CROSS JOIN thr t
+"""
+
+
+@_register("pot_gpd_moment_fit", _GPD_ORACLE)
+def pot_gpd_moment_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme-value fit: take the top-5% order
+    totals (rank-based threshold, exact over integer cents), model the
+    excesses above the threshold with a Generalized Pareto and estimate
+    (shape xi, scale beta) by the method of moments — xi = (1 -
+    ybar^2/s^2)/2, beta = ybar(ybar^2/s^2 + 1)/2. This is the
+    THRESHOLD member of the EVT family (block_maxima_return_levels is
+    the block-maxima/GEV member; POT uses the data above u instead of
+    one maximum per block, the estimator actuaries and SREs actually
+    fit). The threshold is an exact order statistic (row_number over
+    cents, no percentile interpolation); moments come from int64 sums
+    (the square sum in double to stay in range, identically on both
+    engines); xi > 0 flags a heavy tail. Scale shape: one global
+    top-k-ish rank window (at production scale, replaced by an
+    approx-quantile threshold), one aggregate over the 5% tail."""
+    v = _t(spark, sf_dir, "orders").select(_cents("o_totalprice").alias("x"))
+    rk = v.select(
+        "x",
+        F.row_number().over(W.orderBy(F.col("x").desc())).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    thr = rk.filter(F.expr("r <= (n + 19) div 20")).agg(
+        F.min("x").alias("u")
+    )
+    exc = (
+        v.crossJoin(F.broadcast(thr))
+        .filter(F.col("x") > F.col("u"))
+        .select((F.col("x") - F.col("u")).alias("y"))
+    )
+    m = exc.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.expr("y * y")).cast("long").alias("s2"),
+    )
+    fit = m.select(
+        "k",
+        "s1",
+        F.expr("CAST(s1 AS DOUBLE) / k").alias("ybar"),
+        F.expr(
+            "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1)"
+        ).alias("s2y"),
+    )
+    return fit.crossJoin(F.broadcast(thr)).select(
+        F.col("k").alias("n_exceed"),
+        F.col("u").alias("threshold_cents"),
+        F.round(F.expr("ybar / 100.0"), 4).alias("mean_excess"),
+        F.round(F.expr("0.5 * (1.0 - ybar * ybar / s2y)"), 6).alias(
+            "gpd_shape_xi"
+        ),
+        F.round(
+            F.expr("0.5 * ybar * (ybar * ybar / s2y + 1.0) / 100.0"), 4
+        ).alias("gpd_scale_beta"),
+        F.expr(
+            "CAST(CASE WHEN 0.5 * (1.0 - ybar * ybar / s2y) > 0"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("heavy_tail_flag"),
+    )
+
+
+# ===========================================================================
+# Reliability: Weibull fit by median-ranks regression
+# ===========================================================================
+
+_WEIBULL_ORACLE = """
+WITH t AS (
+  SELECT CAST(date_diff('minute', o.o_orderdate, l.l_shipdate) AS BIGINT)
+           AS tt
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate
+),
+rk AS (
+  SELECT tt, row_number() OVER (ORDER BY tt, tt) AS i,
+         count(*) OVER () AS n
+  FROM t
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(tt AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+         CAST(round(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))), 8)
+              AS DECIMAL(18,8)) AS y
+  FROM rk
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,16))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,16))) AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT n AS n_failures,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         AS weibull_shape_k,
+       round(exp(-((sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n)
+                 / ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / 1440.0, 4)
+         AS weibull_scale_days,
+       CAST(CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) > 1.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS wearout_flag
+FROM fit
+"""
+
+
+@_register("weibull_median_ranks_fit", _WEIBULL_ORACLE)
+def weibull_median_ranks_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull (shape, scale) fit by median-ranks regression over
+    order-to-ship lead times: each observed minute-level lead time gets
+    Benard's median-rank plotting position F_i = (i-0.3)/(n+0.4), and
+    OLS of y = ln(-ln(1-F_i)) on x = ln(t_i) gives shape k (slope) and
+    scale (exp(-intercept/slope)) — the graphical-estimation method
+    reliability engineers use before an MLE pass, complementing
+    kaplan_meier/nelson_aalen (non-parametric survival) with the
+    PARAMETRIC lifetime model; k > 1 reads as wear-out, k < 1 as
+    infant mortality. Ranks are exact (row_number over integer
+    minutes, deterministic ties), so both engines feed identical
+    (x, y) points into the closed-form OLS; doubles round at the end.
+    Scale shape: one global rank window (sample-able at production
+    scale), one regression aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    t = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(
+            F.expr(
+                "CAST(timestampdiff(MINUTE, o_orderdate, l_shipdate)"
+                " AS BIGINT)"
+            ).alias("tt")
+        )
+    )
+    rk = t.select(
+        "tt",
+        F.row_number().over(W.orderBy("tt")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    xy = rk.select(
+        F.expr(
+            "CAST(round(ln(CAST(tt AS DOUBLE)), 8) AS DECIMAL(18,8))"
+        ).alias("x"),
+        F.expr(
+            "CAST(round(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))), 8)"
+            " AS DECIMAL(18,8))"
+        ).alias("y"),
+    )
+    fit = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE)").alias("sy"),
+        F.expr(
+            "CAST(sum(CAST(x * x AS DECIMAL(38,16))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(sum(CAST(x * y AS DECIMAL(38,16))) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    return fit.select(
+        F.col("n").alias("n_failures"),
+        F.round(
+            F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 6
+        ).alias("weibull_shape_k"),
+        F.round(
+            F.expr(
+                "exp(-((sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx))"
+                " / n) / ((n * sxy - sx * sy) / (n * sxx - sx * sx)))"
+                " / 1440.0"
+            ),
+            4,
+        ).alias("weibull_scale_days"),
+        F.expr(
+            "CAST(CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) > 1.0"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("wearout_flag"),
+    )
+
+
+# ===========================================================================
+# Voting: Schulze beatpath method over brand preferences
+# ===========================================================================
+
+def _schulze_oracle() -> str:
+    """Unrolled Floyd-Warshall widest-path (5 candidates -> 5 relax
+    rounds); the k-th round's pivot is the k-th candidate by brand
+    order. FW output is pivot-order independent, so fixing the order
+    only pins determinism, not the result."""
+    its = []
+    prev = "p0"
+    for k in range(1, 6):
+        its.append(f"""
+p{k} AS (
+  SELECT p.a, p.b,
+         greatest(p.p, least(coalesce(x.p, 0), coalesce(y.p, 0))) AS p
+  FROM {prev} p
+  LEFT JOIN {prev} x
+    ON x.a = p.a AND x.b = (SELECT brand FROM cands WHERE rn = {k})
+  LEFT JOIN {prev} y
+    ON y.a = (SELECT brand FROM cands WHERE rn = {k}) AND y.b = p.b
+)""")
+        prev = f"p{k}"
+    its_sql = ",".join(its)
+    return f"""
+WITH byrev AS (
+  SELECT p.p_brand AS brand,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+),
+cands AS (
+  SELECT brand, row_number() OVER (ORDER BY brand) AS rn
+  FROM (SELECT brand FROM byrev ORDER BY rev DESC, brand LIMIT 5)
+),
+spend AS (
+  SELECT o.o_custkey AS cust, p.p_brand AS brand,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS s
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN cands c ON c.brand = p.p_brand
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT v.cust, c.brand, coalesce(s.s, 0) AS s
+  FROM (SELECT DISTINCT cust FROM spend) v
+  CROSS JOIN cands c
+  LEFT JOIN spend s ON s.cust = v.cust AND s.brand = c.brand
+),
+d AS (
+  SELECT ga.brand AS a, gb.brand AS b,
+         CAST(sum(CASE WHEN ga.s > gb.s THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM grid ga
+  JOIN grid gb ON gb.cust = ga.cust AND gb.brand <> ga.brand
+  GROUP BY 1, 2
+),
+p0 AS (
+  SELECT x.a, x.b, CASE WHEN x.d > y.d THEN x.d ELSE 0 END AS p
+  FROM d x JOIN d y ON y.a = x.b AND y.b = x.a
+),{its_sql}
+SELECT f.a AS candidate,
+       CAST(sum(CASE WHEN f.p > g.p THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+       CAST(row_number() OVER (
+         ORDER BY sum(CASE WHEN f.p > g.p THEN 1 ELSE 0 END) DESC, f.a)
+         AS BIGINT) AS schulze_rank
+FROM {prev} f JOIN {prev} g ON g.a = f.b AND g.b = f.a
+GROUP BY f.a
+ORDER BY schulze_rank
+"""
+
+
+@_register("schulze_beatpath_ranking", _schulze_oracle())
+def schulze_beatpath_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schulze beatpath (widest-path) election over the top-5 brands by
+    revenue: every customer is a voter whose ballot ranks the five
+    candidate brands by their spend on each (missing = 0, strict
+    preferences only), the pairwise matrix d[a][b] counts voters
+    preferring a to b, and the Schulze winner relation compares
+    STRONGEST PATHS p[a][b] (Floyd-Warshall with max/min instead of
+    min/+, 5 relax rounds over the 5x5 matrix). This is the
+    Condorcet-completion member of the preference-aggregation family
+    (copeland_condorcet_ranking does direct pairwise wins; Schulze
+    resolves its cycles via beatpaths). All counts are int64; the
+    matrix never exceeds candidates^2 rows regardless of data volume.
+    Scale shape: one (customer, brand) aggregate, a candidates^2
+    pairwise aggregate over a customer-keyed self-join, then
+    constant-size relaxation; the 5-row candidate list is collected to
+    drive the bounded pivot loop (same bounded-collect pattern as the
+    IVF probe lists)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    li = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey", "p_brand", _cents("l_extendedprice").alias("c")
+    )
+    byrev = li.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.sum("c").cast("long").alias("rev")
+    )
+    cands_rows = (
+        byrev.orderBy(F.col("rev").desc(), "brand").limit(5).collect()
+    )
+    cand_names = sorted(r["brand"] for r in cands_rows)
+    cands = spark.createDataFrame(
+        [(b, i + 1) for i, b in enumerate(cand_names)], "brand string, rn int"
+    )
+    spend = (
+        li.join(F.broadcast(cands), li["p_brand"] == cands["brand"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("cust"), "brand")
+        .agg(F.sum("c").cast("long").alias("s"))
+    )
+    voters = spend.select("cust").distinct()
+    grid = (
+        voters.crossJoin(F.broadcast(cands.select("brand")))
+        .join(spend, ["cust", "brand"], "left")
+        .select("cust", "brand", F.coalesce("s", F.lit(0)).alias("s"))
+    )
+    ga = grid.select(
+        F.col("cust").alias("cu"), F.col("brand").alias("a"), F.col("s").alias("sa")
+    )
+    gb = grid.select(
+        F.col("cust").alias("cu"), F.col("brand").alias("b"), F.col("s").alias("sb")
+    )
+    d = (
+        ga.join(gb, "cu")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.when(F.col("sa") > F.col("sb"), 1).otherwise(0))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    dr = d.select(F.col("a").alias("b"), F.col("b").alias("a"), F.col("d").alias("dr"))
+    pmat = (
+        d.join(dr, ["a", "b"])
+        .select(
+            "a",
+            "b",
+            F.when(F.col("d") > F.col("dr"), F.col("d"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for kb in cand_names:
+        x = pmat.filter(F.col("b") == kb).select(
+            F.col("a").alias("xa"), F.col("p").alias("xp")
+        )
+        y = pmat.filter(F.col("a") == kb).select(
+            F.col("b").alias("yb"), F.col("p").alias("yp")
+        )
+        pmat = (
+            pmat.join(F.broadcast(x), pmat["a"] == x["xa"], "left")
+            .join(F.broadcast(y), pmat["b"] == y["yb"], "left")
+            .select(
+                "a",
+                "b",
+                F.greatest(
+                    F.col("p"),
+                    F.least(
+                        F.coalesce("xp", F.lit(0)), F.coalesce("yp", F.lit(0))
+                    ),
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    rev = pmat.select(
+        F.col("a").alias("b"), F.col("b").alias("a"), F.col("p").alias("pr")
+    )
+    wins = (
+        pmat.join(rev, ["a", "b"])
+        .groupBy(F.col("a").alias("candidate"))
+        .agg(
+            F.sum(F.when(F.col("p") > F.col("pr"), 1).otherwise(0))
+            .cast("long")
+            .alias("wins")
+        )
+    )
+    return wins.select(
+        "candidate",
+        "wins",
+        F.row_number()
+        .over(W.orderBy(F.col("wins").desc(), "candidate"))
+        .cast("long")
+        .alias("schulze_rank"),
+    ).orderBy("schulze_rank")
+
+
+# ===========================================================================
+# Causal: synthetic control via inverse-distance donor weights
+# ===========================================================================
+
+_SYNTH_ORACLE = """
+WITH monthly AS (
+  SELECT c.c_nationkey AS nk, date_trunc('month', o.o_orderdate) AS m,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) // 100000
+              AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+months AS (
+  SELECT m, row_number() OVER (ORDER BY m) AS i, count(*) OVER () AS mm
+  FROM (SELECT DISTINCT m FROM monthly)
+),
+pre AS (SELECT m FROM months WHERE i <= (mm * 3) // 5),
+post AS (SELECT m FROM months WHERE i > (mm * 3) // 5),
+treated AS (
+  SELECT m, rev FROM monthly WHERE nk = 0
+),
+ssd AS (
+  SELECT d.nk,
+         CAST(sum((t.rev - d.rev) * (t.rev - d.rev)) AS BIGINT) AS ssd
+  FROM monthly d
+  JOIN treated t ON t.m = d.m
+  JOIN pre p ON p.m = d.m
+  WHERE d.nk <> 0
+  GROUP BY 1
+),
+inv AS (
+  SELECT nk, CAST(1000000000000 // (1000000 + ssd) AS BIGINT) AS iv
+  FROM ssd
+),
+w AS (
+  SELECT nk, CAST(1000000 * iv // (SELECT sum(iv) FROM inv) AS BIGINT)
+           AS w_ppm
+  FROM inv
+),
+synth AS (
+  SELECT d.m, CAST(sum(w.w_ppm * d.rev) // 1000000 AS BIGINT) AS synth_rev
+  FROM monthly d JOIN w ON w.nk = d.nk
+  GROUP BY 1
+)
+SELECT CAST(t.m AS DATE) AS month,
+       t.rev AS treated_rev_k,
+       s.synth_rev AS synth_rev_k,
+       t.rev - s.synth_rev AS gap_k
+FROM treated t
+JOIN synth s ON s.m = t.m
+JOIN post p ON p.m = t.m
+ORDER BY month
+"""
+
+
+@_register("synthetic_control_distance_weights", _SYNTH_ORACLE)
+def synthetic_control_distance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synthetic-control counterfactual for nation 0's monthly revenue:
+    donor nations are weighted by inverse squared pre-period distance
+    to the treated series (the deterministic distance-weighted variant
+    of Abadie's estimator — the constrained-regression weight solve is
+    replaced by w_j proportional to 1/(1+SSD_j), normalized to ppm),
+    and the post-period gap treated - synthetic is the effect read-out.
+    Complements difference_in_differences (which uses an unweighted
+    donor mean) by letting pre-period FIT pick the comparison units.
+    Revenue is bucketed to integer k$, distances/weights are bigint
+    ratios, so the whole estimator carries a value oracle. Scale
+    shape: one (nation, month) aggregate; every later frame is bounded
+    by donors x months."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CASE WHEN o_totalprice >= 0"
+                " THEN floor(o_totalprice * 100 + 0.5)"
+                " ELSE -floor(-(o_totalprice) * 100 + 0.5) END AS BIGINT))"
+                " div 100000 AS BIGINT)"
+            ).alias("rev")
+        )
+        .localCheckpoint(eager=False)
+    )
+    months = (
+        monthly.select("m")
+        .distinct()
+        .select(
+            "m",
+            F.row_number().over(W.orderBy("m")).alias("i"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("mm"),
+        )
+    )
+    pre = months.filter(F.expr("i <= (mm * 3) div 5")).select("m")
+    post = months.filter(F.expr("i > (mm * 3) div 5")).select("m")
+    treated = monthly.filter(F.col("nk") == 0).select(
+        "m", F.col("rev").alias("trev")
+    )
+    ssd = (
+        monthly.filter(F.col("nk") != 0)
+        .join(F.broadcast(treated), "m")
+        .join(F.broadcast(pre), "m")
+        .groupBy("nk")
+        .agg(
+            F.sum(F.expr("(trev - rev) * (trev - rev)"))
+            .cast("long")
+            .alias("ssd")
+        )
+    )
+    inv = ssd.select(
+        "nk", F.expr("CAST(1000000000000 div (1000000 + ssd) AS BIGINT)").alias("iv")
+    )
+    tot = inv.agg(F.sum("iv").cast("long").alias("tiv"))
+    w = inv.crossJoin(F.broadcast(tot)).select(
+        "nk", F.expr("CAST(1000000 * iv div tiv AS BIGINT)").alias("w_ppm")
+    )
+    synth = (
+        monthly.join(F.broadcast(w), "nk")
+        .groupBy("m")
+        .agg(
+            F.expr("CAST(sum(w_ppm * rev) div 1000000 AS BIGINT)").alias(
+                "synth_rev"
+            )
+        )
+    )
+    return (
+        treated.join(synth, "m")
+        .join(F.broadcast(post), "m")
+        .select(
+            F.col("m").cast("date").alias("month"),
+            F.col("trev").alias("treated_rev_k"),
+            F.col("synth_rev").alias("synth_rev_k"),
+            (F.col("trev") - F.col("synth_rev")).alias("gap_k"),
+        )
+        .orderBy("month")
+    )
+
+
+# ===========================================================================
+# Long-range dependence: rescaled-range (R/S) Hurst exponent
+# ===========================================================================
+
+_HURST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+           AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+idx AS (
+  SELECT x, row_number() OVER (ORDER BY d) AS i FROM daily
+),
+sizes AS (SELECT unnest([5, 10, 15]) AS s),
+cells AS (
+  SELECT z.s, (i.i - 1) // z.s AS b, (i.i - 1) % z.s + 1 AS k, i.x,
+         sum(i.x) OVER (PARTITION BY z.s, (i.i - 1) // z.s
+                        ORDER BY i.i) AS cumx
+  FROM idx i CROSS JOIN sizes z
+  WHERE i.i <= ((SELECT count(*) FROM idx) // z.s) * z.s
+),
+blk AS (
+  SELECT s, b, CAST(sum(x) AS BIGINT) AS sb,
+         CAST(sum(x * x) AS BIGINT) AS qb
+  FROM cells GROUP BY 1, 2
+),
+dev AS (
+  SELECT c.s, c.b, c.s * c.cumx - c.k * k.sb AS cum, k.sb, k.qb
+  FROM cells c JOIN blk k ON k.s = c.s AND k.b = c.b
+),
+rs AS (
+  SELECT s, b,
+         CAST(max(cum) - min(cum) AS DOUBLE)
+           / sqrt(CAST(max(s) * max(qb) - max(sb) * max(sb) AS DOUBLE))
+           AS rsv
+  FROM dev GROUP BY 1, 2
+),
+per AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(CAST(round(rsv, 8) AS DECIMAL(38,8))) AS DOUBLE)
+           / count(*) AS rs_mean
+  FROM rs GROUP BY 1
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(round(ln(s), 10) AS DECIMAL(38,10))) AS DOUBLE)
+           AS sx,
+         CAST(sum(CAST(round(ln(rs_mean), 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(ln(s) * ln(s), 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(ln(s) * ln(rs_mean), 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sxy
+  FROM per
+)
+SELECT p.s AS block_size,
+       p.n_blocks,
+       round(p.rs_mean, 4) AS rs_mean,
+       round((f.k * f.sxy - f.sx * f.sy)
+             / (f.k * f.sxx - f.sx * f.sx), 6) AS hurst_exponent
+FROM per p CROSS JOIN fit f
+ORDER BY p.s
+"""
+
+
+@_register("rescaled_range_hurst", _HURST_ORACLE)
+def rescaled_range_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    purchase-revenue series: for block sizes {5,10,15} the series
+    splits into consecutive blocks, each block contributes R/S =
+    (range of cumulative mean-deviations) / stddev, and H is the
+    log-log OLS slope of mean R/S against block size (H ~ 0.5 random
+    walk, > 0.5 persistent/trending, < 0.5 mean-reverting) — the
+    long-memory member of the time-series diagnostics family
+    (dickey_fuller tests a unit root at lag 1; R/S reads dependence
+    across SCALES). The inner sums stay exact: cum_k = s*CumX_k - k*S
+    is pure int64 (no mean rounding), s*Q - S^2 likewise, so each
+    block's R/S is one deterministic double; block means use
+    decimal-rounded sums. Scale shape: one daily aggregate, then
+    windows over a 30-row-per-size frame — constant beyond the scan."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CASE WHEN value >= 0"
+                " THEN floor(value * 100 + 0.5)"
+                " ELSE -floor(-(value) * 100 + 0.5) END AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    idx = daily.select(
+        "x",
+        F.row_number().over(W.orderBy("d")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nd"),
+    )
+    sizes = spark.createDataFrame([(5,), (10,), (15,)], "s int")
+    cells = (
+        idx.crossJoin(F.broadcast(sizes))
+        .filter(F.expr("i <= (nd div s) * s"))
+        .select(
+            "s",
+            F.expr("(i - 1) div s").alias("b"),
+            F.expr("(i - 1) % s + 1").alias("k"),
+            "x",
+            "i",
+        )
+    )
+    cells = cells.withColumn(
+        "cumx",
+        F.sum("x").over(W.partitionBy("s", "b").orderBy("i")),
+    )
+    blk = cells.groupBy("s", "b").agg(
+        F.sum("x").cast("long").alias("sb"),
+        F.sum(F.expr("x * x")).cast("long").alias("qb"),
+    )
+    dev = cells.join(blk, ["s", "b"]).select(
+        "s", "b", F.expr("s * cumx - k * sb").alias("cum"), "sb", "qb"
+    )
+    rs = dev.groupBy("s", "b").agg(
+        F.expr(
+            "CAST(max(cum) - min(cum) AS DOUBLE)"
+            " / sqrt(CAST(max(s) * max(qb) - max(sb) * max(sb) AS DOUBLE))"
+        ).alias("rsv")
+    )
+    per = rs.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.expr(
+            "CAST(sum(CAST(round(rsv, 8) AS DECIMAL(38,8))) AS DOUBLE)"
+            " / count(*)"
+        ).alias("rs_mean"),
+    )
+    fit = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(
+            "CAST(sum(CAST(round(ln(s), 10) AS DECIMAL(38,10))) AS DOUBLE)"
+        ).alias("sx"),
+        F.expr(
+            "CAST(sum(CAST(round(ln(rs_mean), 10) AS DECIMAL(38,10)))"
+            " AS DOUBLE)"
+        ).alias("sy"),
+        F.expr(
+            "CAST(sum(CAST(round(ln(s) * ln(s), 10) AS DECIMAL(38,10)))"
+            " AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(sum(CAST(round(ln(s) * ln(rs_mean), 10)"
+            " AS DECIMAL(38,10))) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    return (
+        per.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("s").cast("int").alias("block_size"),
+            "n_blocks",
+            F.round("rs_mean", 4).alias("rs_mean"),
+            F.round(
+                F.expr("(k * sxy - sx * sy) / (k * sxx - sx * sx)"), 6
+            ).alias("hurst_exponent"),
+        )
+        .orderBy("block_size")
+    )
+
+
+# ===========================================================================
+# Sequence alignment: LCS of daily modal-event-type sequences
+# ===========================================================================
+
+_LCS_ORACLE = """
+WITH RECURSIVE counts AS (
+  SELECT user_id % 2 AS g, CAST(ts AS DATE) AS d, event_type,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+modal AS (
+  SELECT g, d, event_type,
+         row_number() OVER (PARTITION BY g, d
+                            ORDER BY c DESC, event_type) AS rn
+  FROM counts
+),
+seqs AS (
+  SELECT max(CASE WHEN g = 0 THEN sq END) AS a,
+         max(CASE WHEN g = 1 THEN sq END) AS b
+  FROM (
+    SELECT g, list(event_type ORDER BY d) AS sq
+    FROM modal WHERE rn = 1 GROUP BY g
+  )
+),
+dims AS (SELECT a, b, len(a) AS n, len(b) AS m FROM seqs),
+rec AS (
+  SELECT 0 AS d, CAST([0] AS BIGINT[]) AS cur,
+         CAST([] AS BIGINT[]) AS prev, n, m, a, b
+  FROM dims
+  UNION ALL
+  SELECT d + 1,
+         [ CASE WHEN i = 0 OR d + 1 - i = 0 THEN CAST(0 AS BIGINT)
+                WHEN a[i] = b[d + 1 - i]
+                THEN prev[i - 1 - greatest(0, d - 1 - m) + 1] + 1
+                ELSE greatest(cur[i - 1 - greatest(0, d - m) + 1],
+                              cur[i - greatest(0, d - m) + 1])
+           END
+           for i in range(greatest(0, d + 1 - m), least(n, d + 1) + 1) ],
+         cur, n, m, a, b
+  FROM rec WHERE d < n + m
+)
+SELECT CAST(n AS BIGINT) AS n_a,
+       CAST(m AS BIGINT) AS n_b,
+       CAST(cur[1] AS BIGINT) AS lcs_len,
+       CAST(2000 * cur[1] // (n + m) AS BIGINT) AS similarity_milli
+FROM rec WHERE d = n + m
+"""
+
+
+@_register("lcs_event_type_sequences", _LCS_ORACLE)
+def lcs_event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest common subsequence between the two cohorts' daily modal
+    event-type sequences (users split by id parity; per day, each
+    cohort's most frequent event type with deterministic ties): the
+    classic O(n*m) alignment DP, run ENTIRELY inside SQL engines with
+    no procedural code — the Spark lane folds a DP row across the
+    sequence with nested higher-order aggregate() lambdas; the oracle
+    walks ANTI-DIAGONALS in a recursive CTE (cells on a diagonal
+    depend only on the previous two diagonals, so each level is one
+    data-parallel list comprehension — the same wavefront trick GPU
+    DP kernels use). Sequence length is calendar-bounded (30), so the
+    DP is constant-size; the data-sized work is the (cohort, day,
+    type) modal aggregate feeding it. Complements
+    fuzzy_join_blocked_levenshtein (edit distance on strings) and
+    dtw_alignment_distance (numeric warping) with the subsequence
+    member of the alignment family."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % 2).alias("g"),
+            F.to_date("ts").alias("d"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    modal = counts.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("g", "d").orderBy(F.col("c").desc(), "event_type")
+        ),
+    ).filter(F.col("rn") == 1)
+    seq = modal.groupBy("g").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, event_type))),"
+            " r -> r.event_type)"
+        ).alias("sq")
+    )
+    ab = seq.agg(
+        F.max(F.when(F.col("g") == 0, F.col("sq"))).alias("a"),
+        F.max(F.when(F.col("g") == 1, F.col("sq"))).alias("b"),
+    ).select("a", "b", F.size("a").alias("n"), F.size("b").alias("m"))
+    return ab.select(
+        F.col("n").cast("long").alias("n_a"),
+        F.col("m").cast("long").alias("n_b"),
+        F.expr(
+            "element_at(aggregate(a,"
+            " transform(sequence(0, m), z -> CAST(0 AS BIGINT)),"
+            " (prev, el) -> aggregate(sequence(1, m),"
+            "   array(CAST(0 AS BIGINT)),"
+            "   (nr, j) -> array_append(nr,"
+            "     IF(element_at(b, j) = el,"
+            "        element_at(prev, j) + 1,"
+            "        greatest(element_at(prev, j + 1),"
+            "                 element_at(nr, j))))))"
+            ", m + 1)"
+        ).alias("lcs_len"),
+        F.expr(
+            "CAST(2000 * element_at(aggregate(a,"
+            " transform(sequence(0, m), z -> CAST(0 AS BIGINT)),"
+            " (prev, el) -> aggregate(sequence(1, m),"
+            "   array(CAST(0 AS BIGINT)),"
+            "   (nr, j) -> array_append(nr,"
+            "     IF(element_at(b, j) = el,"
+            "        element_at(prev, j) + 1,"
+            "        greatest(element_at(prev, j + 1),"
+            "                 element_at(nr, j))))))"
+            ", m + 1) div (n + m) AS BIGINT)"
+        ).alias("similarity_milli"),
+    )
+
+
+# ===========================================================================
+# Text: TextRank keyword scores over the token co-occurrence graph
+# ===========================================================================
+
+def _textrank_oracle(iterations: int = 3) -> str:
+    """Same unrolled scaled-integer PageRank CTE ladder as q_graph's
+    _pagerank_oracle (leak formulation — the symmetrized co-occurrence
+    graph has no dangling sources), over word-adjacency edges."""
+    its = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT n2.node,
+         (15 * CAST(1000000000000 AS BIGINT)) // (100 * nn.n)
+         + (85 * coalesce(s.s, 0)) // 100 AS pr
+  FROM nodes n2 CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+             FROM edges e
+             JOIN {prev} p ON p.node = e.src
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) s ON s.node = n2.node
+)""")
+        prev = f"it{i}"
+    its_sql = ",".join(its)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     t -> length(t) >= 3) AS ts
+  FROM documents WHERE text IS NOT NULL
+),
+e0 AS (
+  SELECT DISTINCT p.g.a AS src, p.g.b AS dst
+  FROM (
+    SELECT unnest([ {{'a': ts[i], 'b': ts[i + 1]}}
+                    for i in range(1, len(ts)) ]) AS g
+    FROM toks
+  ) p
+  WHERE p.g.a <> p.g.b
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst AS src, src AS dst FROM e0
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pr0 AS (
+  SELECT node, CAST(1000000000000 AS BIGINT) // nn.n AS pr
+  FROM nodes CROSS JOIN nn
+),{its_sql}
+SELECT node AS keyword, CAST(pr AS BIGINT) AS pr FROM {prev}
+ORDER BY pr DESC, node
+LIMIT 20
+"""
+
+
+@_register("textrank_keyword_scores", _textrank_oracle())
+def textrank_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over the
+    word co-occurrence graph — vertices are corpus tokens (letters
+    only, length >= 3), edges link ADJACENT tokens within a document,
+    symmetrized and deduplicated — with the catalog's scaled-integer
+    3-iteration power method (operators/graph.pagerank_fixed_iterations,
+    'leak' treatment: symmetric graph, no dangling mass). The top-20
+    ranked tokens are the corpus keywords; unlike tfidf_top_terms
+    (frequency-contrast) and rake_keyphrase_scores (degree/frequency
+    within phrases), TextRank scores CENTRALITY in the adjacency
+    graph, the eigenvector notion the paper showed beats raw counts.
+    Scale shape: token bigrams are a narrow zip over each doc's token
+    array (no per-token shuffle); the edge list dedups with one
+    shuffle; each iteration is edge-join + dst-aggregate; vocabulary,
+    not corpus, bounds the rank vector."""
+    from nyc_taxi_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_iterations,
+    )
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.expr(
+                "filter(split(lower(text), '[^a-z]+'), t -> length(t) >= 3)"
+            ).alias("ts")
+        )
+    )
+    e0 = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                    " slice(ts, 2, greatest(size(ts) - 1, 0)),"
+                    " (x, y) -> struct(x AS src, y AS dst))"
+                )
+            ).alias("g")
+        )
+        .select("g.src", "g.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    pr = pagerank_fixed_iterations(edges, dangling="leak")
+    return (
+        pr.orderBy(F.col("pr").desc(), F.col("node"))
+        .limit(20)
+        .select(F.col("node").alias("keyword"), F.col("pr"))
+    )
+
+
+# ===========================================================================
+# Graph: bounded-depth Brandes betweenness from sampled sources
+# ===========================================================================
+
+_BETWEENNESS_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 10 = 0
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst AS src, src AS dst FROM e0
+),
+seeds AS (
+  SELECT src AS s FROM (
+    SELECT DISTINCT src FROM edges WHERE src LIKE 'c%'
+    ORDER BY src LIMIT 3
+  )
+),
+walk AS (
+  SELECT s AS seed, s AS node, 0 AS d FROM seeds
+  UNION ALL
+  SELECT w.seed, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < 4
+),
+dist AS (
+  SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2
+),
+sigma AS (
+  SELECT w.seed, w.node, t.d, CAST(count(*) AS BIGINT) AS sig
+  FROM walk w JOIN dist t ON t.seed = w.seed AND t.node = w.node
+                          AND t.d = w.d
+  GROUP BY 1, 2, 3
+),
+dag AS (
+  SELECT s1.seed, s1.node AS v, s2.node AS w2,
+         s1.sig AS sv, s2.sig AS sw
+  FROM sigma s1
+  JOIN edges e ON e.src = s1.node
+  JOIN sigma s2 ON s2.seed = s1.seed AND s2.node = e.dst
+                AND s2.d = s1.d + 1
+),
+d3 AS (
+  SELECT g.seed, g.v, CAST(sum(g.sv * 1000 // g.sw) AS BIGINT) AS delta
+  FROM dag g
+  JOIN dist t ON t.seed = g.seed AND t.node = g.v AND t.d = 3
+  GROUP BY 1, 2
+),
+d2 AS (
+  SELECT g.seed, g.v,
+         CAST(sum(g.sv * (1000 + coalesce(x.delta, 0)) // g.sw)
+              AS BIGINT) AS delta
+  FROM dag g
+  JOIN dist t ON t.seed = g.seed AND t.node = g.v AND t.d = 2
+  LEFT JOIN d3 x ON x.seed = g.seed AND x.v = g.w2
+  GROUP BY 1, 2
+),
+d1 AS (
+  SELECT g.seed, g.v,
+         CAST(sum(g.sv * (1000 + coalesce(x.delta, 0)) // g.sw)
+              AS BIGINT) AS delta
+  FROM dag g
+  JOIN dist t ON t.seed = g.seed AND t.node = g.v AND t.d = 1
+  LEFT JOIN d2 x ON x.seed = g.seed AND x.v = g.w2
+  GROUP BY 1, 2
+),
+alldelta AS (
+  SELECT seed, v, delta FROM d1
+  UNION ALL SELECT seed, v, delta FROM d2
+  UNION ALL SELECT seed, v, delta FROM d3
+)
+SELECT v AS node, CAST(sum(delta) AS BIGINT) AS bc_milli
+FROM alldelta
+GROUP BY v
+ORDER BY bc_milli DESC, node
+LIMIT 15
+"""
+
+
+@_register("betweenness_sampled_sources", _BETWEENNESS_ORACLE)
+def betweenness_sampled_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source, depth-bounded Brandes betweenness centrality over
+    the thinned customer<->supplier graph: from 3 deterministic seed
+    sources, a BFS computes distance AND shortest-path counts sigma,
+    then dependencies accumulate BACKWARD down the shortest-path DAG
+    (delta(v) = sum over DAG successors w of sigma_v/sigma_w *
+    (1 + delta(w)), here in milli-units with per-edge floor division
+    so both engines sum identical bigints). This is Brandes'
+    algorithm as published — the sampling (pivot sources) and the
+    depth cap (4) are the standard approximations that make
+    betweenness tractable at graph scale, and they're what a
+    1000-executor run would ship. The oracle enumerates shortest
+    paths by bounded-depth walk recursion (sigma = count of minimal-
+    depth walk rows — UNION ALL recursion counts paths for free);
+    the Spark lane aggregates sigma level-by-level instead (one
+    frontier join + sum per level, never materializing paths), so the
+    two lanes are genuinely independent implementations of the same
+    quantity. Completes the centrality family: degree/pagerank/katz/
+    HITS measure connection mass, betweenness measures BROKERAGE.
+    Scale shape: 5 bounded frontier joins forward, 3 backward, each
+    shuffling on node keys; localCheckpoint per level."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        edges.filter(F.col("src").startswith("c"))
+        .select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(3)
+        .select(F.col("src").alias("seed"))
+    )
+    # forward: per-level frontier carrying (seed, node, sigma); visited set
+    # keeps only the FIRST (minimal) level per (seed, node)
+    frontier = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(1).cast("long").alias("sig")
+    ).localCheckpoint(eager=False)
+    levels = [frontier.withColumn("d", F.lit(0))]
+    visited = frontier.select("seed", "node").localCheckpoint(eager=False)
+    for depth in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .groupBy("seed", F.col("dst").alias("node2"))
+            .agg(F.sum("sig").alias("sig"))
+            .withColumnRenamed("node2", "node")
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        levels.append(nxt.withColumn("d", F.lit(depth)))
+        visited = visited.unionByName(nxt.select("seed", "node")).localCheckpoint(
+            eager=False
+        )
+        frontier = nxt
+    sigma = levels[0]
+    for lv in levels[1:]:
+        sigma = sigma.unionByName(lv)
+    sigma = sigma.localCheckpoint(eager=False)
+    sv = sigma.select("seed", F.col("node").alias("v"), "sig", "d")
+    sw = sigma.select(
+        "seed",
+        F.col("node").alias("w2"),
+        F.col("sig").alias("sigw"),
+        F.col("d").alias("dw"),
+    )
+    dag = (
+        sv.join(edges, sv["v"] == edges["src"])
+        .join(
+            sw,
+            (sv["seed"] == sw["seed"])
+            & (edges["dst"] == sw["w2"])
+            & (sw["dw"] == sv["d"] + 1),
+        )
+        .select(sv["seed"], "v", "d", "w2", "sig", "sigw")
+        .localCheckpoint(eager=False)
+    )
+    delta = None
+    for depth in (3, 2, 1):
+        lvl = dag.filter(F.col("d") == depth)
+        if delta is None:
+            cur = lvl.groupBy("seed", "v").agg(
+                F.sum(F.expr("sig * 1000 div sigw")).cast("long").alias("delta")
+            )
+        else:
+            dl = delta.select(
+                F.col("seed").alias("sd"),
+                F.col("v").alias("dv"),
+                F.col("delta").alias("dnext"),
+            )
+            cur = (
+                lvl.join(
+                    dl,
+                    (lvl["seed"] == dl["sd"]) & (lvl["w2"] == dl["dv"]),
+                    "left",
+                )
+                .groupBy("seed", "v")
+                .agg(
+                    F.sum(
+                        F.expr("sig * (1000 + coalesce(dnext, 0)) div sigw")
+                    )
+                    .cast("long")
+                    .alias("delta")
+                )
+            )
+        cur = cur.localCheckpoint(eager=False)
+        allcur = cur if depth == 3 else allcur.unionByName(cur)
+        delta = cur
+    return (
+        allcur.groupBy(F.col("v").alias("node"))
+        .agg(F.sum("delta").cast("long").alias("bc_milli"))
+        .orderBy(F.col("bc_milli").desc(), "node")
+        .limit(15)
+    )
