@@ -658,17 +658,18 @@ rk AS (
   FROM t
 ),
 xy AS (
-  SELECT CAST(round(ln(CAST(tt AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
-         CAST(round(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))), 8)
-              AS DECIMAL(18,8)) AS y
+  SELECT round(ln(CAST(tt AS DOUBLE)), 8) AS x,
+         round(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))), 8) AS y
   FROM rk
 ),
 fit AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
          CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(x * x AS DECIMAL(38,16))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(x * y AS DECIMAL(38,16))) AS DOUBLE) AS sxy
+         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sxx,
+         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sxy
   FROM xy
 )
 SELECT n AS n_failures,
@@ -716,23 +717,18 @@ def weibull_median_ranks_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
     )
     xy = rk.select(
-        F.expr(
-            "CAST(round(ln(CAST(tt AS DOUBLE)), 8) AS DECIMAL(18,8))"
-        ).alias("x"),
-        F.expr(
-            "CAST(round(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))), 8)"
-            " AS DECIMAL(18,8))"
-        ).alias("y"),
+        F.expr("round(ln(CAST(tt AS DOUBLE)), 8)").alias("x"),
+        F.expr("round(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))), 8)").alias("y"),
     )
     fit = xy.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.expr("CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE)").alias("sx"),
         F.expr("CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE)").alias("sy"),
         F.expr(
-            "CAST(sum(CAST(x * x AS DECIMAL(38,16))) AS DOUBLE)"
+            "CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)"
         ).alias("sxx"),
         F.expr(
-            "CAST(sum(CAST(x * y AS DECIMAL(38,16))) AS DOUBLE)"
+            "CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)"
         ).alias("sxy"),
     )
     return fit.select(
@@ -768,7 +764,7 @@ def _schulze_oracle() -> str:
     prev = "p0"
     for k in range(1, 6):
         its.append(f"""
-p{k} AS (
+p{k} AS MATERIALIZED (
   SELECT p.a, p.b,
          greatest(p.p, least(coalesce(x.p, 0), coalesce(y.p, 0))) AS p
   FROM {prev} p
@@ -787,11 +783,11 @@ WITH byrev AS (
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
   GROUP BY 1
 ),
-cands AS (
+cands AS MATERIALIZED (
   SELECT brand, row_number() OVER (ORDER BY brand) AS rn
   FROM (SELECT brand FROM byrev ORDER BY rev DESC, brand LIMIT 5)
 ),
-spend AS (
+spend AS MATERIALIZED (
   SELECT o.o_custkey AS cust, p.p_brand AS brand,
          CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
               AS BIGINT) AS s
@@ -801,20 +797,20 @@ spend AS (
   JOIN cands c ON c.brand = p.p_brand
   GROUP BY 1, 2
 ),
-grid AS (
+grid AS MATERIALIZED (
   SELECT v.cust, c.brand, coalesce(s.s, 0) AS s
   FROM (SELECT DISTINCT cust FROM spend) v
   CROSS JOIN cands c
   LEFT JOIN spend s ON s.cust = v.cust AND s.brand = c.brand
 ),
-d AS (
+d AS MATERIALIZED (
   SELECT ga.brand AS a, gb.brand AS b,
          CAST(sum(CASE WHEN ga.s > gb.s THEN 1 ELSE 0 END) AS BIGINT) AS d
   FROM grid ga
   JOIN grid gb ON gb.cust = ga.cust AND gb.brand <> ga.brand
   GROUP BY 1, 2
 ),
-p0 AS (
+p0 AS MATERIALIZED (
   SELECT x.a, x.b, CASE WHEN x.d > y.d THEN x.d ELSE 0 END AS p
   FROM d x JOIN d y ON y.a = x.b AND y.b = x.a
 ),{its_sql}
@@ -1522,16 +1518,16 @@ walk AS (
   FROM walk w JOIN edges e ON e.src = w.node
   WHERE w.d < 4
 ),
-dist AS (
+dist AS MATERIALIZED (
   SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2
 ),
-sigma AS (
+sigma AS MATERIALIZED (
   SELECT w.seed, w.node, t.d, CAST(count(*) AS BIGINT) AS sig
   FROM walk w JOIN dist t ON t.seed = w.seed AND t.node = w.node
                           AND t.d = w.d
   GROUP BY 1, 2, 3
 ),
-dag AS (
+dag AS MATERIALIZED (
   SELECT s1.seed, s1.node AS v, s2.node AS w2,
          s1.sig AS sv, s2.sig AS sw
   FROM sigma s1
@@ -1539,13 +1535,13 @@ dag AS (
   JOIN sigma s2 ON s2.seed = s1.seed AND s2.node = e.dst
                 AND s2.d = s1.d + 1
 ),
-d3 AS (
+d3 AS MATERIALIZED (
   SELECT g.seed, g.v, CAST(sum(g.sv * 1000 // g.sw) AS BIGINT) AS delta
   FROM dag g
   JOIN dist t ON t.seed = g.seed AND t.node = g.v AND t.d = 3
   GROUP BY 1, 2
 ),
-d2 AS (
+d2 AS MATERIALIZED (
   SELECT g.seed, g.v,
          CAST(sum(g.sv * (1000 + coalesce(x.delta, 0)) // g.sw)
               AS BIGINT) AS delta
@@ -1554,7 +1550,7 @@ d2 AS (
   LEFT JOIN d3 x ON x.seed = g.seed AND x.v = g.w2
   GROUP BY 1, 2
 ),
-d1 AS (
+d1 AS MATERIALIZED (
   SELECT g.seed, g.v,
          CAST(sum(g.sv * (1000 + coalesce(x.delta, 0)) // g.sw)
               AS BIGINT) AS delta
@@ -1703,4 +1699,166 @@ def betweenness_sampled_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("delta").cast("long").alias("bc_milli"))
         .orderBy(F.col("bc_milli").desc(), "node")
         .limit(15)
+    )
+
+
+# ===========================================================================
+# Graph: distributed greedy maximal matching (local-minimum rounds)
+# ===========================================================================
+
+def _matching_oracle(rounds: int = 3) -> str:
+    """Unrolled local-min matching rounds. An edge joins the matching
+    when its (priority, src, dst) tuple is rank-1 inside BOTH endpoint
+    neighborhoods — two selected edges can never share an endpoint
+    (the shared endpoint's rank-1 edge is unique), so each round adds
+    an independent edge set, exactly Luby-style symmetry breaking with
+    a deterministic md5 priority instead of randomness."""
+    blocks = []
+    prev = "e1"
+    sels = []
+    for r in range(1, rounds + 1):
+        sels.append(f"m{r}")
+        nxt = f"e{r + 1}"
+        blocks.append(f"""
+m{r} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY h, src, dst)
+             AS rs,
+           row_number() OVER (PARTITION BY dst ORDER BY h, src, dst)
+             AS rd
+    FROM {prev}
+  ) WHERE rs = 1 AND rd = 1
+),
+v{r} AS MATERIALIZED (
+  SELECT src AS v FROM m{r} UNION SELECT dst AS v FROM m{r}
+),
+{nxt} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.h FROM {prev} e
+  WHERE NOT EXISTS (SELECT 1 FROM v{r} x WHERE x.v = e.src)
+    AND NOT EXISTS (SELECT 1 FROM v{r} y WHERE y.v = e.dst)
+)""")
+        prev = nxt
+    blocks_sql = ",".join(blocks)
+    per_round = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, CAST(count(*) AS BIGINT) AS matched FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 10 = 0
+),
+e1 AS MATERIALIZED (
+  SELECT src, dst,
+         CAST('0x' || substr(md5(src || '|' || dst), 1, 15) AS BIGINT)
+           AS h
+  FROM e0
+),
+{blocks_sql},
+rounds AS ({per_round}),
+finalstate AS (
+  SELECT CAST(count(*) AS BIGINT) AS remaining FROM {prev}
+)
+SELECT r.rnd AS round,
+       r.matched AS matched_in_round,
+       CAST(sum(r.matched) OVER (ORDER BY r.rnd) AS BIGINT)
+         AS matched_cumulative,
+       f.remaining AS edges_left_after_all
+FROM rounds r CROSS JOIN finalstate f
+ORDER BY r.rnd
+"""
+
+
+@_register("greedy_maximal_matching_rounds", _matching_oracle())
+def greedy_maximal_matching_rounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed greedy maximal matching on the thinned
+    customer-supplier bipartite graph, 3 local-minimum rounds: every
+    edge gets a deterministic md5 priority, a round selects each edge
+    that is rank-1 within BOTH its endpoints' neighborhoods (such
+    edges are pairwise non-adjacent — Luby-style symmetry breaking
+    with hashes in place of coins, the textbook MIS/matching recipe
+    for vertex-centric systems), matched vertices drop out, repeat.
+    Complements stable_matching_assortative (preference-list
+    matching) with the independent-set flavor a cluster actually
+    runs: each round is two rank windows + two anti-joins, no
+    sequential augmenting paths. Reports per-round matched counts
+    and the leftover edge count (maximality progress). All values
+    are exact bigints via the cross-engine md5 priority lane. Scale
+    shape: per-round cost is two node-keyed windows over the live
+    edge set, which shrinks geometrically in expectation."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    e = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "CAST(conv(substr(md5(src || '|' || dst), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_round = []
+    for rnd in range(1, 4):
+        ranked = e.select(
+            "src",
+            "dst",
+            "h",
+            F.row_number()
+            .over(W.partitionBy("src").orderBy("h", "src", "dst"))
+            .alias("rs"),
+            F.row_number()
+            .over(W.partitionBy("dst").orderBy("h", "src", "dst"))
+            .alias("rd"),
+        )
+        m = (
+            ranked.filter((F.col("rs") == 1) & (F.col("rd") == 1))
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        per_round.append(
+            m.agg(F.count(F.lit(1)).cast("long").alias("matched")).select(
+                F.lit(rnd).cast("long").alias("round"), "matched"
+            )
+        )
+        v = (
+            m.select(F.col("src").alias("v"))
+            .unionByName(m.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        e = (
+            e.join(v.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(v.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .select("src", "dst", "h")
+            .localCheckpoint(eager=False)
+        )
+    rounds = per_round[0]
+    for pr in per_round[1:]:
+        rounds = rounds.unionByName(pr)
+    remaining = e.agg(F.count(F.lit(1)).cast("long").alias("remaining"))
+    return (
+        rounds.crossJoin(F.broadcast(remaining))
+        .select(
+            "round",
+            F.col("matched").alias("matched_in_round"),
+            F.sum("matched")
+            .over(W.orderBy("round"))
+            .cast("long")
+            .alias("matched_cumulative"),
+            F.col("remaining").alias("edges_left_after_all"),
+        )
+        .orderBy("round")
     )
