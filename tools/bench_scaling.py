@@ -322,6 +322,21 @@ ENTRIES = [
     "cross_validation_kfold",
     "xbar_r_control_chart",
     "weighted_interval_scheduling",
+    # round-6 wave 21 (every new entry, per the keep-scaling-honest rule)
+    "dhondt_seat_apportionment",
+    "p_chart_attribute_control",
+    "quality_classifier_logreg_apply",
+    "bartlett_variance_homogeneity",
+    "taylors_law_powerfit",
+    "pot_gpd_moment_fit",
+    "weibull_median_ranks_fit",
+    "schulze_beatpath_ranking",
+    "synthetic_control_distance_weights",
+    "rescaled_range_hurst",
+    "lcs_event_type_sequences",
+    "textrank_keyword_scores",
+    "betweenness_sampled_sources",
+    "greedy_maximal_matching_rounds",
 ]
 
 
