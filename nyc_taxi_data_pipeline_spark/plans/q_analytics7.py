@@ -1862,3 +1862,835 @@ def greedy_maximal_matching_rounds(
         )
         .orderBy("round")
     )
+
+
+# ===========================================================================
+# Graph: all-pairs shortest paths by min-plus matrix doubling
+# ===========================================================================
+
+_APSP_ORACLE = """
+WITH lead AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+           AS days
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE l.l_shipdate > o.o_orderdate
+),
+d0e AS (
+  SELECT src, dst, CAST(sum(days) // count(*) AS BIGINT) AS w
+  FROM lead WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT src AS v FROM d0e UNION SELECT dst AS v FROM d0e
+),
+d0 AS MATERIALIZED (
+  SELECT src, dst, w FROM d0e
+  UNION ALL
+  SELECT v, v, CAST(0 AS BIGINT) FROM nodes
+),
+d1 AS MATERIALIZED (
+  SELECT a.src, b.dst, CAST(min(a.w + b.w) AS BIGINT) AS w
+  FROM d0 a JOIN d0 b ON b.src = a.dst GROUP BY 1, 2
+),
+d2 AS MATERIALIZED (
+  SELECT a.src, b.dst, CAST(min(a.w + b.w) AS BIGINT) AS w
+  FROM d1 a JOIN d1 b ON b.src = a.dst GROUP BY 1, 2
+),
+d3 AS MATERIALIZED (
+  SELECT a.src, b.dst, CAST(min(a.w + b.w) AS BIGINT) AS w
+  FROM d2 a JOIN d2 b ON b.src = a.dst GROUP BY 1, 2
+)
+SELECT CAST(src AS BIGINT) AS src_nation,
+       CAST(dst AS BIGINT) AS dst_nation,
+       w AS dist_days
+FROM d3 WHERE src <> dst
+ORDER BY dist_days DESC, src_nation, dst_nation
+LIMIT 10
+"""
+
+
+@_register("apsp_min_plus_doubling", _APSP_ORACLE)
+def apsp_min_plus_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs shortest paths over the nation-level trade network by
+    MIN-PLUS MATRIX DOUBLING: edge weight = average supplier-to-customer
+    lead time (integer floor-div days), then three squarings of the
+    distance matrix in the (min, +) semiring give exact shortest paths
+    up to 8 hops — log-many rounds instead of the |V| rounds of the
+    per-source frontier walk (sssp_weighted_frontier) and the V^3
+    sequential pivots of Floyd-Warshall. Doubling is THE repeated-
+    squaring trick for bulk-synchronous engines: each squaring is one
+    self-join + min-aggregate on a |V|^2-bounded matrix. Output: the
+    10 most-distant nation pairs. All arithmetic int64. Scale shape:
+    the data-sized work is the one lead-time aggregate; the matrix is
+    nation-bounded (25x25) no matter the corpus."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    lead = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+        )
+    )
+    d0e = (
+        lead.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.expr("CAST(sum(days) div count(*) AS BIGINT)").alias("w"))
+    )
+    nodes = (
+        d0e.select(F.col("src").alias("v"))
+        .unionByName(d0e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    d = d0e.unionByName(
+        nodes.select(
+            F.col("v").alias("src"),
+            F.col("v").alias("dst"),
+            F.lit(0).cast("long").alias("w"),
+        )
+    ).localCheckpoint(eager=False)
+    for _ in range(3):
+        a = d.select(F.col("src"), F.col("dst").alias("mid"), F.col("w").alias("wa"))
+        b = d.select(F.col("src").alias("mid"), F.col("dst"), F.col("w").alias("wb"))
+        d = (
+            a.join(b, "mid")
+            .groupBy("src", "dst")
+            .agg(F.min(F.expr("wa + wb")).cast("long").alias("w"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        d.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.col("src").cast("long").alias("src_nation"),
+            F.col("dst").cast("long").alias("dst_nation"),
+            F.col("w").alias("dist_days"),
+        )
+        .orderBy(F.col("dist_days").desc(), "src_nation", "dst_nation")
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Inequality: Theil T and Atkinson(1) by region
+# ===========================================================================
+
+_INEQ_ORACLE = """
+WITH spend AS (
+  SELECT o.o_custkey AS cust,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders o GROUP BY 1
+),
+tagged AS (
+  SELECT r.r_name AS region, s.x
+  FROM spend s
+  JOIN customer c ON c.c_custkey = s.cust
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE s.x > 0
+),
+g AS (
+  SELECT region,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(ln(CAST(x AS DOUBLE)), 8) AS DECIMAL(38,8)))
+              AS DOUBLE) AS slnx,
+         CAST(sum(CAST(round(x * ln(CAST(x AS DOUBLE)), 2)
+                       AS DECIMAL(38,2))) AS DOUBLE) AS sxlnx
+  FROM tagged GROUP BY region
+)
+SELECT region, n,
+       CAST(sx // n AS BIGINT) AS mean_cents,
+       round(sxlnx / sx - ln(CAST(sx AS DOUBLE) / n), 6) AS theil_t,
+       round(1.0 - exp(slnx / n) / (CAST(sx AS DOUBLE) / n), 6)
+         AS atkinson_1
+FROM g
+ORDER BY region
+"""
+
+
+@_register("inequality_indices_panel", _INEQ_ORACLE)
+def inequality_indices_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region inequality panel over customer lifetime spend: Theil T
+    (entropy-based, T = sum(x/Nmu * ln(x/mu)) = sum(x ln x)/sum(x) -
+    ln(mu)) and Atkinson(1) (1 - geometric/arithmetic mean ratio) —
+    the two WELFARE-theoretic members of the concentration family the
+    catalog already measures positionally (lorenz_curve_deciles, gini,
+    hoover_index_by_region, herfindahl): Theil decomposes additively,
+    Atkinson has an explicit inequality-aversion parameter. Both
+    reduce to three mergeable sums (x, ln x, x ln x), the log terms
+    decimal-rounded so partial-aggregation order cannot drift the
+    doubles. Scale shape: one per-customer aggregate, one region
+    rollup — canonical map-side-combine work."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    spend = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(
+            F.expr(
+                "CAST(CASE WHEN o_totalprice >= 0"
+                " THEN floor(o_totalprice * 100 + 0.5)"
+                " ELSE -floor(-(o_totalprice) * 100 + 0.5) END AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("x")
+    )
+    tagged = (
+        spend.filter(F.col("x") > 0)
+        .join(c, spend["cust"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(F.col("r_name").alias("region"), "x")
+    )
+    g = tagged.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.expr(
+            "CAST(sum(CAST(round(ln(CAST(x AS DOUBLE)), 8) AS DECIMAL(38,8)))"
+            " AS DOUBLE)"
+        ).alias("slnx"),
+        F.expr(
+            "CAST(sum(CAST(round(x * ln(CAST(x AS DOUBLE)), 2)"
+            " AS DECIMAL(38,2))) AS DOUBLE)"
+        ).alias("sxlnx"),
+    )
+    return g.select(
+        "region",
+        "n",
+        F.expr("CAST(sx div n AS BIGINT)").alias("mean_cents"),
+        F.round(
+            F.expr("sxlnx / sx - ln(CAST(sx AS DOUBLE) / n)"), 6
+        ).alias("theil_t"),
+        F.round(
+            F.expr("1.0 - exp(slnx / n) / (CAST(sx AS DOUBLE) / n)"), 6
+        ).alias("atkinson_1"),
+    ).orderBy("region")
+
+
+# ===========================================================================
+# Complexity: Bandt-Pompe permutation entropy of the daily series
+# ===========================================================================
+
+_PERMENT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+seq AS (
+  SELECT x,
+         lead(x, 1) OVER (ORDER BY d) AS y,
+         lead(x, 2) OVER (ORDER BY d) AS z
+  FROM daily
+),
+pat AS (
+  SELECT CAST(4 * (CASE WHEN x <= y THEN 1 ELSE 0 END)
+              + 2 * (CASE WHEN y <= z THEN 1 ELSE 0 END)
+              + (CASE WHEN x <= z THEN 1 ELSE 0 END) AS BIGINT)
+           AS pattern_id
+  FROM seq WHERE y IS NOT NULL AND z IS NOT NULL
+),
+cnt AS (
+  SELECT pattern_id, CAST(count(*) AS BIGINT) AS c FROM pat GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+h AS (
+  SELECT CAST(sum(CAST(round(
+           -1.0 * c * ln(CAST(c AS DOUBLE) / t.n), 8)
+           AS DECIMAL(38,8))) AS DOUBLE) / max(t.n) AS hval
+  FROM cnt CROSS JOIN tot t
+)
+SELECT c.pattern_id, c.c AS n_windows,
+       CAST(1000 * c.c // t.n AS BIGINT) AS p_milli,
+       round(h.hval, 6) AS perm_entropy_nats,
+       round(h.hval / ln(6.0), 6) AS perm_entropy_norm
+FROM cnt c CROSS JOIN tot t CROSS JOIN h
+ORDER BY c.pattern_id
+"""
+
+
+@_register("permutation_entropy_ordinal", _PERMENT_ORACLE)
+def permutation_entropy_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandt-Pompe permutation entropy of the daily purchase-revenue
+    series: every 3-day window maps to its ORDINAL PATTERN (the rank
+    ordering of the three values, ties resolved to earlier-index-
+    smaller via <= comparisons — encoded as the 3-bit comparison
+    vector, 6 of 8 codes realizable), and the Shannon entropy of the
+    pattern distribution, normalized by ln(3!), measures series
+    complexity robustly to monotone transforms — the ordinal member
+    of the complexity family (lz78_phrase_complexity is symbolic,
+    sample/approx entropy metric). Patterns come from two lead()
+    windows; entropy terms are exact-count ratios decimal-rounded
+    before the 6-term sum. Scale shape: one daily aggregate, one
+    6-row pattern rollup."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CASE WHEN value >= 0"
+                    " THEN floor(value * 100 + 0.5)"
+                    " ELSE -floor(-(value) * 100 + 0.5) END AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w = W.orderBy("d")
+    seq = daily.select(
+        "x",
+        F.lead("x", 1).over(w).alias("y"),
+        F.lead("x", 2).over(w).alias("z"),
+    )
+    pat = seq.filter(
+        F.col("y").isNotNull() & F.col("z").isNotNull()
+    ).select(
+        F.expr(
+            "CAST(4 * (CASE WHEN x <= y THEN 1 ELSE 0 END)"
+            " + 2 * (CASE WHEN y <= z THEN 1 ELSE 0 END)"
+            " + (CASE WHEN x <= z THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("pattern_id")
+    )
+    cnt = pat.groupBy("pattern_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    h = (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.expr(
+                    "CAST(sum(CAST(round("
+                    "-1.0 * c * ln(CAST(c AS DOUBLE) / n), 8)"
+                    " AS DECIMAL(38,8))) AS DOUBLE)"
+                )
+                / F.max("n")
+            ).alias("hval")
+        )
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "pattern_id",
+            F.col("c").alias("n_windows"),
+            F.expr("CAST(1000 * c div n AS BIGINT)").alias("p_milli"),
+            F.round("hval", 6).alias("perm_entropy_nats"),
+            F.round(F.expr("hval / ln(6.0)"), 6).alias("perm_entropy_norm"),
+        )
+        .orderBy("pattern_id")
+    )
+
+
+# ===========================================================================
+# Complexity: sample entropy (SampEn) of the daily series
+# ===========================================================================
+
+_SAMPEN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+           AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+idx AS (
+  SELECT x, row_number() OVER (ORDER BY d) AS i,
+         lead(x, 1) OVER (ORDER BY d) AS x1,
+         lead(x, 2) OVER (ORDER BY d) AS x2
+  FROM daily
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM idx
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         greatest((a.x - b.x) * (a.x - b.x),
+                  (a.x1 - b.x1) * (a.x1 - b.x1)) AS d2m,
+         greatest((a.x - b.x) * (a.x - b.x),
+                  (a.x1 - b.x1) * (a.x1 - b.x1),
+                  (a.x2 - b.x2) * (a.x2 - b.x2)) AS d2m1
+  FROM idx a JOIN idx b ON b.i > a.i
+  WHERE a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+),
+cmp AS (
+  SELECT CAST(sum(CASE WHEN 4 * s.n * s.n * p.d2m
+                            <= s.n * s.q - s.s * s.s
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN 4 * s.n * s.n * p.d2m1
+                            <= s.n * s.q - s.s * s.s
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM pairs p CROSS JOIN stats s
+)
+SELECT s.n AS n_days, c.b AS template_m2_matches,
+       c.a AS template_m3_matches,
+       CASE WHEN c.a > 0
+            THEN round(ln(CAST(c.b AS DOUBLE) / c.a), 6) END AS sampen,
+       CAST(CASE WHEN c.a = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS undefined_flag
+FROM cmp c CROSS JOIN stats s
+"""
+
+
+@_register("sample_entropy_daily", _SAMPEN_ORACLE)
+def sample_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy SampEn(m=2, r=0.5*sigma) of the daily purchase
+    revenue series: count template pairs matching within Chebyshev
+    tolerance r at length 2 (B) and length 3 (A); SampEn = ln(B/A) —
+    low values mean new points are predictable from history, high
+    values mean irregularity. The tolerance test stays EXACT by
+    comparing squared distances against the exact variance with
+    cleared denominators (4*n^2*d2 <= n*q - s^2 is the integer form
+    of d <= 0.5*sigma), so A and B are bit-identical bigints in both
+    engines and only the final log ratio is a double. The pairwise
+    template join is calendar-bounded (30x30), never data-sized —
+    the metric-entropy member of the complexity family next to the
+    ordinal permutation entropy. Scale shape: one daily aggregate,
+    one bounded self-join."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CASE WHEN value >= 0"
+                " THEN floor(value * 100 + 0.5)"
+                " ELSE -floor(-(value) * 100 + 0.5) END AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    w = W.orderBy("d")
+    idx = daily.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+    ).localCheckpoint(eager=False)
+    stats = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.expr("x * x")).cast("long").alias("q"),
+    )
+    a = idx.select(
+        F.col("i").alias("ia"),
+        F.col("x").alias("ax"),
+        F.col("x1").alias("ax1"),
+        F.col("x2").alias("ax2"),
+    )
+    b = idx.select(
+        F.col("i").alias("ib"),
+        F.col("x").alias("bx"),
+        F.col("x1").alias("bx1"),
+        F.col("x2").alias("bx2"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(
+            (F.col("ib") > F.col("ia"))
+            & F.col("ax2").isNotNull()
+            & F.col("bx2").isNotNull()
+        )
+        .select(
+            F.expr(
+                "greatest((ax - bx) * (ax - bx),"
+                " (ax1 - bx1) * (ax1 - bx1))"
+            ).alias("d2m"),
+            F.expr(
+                "greatest((ax - bx) * (ax - bx),"
+                " (ax1 - bx1) * (ax1 - bx1),"
+                " (ax2 - bx2) * (ax2 - bx2))"
+            ).alias("d2m1"),
+        )
+    )
+    cmp = pairs.crossJoin(F.broadcast(stats)).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN 4 * n * n * d2m <= n * q - s * s"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.expr(
+                "CASE WHEN 4 * n * n * d2m1 <= n * q - s * s"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("a"),
+    )
+    return cmp.crossJoin(F.broadcast(stats)).select(
+        F.col("n").alias("n_days"),
+        F.col("b").alias("template_m2_matches"),
+        F.col("a").alias("template_m3_matches"),
+        F.expr(
+            "CASE WHEN a > 0"
+            " THEN round(ln(CAST(b AS DOUBLE) / a), 6) END"
+        ).alias("sampen"),
+        F.expr("CAST(CASE WHEN a = 0 THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "undefined_flag"
+        ),
+    )
+
+
+# ===========================================================================
+# Dependence: lagged mutual information between two daily series
+# ===========================================================================
+
+_LAGMI_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+),
+binned AS (
+  SELECT d,
+         CAST(ntile(3) OVER (ORDER BY clicks, d) AS BIGINT) AS cb,
+         CAST(ntile(3) OVER (ORDER BY rev, d) AS BIGINT) AS rb
+  FROM daily
+),
+lags AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+pairs AS MATERIALIZED (
+  SELECT l.lag, a.cb, b.rb
+  FROM binned a
+  JOIN lags l ON TRUE
+  JOIN binned b ON b.d = a.d + l.lag * INTERVAL '1 day'
+),
+joint AS MATERIALIZED (
+  SELECT lag, cb, rb, CAST(count(*) AS BIGINT) AS nxy
+  FROM pairs GROUP BY 1, 2, 3
+),
+tot AS (SELECT lag, CAST(sum(nxy) AS BIGINT) AS n FROM joint GROUP BY 1),
+marg AS MATERIALIZED (
+  SELECT lag, cb, rb, nxy,
+         sum(nxy) OVER (PARTITION BY lag, cb) AS nx,
+         sum(nxy) OVER (PARTITION BY lag, rb) AS ny
+  FROM joint
+),
+mi AS (
+  SELECT m.lag,
+         CAST(sum(CAST(round(
+           m.nxy * ln(CAST(m.nxy AS DOUBLE) * t.n / (m.nx * m.ny)), 8)
+           AS DECIMAL(38,8))) AS DOUBLE) / max(t.n) AS mival
+  FROM marg m JOIN tot t ON t.lag = m.lag
+  GROUP BY m.lag
+)
+SELECT m.lag, t.n AS n_pairs, round(m.mival, 6) AS mi_nats
+FROM mi m JOIN tot t ON t.lag = m.lag
+ORDER BY m.lag
+"""
+
+
+@_register("lagged_mutual_information", _LAGMI_ORACLE)
+def lagged_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between daily click volume and daily purchase
+    revenue at lags 0-3 days: both series are tertile-binned (rank-
+    based ntile with deterministic day tie-breaks), joint/marginal
+    counts come from one aligned self-join per lag, and MI =
+    sum p(x,y) ln(p(x,y)/(p(x)p(y))) reads NONLINEAR dependence where
+    lead_lag_cross_correlation reads only linear — an MI that stays
+    high while correlation is flat flags a nonlinear lead-lag
+    coupling. All counts are exact bigints; each <=9-cell MI sum is
+    decimal-rounded before summing. Scale shape: one daily aggregate;
+    everything after is bounded by 4 lags x 9 cells."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("clicks"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(
+                        "CAST(CASE WHEN value >= 0"
+                        " THEN floor(value * 100 + 0.5)"
+                        " ELSE -floor(-(value) * 100 + 0.5) END AS BIGINT)"
+                    ),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rev"),
+        )
+    )
+    binned = daily.select(
+        "d",
+        F.ntile(3).over(W.orderBy("clicks", "d")).cast("long").alias("cb"),
+        F.ntile(3).over(W.orderBy("rev", "d")).cast("long").alias("rb"),
+    ).localCheckpoint(eager=False)
+    lags = spark.createDataFrame([(0,), (1,), (2,), (3,)], "lag int")
+    a = binned.select(F.col("d").alias("da"), "cb")
+    b = binned.select(F.col("d").alias("db"), "rb")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.expr("db = date_add(da, lag)"),
+        )
+        .select("lag", "cb", "rb")
+    )
+    joint = pairs.groupBy("lag", "cb", "rb").agg(
+        F.count(F.lit(1)).cast("long").alias("nxy")
+    )
+    tot = joint.groupBy("lag").agg(F.sum("nxy").cast("long").alias("n"))
+    marg = joint.select(
+        "lag",
+        "cb",
+        "rb",
+        "nxy",
+        F.sum("nxy").over(W.partitionBy("lag", "cb")).alias("nx"),
+        F.sum("nxy").over(W.partitionBy("lag", "rb")).alias("ny"),
+    )
+    mi = (
+        marg.join(F.broadcast(tot), "lag")
+        .groupBy("lag")
+        .agg(
+            (
+                F.expr(
+                    "CAST(sum(CAST(round("
+                    "nxy * ln(CAST(nxy AS DOUBLE) * n / (nx * ny)), 8)"
+                    " AS DECIMAL(38,8))) AS DOUBLE)"
+                )
+                / F.max("n")
+            ).alias("mival")
+        )
+    )
+    return (
+        mi.join(F.broadcast(tot), "lag")
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").alias("n_pairs"),
+            F.round("mival", 6).alias("mi_nats"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ===========================================================================
+# Rates: two-sample Poisson rate test (weekday vs weekend errors)
+# ===========================================================================
+
+_POISSON2_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END
+           AS is_weekend,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errs
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN is_weekend = 0 THEN errs ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN is_weekend = 1 THEN errs ELSE 0 END)
+              AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN is_weekend = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS t1,
+         CAST(sum(CASE WHEN is_weekend = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS t2
+  FROM daily
+)
+SELECT n1 AS weekday_errors, n2 AS weekend_errors,
+       t1 AS weekday_days, t2 AS weekend_days,
+       CAST(1000 * n1 // t1 AS BIGINT) AS rate1_milli,
+       CAST(1000 * n2 // t2 AS BIGINT) AS rate2_milli,
+       CAST(1000 * (n1 * (t1 + t2) - (n1 + n2) * t1)
+                 * (n1 * (t1 + t2) - (n1 + n2) * t1)
+            // ((n1 + n2) * t1 * t2) AS BIGINT) AS z2_milli,
+       CAST(CASE WHEN 1000 * (n1 * (t1 + t2) - (n1 + n2) * t1)
+                      * (n1 * (t1 + t2) - (n1 + n2) * t1)
+                 // ((n1 + n2) * t1 * t2) > 3841
+            THEN 1 ELSE 0 END AS BIGINT) AS rates_differ_5pct
+FROM agg
+"""
+
+
+@_register("poisson_two_rate_test", _POISSON2_ORACLE)
+def poisson_two_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test, weekday vs weekend error events:
+    conditional on the total count N, the weekday count is
+    Binomial(N, t1/(t1+t2)) under equal rates, and the score statistic
+    clears ALL denominators to z^2 = (n1(t1+t2) - N*t1)^2 / (N*t1*t2)
+    — pure int64, no float anywhere except nothing: the entry is
+    fully integer (milli-scaled), the exact-conditioning trick that
+    makes C-tests robust at tiny counts. Completes the rate-comparison
+    corner of the testing family (two_proportion_ab_test compares
+    binomial fractions; this compares exposures-normalized Poisson
+    intensities). Weekday split uses ISO day-of-week computed
+    engine-internally (the catalog's dow-gotcha rule: weekday keys
+    never cross engines). Scale shape: one daily aggregate, one-row
+    arithmetic."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("d"),
+            F.expr(
+                "CASE WHEN weekday(CAST(ts AS DATE)) + 1 >= 6"
+                " THEN 1 ELSE 0 END"
+            ).alias("is_weekend"),
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("errs")
+        )
+    )
+    agg = daily.agg(
+        F.sum(F.when(F.col("is_weekend") == 0, F.col("errs")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("errs")).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("is_weekend") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.when(F.col("is_weekend") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("t2"),
+    )
+    return agg.select(
+        F.col("n1").alias("weekday_errors"),
+        F.col("n2").alias("weekend_errors"),
+        F.col("t1").alias("weekday_days"),
+        F.col("t2").alias("weekend_days"),
+        F.expr("CAST(1000 * n1 div t1 AS BIGINT)").alias("rate1_milli"),
+        F.expr("CAST(1000 * n2 div t2 AS BIGINT)").alias("rate2_milli"),
+        F.expr(
+            "CAST(1000 * (n1 * (t1 + t2) - (n1 + n2) * t1)"
+            " * (n1 * (t1 + t2) - (n1 + n2) * t1)"
+            " div ((n1 + n2) * t1 * t2) AS BIGINT)"
+        ).alias("z2_milli"),
+        F.expr(
+            "CAST(CASE WHEN 1000 * (n1 * (t1 + t2) - (n1 + n2) * t1)"
+            " * (n1 * (t1 + t2) - (n1 + n2) * t1)"
+            " div ((n1 + n2) * t1 * t2) > 3841"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("rates_differ_5pct"),
+    )
+
+
+# ===========================================================================
+# Forecasting: SES alpha grid evaluated by an in-engine fold
+# ===========================================================================
+
+_SES_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+           AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ser AS (
+  SELECT list({'e': CAST(0 AS BIGINT), 's': x} ORDER BY d) AS xs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM daily
+),
+grid AS (SELECT unnest([2, 5, 8]) AS a10),
+-- NOTE: DuckDB's list_reduce rebinds acc FIELD BY FIELD in struct
+-- literal order, so the error field (which must read the PRE-update
+-- level) is declared before the level update; Spark's aggregate() is
+-- purely functional and order-independent, so the shared field order
+-- pins both engines to the same left fold.
+fold AS (
+  SELECT g.a10, s.n,
+         list_reduce(s.xs, (acc, x) -> {
+           'e': acc.e + (x.s - acc.s) * (x.s - acc.s),
+           's': (g.a10 * x.s + (10 - g.a10) * acc.s) // 10
+         }) AS r
+  FROM ser s CROSS JOIN grid g
+),
+scored AS (
+  SELECT a10, n, r.e AS sse, r.s AS final_level
+  FROM fold
+)
+SELECT CAST(a10 * 10 AS BIGINT) AS alpha_pct,
+       n AS n_days,
+       CAST(sse AS BIGINT) AS sse,
+       CAST(final_level AS BIGINT) AS final_level,
+       CAST(CASE WHEN sse = min(sse) OVER () THEN 1 ELSE 0 END AS BIGINT)
+         AS is_best
+FROM scored
+ORDER BY alpha_pct
+"""
+
+
+@_register("ses_alpha_grid_eval", _SES_ORACLE)
+def ses_alpha_grid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing model selection: evaluate the
+    one-step-ahead SSE of SES over an alpha grid {0.2, 0.5, 0.8} on
+    the daily purchase-revenue series, selecting the best-fitting
+    smoothing constant — the grid-search companion to
+    holt_linear_smoothing/holt_winters_additive, which SHIP a fixed
+    alpha; this entry measures which one the data wants. The
+    recursion s_t = alpha*x_t + (1-alpha)*s_{t-1} runs as an
+    IN-ENGINE FOLD over the collected 30-element series (Spark
+    aggregate() lambda, DuckDB list_reduce — both seed from the first
+    element and fold identically), with tenths-integer arithmetic and
+    truncating division each step so every intermediate level is an
+    exact bigint in both engines. Scale shape: one daily aggregate;
+    the fold is calendar-bounded and runs once per grid point."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CASE WHEN value >= 0"
+                " THEN floor(value * 100 + 0.5)"
+                " ELSE -floor(-(value) * 100 + 0.5) END AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    ser = daily.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, x))),"
+            " r -> struct(CAST(0 AS BIGINT) AS e, r.x AS s))"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    grid = spark.createDataFrame([(2,), (5,), (8,)], "a10 int")
+    fold = ser.crossJoin(F.broadcast(grid)).select(
+        "a10",
+        "n",
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), xs[0],"
+            " (acc, x) -> struct("
+            "   acc.e + (x.s - acc.s) * (x.s - acc.s) AS e,"
+            "   (a10 * x.s + (10 - a10) * acc.s) div 10 AS s))"
+        ).alias("r"),
+    )
+    scored = fold.select(
+        "a10", "n", F.col("r.e").alias("sse"), F.col("r.s").alias("final_level")
+    )
+    return scored.select(
+        F.expr("CAST(a10 * 10 AS BIGINT)").alias("alpha_pct"),
+        F.col("n").alias("n_days"),
+        F.col("sse").cast("long").alias("sse"),
+        F.col("final_level").cast("long").alias("final_level"),
+        F.expr(
+            "CAST(CASE WHEN sse = min(sse) OVER () THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("is_best"),
+    ).orderBy("alpha_pct")

@@ -337,6 +337,14 @@ ENTRIES = [
     "textrank_keyword_scores",
     "betweenness_sampled_sources",
     "greedy_maximal_matching_rounds",
+    # round-6 wave 22
+    "apsp_min_plus_doubling",
+    "inequality_indices_panel",
+    "permutation_entropy_ordinal",
+    "sample_entropy_daily",
+    "lagged_mutual_information",
+    "poisson_two_rate_test",
+    "ses_alpha_grid_eval",
 ]
 
 
