@@ -2694,3 +2694,635 @@ def ses_alpha_grid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("is_best"),
     ).orderBy("alpha_pct")
+
+
+# ===========================================================================
+# Drift: Jensen-Shannon divergence between source length distributions
+# ===========================================================================
+
+_JSD_ORACLE = """
+WITH pair AS (
+  SELECT source, least(length(text) // 100, 9) AS b
+  FROM documents
+  WHERE text IS NOT NULL
+    AND source IN (SELECT source FROM (
+      SELECT source, count(*) AS c FROM documents GROUP BY 1
+      ORDER BY c DESC, source LIMIT 2))
+),
+srcs AS (
+  SELECT source, row_number() OVER (ORDER BY source) AS sid
+  FROM (SELECT DISTINCT source FROM pair)
+),
+cnt AS (
+  SELECT s.sid, p.b, CAST(count(*) AS BIGINT) AS c
+  FROM pair p JOIN srcs s ON s.source = p.source
+  GROUP BY 1, 2
+),
+tot AS (SELECT sid, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+grid AS (
+  SELECT b,
+         max(CASE WHEN sid = 1 THEN c ELSE 0 END) AS c1,
+         max(CASE WHEN sid = 2 THEN c ELSE 0 END) AS c2
+  FROM cnt GROUP BY b
+),
+terms AS (
+  SELECT g.b, g.c1, g.c2, t1.n AS n1, t2.n AS n2,
+         CAST(g.c1 AS DOUBLE) / t1.n AS p,
+         CAST(g.c2 AS DOUBLE) / t2.n AS q
+  FROM grid g
+  CROSS JOIN (SELECT n FROM tot WHERE sid = 1) t1
+  CROSS JOIN (SELECT n FROM tot WHERE sid = 2) t2
+),
+jsd AS (
+  SELECT CAST(sum(CAST(round(
+           CASE WHEN p > 0
+                THEN 0.5 * p * ln(2.0 * p / (p + q)) ELSE 0 END
+           + CASE WHEN q > 0
+                  THEN 0.5 * q * ln(2.0 * q / (p + q)) ELSE 0 END, 10)
+           AS DECIMAL(38,10))) AS DOUBLE) AS js
+  FROM terms
+)
+SELECT t.b AS length_bucket,
+       t.c1 AS n_source_a,
+       t.c2 AS n_source_b,
+       round(j.js, 6) AS js_divergence_nats,
+       round(sqrt(j.js / ln(2.0)), 6) AS js_distance_bits
+FROM terms t CROSS JOIN jsd j
+ORDER BY t.b
+"""
+
+
+@_register("jensen_shannon_drift", _JSD_ORACLE)
+def jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the two largest sources'
+    document-length distributions (100-char buckets, capped at 10):
+    JSD = (KL(P||M) + KL(Q||M))/2 with M the midpoint mixture — the
+    BOUNDED, symmetric member of the drift family, whose square root
+    (in bits) is a true metric, unlike PSI (unbounded, asymmetric,
+    blows up on empty bins — distribution_drift_psi),
+    total-variation (ignores where mass moved) and Wasserstein
+    (unbounded): this is the one you alarm on when bins can be empty.
+    Counts are exact; each bucket's term is decimal-rounded before
+    the <=10-term sum. Scale shape: one narrow map to (source,
+    bucket), one bounded rollup."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    top2 = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "source")
+        .limit(2)
+        .select("source")
+    )
+    pair = d.join(F.broadcast(top2), "source").select(
+        "source", F.expr("least(length(text) div 100, 9)").alias("b")
+    )
+    srcs = (
+        pair.select("source")
+        .distinct()
+        .select(
+            "source", F.row_number().over(W.orderBy("source")).alias("sid")
+        )
+    )
+    cnt = (
+        pair.join(F.broadcast(srcs), "source")
+        .groupBy("sid", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cnt.groupBy("sid").agg(F.sum("c").cast("long").alias("n"))
+    grid = cnt.groupBy("b").agg(
+        F.max(F.when(F.col("sid") == 1, F.col("c")).otherwise(0)).alias("c1"),
+        F.max(F.when(F.col("sid") == 2, F.col("c")).otherwise(0)).alias("c2"),
+    )
+    t1 = tot.filter(F.col("sid") == 1).select(F.col("n").alias("n1"))
+    t2 = tot.filter(F.col("sid") == 2).select(F.col("n").alias("n2"))
+    terms = (
+        grid.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "b",
+            "c1",
+            "c2",
+            F.expr("CAST(c1 AS DOUBLE) / n1").alias("p"),
+            F.expr("CAST(c2 AS DOUBLE) / n2").alias("q"),
+        )
+    )
+    jsd = terms.agg(
+        F.expr(
+            "CAST(sum(CAST(round("
+            "CASE WHEN p > 0 THEN 0.5 * p * ln(2.0 * p / (p + q))"
+            " ELSE 0 END"
+            " + CASE WHEN q > 0 THEN 0.5 * q * ln(2.0 * q / (p + q))"
+            " ELSE 0 END, 10) AS DECIMAL(38,10))) AS DOUBLE)"
+        ).alias("js")
+    )
+    return (
+        terms.crossJoin(F.broadcast(jsd))
+        .select(
+            F.col("b").alias("length_bucket"),
+            F.col("c1").alias("n_source_a"),
+            F.col("c2").alias("n_source_b"),
+            F.round("js", 6).alias("js_divergence_nats"),
+            F.round(F.expr("sqrt(js / ln(2.0))"), 6).alias(
+                "js_distance_bits"
+            ),
+        )
+        .orderBy("length_bucket")
+    )
+
+
+# ===========================================================================
+# Classification: Youden J optimal threshold on a quality score
+# ===========================================================================
+
+_YOUDEN_ORACLE = """
+WITH top1 AS (
+  SELECT source FROM (
+    SELECT source, count(*) AS c FROM documents GROUP BY 1
+    ORDER BY c DESC, source LIMIT 1)
+),
+scored AS (
+  SELECT CASE WHEN d.source = t.source THEN 1 ELSE 0 END AS y,
+         CAST(least(length(d.text) // 10, 2000) AS BIGINT) AS s
+  FROM documents d CROSS JOIN top1 t
+  WHERE d.text IS NOT NULL
+),
+tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS np,
+         CAST(sum(1 - y) AS BIGINT) AS nn
+  FROM scored
+),
+bys AS (
+  SELECT s AS thr,
+         CAST(sum(y) AS BIGINT) AS cp,
+         CAST(sum(1 - y) AS BIGINT) AS cn
+  FROM scored GROUP BY 1
+),
+conf AS (
+  SELECT thr,
+         CAST(sum(cp) OVER (ORDER BY thr DESC) AS BIGINT) AS tp,
+         CAST(sum(cn) OVER (ORDER BY thr DESC) AS BIGINT) AS fp
+  FROM bys
+),
+j AS (
+  SELECT c.thr, c.tp, c.fp, t.np, t.nn,
+         CAST(1000 * c.tp // t.np - 1000 * c.fp // t.nn AS BIGINT)
+           AS j_milli
+  FROM conf c CROSS JOIN tot t
+)
+SELECT thr AS threshold_milli, tp, fp,
+       CAST(1000 * tp // np AS BIGINT) AS tpr_milli,
+       CAST(1000 * fp // nn AS BIGINT) AS fpr_milli,
+       j_milli
+FROM j
+ORDER BY j_milli DESC, thr
+LIMIT 5
+"""
+
+
+@_register("youden_j_threshold", _YOUDEN_ORACLE)
+def youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden J threshold selection: score documents by their length
+    (deci-character buckets, capped), label by membership in the
+    dominant source, and pick the operating threshold maximizing
+    J = TPR - FPR — the step AFTER
+    roc_curve_points draws the curve: which cut to ship. Every
+    candidate threshold is an observed score value; the confusion
+    sweep is one grouped count per score value plus ONE cumulative
+    window over the (bounded, <=1001-value) score domain — never a
+    thresholds x documents join. Top-5 thresholds by milli-scaled J,
+    all integer arithmetic. Completes the eval family's
+    threshold-selection corner (cost_threshold_optimization picks by
+    asymmetric cost; Youden is the cost-free special case)."""
+    top1 = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "source")
+        .limit(1)
+        .select(F.col("source").alias("topsrc"))
+    )
+    scored = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .crossJoin(F.broadcast(top1))
+        .select(
+            F.when(F.col("source") == F.col("topsrc"), 1)
+            .otherwise(0)
+            .alias("y"),
+            F.expr(
+                "CAST(least(length(text) div 10, 2000) AS BIGINT)"
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = scored.agg(
+        F.sum("y").cast("long").alias("np"),
+        F.sum(F.expr("1 - y")).cast("long").alias("nn"),
+    )
+    bys = scored.groupBy(F.col("s").alias("thr")).agg(
+        F.sum("y").cast("long").alias("cp"),
+        F.sum(F.expr("1 - y")).cast("long").alias("cn"),
+    )
+    wdesc = W.orderBy(F.col("thr").desc())
+    conf = bys.select(
+        "thr",
+        F.sum("cp").over(wdesc).cast("long").alias("tp"),
+        F.sum("cn").over(wdesc).cast("long").alias("fp"),
+    )
+    return (
+        conf.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("thr").alias("threshold_milli"),
+            "tp",
+            "fp",
+            F.expr("CAST(1000 * tp div np AS BIGINT)").alias("tpr_milli"),
+            F.expr("CAST(1000 * fp div nn AS BIGINT)").alias("fpr_milli"),
+            F.expr(
+                "CAST(1000 * tp div np - 1000 * fp div nn AS BIGINT)"
+            ).alias("j_milli"),
+        )
+        .orderBy(F.col("j_milli").desc(), "threshold_milli")
+        .limit(5)
+    )
+
+
+# ===========================================================================
+# Heavy tails: Hill estimator of the Pareto tail index
+# ===========================================================================
+
+_HILL_ORACLE = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+),
+rk AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, x) AS r,
+         count(*) OVER () AS n
+  FROM v
+),
+ks AS (SELECT unnest([50, 100, 200]) AS k),
+sel AS (
+  SELECT k.k, rk.x, rk.r
+  FROM rk JOIN ks k ON rk.r <= k.k + 1
+),
+anchor AS (
+  SELECT k, max(CASE WHEN r = k + 1 THEN x END) AS xk1 FROM sel GROUP BY k
+),
+hill AS (
+  SELECT s.k,
+         CAST(sum(CAST(round(
+           ln(CAST(s.x AS DOUBLE) / a.xk1), 10) AS DECIMAL(38,10)))
+           AS DOUBLE) / s.k AS hmean
+  FROM sel s JOIN anchor a ON a.k = s.k
+  WHERE s.r <= s.k
+  GROUP BY s.k
+)
+SELECT k AS tail_k,
+       round(hmean, 6) AS hill_mean_log_excess,
+       round(1.0 / hmean, 4) AS tail_index_alpha,
+       CAST(CASE WHEN 1.0 / hmean < 2.0 THEN 1 ELSE 0 END AS BIGINT)
+         AS infinite_variance_flag
+FROM hill
+ORDER BY k
+"""
+
+
+@_register("hill_tail_index", _HILL_ORACLE)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over order totals at
+    k in {50, 100, 200} upper order statistics: alpha_hat(k) =
+    1 / mean(ln(x_(i) / x_(k+1))) — the MLE for the tail exponent
+    conditional on the tail, read across several k to check
+    stability (the 'Hill plot' in three points). Completes the EVT
+    family: block_maxima fits GEV to maxima, pot_gpd fits excess
+    magnitudes, Hill reads the POLYNOMIAL DECAY RATE itself; alpha
+    < 2 flags infinite variance. Ranks are exact over integer
+    cents; log excesses are decimal-rounded before the k-term sum.
+    Scale shape: one top-k rank window (an approximate top-k at
+    production), constant arithmetic after."""
+    v = _t(spark, sf_dir, "orders").select(_cents("o_totalprice").alias("x"))
+    rk = v.select(
+        "x", F.row_number().over(W.orderBy(F.col("x").desc())).alias("r")
+    ).filter(F.col("r") <= 201)
+    ks = spark.createDataFrame([(50,), (100,), (200,)], "k int")
+    sel = rk.crossJoin(F.broadcast(ks)).filter(F.col("r") <= F.col("k") + 1)
+    anchor = sel.groupBy("k").agg(
+        F.max(F.when(F.col("r") == F.col("k") + 1, F.col("x"))).alias("xk1")
+    )
+    hill = (
+        sel.filter(F.col("r") <= F.col("k"))
+        .join(F.broadcast(anchor), "k")
+        .groupBy("k")
+        .agg(
+            (
+                F.expr(
+                    "CAST(sum(CAST(round("
+                    "ln(CAST(x AS DOUBLE) / xk1), 10) AS DECIMAL(38,10)))"
+                    " AS DOUBLE)"
+                )
+                / F.max("k")
+            ).alias("hmean")
+        )
+    )
+    return hill.select(
+        F.col("k").cast("int").alias("tail_k"),
+        F.round("hmean", 6).alias("hill_mean_log_excess"),
+        F.round(F.expr("1.0 / hmean"), 4).alias("tail_index_alpha"),
+        F.expr(
+            "CAST(CASE WHEN 1.0 / hmean < 2.0 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("infinite_variance_flag"),
+    ).orderBy("tail_k")
+
+
+# ===========================================================================
+# Sequences: entropy rate of the per-user event Markov chain
+# ===========================================================================
+
+_ENTRATE_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events
+),
+trans AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+),
+marg AS (
+  SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM trans GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM trans),
+hrate AS (
+  SELECT CAST(sum(CAST(round(
+           -1.0 * t.c * ln(CAST(t.c AS DOUBLE) / m.ca), 8)
+           AS DECIMAL(38,8))) AS DOUBLE) AS hsum
+  FROM trans t JOIN marg m ON m.a = t.a
+),
+hmarg AS (
+  SELECT CAST(sum(CAST(round(
+           -1.0 * m.ca * ln(CAST(m.ca AS DOUBLE) / t.n), 8)
+           AS DECIMAL(38,8))) AS DOUBLE) AS h0sum
+  FROM marg m CROSS JOIN tot t
+)
+SELECT t.n AS n_transitions,
+       round(hr.hsum / t.n, 6) AS entropy_rate_nats,
+       round(hm.h0sum / t.n, 6) AS marginal_entropy_nats,
+       round(1.0 - (hr.hsum / t.n) / (hm.h0sum / t.n), 6)
+         AS predictability_gain
+FROM hrate hr CROSS JOIN hmarg hm CROSS JOIN tot t
+"""
+
+
+@_register("markov_entropy_rate", _ENTRATE_ORACLE)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain: H_rate =
+    -sum_ab pi(a) P(b|a) ln P(b|a) with the empirical transition
+    weights (equivalently sum over transition counts), against the
+    order-0 marginal entropy; the gap is how much one step of memory
+    buys in predicting the next event — the information-theoretic
+    summary of the matrix event_transition_matrix only DISPLAYS.
+    Counts are exact; log terms decimal-rounded before the 25-cell
+    sum. Scale shape: one lead() window per user (shuffles on
+    user_id), a 5x5-bounded rollup, constant arithmetic."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    trans = (
+        seq.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    marg = trans.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    tot = trans.agg(F.sum("c").cast("long").alias("n"))
+    hrate = (
+        trans.join(F.broadcast(marg), "a")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round("
+                "-1.0 * c * ln(CAST(c AS DOUBLE) / ca), 8)"
+                " AS DECIMAL(38,8))) AS DOUBLE)"
+            ).alias("hsum")
+        )
+    )
+    hmarg = marg.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "CAST(sum(CAST(round("
+            "-1.0 * ca * ln(CAST(ca AS DOUBLE) / n), 8)"
+            " AS DECIMAL(38,8))) AS DOUBLE)"
+        ).alias("h0sum")
+    )
+    return (
+        hrate.crossJoin(F.broadcast(hmarg))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_transitions"),
+            F.round(F.expr("hsum / n"), 6).alias("entropy_rate_nats"),
+            F.round(F.expr("h0sum / n"), 6).alias("marginal_entropy_nats"),
+            F.round(
+                F.expr("1.0 - (hsum / n) / (h0sum / n)"), 6
+            ).alias("predictability_gain"),
+        )
+    )
+
+
+# ===========================================================================
+# Dispersion: Gini mean difference via order statistics
+# ===========================================================================
+
+_GMD_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+  FROM lineitem
+),
+rk AS (
+  SELECT grp, x,
+         row_number() OVER (PARTITION BY grp ORDER BY x, x) AS i,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM v
+),
+agg AS (
+  SELECT grp, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS wsum
+  FROM rk GROUP BY grp
+)
+SELECT grp AS l_returnflag, n,
+       CAST(sx // n AS BIGINT) AS mean_cents,
+       CAST(2 * wsum // (n * (n - 1)) AS BIGINT) AS gmd_cents,
+       CAST(1000 * wsum // ((n - 1) * sx) AS BIGINT) AS gini_milli
+FROM agg
+ORDER BY grp
+"""
+
+
+@_register("gini_mean_difference", _GMD_ORACLE)
+def gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference per return-flag group: GMD = mean |x_i -
+    x_j| over all pairs, computed WITHOUT the pairwise join via the
+    order-statistics identity sum_pairs |xi-xj| = sum_i (2i-n-1)x_(i)
+    — one rank window and one weighted sum turn an O(n^2) statistic
+    into O(n log n), exactly the rewrite a 100 TB engine must make.
+    Also emits the Gini coefficient as GMD/(2*mean) on the same exact
+    integers, tying the catalog's Lorenz-based gini to the pairwise
+    definition. Ties are harmless: any rank assignment among equal
+    values leaves the weighted sum unchanged. All int64. Scale
+    shape: one per-group rank window (sortable shuffle), one
+    aggregate."""
+    v = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        _cents("l_extendedprice").alias("x"),
+    )
+    rk = v.select(
+        "grp",
+        "x",
+        F.row_number().over(W.partitionBy("grp").orderBy("x")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n"),
+    )
+    agg = rk.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.expr("(2 * i - n - 1) * x")).cast("long").alias("wsum"),
+    )
+    return agg.select(
+        F.col("grp").alias("l_returnflag"),
+        "n",
+        F.expr("CAST(sx div n AS BIGINT)").alias("mean_cents"),
+        F.expr("CAST(2 * wsum div (n * (n - 1)) AS BIGINT)").alias(
+            "gmd_cents"
+        ),
+        F.expr("CAST(1000 * wsum div ((n - 1) * sx) AS BIGINT)").alias(
+            "gini_milli"
+        ),
+    ).orderBy("l_returnflag")
+
+
+# ===========================================================================
+# Robust decomposition: Tukey median polish (2 sweeps) on region x month
+# ===========================================================================
+
+_POLISH_ORACLE = """
+WITH cell AS MATERIALIZED (
+  SELECT n.n_regionkey AS rg,
+         CAST(month(o.o_orderdate) AS BIGINT) AS mo,
+         CAST(16 * (sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    // 100000) AS BIGINT) AS x
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+rmed1 AS MATERIALIZED (
+  SELECT rg, CAST(median(x) AS BIGINT) AS rm FROM cell GROUP BY rg
+),
+r1 AS MATERIALIZED (
+  SELECT c.rg, c.mo, c.x - m.rm AS x, m.rm
+  FROM cell c JOIN rmed1 m ON m.rg = c.rg
+),
+cmed1 AS MATERIALIZED (
+  SELECT mo, CAST(median(x) AS BIGINT) AS cm FROM r1 GROUP BY mo
+),
+c1 AS MATERIALIZED (
+  SELECT r.rg, r.mo, r.x - m.cm AS x, r.rm, m.cm
+  FROM r1 r JOIN cmed1 m ON m.mo = r.mo
+),
+rmed2 AS MATERIALIZED (
+  SELECT rg, CAST(median(x) AS BIGINT) AS rm2 FROM c1 GROUP BY rg
+),
+r2 AS MATERIALIZED (
+  SELECT c.rg, c.mo, c.x - m.rm2 AS x, c.rm + m.rm2 AS rm, c.cm
+  FROM c1 c JOIN rmed2 m ON m.rg = c.rg
+),
+cmed2 AS MATERIALIZED (
+  SELECT mo, CAST(median(x) AS BIGINT) AS cm2 FROM r2 GROUP BY mo
+),
+c2 AS MATERIALIZED (
+  SELECT r.rg, r.mo, r.x - m.cm2 AS resid, r.rm, r.cm + m.cm2 AS cm
+  FROM r2 r JOIN cmed2 m ON m.mo = r.mo
+)
+SELECT CAST(rg AS BIGINT) AS region_key,
+       CAST(mo AS BIGINT) AS month_num,
+       CAST(rm AS BIGINT) AS row_effect_k16,
+       CAST(cm AS BIGINT) AS col_effect_k16,
+       CAST(resid AS BIGINT) AS residual_k16
+FROM c2
+ORDER BY abs(resid) DESC, region_key, month_num
+LIMIT 12
+"""
+
+
+@_register("median_polish_two_way", _POLISH_ORACLE)
+def median_polish_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish (two full row/column sweeps) of the
+    region x calendar-month revenue table: alternately subtract row
+    and column MEDIANS, accumulating robust row/column effects; what
+    survives is the residual, and the largest |residual| cells are
+    the region-month combinations no additive row+column story
+    explains — the robust two-way twin of
+    revenue_bridge_decomposition (which uses means and is blown
+    about by single hot months). Values are pre-scaled by 16 (one
+    factor of 2 per median stage: two sweeps x two axes), so every
+    even-group median — an average of two integers — stays an exact
+    integer through ALL four stages; without the full 2^4 headroom
+    the second sweep lands on .5 medians, where DuckDB's
+    double->bigint cast rounds but Spark's truncates (caught at
+    sf0.01). Scale shape: one (region,
+    month) aggregate; each sweep is a bounded-cardinality grouped
+    median + join on the 60-cell table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cell = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_regionkey").alias("rg"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.expr(
+                "CAST(16 * (sum(CAST(CASE WHEN o_totalprice >= 0"
+                " THEN floor(o_totalprice * 100 + 0.5)"
+                " ELSE -floor(-(o_totalprice) * 100 + 0.5) END AS BIGINT))"
+                " div 100000) AS BIGINT)"
+            ).alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    cur = cell.withColumn("rm", F.lit(0).cast("long")).withColumn(
+        "cm", F.lit(0).cast("long")
+    )
+    for axis, eff in (("rg", "rm"), ("mo", "cm"), ("rg", "rm"), ("mo", "cm")):
+        med = cur.groupBy(axis).agg(
+            F.expr("CAST(median(x) AS BIGINT)").alias("m")
+        )
+        cur = (
+            cur.join(F.broadcast(med), axis)
+            .select(
+                "rg",
+                "mo",
+                (F.col("x") - F.col("m")).alias("x"),
+                (F.col(eff) + F.col("m")).alias(eff)
+                if eff == "rm"
+                else F.col("rm"),
+                (F.col(eff) + F.col("m")).alias(eff)
+                if eff == "cm"
+                else F.col("cm"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.select(
+            F.col("rg").cast("long").alias("region_key"),
+            F.col("mo").cast("long").alias("month_num"),
+            F.col("rm").alias("row_effect_k16"),
+            F.col("cm").alias("col_effect_k16"),
+            F.col("x").alias("residual_k16"),
+        )
+        .orderBy(F.abs(F.col("residual_k16")).desc(), "region_key", "month_num")
+        .limit(12)
+    )

@@ -345,6 +345,13 @@ ENTRIES = [
     "lagged_mutual_information",
     "poisson_two_rate_test",
     "ses_alpha_grid_eval",
+    # round-6 wave 23
+    "jensen_shannon_drift",
+    "youden_j_threshold",
+    "hill_tail_index",
+    "markov_entropy_rate",
+    "gini_mean_difference",
+    "median_polish_two_way",
 ]
 
 
