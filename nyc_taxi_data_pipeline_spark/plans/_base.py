@@ -206,33 +206,31 @@ def charlm_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"),
         F.col("t"),
     ).select("doc_id", F.expr("substring(t, i, 3)").alias("g"))
-    # ONE pass over the 30x trigram explode: pre-aggregate to per-doc
-    # trigram counts (doc_id, g, c) — the map-side combine compresses the
-    # explode before anything shuffles, and every later step (model, total,
-    # scoring join, per-doc rollup) runs on the compressed frame instead of
-    # re-deriving the explode per consumer. A/B at sf0.1 warm: ~2.9 s vs
-    # ~5.0 s for the two-consumer explode plan the catalog shipped through
-    # round 5 — and the shape is strictly better at 100 TB (one corpus
-    # scan, all shuffles carry compressed counts). The tiny model still
-    # checkpoints (it feeds the broadcast join AND the grand total; AQE
-    # stage reuse does not fire across those subtrees).
-    percnt = (
-        tri.groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    # The trigram explode is ~30x corpus rows but NARROW (map off the scan):
+    # re-deriving it per consumer is the 100 TB-correct shape. A round-6
+    # A/B measured the one-pass alternative — pre-aggregate to (doc_id, g,
+    # c) and run model/scoring off the compressed frame — at ~2.9 s vs
+    # ~5.0 s warm at sf0.1, and REJECTED it anyway: that plan shuffles a
+    # ~10-20x-corpus pair frame (an all-to-all measured in petabytes at
+    # the 100 TB design point), while this plan's two shuffles are the
+    # bounded model partials and one tiny per-doc rollup — locally the
+    # explode CPU dominates, on a cluster the shuffle would. Same verdict
+    # as round 4's rejection of checkpointing the exploded frame; only
+    # the bounded model aggregate (<= |charset|^3 rows, two consumers:
+    # grand total + broadcast scoring join, across which AQE stage reuse
+    # does not fire) is checkpointed.
     model = (
-        percnt.groupBy("g")
-        .agg(F.sum("c").alias("cnt"))
+        tri.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
     total = model.agg(F.sum("cnt").alias("tot"))
     scored = (
-        percnt.join(F.broadcast(model), "g")
+        tri.join(F.broadcast(model), "g")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_trigrams"),
-            F.sum(F.expr("c * cnt")).alias("cnt_sum"),
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("cnt").alias("cnt_sum"),
         )
     )
     return (
