@@ -3326,3 +3326,539 @@ def median_polish_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("residual_k16")).desc(), "region_key", "month_num")
         .limit(12)
     )
+
+
+# ===========================================================================
+# Econometrics: Chow test for a structural break
+# ===========================================================================
+
+_CHOW_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+           AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+idx AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS t,
+         count(*) OVER () AS n
+  FROM daily
+),
+seg AS (
+  SELECT CASE WHEN t <= n // 2 THEN 1 ELSE 2 END AS s,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(t * y) AS BIGINT) AS sty,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM idx GROUP BY 1
+),
+sse AS (
+  SELECT s, n,
+         (syy - CAST(sy AS DOUBLE) * sy / n)
+         - (sty - CAST(st AS DOUBLE) * sy / n)
+           * (sty - CAST(st AS DOUBLE) * sy / n)
+           / (stt - CAST(st AS DOUBLE) * st / n) AS e
+  FROM seg
+),
+pool AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(st) AS BIGINT) AS st, CAST(sum(sy) AS BIGINT) AS sy,
+         CAST(sum(stt) AS BIGINT) AS stt,
+         CAST(sum(sty) AS BIGINT) AS sty,
+         CAST(sum(syy) AS BIGINT) AS syy
+  FROM seg
+),
+psse AS (
+  SELECT n,
+         (syy - CAST(sy AS DOUBLE) * sy / n)
+         - (sty - CAST(st AS DOUBLE) * sy / n)
+           * (sty - CAST(st AS DOUBLE) * sy / n)
+           / (stt - CAST(st AS DOUBLE) * st / n) AS e
+  FROM pool
+),
+f AS (
+  SELECT p.n,
+         p.e AS sse_pooled,
+         (SELECT sum(e) FROM sse) AS sse_split,
+         ((p.e - (SELECT sum(e) FROM sse)) / 2)
+         / ((SELECT sum(e) FROM sse) / (p.n - 4)) AS fstat
+  FROM psse p
+)
+SELECT n AS n_days,
+       round(sse_pooled, 2) AS sse_pooled,
+       round(sse_split, 2) AS sse_split,
+       round(fstat, 4) AS chow_f,
+       CAST(CASE WHEN fstat > 3.37 THEN 1 ELSE 0 END AS BIGINT)
+         AS break_detected_5pct
+FROM f
+"""
+
+
+@_register("chow_test_structural_break", _CHOW_ORACLE)
+def chow_test_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break at the midpoint of the daily
+    purchase-revenue trend: fit y ~ t separately on each half and
+    pooled, F = ((SSE_pooled - SSE_1 - SSE_2)/k) / ((SSE_1+SSE_2)/
+    (n-2k)) — the REGRESSION-STABILITY member of the changepoint
+    family (pettitt/binseg/cusum detect level shifts
+    nonparametrically; Chow tests whether the fitted LINE's
+    coefficients themselves moved at a known date, the
+    deploy-day-regression question). Every SSE comes from the
+    closed form over exact int64 power sums (dollars-scaled so the
+    squares stay in range at sf 1), so both engines divide identical
+    integers before the final doubles. The two-segment sums are one
+    CASE-keyed aggregate; the pooled sums REUSE the segment partials
+    (sum of sums), not a second scan. Scale shape: one daily
+    aggregate, 2-row arithmetic."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CASE WHEN value >= 0"
+                " THEN floor(value * 100 + 0.5)"
+                " ELSE -floor(-(value) * 100 + 0.5) END AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    idx = daily.select(
+        "y",
+        F.row_number().over(W.orderBy("d")).alias("t"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    seg = (
+        idx.groupBy(
+            F.expr("CASE WHEN t <= n div 2 THEN 1 ELSE 2 END").alias("s")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("st"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.expr("t * t")).cast("long").alias("stt"),
+            F.sum(F.expr("t * y")).cast("long").alias("sty"),
+            F.sum(F.expr("y * y")).cast("long").alias("syy"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    _sse = (
+        "(syy - CAST(sy AS DOUBLE) * sy / n)"
+        " - (sty - CAST(st AS DOUBLE) * sy / n)"
+        " * (sty - CAST(st AS DOUBLE) * sy / n)"
+        " / (stt - CAST(st AS DOUBLE) * st / n)"
+    )
+    sse = seg.select("s", "n", F.expr(_sse).alias("e"))
+    pool = seg.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("st").cast("long").alias("st"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("stt").cast("long").alias("stt"),
+        F.sum("sty").cast("long").alias("sty"),
+        F.sum("syy").cast("long").alias("syy"),
+    )
+    psse = pool.select("n", F.expr(_sse).alias("e"))
+    split = sse.agg(F.sum("e").alias("sse_split"))
+    return (
+        psse.crossJoin(F.broadcast(split))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("e"), 2).alias("sse_pooled"),
+            F.round(F.col("sse_split"), 2).alias("sse_split"),
+            F.round(
+                F.expr(
+                    "((e - sse_split) / 2) / (sse_split / (n - 4))"
+                ),
+                4,
+            ).alias("chow_f"),
+            F.expr(
+                "CAST(CASE WHEN ((e - sse_split) / 2)"
+                " / (sse_split / (n - 4)) > 3.37"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("break_detected_5pct"),
+        )
+    )
+
+
+# ===========================================================================
+# Econometrics: one-lag Granger causality (clicks -> revenue)
+# ===========================================================================
+
+_GRANGER_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) // 100 AS BIGINT) AS y,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT y AS w,
+         lag(y) OVER (ORDER BY d) AS u,
+         lag(x) OVER (ORDER BY d) AS v
+  FROM daily
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(w) AS BIGINT) AS sw, CAST(sum(u) AS BIGINT) AS su,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(u * u) AS BIGINT) AS suu,
+         CAST(sum(v * v) AS BIGINT) AS svv,
+         CAST(sum(u * v) AS BIGINT) AS suv,
+         CAST(sum(u * w) AS BIGINT) AS suw,
+         CAST(sum(v * w) AS BIGINT) AS svw,
+         CAST(sum(w * w) AS BIGINT) AS sww
+  FROM lagged WHERE u IS NOT NULL AND v IS NOT NULL
+),
+cen AS (
+  SELECT n,
+         suu - CAST(su AS DOUBLE) * su / n AS cuu,
+         svv - CAST(sv AS DOUBLE) * sv / n AS cvv,
+         suv - CAST(su AS DOUBLE) * sv / n AS cuv,
+         suw - CAST(su AS DOUBLE) * sw / n AS cuw,
+         svw - CAST(sv AS DOUBLE) * sw / n AS cvw,
+         sww - CAST(sw AS DOUBLE) * sw / n AS cww
+  FROM s
+),
+fit AS (
+  SELECT n, cww,
+         cww - cuw * cuw / cuu AS sse_r,
+         cww - ((cuw * cvv - cvw * cuv) * cuw
+                + (cvw * cuu - cuw * cuv) * cvw)
+               / (cuu * cvv - cuv * cuv) AS sse_u
+  FROM cen
+)
+SELECT n AS n_obs,
+       round(sse_r, 2) AS sse_restricted,
+       round(sse_u, 2) AS sse_unrestricted,
+       round((sse_r - sse_u) / (sse_u / (n - 3)), 4) AS granger_f,
+       round(1.0 - sse_u / cww, 6) AS r2_unrestricted,
+       CAST(CASE WHEN (sse_r - sse_u) / (sse_u / (n - 3)) > 4.23
+            THEN 1 ELSE 0 END AS BIGINT) AS clicks_cause_revenue_5pct
+FROM fit
+"""
+
+
+@_register("granger_causality_onelag", _GRANGER_ORACLE)
+def granger_causality_onelag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger causality test of daily click volume on next-day
+    purchase revenue: compare SSE of the restricted autoregression
+    y_t ~ y_{t-1} against the unrestricted y_t ~ y_{t-1} + x_{t-1}
+    (normal equations solved in closed form from centered second
+    moments), F = (SSE_r - SSE_u)/(SSE_u/(n-3)) — the
+    PREDICTIVE-causality member of the dependence family:
+    lead_lag_cross_correlation measures association at a lag,
+    lagged_mutual_information nonlinear association, Granger asks
+    whether the lag IMPROVES A FORECAST that already knows the
+    target's own history. All second moments are exact int64
+    (dollar-scaled revenue); only the final solve is doubles. Scale
+    shape: one daily aggregate, one lag window, one-row closed
+    form."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN event_type = 'purchase'"
+                " THEN CAST(CASE WHEN value >= 0"
+                " THEN floor(value * 100 + 0.5)"
+                " ELSE -floor(-(value) * 100 + 0.5) END AS BIGINT)"
+                " ELSE 0 END) div 100 AS BIGINT)"
+            ).alias("y"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    w = W.orderBy("d")
+    lagged = daily.select(
+        F.col("y").alias("w"),
+        F.lag("y").over(w).alias("u"),
+        F.lag("x").over(w).alias("v"),
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("sw"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.expr("u * u")).cast("long").alias("suu"),
+        F.sum(F.expr("v * v")).cast("long").alias("svv"),
+        F.sum(F.expr("u * v")).cast("long").alias("suv"),
+        F.sum(F.expr("u * w")).cast("long").alias("suw"),
+        F.sum(F.expr("v * w")).cast("long").alias("svw"),
+        F.sum(F.expr("w * w")).cast("long").alias("sww"),
+    )
+    cen = s.select(
+        "n",
+        F.expr("suu - CAST(su AS DOUBLE) * su / n").alias("cuu"),
+        F.expr("svv - CAST(sv AS DOUBLE) * sv / n").alias("cvv"),
+        F.expr("suv - CAST(su AS DOUBLE) * sv / n").alias("cuv"),
+        F.expr("suw - CAST(su AS DOUBLE) * sw / n").alias("cuw"),
+        F.expr("svw - CAST(sv AS DOUBLE) * sw / n").alias("cvw"),
+        F.expr("sww - CAST(sw AS DOUBLE) * sw / n").alias("cww"),
+    )
+    fit = cen.select(
+        "n",
+        "cww",
+        F.expr("cww - cuw * cuw / cuu").alias("sse_r"),
+        F.expr(
+            "cww - ((cuw * cvv - cvw * cuv) * cuw"
+            " + (cvw * cuu - cuw * cuv) * cvw)"
+            " / (cuu * cvv - cuv * cuv)"
+        ).alias("sse_u"),
+    )
+    return fit.select(
+        F.col("n").alias("n_obs"),
+        F.round("sse_r", 2).alias("sse_restricted"),
+        F.round("sse_u", 2).alias("sse_unrestricted"),
+        F.round(
+            F.expr("(sse_r - sse_u) / (sse_u / (n - 3))"), 4
+        ).alias("granger_f"),
+        F.round(F.expr("1.0 - sse_u / cww"), 6).alias("r2_unrestricted"),
+        F.expr(
+            "CAST(CASE WHEN (sse_r - sse_u) / (sse_u / (n - 3)) > 4.23"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("clicks_cause_revenue_5pct"),
+    )
+
+
+# ===========================================================================
+# Econometrics: Breusch-Pagan heteroscedasticity test
+# ===========================================================================
+
+_BP_ORACLE = """
+WITH pts AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS y
+  FROM lineitem
+),
+s1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts
+),
+beta AS (
+  SELECT n, sx, sy,
+         (sxy - CAST(sx AS DOUBLE) * sy / n)
+           / (sxx - CAST(sx AS DOUBLE) * sx / n) AS b
+  FROM s1
+),
+resid AS (
+  SELECT p.x,
+         CAST(round((p.y - (CAST(b.sy AS DOUBLE) / b.n
+                            + b.b * (p.x - CAST(b.sx AS DOUBLE) / b.n)))
+                    * (p.y - (CAST(b.sy AS DOUBLE) / b.n
+                              + b.b * (p.x - CAST(b.sx AS DOUBLE) / b.n))),
+                    4) AS DECIMAL(38,4)) AS g
+  FROM pts p CROSS JOIN beta b
+),
+s2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(sum(g) AS DOUBLE) AS sg,
+         CAST(sum(CAST(round(CAST(g AS DOUBLE) * CAST(g AS DOUBLE), 2)
+                       AS DECIMAL(38,2))) AS DOUBLE) AS sgg,
+         CAST(sum(CAST(round(x * CAST(g AS DOUBLE), 2)
+                       AS DECIMAL(38,2))) AS DOUBLE) AS sxg
+  FROM resid
+),
+r2 AS (
+  SELECT n,
+         (sxg - CAST(sx AS DOUBLE) * sg / n)
+         * (sxg - CAST(sx AS DOUBLE) * sg / n)
+         / ((sxx - CAST(sx AS DOUBLE) * sx / n)
+            * (sgg - sg * sg / n)) AS r2aux
+  FROM s2
+)
+SELECT n AS n_obs,
+       round(r2aux, 6) AS aux_r2,
+       round(n * r2aux, 4) AS bp_lm_stat,
+       CAST(CASE WHEN n * r2aux > 3.841 THEN 1 ELSE 0 END AS BIGINT)
+         AS heteroscedastic_5pct
+FROM r2
+"""
+
+
+@_register("breusch_pagan_heteroscedasticity", _BP_ORACLE)
+def breusch_pagan_heteroscedasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Breusch-Pagan (Koenker form) heteroscedasticity test on the
+    price ~ quantity regression over lineitem: fit OLS from exact
+    integer moments, regress the SQUARED residuals back on the
+    predictor, LM = n * R^2_aux ~ chi2(1) — large when the error
+    variance moves with x, the assumption-check every OLS entry in
+    the catalog (regression_trend_aggregates, ols_two_predictor,
+    fixed-effects) silently leans on. The first-stage moments are
+    pure int64; the per-row squared residual is one deterministic
+    double expression, decimal-rounded BEFORE the second-stage sums
+    so partial-aggregation order cannot drift them. Scale shape:
+    two scans with mergeable aggregates (the first's 1-row result
+    broadcast into the second), no shuffle wider than the scan."""
+    pts = _t(spark, sf_dir, "lineitem").select(
+        _cents("l_quantity").alias("x"),
+        F.expr(
+            "CAST(CASE WHEN l_extendedprice >= 0"
+            " THEN floor(l_extendedprice * 100 + 0.5)"
+            " ELSE -floor(-(l_extendedprice) * 100 + 0.5) END AS BIGINT)"
+            " div 100"
+        ).alias("y"),
+    )
+    s1 = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+    )
+    beta = s1.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "(sxy - CAST(sx AS DOUBLE) * sy / n)"
+            " / (sxx - CAST(sx AS DOUBLE) * sx / n)"
+        ).alias("b"),
+    )
+    resid = pts.crossJoin(F.broadcast(beta)).select(
+        "x",
+        F.expr(
+            "CAST(round((y - (CAST(sy AS DOUBLE) / n"
+            " + b * (x - CAST(sx AS DOUBLE) / n)))"
+            " * (y - (CAST(sy AS DOUBLE) / n"
+            " + b * (x - CAST(sx AS DOUBLE) / n))), 4) AS DECIMAL(38,4))"
+        ).alias("g"),
+    )
+    s2 = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.expr("CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(sum(g) AS DOUBLE)").alias("sg"),
+        F.expr(
+            "CAST(sum(CAST(round(CAST(g AS DOUBLE) * CAST(g AS DOUBLE), 2)"
+            " AS DECIMAL(38,2))) AS DOUBLE)"
+        ).alias("sgg"),
+        F.expr(
+            "CAST(sum(CAST(round(x * CAST(g AS DOUBLE), 2)"
+            " AS DECIMAL(38,2))) AS DOUBLE)"
+        ).alias("sxg"),
+    )
+    r2 = s2.select(
+        "n",
+        F.expr(
+            "(sxg - CAST(sx AS DOUBLE) * sg / n)"
+            " * (sxg - CAST(sx AS DOUBLE) * sg / n)"
+            " / ((sxx - CAST(sx AS DOUBLE) * sx / n)"
+            " * (sgg - sg * sg / n))"
+        ).alias("r2aux"),
+    )
+    return r2.select(
+        F.col("n").alias("n_obs"),
+        F.round("r2aux", 6).alias("aux_r2"),
+        F.round(F.expr("n * r2aux"), 4).alias("bp_lm_stat"),
+        F.expr(
+            "CAST(CASE WHEN n * r2aux > 3.841 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("heteroscedastic_5pct"),
+    )
+
+
+# ===========================================================================
+# Randomness: Bartels rank von Neumann ratio test
+# ===========================================================================
+
+_BARTELS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+rk AS (
+  SELECT row_number() OVER (ORDER BY x, d) AS r, d FROM daily
+),
+seq AS (
+  SELECT r, lead(r) OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+  FROM rk
+),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(sum((r - rn) * (r - rn)) AS BIGINT) AS nm
+  FROM seq WHERE rn IS NOT NULL
+)
+SELECT n AS n_days,
+       nm AS nm_stat,
+       CAST(12000 * nm // (n * (n * n - 1)) AS BIGINT) AS rvn_milli,
+       CAST((12000 * nm // (n * (n * n - 1)) - 2000)
+            * (12000 * nm // (n * (n * n - 1)) - 2000) * n // 4000
+            AS BIGINT) AS z2_milli,
+       CAST(CASE WHEN (12000 * nm // (n * (n * n - 1)) - 2000)
+                      * (12000 * nm // (n * (n * n - 1)) - 2000) * n
+                      // 4000 > 3841
+            THEN 1 ELSE 0 END AS BIGINT) AS nonrandom_5pct
+FROM agg
+"""
+
+
+@_register("bartels_rank_von_neumann", _BARTELS_ORACLE)
+def bartels_rank_von_neumann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels' rank version of the von Neumann ratio test for
+    randomness of the daily purchase-revenue sequence: RVN =
+    sum (r_i - r_{i+1})^2 / (n(n^2-1)/12) over the day-ordered RANKS
+    — E[RVN]=2 under randomness, small values flag trending (slowly
+    wandering ranks), large values flag alternation. The rank-based
+    member of the randomness family (runs_test_median dichotomizes,
+    turning_points counts local extrema, ljung_box needs moments;
+    Bartels keeps full ordinal information with no distributional
+    assumption). Exact throughout: integer rank differences, the
+    ratio and the asymptotic z^2 = (RVN-2)^2 * n / 4 milli-scaled
+    with truncating division. Scale shape: one daily aggregate, one
+    rank window, one lead window, one-row arithmetic."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CASE WHEN value >= 0"
+                    " THEN floor(value * 100 + 0.5)"
+                    " ELSE -floor(-(value) * 100 + 0.5) END AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    rk = daily.select("d", F.row_number().over(W.orderBy("x", "d")).alias("r"))
+    seq = rk.select(
+        "r",
+        F.lead("r").over(W.orderBy("d")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    agg = seq.filter(F.col("rn").isNotNull()).agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.expr("(r - rn) * (r - rn)")).cast("long").alias("nm"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("nm").alias("nm_stat"),
+        F.expr("CAST(12000 * nm div (n * (n * n - 1)) AS BIGINT)").alias(
+            "rvn_milli"
+        ),
+        F.expr(
+            "CAST((12000 * nm div (n * (n * n - 1)) - 2000)"
+            " * (12000 * nm div (n * (n * n - 1)) - 2000) * n div 4000"
+            " AS BIGINT)"
+        ).alias("z2_milli"),
+        F.expr(
+            "CAST(CASE WHEN (12000 * nm div (n * (n * n - 1)) - 2000)"
+            " * (12000 * nm div (n * (n * n - 1)) - 2000) * n"
+            " div 4000 > 3841"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("nonrandom_5pct"),
+    )

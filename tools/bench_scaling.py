@@ -352,6 +352,11 @@ ENTRIES = [
     "markov_entropy_rate",
     "gini_mean_difference",
     "median_polish_two_way",
+    # round-6 wave 24
+    "chow_test_structural_break",
+    "granger_causality_onelag",
+    "breusch_pagan_heteroscedasticity",
+    "bartels_rank_von_neumann",
 ]
 
 
