@@ -3153,8 +3153,10 @@ agg AS (
 )
 SELECT grp AS l_returnflag, n,
        CAST(sx // n AS BIGINT) AS mean_cents,
-       CAST(2 * wsum // (n * (n - 1)) AS BIGINT) AS gmd_cents,
-       CAST(1000 * wsum // ((n - 1) * sx) AS BIGINT) AS gini_milli
+       CAST(2 * CAST(wsum AS HUGEINT) // (n * (n - 1)) AS BIGINT)
+         AS gmd_cents,
+       CAST(1000 * CAST(wsum AS HUGEINT) // ((n - 1) * sx) AS BIGINT)
+         AS gini_milli
 FROM agg
 ORDER BY grp
 """
@@ -3170,7 +3172,11 @@ def gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     Also emits the Gini coefficient as GMD/(2*mean) on the same exact
     integers, tying the catalog's Lorenz-based gini to the pairwise
     definition. Ties are harmless: any rank assignment among equal
-    values leaves the weighted sum unchanged. All int64. Scale
+    values leaves the weighted sum unchanged. The weighted sum is
+    int64 through sf 0.1 headroom; the milli/cent ratios ride
+    DECIMAL(38,0) (1000 * wsum crosses 2^63 at sf 0.1 — DuckDB
+    auto-promotes to HUGEINT, Spark ANSI throws; production at
+    larger groups would carry wsum itself as DECIMAL(38,0)). Scale
     shape: one per-group rank window (sortable shuffle), one
     aggregate."""
     v = _t(spark, sf_dir, "lineitem").select(
@@ -3192,12 +3198,14 @@ def gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grp").alias("l_returnflag"),
         "n",
         F.expr("CAST(sx div n AS BIGINT)").alias("mean_cents"),
-        F.expr("CAST(2 * wsum div (n * (n - 1)) AS BIGINT)").alias(
-            "gmd_cents"
-        ),
-        F.expr("CAST(1000 * wsum div ((n - 1) * sx) AS BIGINT)").alias(
-            "gini_milli"
-        ),
+        F.expr(
+            "CAST(2 * CAST(wsum AS DECIMAL(38,0)) div (n * (n - 1))"
+            " AS BIGINT)"
+        ).alias("gmd_cents"),
+        F.expr(
+            "CAST(1000 * CAST(wsum AS DECIMAL(38,0)) div ((n - 1) * sx)"
+            " AS BIGINT)"
+        ).alias("gini_milli"),
     ).orderBy("l_returnflag")
 
 
