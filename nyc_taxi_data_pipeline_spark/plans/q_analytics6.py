@@ -1338,7 +1338,15 @@ def wagner_whitin_lotsizing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Project scheduling: CPM slack / total float via forward+backward pass
 # ===========================================================================
 
-_SLACK_ORACLE = """
+# Shared forward-walk depth bound for critical_path_slack: interpolated
+# into BOTH the oracle SQL and the Spark loop so the lanes cannot
+# silently diverge. At depths beyond the deepest real BOM chain the
+# extra rounds join an empty frontier (free); if the part-key space ever
+# grows past 5^(_CPM_DEPTH+1) keys (sf >> 10), both lanes truncate the
+# SAME deeper chains identically — see the docstring note.
+_CPM_DEPTH = 6
+
+_SLACK_ORACLE = f"""
 WITH RECURSIVE parts AS (
   SELECT p_partkey AS pk FROM part
 ),
@@ -1361,7 +1369,7 @@ walk AS (
   SELECT w.root, b.child, w.es_incl + b.child % 7 + 1,
          CAST(w.depth + 1 AS BIGINT)
   FROM walk w JOIN bom b ON b.parent = w.node
-  WHERE w.depth < 6
+  WHERE w.depth < {_CPM_DEPTH}
 ),
 leaves AS (
   SELECT w.node FROM walk w
@@ -1403,16 +1411,19 @@ def critical_path_slack(spark: SparkSession, sf_dir: str) -> DataFrame:
     float = T - es_incl - (longest_below - own_duration); float-0 tasks
     ARE the critical path — the part CPM adds beyond the longest-path
     number: which tasks can slip, and by how much, without moving the
-    deadline. Both passes are depth-bounded WITH RECURSIVE walks
-    executed identically by both engines (the backward max-merge
-    happens OUTSIDE the recursion as one rollup over leaf-ancestor
-    climbs). Every critical task count is an executed invariant (each
-    project has >= 1 zero-float chain). Scale shape: per-level
-    equi-joins, two rollups; branching factor 2 bounds both walks.
-    The Spark lane is an independent DataFrame implementation (the
-    oracle's WITH RECURSIVE walks become bounded driver loops over
-    equi-joins — the same pattern as the graph module), so the DuckDB
-    oracle genuinely cross-checks the logic, not just the engine."""
+    deadline. The Spark lane is an independent DataFrame implementation
+    (the oracle's WITH RECURSIVE forward walk becomes a bounded driver
+    loop over equi-joins — the same pattern as the graph module; the
+    backward max-merge happens OUTSIDE the recursion as one rollup over
+    leaf-ancestor climbs), so the DuckDB oracle genuinely cross-checks
+    the logic, not just the engine. Both lanes' forward walks share ONE
+    depth bound, _CPM_DEPTH, interpolated into the oracle SQL and the
+    Spark loop; at part-key spaces beyond 5^(_CPM_DEPTH+1) (sf >> 10)
+    both lanes truncate the same deeper BOM chains identically, so
+    parity holds but the deepest tasks drop out of the slack rollup.
+    Every critical task count is an executed invariant (each project
+    has >= 1 zero-float chain). Scale shape: per-level equi-joins, two
+    rollups; branching factor 2 bounds both walks."""
     parts = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("pk"))
     c1 = parts.select(F.col("pk").alias("parent"), (F.col("pk") * 5 + 1).alias("child"))
     c2 = parts.select(F.col("pk").alias("parent"), (F.col("pk") * 5 + 2).alias("child"))
@@ -1434,7 +1445,7 @@ def critical_path_slack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pk") % 7 + 1).cast("long").alias("es_incl"),
     )
     levels = [frontier]
-    for _ in range(6):
+    for _ in range(_CPM_DEPTH):
         frontier = (
             frontier.join(bom, frontier["node"] == bom["parent"])
             .select(

@@ -147,9 +147,9 @@ SELECT d.d AS day,
        d.x AS n_defect,
        CAST(1000000 * d.x // d.n AS BIGINT) AS p_ppm,
        CAST(1000000 * t.xx // t.nn AS BIGINT) AS pbar_ppm,
-       CAST(CASE WHEN (d.x * t.nn - t.xx * d.n)
-                      * (d.x * t.nn - t.xx * d.n)
-                 > 9 * t.xx * (t.nn - t.xx) * d.n
+       CAST(CASE WHEN CAST(d.x * t.nn - t.xx * d.n AS HUGEINT)
+                      * CAST(d.x * t.nn - t.xx * d.n AS HUGEINT)
+                 > CAST(9 * t.xx AS HUGEINT) * (t.nn - t.xx) * d.n
             THEN CASE WHEN d.x * t.nn > t.xx * d.n THEN 1 ELSE -1 END
             ELSE 0 END AS BIGINT) AS ooc_sign
 FROM daily d CROSS JOIN tot t
@@ -166,9 +166,15 @@ def p_chart_attribute_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers variables data, western_electric_rules the run rules,
     cusum/ewma the memory charts). The out-of-control test is kept
     EXACT by clearing denominators: |p_i - pbar| > 3*sigma_i is
-    equivalent to (x_i*N - X*n_i)^2 > 9*X*(N-X)*n_i, all int64 — no
-    sqrt, no floats, so the flag carries a full value oracle. Scale
-    shape: one daily aggregate, a 1-row total broadcast onto it."""
+    equivalent to (x_i*N - X*n_i)^2 > 9*X*(N-X)*n_i — no sqrt, no
+    floats, so the flag carries a full value oracle. The UNSQUARED
+    deviation x_i*N - X*n_i fits int64 to beyond sf100 (|dev| <=
+    n_i*N ~ 6e13 at sf10), but its SQUARE crosses 2^63 around sf1-10,
+    so both lanes square in wide exact arithmetic: Spark routes the
+    square and the 9*X*(N-X)*n_i bound through DECIMAL(38,0) (holds
+    ~1e38 >> the ~1e34 worst case at sf100); the DuckDB oracle uses
+    HUGEINT (int128). Scale shape: one daily aggregate, a 1-row total
+    broadcast onto it."""
     daily = (
         _t(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("d"))
@@ -191,8 +197,9 @@ def p_chart_attribute_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(1000000 * x div n AS BIGINT)").alias("p_ppm"),
             F.expr("CAST(1000000 * xx div nn AS BIGINT)").alias("pbar_ppm"),
             F.expr(
-                "CAST(CASE WHEN (x * nn - xx * n) * (x * nn - xx * n)"
-                " > 9 * xx * (nn - xx) * n"
+                "CAST(CASE WHEN CAST(x * nn - xx * n AS DECIMAL(38,0))"
+                " * CAST(x * nn - xx * n AS DECIMAL(38,0))"
+                " > CAST(9 * xx AS DECIMAL(38,0)) * (nn - xx) * n"
                 " THEN CASE WHEN x * nn > xx * n THEN 1 ELSE -1 END"
                 " ELSE 0 END AS BIGINT)"
             ).alias("ooc_sign"),
