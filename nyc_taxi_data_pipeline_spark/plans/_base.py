@@ -51,6 +51,54 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def tiered_global_rank(
+    df: DataFrame,
+    tier,
+    order_by: list,
+    rank_name: str = "rn",
+    total_name: str | None = None,
+) -> DataFrame:
+    """EXACT global row_number() over `order_by` WITHOUT a
+    single-partition window — the scale-safe order-statistic device
+    (proven by length_bucket_padding / its plan test): rank in parallel
+    within contiguous TIERS of the leading sort key, then add per-tier
+    offsets from a tiny broadcast cumsum. Requirements the caller owns:
+    `tier` must be monotone NON-DECREASING in the global `order_by`
+    order (contiguous value bands of the leading key — e.g.
+    ``F.expr("x div 256")``), so every tier-i row globally sorts before
+    every tier-(i+1) row and per-tier rank + offset IS the global rank.
+    The offsets frame is bounded by value-range/band-width (a
+    distribution constant, not data-proportional), so ITS unpartitioned
+    cumsum window is one of the tiny frames the plan audit
+    (tools/audit_windows.py) allows. `total_name`, when set, attaches
+    the global row count from the same bounded sizes frame (replacing
+    the ``count(*) OVER ()`` device, which is ALSO a single-partition
+    window). A descending global rank is ``n - rn + 1``."""
+    base = df.withColumn("__tier", tier)
+    ranked = base.withColumn(
+        "__r", F.row_number().over(W.partitionBy("__tier").orderBy(*order_by))
+    )
+    sizes = base.groupBy("__tier").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = sizes.select(
+        "__tier",
+        F.coalesce(
+            F.sum("__n").over(
+                W.orderBy("__tier").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    out = (
+        ranked.join(F.broadcast(offsets), "__tier")
+        .withColumn(rank_name, F.col("__off") + F.col("__r"))
+        .drop("__tier", "__r", "__off")
+    )
+    if total_name is not None:
+        tot = sizes.agg(F.sum("__n").alias(total_name))
+        out = out.crossJoin(F.broadcast(tot))
+    return out
+
+
 # ===========================================================================
 # Taxi-parity pipeline (SURVEY.md §3.1) — the reference's raw→staging→star
 # lifecycle exercised end-to-end on the synthetic lake. `lineitem` rows are

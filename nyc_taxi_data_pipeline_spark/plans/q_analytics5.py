@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _t,
+    tiered_global_rank,
 )
 
 __all__: list[str] = []
@@ -1028,11 +1029,15 @@ def sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation_test_mean_diff) cannot be: per observation the
     log-likelihood ratio moves by literal milli constants ln(.6/.5)=+182 /
     ln(.4/.5)=-223, and the first crossing of +-ln(19)=2944 milli decides.
-    One event-time-ordered cumsum window; the decision step, the LLR at
+    One event-time-ordered cumsum; the decision step, the LLR at
     crossing, and the direction all value-check (the stream is ~50/50 so
     the walk drifts to accept_h0 — expected drift -20.5 milli/step).
-    Scale shape: a single ordered cumsum (the sequential monitor's
-    inherent total order) + TakeOrdered(1) over the crossing set."""
+    Scale shape: the monitor's total order is REAL but its cumsum is
+    computed without a single-partition window — per-DAY cumsums in
+    parallel (days are contiguous tiers of the (ts, event_id) order)
+    plus broadcast day-offset prefix sums of (count, LLR), the tiered
+    exact-order-statistic device generalized from rank to cumsum —
+    then TakeOrdered(1) over the crossing set."""
     s = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "view"))
@@ -1043,12 +1048,30 @@ def sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    wo = W.orderBy("ts", "event_id")
-    walk = s.select(
-        F.row_number().over(wo).alias("step"),
-        F.sum(F.when(F.col("y") == 1, 182).otherwise(-223))
-        .over(wo)
-        .alias("llr_milli"),
+    inc = s.select(
+        "ts",
+        "event_id",
+        F.to_date("ts").alias("d"),
+        F.when(F.col("y") == 1, 182).otherwise(-223).alias("w"),
+    )
+    wd = W.partitionBy("d").orderBy("ts", "event_id")
+    loc = inc.select(
+        "d",
+        F.row_number().over(wd).alias("r"),
+        F.sum("w").over(wd).alias("cw"),
+    )
+    day = inc.groupBy("d").agg(
+        F.count(F.lit(1)).alias("dn"), F.sum("w").alias("dw")
+    )
+    wdays = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    offs = day.select(
+        "d",
+        F.coalesce(F.sum("dn").over(wdays), F.lit(0)).alias("off_n"),
+        F.coalesce(F.sum("dw").over(wdays), F.lit(0)).alias("off_w"),
+    )
+    walk = loc.join(F.broadcast(offs), "d").select(
+        (F.col("off_n") + F.col("r")).alias("step"),
+        (F.col("off_w") + F.col("cw")).alias("llr_milli"),
     )
     crossed = (
         walk.filter(
@@ -1786,17 +1809,17 @@ def secretary_optimal_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate) — here made a deterministic Monte-Carlo with a FULL value
     oracle via the md5 coin, like poisson_bootstrap_ci/
     permutation_test_mean_diff. Scale shape: a 100-row broadcast panel
-    x 64 seeds = 6400 rows; two grouped aggregates; nothing data-sized
-    except the one rank window picking the panel."""
+    x 64 seeds = 6400 rows; two grouped aggregates; the panel pick is
+    an orderBy().limit() (TakeOrderedAndProject — parallel per-
+    partition top-k, never a single-partition rank window)."""
     orders = _t(spark, sf_dir, "orders")
     panel = (
         orders.select(
             F.col("o_orderkey").alias("k"),
             F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
-            F.row_number().over(W.orderBy("o_orderkey")).alias("rn"),
         )
-        .filter(F.col("rn") <= 100)
-        .drop("rn")
+        .orderBy("k")
+        .limit(100)
         .localCheckpoint(eager=False)
     )
     best = panel.agg(F.max("v").alias("vmax"))
@@ -3416,12 +3439,34 @@ def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency GRID (25x25 cell products), never from row-level pairs —
     the contingency-collapse trick that makes O(n^2) pair statistics one
     rollup + a constant-size grid join. Exact 128-bit integer lanes, one
-    division. Scale shape: one rollup to 25 cells (the ntile window is
-    the only data-sized sort), then constant work."""
-    s = _t(spark, sf_dir, "orders").select(
+    division. Scale shape: one rollup to 25 cells; the price quintile
+    is an EXACT global ntile computed without a single-partition window
+    — tiered_global_rank over contiguous 1024-dollar price bands +
+    ntile's size arithmetic (tiles 1..n%k hold n div k + 1 rows), the
+    length_bucket_padding recipe; the oracle's literal ntile window is
+    the semantic spec, not the plan."""
+    base = _t(spark, sf_dir, "orders").select(
         F.expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").alias("r"),
-        F.ntile(5)
-        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        "o_totalprice",
+        "o_orderkey",
+    )
+    rk = tiered_global_rank(
+        base,
+        F.expr("CAST(o_totalprice AS BIGINT) div 1024"),
+        ["o_totalprice", "o_orderkey"],
+        rank_name="rn",
+        total_name="nt",
+    )
+    s = rk.select(
+        "r",
+        F.expr(
+            "CASE WHEN rn <= (nt % 5) * ((nt div 5) + 1)"
+            " THEN (rn - 1) div ((nt div 5) + 1) + 1"
+            " ELSE (nt % 5)"
+            "      + ((rn - (nt % 5) * ((nt div 5) + 1) - 1)"
+            "         div (nt div 5)) + 1 END"
+        )
+        .cast("int")
         .alias("c"),
     )
     grid = s.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(

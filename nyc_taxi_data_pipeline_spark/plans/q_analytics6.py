@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _t,
+    tiered_global_rank,
 )
 
 __all__: list[str] = []
@@ -1173,9 +1174,13 @@ def sorted_neighborhood_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truth (same bucket => close balances), which is SNM's premise
     and exactly what the measured recall quantifies. Bucket boundaries
     truncate toward zero identically in both engines (negative
-    balances). Scale shape: one global sort (range-partitioned at
-    scale, with w-row partition-boundary overlap), w lead windows, one
-    rollup — candidates stay O(w n), never quadratic."""
+    balances). Scale shape: the sorted neighborhood is realized
+    WITHOUT a single-partition sort — tiered_global_rank over
+    contiguous 4096-cent balance bands gives each row its exact global
+    sort position, and the w=5 successor pairs come from one
+    hash-partitioned equi-join on (rank, rank+i) — candidates stay
+    O(w n) and every stage is parallel (the oracle's lead windows are
+    the semantic spec, not the plan)."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_nationkey").alias("nat"),
@@ -1184,26 +1189,28 @@ def sorted_neighborhood_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = c.select(
         "c_custkey", "nat", "v", F.expr("v div 10000").alias("bkt")
     ).localCheckpoint(eager=False)
-    w = W.orderBy("v", "c_custkey")
-    leads = k.select(
+    rk = tiered_global_rank(
+        k, F.expr("v div 4096"), ["v", "c_custkey"], rank_name="rn"
+    ).localCheckpoint(eager=False)
+    probes = rk.select(
         "nat",
         "bkt",
-        *[
-            col
-            for i in (1, 2, 3, 4, 5)
-            for col in (
-                F.lead("nat", i).over(w).alias(f"n{i}"),
-                F.lead("bkt", i).over(w).alias(f"b{i}"),
-            )
-        ],
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("i"),
+        F.col("rn"),
+    ).select("nat", "bkt", (F.col("rn") + F.col("i")).alias("rn2"))
+    succ = rk.select(
+        F.col("rn").alias("rn2"),
+        F.col("nat").alias("nat2"),
+        F.col("bkt").alias("bkt2"),
     )
-    caught_expr = " + ".join(
-        f"CASE WHEN n{i} = nat AND b{i} = bkt THEN 1 ELSE 0 END"
-        for i in (1, 2, 3, 4, 5)
+    hits = probes.join(succ, "rn2").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN nat2 = nat AND bkt2 = bkt THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_caught")
     )
-    caught = leads.agg(
-        F.expr(f"CAST(sum({caught_expr}) AS BIGINT)").alias("n_caught"),
-        F.count(F.lit(1)).alias("n"),
+    caught = rk.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        F.broadcast(hits)
     )
     truth = (
         k.groupBy("nat", "bkt")
@@ -4370,7 +4377,10 @@ def ansari_bradley_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     z^2 against the exact null moments (even/odd-N closed forms as a
     CASE both engines evaluate identically) rides one 128-bit
     division; ties break deterministically by event_id. Scale shape:
-    one global rank window, one aggregate."""
+    the pooled rank is computed without a single-partition window —
+    tiered_global_rank over contiguous 128-cent value bands (exact
+    (v, event_id) order preserved within and across tiers), one
+    aggregate."""
     s = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "view"))
@@ -4382,11 +4392,13 @@ def ansari_bradley_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    rk = s.select(
-        "is_a",
-        F.row_number().over(W.orderBy("v", "event_id")).alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
-    )
+    rk = tiered_global_rank(
+        s,
+        F.expr("v div 128"),
+        ["v", "event_id"],
+        rank_name="i",
+        total_name="nn",
+    ).select("is_a", "i", "nn")
     ab = rk.agg(
         F.max("nn").alias("nn"),
         F.sum("is_a").cast("long").alias("na"),
@@ -4872,8 +4884,10 @@ def weighted_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
     value) keeps the O(k^2) predecessor scan constant-size at any data
     volume — the same fixed-panel rule as the ANN brute baselines. The
     DP optimum is bounded by [max single value, panel sum], both
-    executed columns. Scale shape: sessionization windows, one
-    TakeOrdered panel, then bounded array math."""
+    executed columns. Scale shape: sessionization windows (partitioned
+    by user), a panel pick via orderBy().limit() = TakeOrderedAndProject
+    (parallel per-partition top-k, no single-partition rank window),
+    then bounded array math."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.expr("unix_micros(ts)").alias("tu"),
@@ -4903,14 +4917,11 @@ def weighted_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.max("val").alias("top1"),
     )
-    panel = ivals.select(
-        "s",
-        "e",
-        "val",
-        F.row_number()
-        .over(W.orderBy(F.col("val").desc(), "user_id", "sid"))
-        .alias("pr"),
-    ).filter(F.col("pr") <= 40)
+    panel = (
+        ivals.orderBy(F.col("val").desc(), "user_id", "sid")
+        .limit(40)
+        .select("s", "e", "val")
+    )
     arrs = panel.agg(
         F.expr(
             "transform(array_sort(collect_list(struct(e, s, val))),"

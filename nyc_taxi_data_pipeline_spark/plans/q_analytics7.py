@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _t,
+    tiered_global_rank,
 )
 
 __all__: list[str] = []
@@ -598,19 +599,21 @@ def pot_gpd_moment_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     THRESHOLD member of the EVT family (block_maxima_return_levels is
     the block-maxima/GEV member; POT uses the data above u instead of
     one maximum per block, the estimator actuaries and SREs actually
-    fit). The threshold is an exact order statistic (row_number over
-    cents, no percentile interpolation); moments come from int64 sums
+    fit). The threshold is an exact order statistic (rank over cents,
+    no percentile interpolation); moments come from int64 sums
     (the square sum in double to stay in range, identically on both
-    engines); xi > 0 flags a heavy tail. Scale shape: one global
-    top-k-ish rank window (at production scale, replaced by an
-    approx-quantile threshold), one aggregate over the 5% tail."""
+    engines); xi > 0 flags a heavy tail. Scale shape: the threshold
+    rank is computed WITHOUT a single-partition window — ascending
+    tiered_global_rank over contiguous 65536-cent price bands, the
+    descending top-5% selected as ascending rank > n - k (exactly k
+    rows either way; at a tie boundary the tie-member CHOICE can
+    differ from the oracle's arbitrary order, but min(x) over the set
+    is tie-order invariant) — then one aggregate over the 5% tail."""
     v = _t(spark, sf_dir, "orders").select(_cents("o_totalprice").alias("x"))
-    rk = v.select(
-        "x",
-        F.row_number().over(W.orderBy(F.col("x").desc())).alias("r"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    rk = tiered_global_rank(
+        v, F.expr("x div 65536"), ["x"], rank_name="rn", total_name="n"
     )
-    thr = rk.filter(F.expr("r <= (n + 19) div 20")).agg(
+    thr = rk.filter(F.expr("n - rn + 1 <= (n + 19) div 20")).agg(
         F.min("x").alias("u")
     )
     exc = (
@@ -702,10 +705,15 @@ def weibull_median_ranks_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     kaplan_meier/nelson_aalen (non-parametric survival) with the
     PARAMETRIC lifetime model; k > 1 reads as wear-out, k < 1 as
     infant mortality. Ranks are exact (row_number over integer
-    minutes, deterministic ties), so both engines feed identical
-    (x, y) points into the closed-form OLS; doubles round at the end.
-    Scale shape: one global rank window (sample-able at production
-    scale), one regression aggregate."""
+    minutes; ties permute rank values within a tie group but the
+    (x, y) MULTISET is tie-order invariant, so the OLS sums are
+    deterministic), and both engines feed identical points into the
+    closed-form solve; doubles round at the end. Scale shape: the
+    global rank is computed WITHOUT a single-partition window —
+    per-tier parallel ranks over contiguous 256-minute lead-time
+    bands + broadcast cumsum offsets (tiered_global_rank; the oracle's
+    literal global window is the semantic spec, not the plan), then
+    one regression aggregate."""
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     t = (
@@ -718,10 +726,8 @@ def weibull_median_ranks_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tt")
         )
     )
-    rk = t.select(
-        "tt",
-        F.row_number().over(W.orderBy("tt")).alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    rk = tiered_global_rank(
+        t, F.expr("tt div 256"), ["tt"], rank_name="i", total_name="n"
     )
     xy = rk.select(
         F.expr("round(ln(CAST(tt AS DOUBLE)), 8)").alias("x"),
