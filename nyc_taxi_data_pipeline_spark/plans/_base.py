@@ -57,6 +57,9 @@ def tiered_global_rank(
     order_by: list,
     rank_name: str = "rn",
     total_name: str | None = None,
+    cumsum: dict[str, str] | None = None,
+    totals: dict[str, str] | None = None,
+    cummax_exclusive: dict[str, str] | None = None,
 ) -> DataFrame:
     """EXACT global row_number() over `order_by` WITHOUT a
     single-partition window — the scale-safe order-statistic device
@@ -67,36 +70,110 @@ def tiered_global_rank(
     order (contiguous value bands of the leading key — e.g.
     ``F.expr("x div 256")``), so every tier-i row globally sorts before
     every tier-(i+1) row and per-tier rank + offset IS the global rank.
-    The offsets frame is bounded by value-range/band-width (a
-    distribution constant, not data-proportional), so ITS unpartitioned
-    cumsum window is one of the tiny frames the plan audit
-    (tools/audit_windows.py) allows. `total_name`, when set, attaches
+    The offsets frame is bounded by value-range/band-width — pick the
+    band width so range/width lands in the hundreds-to-thousands (too
+    narrow and the offsets frame tracks the DATA, which is the pattern
+    this helper exists to kill; tools/audit_windows.py catches that
+    empirically) — so ITS unpartitioned cumsum window is one of the
+    tiny frames the plan audit allows. `total_name`, when set, attaches
     the global row count from the same bounded sizes frame (replacing
     the ``count(*) OVER ()`` device, which is ALSO a single-partition
-    window). A descending global rank is ``n - rn + 1``."""
+    window). A descending global rank is ``n - rn + 1``.
+
+    `cumsum` ({src_col: out_name}) additionally attaches EXACT global
+    running sums (inclusive of the current row) over the same order —
+    the device generalized from rank to prefix sums: within-tier
+    cumsum window + the broadcast per-tier offset of each column.
+    `totals` ({src_col: out_name}) attaches grand totals of source
+    columns from the same bounded per-tier rollup (again replacing
+    ``sum(x) OVER ()`` single-partition windows).
+    `cummax_exclusive` ({src_col: out_name}) attaches the EXCLUSIVE
+    global running max over the same order (NULL on the global first
+    row) — greatest(per-tier exclusive cummax, max over all earlier
+    tiers); F.greatest skips NULLs, which is exactly the merge this
+    needs."""
+    cumsum = cumsum or {}
+    totals = totals or {}
+    cummax_exclusive = cummax_exclusive or {}
     base = df.withColumn("__tier", tier)
-    ranked = base.withColumn(
-        "__r", F.row_number().over(W.partitionBy("__tier").orderBy(*order_by))
+    wt = W.partitionBy("__tier").orderBy(*order_by)
+    wt_excl = wt.rowsBetween(W.unboundedPreceding, -1)
+    ranked = base.withColumn("__r", F.row_number().over(wt))
+    for src, out_name in cumsum.items():
+        ranked = ranked.withColumn(f"__c_{out_name}", F.sum(src).over(wt))
+    for src, out_name in cummax_exclusive.items():
+        ranked = ranked.withColumn(
+            f"__x_{out_name}", F.max(src).over(wt_excl)
+        )
+    sum_cols = {src for src in cumsum} | {src for src in totals}
+    sizes = base.groupBy("__tier").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(src).alias(f"__s_{src}") for src in sorted(sum_cols)],
+        *[
+            F.max(src).alias(f"__m_{src}")
+            for src in sorted(cummax_exclusive)
+        ],
     )
-    sizes = base.groupBy("__tier").agg(F.count(F.lit(1)).alias("__n"))
+    woff = W.orderBy("__tier").rowsBetween(W.unboundedPreceding, -1)
     offsets = sizes.select(
         "__tier",
-        F.coalesce(
-            F.sum("__n").over(
-                W.orderBy("__tier").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__off"),
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off"),
+        *[
+            F.coalesce(F.sum(f"__s_{src}").over(woff), F.lit(0)).alias(
+                f"__off_{src}"
+            )
+            for src in sorted({s for s in cumsum})
+        ],
+        *[
+            F.max(f"__m_{src}").over(woff).alias(f"__offm_{src}")
+            for src in sorted(cummax_exclusive)
+        ],
     )
     out = (
         ranked.join(F.broadcast(offsets), "__tier")
         .withColumn(rank_name, F.col("__off") + F.col("__r"))
-        .drop("__tier", "__r", "__off")
     )
+    for src, out_name in cumsum.items():
+        out = out.withColumn(
+            out_name, F.col(f"__off_{src}") + F.col(f"__c_{out_name}")
+        )
+    for src, out_name in cummax_exclusive.items():
+        out = out.withColumn(
+            out_name, F.greatest(f"__offm_{src}", f"__x_{out_name}")
+        )
+    out = out.drop(
+        "__tier",
+        "__r",
+        "__off",
+        *[f"__c_{o}" for o in cumsum.values()],
+        *[f"__off_{s}" for s in cumsum],
+        *[f"__x_{o}" for o in cummax_exclusive.values()],
+        *[f"__offm_{s}" for s in cummax_exclusive],
+    )
+    agg_exprs = []
     if total_name is not None:
-        tot = sizes.agg(F.sum("__n").alias(total_name))
-        out = out.crossJoin(F.broadcast(tot))
+        agg_exprs.append(F.sum("__n").alias(total_name))
+    for src, out_name in totals.items():
+        agg_exprs.append(F.sum(f"__s_{src}").alias(out_name))
+    if agg_exprs:
+        out = out.crossJoin(F.broadcast(sizes.agg(*agg_exprs)))
     return out
+
+
+def exact_ntile(rank: str, total: str, k: int):
+    """ntile(k)'s size arithmetic over an EXACT global rank (from
+    tiered_global_rank): tiles 1..total%k hold total div k + 1 rows,
+    the rest total div k — bit-identical to the engine ntile over the
+    same total order, with no single-partition window. Returns an INT
+    column (ntile's type)."""
+    q = f"({total} div {k})"
+    r = f"({total} % {k})"
+    return F.expr(
+        f"CAST(CASE WHEN {rank} <= {r} * ({q} + 1)"
+        f" THEN ({rank} - 1) div ({q} + 1) + 1"
+        f" ELSE {r} + (({rank} - {r} * ({q} + 1) - 1) div {q}) + 1 END"
+        " AS INT)"
+    )
 
 
 # ===========================================================================

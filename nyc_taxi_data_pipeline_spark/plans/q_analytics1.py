@@ -18,6 +18,8 @@ from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _staging_trips,
     _t,
+    exact_ntile,
+    tiered_global_rank,
 )
 
 __all__: list[str] = []
@@ -1858,12 +1860,14 @@ def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one (the two objectives anti-correlate, so the frontier is a real
     curve, not a single max point). Computed without the naive quadratic
     NOT-EXISTS self-join: sort the DISTINCT point set by avg desc and
-    keep points whose n_orders exceeds every preceding point's (running
-    max window), then semi-join customers back — O(n log n), and the
-    single-partition window runs on the post-aggregation point set,
-    orders of magnitude smaller than the base table. The avg is derived
-    from a decimal-exact sum and rounded BEFORE domination so both
-    engines compare identical doubles."""
+    keep points whose n_orders exceeds every preceding point's running
+    max, then semi-join customers back — O(n log n). The running max is
+    computed WITHOUT a single-partition window (the point set is
+    distinct-customer-sized): tiered_global_rank's exclusive cummax
+    over contiguous negated-cent avg bands, merged across tiers with
+    NULL-skipping greatest. The avg is derived from a decimal-exact sum
+    and rounded BEFORE domination so both engines compare identical
+    doubles."""
     o = _t(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(
         F.round(
@@ -1874,11 +1878,14 @@ def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     pts = agg.select("avg_order", "n_orders").distinct()
-    w = W.orderBy(F.col("avg_order").desc(), F.col("n_orders").desc()).rowsBetween(
-        W.unboundedPreceding, -1
-    )
     fpts = (
-        pts.withColumn("__mx", F.max("n_orders").over(w))
+        tiered_global_rank(
+            pts,
+            F.expr("(-CAST(round(avg_order * 100) AS BIGINT)) div 1048576"),
+            [F.col("avg_order").desc(), F.col("n_orders").desc()],
+            rank_name="__rn",
+            cummax_exclusive={"n_orders": "__mx"},
+        )
         .filter(F.col("__mx").isNull() | (F.col("n_orders") > F.col("__mx")))
         .select("avg_order", "n_orders")
     )
@@ -2002,17 +2009,26 @@ ORDER BY bucket
 def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH histogram (quantile binning) of per-customer spend via
     ntile(8) — equal-population buckets with their value ranges, the
-    complement of histogram_equiwidth's equal-range buckets. The window
-    orders by (spend, custkey) so tile assignment is total-order
-    deterministic; it runs single-partition but on the post-aggregation
-    customer frame, not the fact table. Decimal-exact spend; doubles
-    only at output."""
+    complement of histogram_equiwidth's equal-range buckets. The tile
+    assignment orders by (spend, custkey) so it is total-order
+    deterministic, computed WITHOUT a single-partition window over the
+    customer frame: tiered_global_rank over contiguous 16384-dollar
+    spend bands (wide enough that the offsets frame stays bounded by
+    range/width) + exact_ntile's size arithmetic (the oracle's literal
+    ntile window is the semantic spec, not the plan). Decimal-exact
+    spend; doubles only at output."""
     o = _t(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
     )
-    w = W.orderBy("spend", "o_custkey")
-    tiled = agg.withColumn("bucket", F.ntile(8).over(w))
+    rk = tiered_global_rank(
+        agg,
+        F.expr("CAST(spend AS BIGINT) div 16384"),
+        ["spend", "o_custkey"],
+        rank_name="rn",
+        total_name="nt",
+    )
+    tiled = rk.withColumn("bucket", exact_ntile("rn", "nt", 8))
     return (
         tiled.groupBy("bucket")
         .agg(

@@ -17,6 +17,7 @@ from nyc_taxi_data_pipeline_spark.plans._base import (
     REGISTRY,
     _register,
     _t,
+    tiered_global_rank,
 )
 
 __all__: list[str] = []
@@ -4414,20 +4415,22 @@ def kingman_queue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     variability into expected queueing delay (`littles_law_audit`
     relates the averages exactly; Kingman PREDICTS the waiting line
     those averages will form at a given utilization). Scale shape:
-    one ordered-window lag pass, two mergeable moment aggregates,
-    1-row algebra."""
+    the squared-gap moments need REAL consecutive diffs (no
+    telescoping), so the global (t, s) order comes from
+    tiered_global_rank over epoch-day tiers and each gap is one
+    (rank, rank-1) equi-join probe — no single-partition lag window;
+    then two mergeable moment aggregates, 1-row algebra."""
     ev = _t(spark, sf_dir, "events").select(
         F.expr(
             "unix_micros(CAST(ts AS TIMESTAMP))"
         ).alias("t"),
         F.expr("CAST(round(value * 1000) AS BIGINT)").alias("s"),
     ).localCheckpoint(eager=False)
-    seq = ev.select(
-        "t",
-        "s",
-        F.expr("lag(t) OVER (ORDER BY t, s)").alias("pt"),
-    )
-    gaps = seq.filter(F.col("pt").isNotNull()).select(
+    rk = tiered_global_rank(
+        ev, F.expr("t div 86400000000"), ["t", "s"], rank_name="rn"
+    ).localCheckpoint(eager=False)
+    prev = rk.select((F.col("rn") + 1).alias("rn"), F.col("t").alias("pt"))
+    gaps = rk.join(prev, "rn").select(
         F.expr("CAST(t - pt AS BIGINT)").alias("a")
     )
     ma = gaps.agg(
@@ -4534,17 +4537,16 @@ def erlang_b_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     connection pools, trunk lines and worker fleets. Spark runs the
     10-step recursion as an aggregate() fold over sequence(1, 10)
     carrying the trajectory; the oracle walks the identical recurrence
-    through a recursive CTE. Scale shape: one ordered-lag pass + two
-    mergeable sums feed a constant-size recursion."""
+    through a recursive CTE. Scale shape: the summed inter-arrival gap
+    TELESCOPES to max(t) - min(t) (the oracle's ordered-lag sum is the
+    semantic spec), so no global-order window at all; two mergeable
+    sums feed a constant-size recursion."""
     ev = _t(spark, sf_dir, "events").select(
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
         F.expr("CAST(round(value * 1000) AS BIGINT)").alias("s"),
     ).localCheckpoint(eager=False)
-    seq = ev.select(
-        "t", "s", F.expr("lag(t) OVER (ORDER BY t, s)").alias("pt")
-    )
-    tot_gap = seq.filter(F.col("pt").isNotNull()).agg(
-        F.expr("CAST(sum(t - pt) AS BIGINT)").alias("ga")
+    tot_gap = ev.agg(
+        F.expr("CAST(max(t) - min(t) AS BIGINT)").alias("ga")
     )
     tot_s = ev.agg(F.expr("CAST(sum(s) AS BIGINT)").alias("ss"))
     rho = tot_s.crossJoin(F.broadcast(tot_gap)).select(

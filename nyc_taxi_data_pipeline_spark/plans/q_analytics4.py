@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _t,
+    tiered_global_rank,
 )
 
 __all__: list[str] = []
@@ -79,8 +80,11 @@ def cramer_von_mises_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole support (vs KS's single supremum in ks_test_two_sample), so
     it sees distributional differences a max-statistic misses. Scale
     shape: one hash agg on distinct cent values (bounded by the value
-    DOMAIN, 49k cells, not the corpus), one window cumsum over that
-    bounded frame, one final agg."""
+    DOMAIN, 49k cells, not the corpus), then the ECDF prefix sums are
+    computed without a single-partition window (tiered_global_rank
+    cumsum over contiguous 128-cent bands — the distinct-value frame
+    only saturates at domain size, so it is treated as data-sized
+    until then), one final agg."""
     ev = _t(spark, sf_dir, "events")
     s = ev.filter(F.col("event_type").isin("click", "view")).select(
         _cents("value").alias("v"),
@@ -89,10 +93,13 @@ def cramer_von_mises_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("v").agg(
         F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
     )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = g.select(
-        "ca", "cb", F.sum("ca").over(w).alias("c1"), F.sum("cb").over(w).alias("c2")
-    )
+    c = tiered_global_rank(
+        g,
+        F.expr("v div 128"),
+        ["v"],
+        rank_name="__ri",
+        cumsum={"ca": "c1", "cb": "c2"},
+    ).select("ca", "cb", "c1", "c2")
     c = c.localCheckpoint(eager=False)
     tot = c.agg(F.max("c1").alias("n"), F.max("c2").alias("m"))
     terms = c.crossJoin(F.broadcast(tot)).select(
@@ -181,15 +188,23 @@ def kruskal_wallis_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction H/C with C = 1 - sum(t^3-t)/(N^3-N) applied as a second
     exact integer division. The k-sample generalization of
     rank_sum_auc_by_event_type. Scale shape: rank table is one agg over
-    distinct cent values + one window cumsum on that bounded frame; group
-    stats are one join + agg; the H combine runs on 5 rows."""
+    distinct cent values + a tiered prefix sum (tiered_global_rank
+    cumsum over contiguous 65536-cent price bands — near-unique prices
+    make the distinct-value frame data-sized, so no single-partition
+    window); group stats are one join + agg; the H combine runs on 5
+    rows."""
     s = _t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"), _cents("o_totalprice").alias("v")
     )
     dv = s.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    rk = dv.select(
-        "v", "t", (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1).alias("r2")
+    rk = tiered_global_rank(
+        dv,
+        F.expr("v div 65536"),
+        ["v"],
+        rank_name="__ri",
+        cumsum={"t": "ct"},
+    ).select(
+        "v", "t", (2 * (F.col("ct") - F.col("t")) + F.col("t") + 1).alias("r2")
     )
     per_val = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
     gs = (
@@ -433,9 +448,11 @@ def jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-below mass, and the doubled lane j2 = 2J (ties at half
     weight stay integral) falls out of one linear pass. E[J2] equals
     pairs_total = sum_{i<j} n_i*n_j exactly. Scale shape: distinct-value
-    frame (domain-bounded) + one window + one agg — the k-sample trend
-    sibling of mann_kendall_theil_sen (which trends over TIME, not
-    ordered groups)."""
+    frame + tiered prefix sums (tiered_global_rank cumsum over
+    contiguous 65536-cent bands; exclusive below-mass = inclusive
+    cumsum minus the current cell — no single-partition window) + one
+    agg — the k-sample trend sibling of mann_kendall_theil_sen (which
+    trends over TIME, not ordered groups)."""
     s = _t(spark, sf_dir, "orders").select(
         F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
         _cents("o_totalprice").alias("v"),
@@ -446,12 +463,17 @@ def jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, 6)
         ]
     )
-    wprev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    cum = piv.select(
+    cum = tiered_global_rank(
+        piv,
+        F.expr("v div 65536"),
+        ["v"],
+        rank_name="__ri",
+        cumsum={f"k{k}": f"c{k}" for k in range(1, 5)},
+    ).select(
         "v",
         *[F.col(f"k{k}") for k in range(1, 6)],
         *[
-            F.coalesce(F.sum(f"k{k}").over(wprev), F.lit(0)).alias(f"l{k}")
+            (F.col(f"c{k}") - F.col(f"k{k}")).alias(f"l{k}")
             for k in range(1, 5)
         ],
     )
@@ -1566,9 +1588,11 @@ def quintile_share_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality lives in the tails — is why this beats a full Lorenz
     integral for monitoring. The customer-grain member of the
     inequality family (Gini/HHI/Hoover run at supplier/segment grain).
-    Scale shape: one rollup, one rank window, one agg. The global
-    row_number is the documented single-partition rank pattern over the
-    customer frame."""
+    Scale shape: one rollup, then the exact rank cutoffs come from
+    tiered_global_rank over contiguous 4194304-cent (~$42k) spend bands
+    (wide enough that the offsets frame stays bounded by range/width,
+    not customer count; no single-partition window over the customer
+    frame), one agg."""
     spend = (
         _t(spark, sf_dir, "customer")
         .join(
@@ -1579,13 +1603,13 @@ def quintile_share_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)).alias("y"))
     )
-    wr = W.orderBy("y", "c_custkey")
-    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = spend.select(
-        "y",
-        F.row_number().over(wr).alias("r"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-    )
+    ranked = tiered_global_rank(
+        spend,
+        F.expr("y div 4194304"),
+        ["y", "c_custkey"],
+        rank_name="r",
+        total_name="n",
+    ).select("y", "r", "n")
     parts = ranked.agg(
         F.sum(
             F.when(
@@ -2307,15 +2331,16 @@ def erlang_c_wait_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     (worker pools, call centers) — together with kingman_queue_estimate
     they are the complete classical sizing toolkit. Only stable rows
     (c > offered load) are emitted. Scale shape: identical to
-    erlang_b_blocking — one lag pass + two mergeable sums feed a
+    erlang_b_blocking — the summed inter-arrival gap TELESCOPES to
+    max(t) - min(t) (the oracle's ordered-lag sum is the semantic
+    spec), so no global-order window at all; two mergeable sums feed a
     constant-size fold."""
     ev = _t(spark, sf_dir, "events").select(
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
         F.expr("CAST(round(value * 1000) AS BIGINT)").alias("s"),
     ).localCheckpoint(eager=False)
-    seq = ev.select("t", F.expr("lag(t) OVER (ORDER BY t, s)").alias("pt"))
-    tot_gap = seq.filter(F.col("pt").isNotNull()).agg(
-        F.expr("CAST(sum(t - pt) AS BIGINT)").alias("ga")
+    tot_gap = ev.agg(
+        F.expr("CAST(max(t) - min(t) AS BIGINT)").alias("ga")
     )
     tot_s = ev.agg(F.expr("CAST(sum(s) AS BIGINT)").alias("ss"))
     rho = tot_s.crossJoin(F.broadcast(tot_gap)).select(
@@ -2490,8 +2515,11 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrates it exactly; quintile_share_ratio reads two points of it;
     this entry exposes the whole shape so you can SEE where inequality
     lives). All cumulative sums are integers; each Lorenz ordinate is
-    one exact division. Scale shape: one rollup + one rank window; the
-    boundary filter keeps 10 rows."""
+    one exact division. Scale shape: one rollup, then rank + prefix
+    sums via tiered_global_rank over contiguous 4194304-cent (~$42k)
+    spend bands (cumsum on a DECIMAL(38,0) lane; band width chosen so
+    the offsets frame is bounded by range/width, not customer count);
+    the boundary filter keeps 10 rows."""
     spend = (
         _t(spark, sf_dir, "customer")
         .join(
@@ -2502,15 +2530,18 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)).alias("y"))
     )
-    wr = W.orderBy("y", "c_custkey")
-    wcum = wr.rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = spend.select(
-        F.row_number().over(wr).alias("r"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum(F.col("y").cast("decimal(38,0)")).over(wcum).alias("cum"),
-        F.sum(F.col("y").cast("decimal(38,0)")).over(wall).alias("total"),
+    spend2 = spend.select(
+        "c_custkey", "y", F.col("y").cast("decimal(38,0)").alias("yd")
     )
+    ranked = tiered_global_rank(
+        spend2,
+        F.expr("y div 4194304"),
+        ["y", "c_custkey"],
+        rank_name="r",
+        total_name="n",
+        cumsum={"yd": "cum"},
+        totals={"yd": "total"},
+    ).select("r", "n", "cum", "total")
     pts = (
         ranked.filter(
             F.expr("r = ((r * 10) div n) * n div 10")

@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _t,
+    exact_ntile,
     tiered_global_rank,
 )
 
@@ -1144,16 +1145,15 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarsest — and most outlier-robust — of the catalog's k-sample
     location tests (kruskal_wallis uses full ranks, cramer_von_mises full
     ECDFs; Mood only the median split), the classic robustness/power
-    tradeoff made executable. Scale shape: one global rank window for
-    the median, one group aggregate, 1-row totals broadcast."""
+    tradeoff made executable. Scale shape: the exact global median's
+    rank is computed without a single-partition window
+    (tiered_global_rank over contiguous 128-cent bands), one group
+    aggregate, 1-row totals broadcast."""
     s = _t(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"), _cents("value").alias("v")
     )
-    rk = s.select(
-        "grp",
-        "v",
-        F.row_number().over(W.orderBy("v")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    rk = tiered_global_rank(
+        s, F.expr("v div 128"), ["v"], rank_name="rn", total_name="n"
     )
     gmed = rk.agg(
         (
@@ -3359,9 +3359,11 @@ def anderson_darling_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail differences). Pooled ranks break value ties deterministically
     by event_id — the same total order on both engines, so the statistic
     is an exact milli integer (per-position terms ride 128-bit lanes
-    with truncating division, identical recipes). Scale shape: one
-    global sort window (the EDF family's inherent order), one aggregate;
-    at 100 TB this runs per stratum/segment in parallel windows."""
+    with truncating division, identical recipes). Scale shape: the EDF
+    order is realized WITHOUT a single-partition window — tiered
+    global rank + prefix sums over contiguous 128-cent value bands
+    (tiered_global_rank with cumsum; the oracle's literal global
+    windows are the semantic spec, not the plan), one aggregate."""
     s = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "view"))
@@ -3373,12 +3375,14 @@ def anderson_darling_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    wo = W.orderBy("v", "event_id")
-    rk = s.select(
-        F.row_number().over(wo).alias("i"),
-        F.sum("is_a").over(wo).alias("m"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
-        F.sum("is_a").over(W.partitionBy()).alias("na"),
+    rk = tiered_global_rank(
+        s,
+        F.expr("v div 128"),
+        ["v", "event_id"],
+        rank_name="i",
+        total_name="nn",
+        cumsum={"is_a": "m"},
+        totals={"is_a": "na"},
     )
     terms = rk.filter(F.col("i") < F.col("nn")).select(
         F.expr(
@@ -3457,18 +3461,7 @@ def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_name="rn",
         total_name="nt",
     )
-    s = rk.select(
-        "r",
-        F.expr(
-            "CASE WHEN rn <= (nt % 5) * ((nt div 5) + 1)"
-            " THEN (rn - 1) div ((nt div 5) + 1) + 1"
-            " ELSE (nt % 5)"
-            "      + ((rn - (nt % 5) * ((nt div 5) + 1) - 1)"
-            "         div (nt div 5)) + 1 END"
-        )
-        .cast("int")
-        .alias("c"),
-    )
+    s = rk.select("r", exact_ntile("rn", "nt", 5).alias("c"))
     grid = s.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
         eager=False
     )

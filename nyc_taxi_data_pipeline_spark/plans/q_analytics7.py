@@ -3011,12 +3011,15 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitudes, Hill reads the POLYNOMIAL DECAY RATE itself; alpha
     < 2 flags infinite variance. Ranks are exact over integer
     cents; log excesses are decimal-rounded before the k-term sum.
-    Scale shape: one top-k rank window (an approximate top-k at
-    production), constant arithmetic after."""
+    Scale shape: the top-201 tail comes from orderBy().limit() =
+    TakeOrderedAndProject (parallel per-partition top-k, no
+    single-partition rank window over the data); the rank window then
+    runs on the CONSTANT 201-row frame, constant arithmetic after."""
     v = _t(spark, sf_dir, "orders").select(_cents("o_totalprice").alias("x"))
-    rk = v.select(
+    top = v.orderBy(F.col("x").desc()).limit(201)
+    rk = top.select(
         "x", F.row_number().over(W.orderBy(F.col("x").desc())).alias("r")
-    ).filter(F.col("r") <= 201)
+    )
     ks = spark.createDataFrame([(50,), (100,), (200,)], "k int")
     sel = rk.crossJoin(F.broadcast(ks)).filter(F.col("r") <= F.col("k") + 1)
     anchor = sel.groupBy("k").agg(

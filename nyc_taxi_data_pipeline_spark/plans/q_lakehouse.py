@@ -22,6 +22,7 @@ from nyc_taxi_data_pipeline_spark.plans._base import (
     _staging_trips,
     _t,
     charlm_freq_score,
+    tiered_global_rank,
 )
 
 __all__: list[str] = []
@@ -3747,16 +3748,26 @@ def position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_read_snapshot_agg's whole-file add/remove: deletion vectors
     kill rows INSIDE a live file without rewriting it. Per-priority
     before/deleted/after counts and surviving revenue value-check the
-    merge-on-read semantics end to end. Scale shape: one rank window to
-    materialize positions (per-file in a real layout, so parallel), one
-    anti join keyed on position, one group-by."""
+    merge-on-read semantics end to end. Scale shape: positions are
+    materialized WITHOUT a single-partition window (per-file in a real
+    layout they'd be parallel anyway) — tiered_global_rank over
+    contiguous 65536-orderkey bands gives the identical deterministic
+    position sequence; one anti join keyed on position, one
+    group-by."""
     base = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            F.col("o_orderpriority").alias("pri"),
-            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-            F.row_number().over(W.orderBy("o_orderkey")).alias("pos"),
+        tiered_global_rank(
+            _t(spark, sf_dir, "orders").select(
+                F.col("o_orderpriority").alias("pri"),
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+                "o_orderkey",
+            ),
+            F.expr("o_orderkey div 65536"),
+            ["o_orderkey"],
+            rank_name="pos",
         )
+        .select("pri", "cents", "pos")
         .localCheckpoint(eager=False)
     )
     dels = base.filter(F.expr("(pos * 2654435761) % 100 < 7")).select("pos")

@@ -486,3 +486,36 @@ def test_attribution_join_is_equi_with_residual_window(spark):
     plan = _plan(spark, "attribution_linear_credit")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_no_single_partition_window_on_data_sized_frames(spark):
+    """Round-7 lead audit: NO catalog entry may run a Window with an
+    empty partitionSpec over a data-sized frame — Spark executes that
+    by moving the window's ENTIRE input through one task, the one plan
+    shape that dies at 100 TB. The audit (tools/audit_windows.py) walks
+    every entry's full lineage (all plan segments, localCheckpoint
+    intercepted, so truncated plans are still seen), counts each
+    suspect window's actual input rows at sf0.001 AND sf0.01, and
+    flags inputs that grow >3x across the 10x lake — the empirical
+    definition of data-sized. Bounded frames (calendar spines, quantile
+    grids, fixed panels, tier-offset frames) pass untouched; anything
+    else must use tiered_global_rank / orderBy().limit() instead.
+    Exceptions go in tools/audit_windows.WHITELIST (hard cap: 3), each
+    with a written reason."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.audit_windows import WHITELIST, audit_catalog
+
+    assert len(WHITELIST) <= 3, "whitelist grew past the agreed cap"
+    report = audit_catalog(spark)
+    errors = {n: r["error"] for n, r in report.items() if "error" in r}
+    assert not errors, f"window audit could not build: {errors}"
+    flagged = {
+        n: r["windows"] for n, r in report.items() if r.get("flagged")
+    }
+    assert not flagged, (
+        "single-partition windows over data-sized frames "
+        f"(grew >3x from sf0.001 to sf0.01): {flagged}"
+    )
