@@ -25,6 +25,7 @@ from nyc_taxi_data_pipeline_spark.plans import (  # noqa: F401
     q_analytics5,
     q_analytics6,
     q_analytics7,
+    q_analytics8,
     q_ann,
     q_dedup,
     q_graph,

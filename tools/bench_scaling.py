@@ -357,6 +357,26 @@ ENTRIES = [
     "granger_causality_onelag",
     "breusch_pagan_heteroscedasticity",
     "bartels_rank_von_neumann",
+    # round-7 wave 25 (every new entry) + the tiered-rank conversions
+    # whose plans changed materially this round
+    "siegel_tukey_scale_test",
+    "latency_percentiles_exact",
+    "trimmed_winsorized_means",
+    "mad_robust_scale",
+    "bowley_kelly_quantile_skew",
+    "qq_decile_two_sample",
+    "ansari_bradley_scale_test",
+    "anderson_darling_two_sample",
+    "sorted_neighborhood_blocking",
+    "kingman_queue_estimate",
+    "goodman_kruskal_gamma",
+    "sprt_sequential_ab",
+    "kruskal_wallis_by_priority",
+    "histogram_equidepth",
+    "position_delete_read",
+    "quintile_share_ratio",
+    "lorenz_curve_deciles",
+    "pareto_frontier_customers",
 ]
 
 
