@@ -74,6 +74,11 @@ FLAGSHIPS = [
     "grid_density_clusters",     # cell rollup -> bounded core-cell CC rounds
     "rfm_segmentation",          # distinct-value cumulative frames, no global sort
     "itemitem_collaborative_topk",  # per-user pair join + broadcast norms + TakeOrdered
+    # round-7 flagships: the tiered exact-order-statistic device
+    "weibull_median_ranks_fit",  # tiered_global_rank: per-tier parallel rank + broadcast offsets
+    "latency_percentiles_exact",  # tiered rank + 4-row broadcast percentile probe
+    "mad_robust_scale",          # two CHAINED tiered ranks (median, then MAD)
+    "sorted_neighborhood_blocking",  # tiered rank + (rank, rank+i) equi-join, no lead window
 ]
 
 
