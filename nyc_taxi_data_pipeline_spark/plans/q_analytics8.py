@@ -598,3 +598,447 @@ def qq_decile_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ===========================================================================
+# Cliff's delta effect size (distinct-value grid + tiered prefix sums)
+# ===========================================================================
+
+_CLIFFS_ORACLE = """
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'view')
+),
+g AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+         CAST(sum(1 - is_a) AS BIGINT) AS cb
+  FROM s GROUP BY v
+),
+c AS (
+  SELECT ca, cb,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM g
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM g
+),
+pairs AS (
+  SELECT CAST(sum(ca * (cum_b - cb)) AS BIGINT) AS gt,
+         CAST(sum(ca * ((SELECT nb FROM tot) - cum_b)) AS BIGINT) AS lt
+  FROM c
+)
+SELECT t.na AS n_a,
+       t.nb AS n_b,
+       p.gt AS n_greater,
+       p.lt AS n_less,
+       CAST(t.na * t.nb - p.gt - p.lt AS BIGINT) AS n_ties,
+       CAST(1000 * CAST(p.gt - p.lt AS HUGEINT) // (CAST(t.na AS HUGEINT) * t.nb)
+            AS BIGINT) AS cliffs_delta_milli,
+       CASE
+         WHEN abs(1000 * CAST(p.gt - p.lt AS HUGEINT)
+                  // (CAST(t.na AS HUGEINT) * t.nb)) < 147 THEN 'negligible'
+         WHEN abs(1000 * CAST(p.gt - p.lt AS HUGEINT)
+                  // (CAST(t.na AS HUGEINT) * t.nb)) < 330 THEN 'small'
+         WHEN abs(1000 * CAST(p.gt - p.lt AS HUGEINT)
+                  // (CAST(t.na AS HUGEINT) * t.nb)) < 474 THEN 'medium'
+         ELSE 'large'
+       END AS magnitude
+FROM tot t, pairs p
+"""
+
+
+@_register("cliffs_delta_effect_size", _CLIFFS_ORACLE)
+def cliffs_delta_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between click and view values:
+    delta = (#(x>y) - #(x<y)) / (na*nb) over all cross pairs — the
+    EFFECT-SIZE companion to the rank tests (rank_sum_auc says the
+    groups differ; delta says by HOW MUCH on the probability scale,
+    delta = 2*AUC - 1 with ties at half weight), with Romano's
+    magnitude bands (|d| < .147 negligible / .33 small / .474 medium)
+    as executed CASE thresholds in milli. The pair counts come from
+    the DISTINCT-VALUE grid (contingency collapse — never row pairs):
+    #(a>b) = sum_v ca(v) * cumB(<v), one prefix sum over the grid.
+    Scale shape: one hash agg to the value grid, tiered_global_rank
+    prefix sums over contiguous 128-cent bands (the grid saturates at
+    the value domain but is data-sized before that — no
+    single-partition window), 128-bit milli division."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            _cents("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "is_a"
+            ),
+        )
+    )
+    g = s.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
+    )
+    c = tiered_global_rank(
+        g,
+        F.expr("v div 128"),
+        ["v"],
+        rank_name="__ri",
+        cumsum={"cb": "cum_b"},
+        totals={"ca": "na", "cb": "nb"},
+    )
+    pairs = c.agg(
+        F.expr("CAST(sum(ca * (cum_b - cb)) AS BIGINT)").alias("gt"),
+        F.expr("CAST(sum(ca * (nb - cum_b)) AS BIGINT)").alias("lt"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    dmilli = (
+        "1000 * CAST(gt - lt AS DECIMAL(38,0))"
+        " div (CAST(na AS DECIMAL(38,0)) * nb)"
+    )
+    return pairs.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("gt").alias("n_greater"),
+        F.col("lt").alias("n_less"),
+        F.expr("CAST(na * nb - gt - lt AS BIGINT)").alias("n_ties"),
+        F.expr(f"CAST({dmilli} AS BIGINT)").alias("cliffs_delta_milli"),
+        F.expr(
+            f"CASE WHEN abs({dmilli}) < 147 THEN 'negligible'"
+            f" WHEN abs({dmilli}) < 330 THEN 'small'"
+            f" WHEN abs({dmilli}) < 474 THEN 'medium'"
+            " ELSE 'large' END"
+        ).alias("magnitude"),
+    )
+
+
+# ===========================================================================
+# Brunner-Munzel test (three tiered ranks: pooled + both within-group)
+# ===========================================================================
+
+_BM_ORACLE = """
+WITH s AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'view')
+),
+rk AS (
+  SELECT event_id, is_a,
+         row_number() OVER (ORDER BY v, event_id) AS big_r,
+         row_number() OVER (PARTITION BY is_a ORDER BY v, event_id) AS in_r
+  FROM s
+),
+gs AS (
+  SELECT is_a,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(big_r) AS BIGINT) AS sr,
+         CAST(sum(big_r - in_r) AS BIGINT) AS sc,
+         CAST(sum(CAST(big_r - in_r AS HUGEINT) * (big_r - in_r))
+              AS HUGEINT) AS scc
+  FROM rk GROUP BY is_a
+),
+w AS (
+  SELECT a.n_g AS n1, b.n_g AS n2,
+         CAST(a.sr AS DOUBLE) / a.n_g AS rb1,
+         CAST(b.sr AS DOUBLE) / b.n_g AS rb2,
+         (CAST(a.scc AS DOUBLE) - CAST(a.sc AS DOUBLE) * a.sc / a.n_g)
+           / (a.n_g - 1) AS s1sq,
+         (CAST(b.scc AS DOUBLE) - CAST(b.sc AS DOUBLE) * b.sc / b.n_g)
+           / (b.n_g - 1) AS s2sq
+  FROM gs a, gs b WHERE a.is_a = 1 AND b.is_a = 0
+)
+SELECT CAST(n1 AS BIGINT) AS n_click,
+       CAST(n2 AS BIGINT) AS n_view,
+       round((rb2 - (n2 + 1) / 2.0) / n1, 6) AS p_hat_view_exceeds,
+       round((rb2 - rb1)
+             / sqrt(n1 * n2
+                    * (s1sq / (n1 * CAST(n2 AS DOUBLE) * n2)
+                       + s2sq / (n2 * CAST(n1 AS DOUBLE) * n1))), 4)
+         AS bm_w_stat,
+       CAST(CASE WHEN abs(round((rb2 - rb1)
+             / sqrt(n1 * n2
+                    * (s1sq / (n1 * CAST(n2 AS DOUBLE) * n2)
+                       + s2sq / (n2 * CAST(n1 AS DOUBLE) * n1))), 4))
+                 > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+FROM w
+"""
+
+
+@_register("brunner_munzel_test", _BM_ORACLE)
+def brunner_munzel_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test for stochastic equality of click vs view
+    values — the two-sample rank test that stays valid under UNEQUAL
+    VARIANCES and shapes (the rank analog of welch_t_test, and the
+    modern recommended default over plain Mann-Whitney when groups may
+    differ in spread): p_hat = P(view > click) from mean pooled ranks,
+    with the placement-based variance S_i^2 over c_ij = (pooled rank -
+    within-group rank), whose exact integer power sums (sc, scc) both
+    engines accumulate identically before ONE closed-form double solve
+    (the welch/power-sum recipe; the statistic algebra is written as
+    the same literal expression in both lanes, so rounding agrees).
+    Ties break deterministically by event_id. Scale shape: THREE
+    tiered_global_ranks (the pooled order plus each group's own order,
+    contiguous 128-cent bands each) joined on event_id — no
+    single-partition window anywhere; one group aggregate; 2-row
+    algebra."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            _cents("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "is_a"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pooled = tiered_global_rank(
+        s, F.expr("v div 128"), ["v", "event_id"], rank_name="big_r"
+    ).select("event_id", "is_a", "big_r")
+
+    def within(flag: int) -> DataFrame:
+        return tiered_global_rank(
+            s.filter(F.col("is_a") == flag),
+            F.expr("v div 128"),
+            ["v", "event_id"],
+            rank_name="in_r",
+        ).select("event_id", "in_r")
+
+    rk = pooled.join(within(1).unionAll(within(0)), "event_id")
+    gs = rk.groupBy("is_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("big_r").cast("long").alias("sr"),
+        F.sum(F.expr("big_r - in_r")).cast("long").alias("sc"),
+        F.expr(
+            "sum(CAST(big_r - in_r AS DECIMAL(38,0)) * (big_r - in_r))"
+        ).alias("scc"),
+    )
+    a = gs.filter(F.col("is_a") == 1).alias("a")
+    b = gs.filter(F.col("is_a") == 0).alias("b")
+    w = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n_g").alias("n1"),
+        F.col("b.n_g").alias("n2"),
+        F.expr("CAST(a.sr AS DOUBLE) / a.n_g").alias("rb1"),
+        F.expr("CAST(b.sr AS DOUBLE) / b.n_g").alias("rb2"),
+        F.expr(
+            "(CAST(a.scc AS DOUBLE) - CAST(a.sc AS DOUBLE) * a.sc / a.n_g)"
+            " / (a.n_g - 1)"
+        ).alias("s1sq"),
+        F.expr(
+            "(CAST(b.scc AS DOUBLE) - CAST(b.sc AS DOUBLE) * b.sc / b.n_g)"
+            " / (b.n_g - 1)"
+        ).alias("s2sq"),
+    )
+    wexpr = (
+        "(rb2 - rb1) / sqrt(n1 * n2"
+        " * (s1sq / (n1 * CAST(n2 AS DOUBLE) * n2)"
+        " + s2sq / (n2 * CAST(n1 AS DOUBLE) * n1)))"
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+        F.expr("round((rb2 - (n2 + 1) / 2.0) / n1, 6)").alias(
+            "p_hat_view_exceeds"
+        ),
+        F.expr(f"round({wexpr}, 4)").alias("bm_w_stat"),
+        F.expr(
+            f"CAST(CASE WHEN abs(round({wexpr}, 4)) > 1.96"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_5pct"),
+    )
+
+
+# ===========================================================================
+# Dixon-style extreme-gap ratios (TakeOrdered panels, no window at all)
+# ===========================================================================
+
+_DIXON_ORACLE = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+),
+top2 AS (SELECT x FROM v ORDER BY x DESC LIMIT 2),
+bot2 AS (SELECT x FROM v ORDER BY x ASC LIMIT 2),
+p AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n,
+         (SELECT max(x) FROM top2) AS x_max,
+         (SELECT min(x) FROM top2) AS x_2nd,
+         (SELECT min(x) FROM bot2) AS x_min,
+         (SELECT max(x) FROM bot2) AS x_2nd_low
+)
+SELECT n AS n_orders,
+       x_max AS max_cents,
+       x_min AS min_cents,
+       CAST(1000000 * (x_max - x_2nd) // nullif(x_max - x_min, 0)
+            AS BIGINT) AS q_upper_ppm,
+       CAST(1000000 * (x_2nd_low - x_min) // nullif(x_max - x_min, 0)
+            AS BIGINT) AS q_lower_ppm,
+       CAST(CASE WHEN x_max - x_2nd > x_2nd_low - x_min THEN 1
+                 WHEN x_max - x_2nd < x_2nd_low - x_min THEN -1
+                 ELSE 0 END AS BIGINT) AS wider_tail_sign
+FROM p
+"""
+
+
+@_register("dixon_q_extreme_gap", _DIXON_ORACLE)
+def dixon_q_extreme_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon-style Q ratios at both extremes of the order-total
+    distribution: q_upper = (x_(n) - x_(n-1)) / range and q_lower =
+    (x_(2) - x_(1)) / range, in exact ppm — the gap-based outlier
+    screen (Dixon's r10 numerators) that reads whether an extreme
+    value is DETACHED from the sample rather than merely far from the
+    mean (outlier_zscore) or outside rank fences
+    (tukey_fences_outliers); wider_tail_sign reports which end is more
+    detached. No decision threshold is emitted: Dixon critical values
+    are small-n tables, and at lake cardinalities the ratios are
+    monitoring readouts. Scale shape: NO window of any kind — two
+    TakeOrderedAndProject panels (orderBy().limit(2) each way) and one
+    count; the order-statistic device at its degenerate k=2 best."""
+    v = _t(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("x")
+    ).localCheckpoint(eager=False)
+    top2 = v.orderBy(F.col("x").desc()).limit(2)
+    bot2 = v.orderBy(F.col("x").asc()).limit(2)
+    p = (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(
+            F.broadcast(
+                top2.agg(
+                    F.max("x").alias("x_max"), F.min("x").alias("x_2nd")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                bot2.agg(
+                    F.min("x").alias("x_min"),
+                    F.max("x").alias("x_2nd_low"),
+                )
+            )
+        )
+    )
+    return p.select(
+        F.col("n").alias("n_orders"),
+        F.col("x_max").alias("max_cents"),
+        F.col("x_min").alias("min_cents"),
+        F.expr(
+            "CAST(1000000 * (x_max - x_2nd) div nullif(x_max - x_min, 0)"
+            " AS BIGINT)"
+        ).alias("q_upper_ppm"),
+        F.expr(
+            "CAST(1000000 * (x_2nd_low - x_min) div nullif(x_max - x_min, 0)"
+            " AS BIGINT)"
+        ).alias("q_lower_ppm"),
+        F.expr(
+            "CAST(CASE WHEN x_max - x_2nd > x_2nd_low - x_min THEN 1"
+            " WHEN x_max - x_2nd < x_2nd_low - x_min THEN -1"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("wider_tail_sign"),
+    )
+
+
+# ===========================================================================
+# Tukey boxplot fences (exact quartiles -> IQR outlier counts)
+# ===========================================================================
+
+_TUKEY_ORACLE = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+rk AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+q AS (
+  SELECT max(CASE WHEN rn = (250 * n + 999) // 1000 THEN x END) AS q1,
+         max(CASE WHEN rn = (750 * n + 999) // 1000 THEN x END) AS q3
+  FROM rk, tot
+),
+f AS (
+  SELECT q1, q3, q3 - q1 AS iqr,
+         q1 - (3 * (q3 - q1)) // 2 AS lo_fence,
+         q3 + (3 * (q3 - q1)) // 2 AS hi_fence
+  FROM q
+)
+SELECT (SELECT n FROM tot) AS n_orders,
+       f.q1 AS q1_cents,
+       f.q3 AS q3_cents,
+       CAST(f.iqr AS BIGINT) AS iqr_cents,
+       CAST(f.lo_fence AS BIGINT) AS lo_fence_cents,
+       CAST(f.hi_fence AS BIGINT) AS hi_fence_cents,
+       CAST(sum(CASE WHEN v.x < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(sum(CASE WHEN v.x > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       CAST(1000000 * sum(CASE WHEN v.x < f.lo_fence OR v.x > f.hi_fence
+                               THEN 1 ELSE 0 END)
+            // (SELECT n FROM tot) AS BIGINT) AS outlier_ppm
+FROM v, f
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+@_register("tukey_fences_outliers", _TUKEY_ORACLE)
+def tukey_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boxplot rule executed exactly: Q1/Q3 as type-1 order
+    statistics, fences at Q1 - 1.5*IQR / Q3 + 1.5*IQR (the half-IQR
+    multiple as an integer 3*IQR div 2, truncating identically on both
+    engines), and the count of points outside — the RANK-based outlier
+    screen beside the moment-based outlier_zscore and the gap-based
+    dixon_q_extreme_gap: fences move with quartiles, so contamination
+    cannot drag the threshold the way it inflates a stddev. On this
+    synthetic lake the order-total body is compact, so the executed
+    counts are small-or-zero — the VALUES of the fences and quartiles
+    still check exactly. Scale shape: one tiered_global_rank over
+    contiguous 65536-cent bands for the quartiles, then one broadcast
+    of the 1-row fence frame onto a plain filter-count pass — no
+    single-partition window."""
+    v = _t(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("x")
+    ).localCheckpoint(eager=False)
+    rk = tiered_global_rank(
+        v, F.expr("x div 65536"), ["x"], rank_name="rn", total_name="n"
+    )
+    q = rk.agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(
+            "max(CASE WHEN rn = (250 * n + 999) div 1000 THEN x END)"
+        ).alias("q1"),
+        F.expr(
+            "max(CASE WHEN rn = (750 * n + 999) div 1000 THEN x END)"
+        ).alias("q3"),
+    ).select(
+        "n",
+        "q1",
+        "q3",
+        F.expr("q3 - q1").alias("iqr"),
+        F.expr("q1 - (3 * (q3 - q1)) div 2").alias("lo_fence"),
+        F.expr("q3 + (3 * (q3 - q1)) div 2").alias("hi_fence"),
+    )
+    return (
+        v.crossJoin(F.broadcast(q))
+        .groupBy("n", "q1", "q3", "iqr", "lo_fence", "hi_fence")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN x < lo_fence THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_below"),
+            F.expr(
+                "CAST(sum(CASE WHEN x > hi_fence THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_above"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN x < lo_fence OR x > hi_fence"
+                " THEN 1 ELSE 0 END) div max(n) AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            F.col("iqr").cast("long").alias("iqr_cents"),
+            F.col("lo_fence").cast("long").alias("lo_fence_cents"),
+            F.col("hi_fence").cast("long").alias("hi_fence_cents"),
+            "n_below",
+            "n_above",
+            "outlier_ppm",
+        )
+    )

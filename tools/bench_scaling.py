@@ -377,6 +377,11 @@ ENTRIES = [
     "quintile_share_ratio",
     "lorenz_curve_deciles",
     "pareto_frontier_customers",
+    # round-7 wave 26
+    "cliffs_delta_effect_size",
+    "brunner_munzel_test",
+    "dixon_q_extreme_gap",
+    "tukey_fences_outliers",
 ]
 
 
