@@ -635,7 +635,14 @@ def _try_commit(
             else sorted(map(str, partitions)),
             "partition_col": partition_col,
         }
-        tmp = os.path.join(log_dir, f".{n}.json.{os.getpid()}.tmp")
+        # unique per ATTEMPT, not per process: two threads in one PID can
+        # race the same n, and a shared tmp path lets the winner's
+        # post-link unlink() delete the loser's pending tmp (observed as
+        # FileNotFoundError instead of the CAS conflict). uuid covers
+        # threads, retries, and PID reuse alike.
+        import uuid as _uuid
+
+        tmp = os.path.join(log_dir, f".{n}.json.{_uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(entry, f)
         try:
