@@ -86,6 +86,32 @@ def _run(sf_dir: str) -> dict:
         F.row_number().over(W.partitionBy().orderBy("doc_id")).alias("r")
     ).count()
 
+    # r7 follow-up: the streaming family tops the first-pass tail
+    # (9.7-14.5 s first vs 4-6 s steady) because the session's FIRST
+    # streaming query pays one-time costs that belong to the engine,
+    # not the entry: the Python DataSource worker spin-up, the
+    # StreamExecution/checkpoint machinery, and codegen of the
+    # stateful-agg + memory-sink shapes. Start and fully drain one
+    # trivial offset_log stream (1 partition x 10 offsets) so the
+    # timed streaming entries begin warm — the same role the lake
+    # scan plays for the batch entries.
+    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
+        register_offset_log,
+    )
+    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
+
+    register_offset_log(spark)
+    warm_stream = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 1)
+        .option("n_rows", 10)
+        .option("rows_per_batch", 10)
+        .load()
+        .groupBy("user_id")
+        .count()
+    )
+    run_stream_to_memory(warm_stream, "warm_offset_log").count()
+
     import gc
 
     def _reclaim() -> None:
@@ -127,20 +153,37 @@ def _run(sf_dir: str) -> dict:
     # entries twice more; the best rerun is the steady-state execution
     # cost, first-pass minus that is the compile/first-touch/contention
     # share. Not counted in suite_wall_seconds.
+    # r7 lesson: both reruns of an entry used to run BACK-TO-BACK, so a
+    # single host-contention burst polluted both and the steady map
+    # itself lied (driver recorded 13.85 s steady for an entry that
+    # measures 3.35 s idle). Separate the two reruns TEMPORALLY — two
+    # full passes over the whole top-40 list, minutes apart, so a burst
+    # that hits an entry in pass 1 has moved on by its pass-2 slot —
+    # then give any entry whose reruns still disagree by >30% a third
+    # decider run. min() over 2-3 temporally-spread runs is what
+    # "steady-state execution cost" actually means on a shared host.
     top40 = [
         n for n, _ in sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:40]
     ]
-    rerun: dict[str, list[float]] = {}
-    for name in top40:
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            REGISTRY[name].spark(spark, sf_dir).count()
-            runs.append(round(time.perf_counter() - t0, 2))
-            _reclaim()
-        rerun[name] = runs
-        gc.collect()
-        spark._jvm.System.gc()
+    rerun: dict[str, list[float]] = {n: [] for n in top40}
+
+    def _timed_rerun(name: str) -> None:
+        t0 = time.perf_counter()
+        REGISTRY[name].spark(spark, sf_dir).count()
+        rerun[name].append(round(time.perf_counter() - t0, 2))
+        _reclaim()
+
+    for _pass in range(2):
+        for i, name in enumerate(top40):
+            _timed_rerun(name)
+            if i % 5 == 4:
+                gc.collect()
+                spark._jvm.System.gc()
+    unstable = [
+        n for n in top40 if max(rerun[n]) > 1.3 * min(rerun[n]) + 0.2
+    ]
+    for name in unstable:
+        _timed_rerun(name)
 
     spark.stop()
     return {"total": total, "timings": timings, "rerun": rerun}
@@ -171,7 +214,15 @@ def main() -> None:
     # at 0). Single-pass wall varies +/-15% run-to-run on this host
     # (firecracker noisy neighbors); this estimate subtracts exactly the
     # part the steady reruns prove was not execution cost, and
-    # reproduces within a few % across runs.
+    # reproduces within a few % across runs. Two KNOWN bias directions
+    # (ADVICE r7) — read this as a tracking metric, not a proven
+    # compile share: reruns execute after the whole suite with warm
+    # OS/JVM caches, so part of the subtracted (first - steady) delta
+    # can be real execution cost the first pass genuinely paid (biases
+    # the estimate LOW); entries outside the top-40 keep their full
+    # compile share in the total (biases it HIGH). Round-over-round,
+    # comparing the per-entry steady maps directly is the trustworthy
+    # signal.
     steady_suite_estimate = round(
         result["total"]
         - sum(

@@ -625,15 +625,17 @@ tot AS (
   FROM g
 ),
 pairs AS (
-  SELECT CAST(sum(ca * (cum_b - cb)) AS BIGINT) AS gt,
-         CAST(sum(ca * ((SELECT nb FROM tot) - cum_b)) AS BIGINT) AS lt
+  SELECT CAST(sum(CAST(ca AS HUGEINT) * (cum_b - cb)) AS DECIMAL(38,0)) AS gt,
+         CAST(sum(CAST(ca AS HUGEINT) * ((SELECT nb FROM tot) - cum_b))
+              AS DECIMAL(38,0)) AS lt
   FROM c
 )
 SELECT t.na AS n_a,
        t.nb AS n_b,
        p.gt AS n_greater,
        p.lt AS n_less,
-       CAST(t.na * t.nb - p.gt - p.lt AS BIGINT) AS n_ties,
+       CAST(CAST(t.na AS HUGEINT) * t.nb - CAST(p.gt AS HUGEINT)
+            - CAST(p.lt AS HUGEINT) AS DECIMAL(38,0)) AS n_ties,
        CAST(1000 * CAST(p.gt - p.lt AS HUGEINT) // (CAST(t.na AS HUGEINT) * t.nb)
             AS BIGINT) AS cliffs_delta_milli,
        CASE
@@ -663,7 +665,13 @@ def cliffs_delta_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash agg to the value grid, tiered_global_rank
     prefix sums over contiguous 128-cent bands (the grid saturates at
     the value domain but is data-sized before that — no
-    single-partition window), 128-bit milli division."""
+    single-partition window), 128-bit milli division. The PAIR COUNTS
+    themselves (gt/lt/n_ties ~ na*nb/2) cross 2^63 around na,nb ~ 3e9
+    — well inside the 100 TB target — where non-ANSI Spark would wrap
+    silently while DuckDB's HUGEINT lane stays exact (ADVICE r7), so
+    both lanes accumulate them in wide exact arithmetic and emit
+    DECIMAL(38,0) (Spark DECIMAL / DuckDB HUGEINT→DECIMAL), same
+    device as p_chart_attribute_control's squared deviation."""
     s = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "view"))
@@ -687,8 +695,14 @@ def cliffs_delta_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals={"ca": "na", "cb": "nb"},
     )
     pairs = c.agg(
-        F.expr("CAST(sum(ca * (cum_b - cb)) AS BIGINT)").alias("gt"),
-        F.expr("CAST(sum(ca * (nb - cum_b)) AS BIGINT)").alias("lt"),
+        F.expr(
+            "CAST(sum(CAST(ca AS DECIMAL(38,0)) * (cum_b - cb))"
+            " AS DECIMAL(38,0))"
+        ).alias("gt"),
+        F.expr(
+            "CAST(sum(CAST(ca AS DECIMAL(38,0)) * (nb - cum_b))"
+            " AS DECIMAL(38,0))"
+        ).alias("lt"),
         F.max("na").alias("na"),
         F.max("nb").alias("nb"),
     )
@@ -701,7 +715,10 @@ def cliffs_delta_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").alias("n_b"),
         F.col("gt").alias("n_greater"),
         F.col("lt").alias("n_less"),
-        F.expr("CAST(na * nb - gt - lt AS BIGINT)").alias("n_ties"),
+        F.expr(
+            "CAST(CAST(na AS DECIMAL(38,0)) * nb - gt - lt"
+            " AS DECIMAL(38,0))"
+        ).alias("n_ties"),
         F.expr(f"CAST({dmilli} AS BIGINT)").alias("cliffs_delta_milli"),
         F.expr(
             f"CASE WHEN abs({dmilli}) < 147 THEN 'negligible'"

@@ -21,6 +21,7 @@ from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _staging_trips,
     _t,
+    adaptive_band_width,
     charlm_freq_score,
     tiered_global_rank,
 )
@@ -3751,19 +3752,23 @@ def position_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-on-read semantics end to end. Scale shape: positions are
     materialized WITHOUT a single-partition window (per-file in a real
     layout they'd be parallel anyway) — tiered_global_rank over
-    contiguous 65536-orderkey bands gives the identical deterministic
-    position sequence; one anti join keyed on position, one
-    group-by."""
+    contiguous orderkey bands gives the identical deterministic
+    position sequence; one anti join keyed on position, one group-by.
+    The band width is DERIVED from the actual orderkey range
+    (adaptive_band_width, ADVICE r7): a fixed 65536 literal put the
+    whole lake in ~1 tier at test scales but would make the offsets
+    frame O(n/65536) — ~9M single-task rows — at 100 TB, because the
+    orderkey RANGE grows linearly with the scale factor."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    width = adaptive_band_width(orders, "o_orderkey")
     base = (
         tiered_global_rank(
-            _t(spark, sf_dir, "orders").select(
-                F.col("o_orderpriority").alias("pri"),
-                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
-                    "cents"
-                ),
-                "o_orderkey",
-            ),
-            F.expr("o_orderkey div 65536"),
+            orders,
+            F.expr(f"o_orderkey div {width}"),
             ["o_orderkey"],
             rank_name="pos",
         )

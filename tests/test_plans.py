@@ -519,3 +519,43 @@ def test_no_single_partition_window_on_data_sized_frames(spark):
         "single-partition windows over data-sized frames "
         f"(grew >3x from sf0.001 to sf0.01): {flagged}"
     )
+
+
+def test_no_data_sized_broadcast_or_collect(spark):
+    """Round-8 lead audit (r7 verdict ask #1): NO catalog entry may
+    force-broadcast a frame, or collect() one at plan-build time, whose
+    size GROWS with the lake — an explicit broadcast() hint bypasses
+    Catalyst's size-based adaptivity and materializes the whole frame
+    on the driver + every executor, the last un-audited
+    single-point-of-failure shape at 100 TB. The audit
+    (tools/audit_broadcasts.py) walks every entry's full lineage (all
+    plan segments, localCheckpoint intercepted), counts the actual
+    input rows of every ResolvedHint(broadcast) — memoized on the
+    child's canonicalized hash — and records every build-time
+    collect()'s actual result size, at sf0.001 AND sf0.01; it flags
+    anything that grew >3x across the 10x lake past a floor (4096 rows
+    for broadcasts, 1024 for collects). Bounded frames (fixed-domain
+    dims, range/width-bounded tier offsets, 1-row totals, probe
+    panels) pass untouched; anything else must shuffle-join or derive
+    its band width adaptively (plans/_base.adaptive_band_width).
+    Exceptions go in tools/audit_broadcasts.WHITELIST (hard cap: 3),
+    each with a written reason."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.audit_broadcasts import WHITELIST, audit_catalog
+
+    assert len(WHITELIST) <= 3, "whitelist grew past the agreed cap"
+    report = audit_catalog(spark)
+    errors = {n: r["error"] for n, r in report.items() if "error" in r}
+    assert not errors, f"broadcast audit could not build: {errors}"
+    flagged = {
+        n: {"broadcasts": r["broadcasts"], "collects": r["collects"]}
+        for n, r in report.items()
+        if r.get("flagged")
+    }
+    assert not flagged, (
+        "data-sized broadcast hints / build-time collects "
+        f"(grew >3x from sf0.001 to sf0.01): {flagged}"
+    )

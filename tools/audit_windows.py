@@ -132,10 +132,22 @@ def audit_catalog(spark, names=None) -> dict:
         if not small:
             continue
         big = _suspects_for_entry(query, spark, SF_BIG)
+        # pair by position: segment/window discovery order is
+        # deterministic for a deterministic plan builder — but ASSERT
+        # that, don't assume it (ADVICE r7): if AQE/branching produced
+        # different window counts at the two scale points, a silent zip
+        # would truncate or mispair and a data-sized window could be
+        # compared against the wrong baseline.
+        if len(small) != len(big):
+            report[name] = {
+                "error": (
+                    "suspect-window count mismatch across scale points: "
+                    f"{len(small)} at sf0.001 vs {len(big)} at sf0.01"
+                )
+            }
+            continue
         windows = []
         flagged = False
-        # pair by position: segment/window discovery order is
-        # deterministic for a deterministic plan builder
         for (desc, n_small), (_, n_big) in zip(small, big):
             is_data_sized = n_big > GROWTH * max(n_small, 1) and n_big > MIN_ROWS
             flagged = flagged or is_data_sized
