@@ -67,8 +67,11 @@ def bloom_probe(
     out_col: str = "bloom_pass",
 ) -> DataFrame:
     """Append `out_col`: True iff all k filter positions of `key_col` are
-    set. The words frame is broadcast; the probe side never shuffles.
-    No false negatives ever; false-positive rate ~ (1 - e^(-k·n/m))^k."""
+    set. Only the WORDS frame (<= m/word_bits rows by construction) is
+    broadcast — the per-key verdict frame scales with the probe side, so
+    its join back carries no forced hint (round-8 broadcast audit; AQE
+    broadcasts it only while the actual size fits). No false negatives
+    ever; false-positive rate ~ (1 - e^(-k·n/m))^k."""
     lanes = F.explode(F.array([F.lit(j) for j in range(k)])).alias("j")
     hits = (
         probe.select(F.col(key_col).alias("__key")).distinct()
@@ -91,7 +94,7 @@ def bloom_probe(
         .agg(F.bool_and("__hit").alias(out_col))
     )
     return probe.join(
-        F.broadcast(hits.withColumnRenamed("__key", key_col)), key_col, "left"
+        hits.withColumnRenamed("__key", key_col), key_col, "left"
     )
 
 

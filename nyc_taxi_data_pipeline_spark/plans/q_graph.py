@@ -1275,11 +1275,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     ed = (
         und.join(
-            F.broadcast(deg.select(F.col("node").alias("s"), F.col("d").alias("dx"))),
+            # unhinted: the degree frame is node-cardinality — it grows
+            # with the graph (AQE decides by actual size)
+            deg.select(F.col("node").alias("s"), F.col("d").alias("dx")),
             "s",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("t"), F.col("d").alias("dy"))),
+            deg.select(F.col("node").alias("t"), F.col("d").alias("dy")),
             "t",
         )
         .select("dx", "dy")

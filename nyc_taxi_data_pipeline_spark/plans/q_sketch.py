@@ -414,7 +414,9 @@ def bloom_filter_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = bloom_build(build, "key", m_bits=16384, k=3)
     probe_hits = bloom_probe(probe, words, "key", m_bits=16384, k=3)
     labeled = probe_hits.join(
-        F.broadcast(build.withColumn("is_member", F.lit(True))), "key", "left"
+        # unhinted: the exact-membership lane scales with the build
+        # segment (AQE decides); only the <=512-word filter broadcasts
+        build.withColumn("is_member", F.lit(True)), "key", "left"
     ).withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(False)))
     return (
         labeled.groupBy("bloom_pass", "is_member")

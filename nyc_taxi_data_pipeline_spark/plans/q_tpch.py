@@ -92,7 +92,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -136,7 +136,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
@@ -189,9 +189,9 @@ def q07_cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
     )
@@ -272,7 +272,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(38,6)")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
             .cast("double")
@@ -302,7 +302,7 @@ def q19_bracket_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this stays a hash join with a residual OR filter, not a nested loop."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     bracket = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -423,7 +423,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(part_avg, li["l_partkey"] == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -464,8 +464,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 270)
     )
     return (
-        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
             "total_qty",
@@ -584,8 +584,8 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     eligible = (
-        supply.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        supply.join(p, F.col("l_partkey") == p["p_partkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
@@ -703,9 +703,9 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn.n_nationkey"))
         .join(F.broadcast(r), F.col("cn.n_regionkey") == r["r_regionkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn.n_nationkey"))
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .select(
             F.year("o_orderdate").alias("o_year"),
             vol.alias("vol"),
@@ -766,9 +766,9 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(38,6)")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(sn), s["s_nationkey"] == sn["n_nationkey"])
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(
             sn["n_name"].alias("nation"),
             F.year("o_orderdate").alias("o_year"),
@@ -868,7 +868,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     nation_value = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy("l_partkey")
         .agg(
@@ -941,7 +941,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        F.broadcast(s)
+        s
         .join(revenue, s["s_suppkey"] == revenue["supplier_no"])
         .join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
@@ -983,11 +983,11 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         li.join(
-            F.broadcast(bad_supp),
+            bad_supp,
             li["l_suppkey"] == bad_supp["s_suppkey"],
             "left_anti",
         )
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(
@@ -1044,7 +1044,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 40)
     )
     qualifying = shipped.join(
-        F.broadcast(p), shipped["l_partkey"] == p["p_partkey"]
+        p, shipped["l_partkey"] == p["p_partkey"]
     ).select("l_suppkey")
     return (
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
@@ -1113,7 +1113,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l1.l_suppkey") == s["s_suppkey"])
+        waiting.join(s, F.col("l1.l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

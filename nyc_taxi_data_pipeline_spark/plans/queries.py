@@ -26,6 +26,7 @@ from nyc_taxi_data_pipeline_spark.plans import (  # noqa: F401
     q_analytics6,
     q_analytics7,
     q_analytics8,
+    q_analytics9,
     q_ann,
     q_dedup,
     q_graph,

@@ -4,7 +4,11 @@ verdict lead finding).
 
 A logical `Window` with an EMPTY partitionSpec requires AllTuples
 distribution, so Spark moves the window's ENTIRE input through one
-task. That is fine for provably bounded frames (calendar spines,
+task. A partitionSpec made entirely of FOLDABLE expressions
+(`partitionBy(F.lit(1))`) does exactly the same — every row hashes to
+one partition — while evading an isEmpty() check, so the audit treats
+both as suspects (round-8 extension; the r7 audit missed the literal
+form). That is fine for provably bounded frames (calendar spines,
 quantile grids, fixed panels) and fatal for anything proportional to
 the data. This audit separates the two EMPIRICALLY, not by guessing
 from plan text: it builds every entry's plan at TWO scale points and
@@ -74,15 +78,25 @@ def _collect_segments(query, spark, sf_dir):
 
 
 def _empty_partition_windows(jplan):
-    """Walk a logical plan (py4j), yield Window nodes with an empty
-    partitionSpec."""
+    """Walk a logical plan (py4j), yield Window nodes whose
+    partitionSpec provides NO distribution: empty, or made entirely of
+    FOLDABLE expressions (round-8 extension — `partitionBy(F.lit(1))`
+    hashes every row to the same partition exactly like an empty spec,
+    but is invisible to the isEmpty() check the round-7 audit used)."""
     out = []
     stack = [jplan]
     while stack:
         node = stack.pop()
         cls = node.getClass().getSimpleName()
-        if cls == "Window" and node.partitionSpec().isEmpty():
-            out.append(node)
+        if cls == "Window":
+            spec = node.partitionSpec()
+            all_foldable = True
+            for i in range(spec.size()):
+                if not spec.apply(i).foldable():
+                    all_foldable = False
+                    break
+            if all_foldable:
+                out.append(node)
         kids = node.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))

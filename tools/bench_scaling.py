@@ -382,6 +382,22 @@ ENTRIES = [
     "brunner_munzel_test",
     "dixon_q_extreme_gap",
     "tukey_fences_outliers",
+    # round-8 wave 27 (salted skew + adaptive bands) + every entry whose
+    # plan changed under the broadcast/window audit conversions
+    "salted_hot_key_join",
+    "salted_skew_aggregate",
+    "global_median_adaptive_bands",
+    "abc_pareto_classification",
+    "nelson_aalen_hazard",
+    "rfm_segmentation",
+    "part_demand_intermittency",
+    "cohort_retention",
+    "basket_pair_affinity",
+    "degree_assortativity",
+    "apsp_min_plus_doubling",
+    "schulze_beatpath_ranking",
+    "q18_large_volume_customers",
+    "q08_market_share",
 ]
 
 
