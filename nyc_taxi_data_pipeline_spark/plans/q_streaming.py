@@ -1097,17 +1097,23 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
     register_offset_log(spark)
 
-    def load() -> DataFrame:
-        return (
-            spark.readStream.format("offset_log")
-            .option("partitions", 2)
-            .option("n_rows", 90)
-            .option("rows_per_batch", 30)
-            .load()
-        )
+    # ONE source frame, referenced by both join sides (stream-stream
+    # self-join): two separate load() calls each spin up their own
+    # Python streaming-source runner process at query start and answer
+    # their own latestOffset poll every trigger — a measured ~1 s of
+    # pure duplication per drain for bit-identical input (r8, guide
+    # §4: minimize JVM<->Python boundary crossings). Kafka reads of one
+    # topic behave the same way: one consumer group, two logical views.
+    src = (
+        spark.readStream.format("offset_log")
+        .option("partitions", 2)
+        .option("n_rows", 90)
+        .option("rows_per_batch", 30)
+        .load()
+    )
 
     left = (
-        load()
+        src
         .filter(F.col("partition") == 0)
         .select(
             F.col("offset").alias("l_off"),
@@ -1116,7 +1122,7 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         .withWatermark("lts", "10 minutes")
     )
     right = (
-        load()
+        src
         .filter(F.col("partition") == 1)
         .select(
             F.when(

@@ -171,7 +171,7 @@ def run_stream_upsert_parquet(
 def run_stream_to_memory(
     df: DataFrame,
     name: str,
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 2,
     output_mode: str | None = None,
 ) -> DataFrame:
     """ST7 harness, determinism-fixed: drain all available input
@@ -187,6 +187,18 @@ def run_stream_to_memory(
     multiplies state-store open/commit overhead. Results are identical at
     any width; pass None to keep the session setting. The pin is read once
     at query START, so it cannot leak into the query after restore.
+
+    The default of 2 matches this catalog's drains: every offset_log
+    proof is a bounded log (1-4 topic-partitions, <= ~120 keys of
+    state), so two stores per stateful op already over-provision the
+    key space, and the r8 measurement showed the real cost of width is
+    not the per-batch commits alone but the executor-side provider
+    cache — loadedProviders retains partitions x ops stores per QUERY,
+    and the 60 s maintenance sweep walks all of them, so a 16-entry
+    suite at width 8 accumulates hundreds of providers (family sum of
+    warm mins 76 s at 8 vs 43 s at 2, values identical). A production
+    stream sizes width from key cardinality x throughput and passes it
+    explicitly; width never affects results, only state layout.
 
     `output_mode` overrides the default (complete for aggregations,
     append otherwise) — pass "append" for a watermarked aggregation whose
