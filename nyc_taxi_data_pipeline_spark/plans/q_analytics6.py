@@ -2725,13 +2725,23 @@ def boruvka_mst_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         if len(sels) == 1:
-            lab1_count = lab.select("c").distinct().count()
+            # LAZY 1-row frame over the round-1 labels (checkpointed, so
+            # this reference pins that round's state) — r8: the four
+            # readout counts used to be sequential driver count()
+            # actions at build time (4 serial jobs); as broadcast 1-row
+            # frames they run as parallel branches of the single final
+            # job, same values.
+            lab1 = lab.select("c").distinct().agg(
+                F.count(F.lit(1)).cast("long").alias("n_components_r1")
+            )
     allsel = sels[0].unionByName(sels[1]).distinct().localCheckpoint(
         eager=False
     )
-    n_nodes = nodes.count()
-    n_edges = e.count()
-    lab2_count = lab.select("c").distinct().count()
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    lab2 = lab.select("c").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_components_r2")
+    )
     msts = allsel.agg(
         F.count(F.lit(1)).cast("long").alias("mst_edges"),
         F.sum("cost").cast("long").alias("mst_weight"),
@@ -2743,11 +2753,15 @@ def boruvka_mst_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         msts.crossJoin(F.broadcast(conv))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(lab1))
+        .crossJoin(F.broadcast(lab2))
         .select(
-            F.lit(n_nodes).cast("long").alias("n_nodes"),
-            F.lit(n_edges).cast("long").alias("n_edges"),
-            F.lit(lab1_count).cast("long").alias("n_components_r1"),
-            F.lit(lab2_count).cast("long").alias("n_components_r2"),
+            "n_nodes",
+            "n_edges",
+            "n_components_r1",
+            "n_components_r2",
             "mst_edges",
             "mst_weight",
             "converged",
