@@ -53,92 +53,22 @@ def _run(sf_dir: str) -> dict:
     # concurrent cycle's remark), but the suite no longer pays the
     # pause. JVM flags must be set before the driver JVM launches,
     # which is why this rides extra_conf and not spark.conf.set.
-    extra["spark.driver.extraJavaOptions"] = "-XX:+ExplicitGCInvokesConcurrent"
+    extra["spark.driver.extraJavaOptions"] = (
+        extra.get("spark.driver.extraJavaOptions", "")
+        + " -XX:+ExplicitGCInvokesConcurrent"
+    ).strip()
     spark = get_spark(app_name="bench", extra_conf=extra)
 
     # Warm the session so the FIRST loop entry isn't charged one-time
-    # costs that belong to the lake, not the query: r5's top regression
-    # (charlm_freq_score 10.4 s in-suite vs ~3.2 s warm) was entirely
-    # first-query cold-start — it sits at index 0 of the registry and
-    # paid the cold page cache for documents.parquet, the first real
-    # whole-stage-codegen compile, and shuffle/broadcast first-touch.
-    # spark.range(1).count() warms none of that. So: one full hash-scan
-    # of every lake table (parquet decode paths + OS page cache), plus
-    # one tiny groupBy (shuffle machinery) and broadcast join (broadcast
-    # thread pool + codegen of a join). On a cluster this is the role
-    # the always-on executors' page cache plays.
-    from pyspark.sql import functions as F
+    # costs that belong to the lake/session, not the query (r5 lake scan
+    # + codegen shapes; r7 streaming machinery; r8 pandas worker pool).
+    # The ladder lives in tools/warmup.warm_session — ONE implementation
+    # shared with tools/warm_time.py so the two cannot drift (ADVICE r8).
+    # Same steps in the same order as r8's inline block; all of it runs
+    # before the timed loop.
+    from tools.warmup import warm_session
 
-    from nyc_taxi_data_pipeline_spark.sources.catalog import TABLES, load_table
-
-    for t in TABLES:
-        df = load_table(spark, sf_dir, t)
-        df.select(F.sum(F.hash(*df.columns)).alias("h")).count()
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region")
-    nat.join(
-        F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]
-    ).groupBy("r_name").count().count()
-    # r6 follow-up: charlm (registry index 0) still paid ~2 s of
-    # first-pass codegen after the lake warm-up because no prior query
-    # compiled its explode+substring+hashagg+window shapes. Compile them
-    # once on a 64-doc slice (sub-second) so index 0 starts warm.
-    from pyspark.sql import Window as W
-
-    docs64 = load_table(spark, sf_dir, "documents").limit(64)
-    tri = docs64.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
-        "text",
-    ).select("doc_id", F.expr("substring(text, i, 3)").alias("g"))
-    model = tri.groupBy("g").count()
-    tri.join(F.broadcast(model), "g").groupBy("doc_id").count().select(
-        F.row_number().over(W.partitionBy().orderBy("doc_id")).alias("r")
-    ).count()
-
-    # r7 follow-up: the streaming family tops the first-pass tail
-    # (9.7-14.5 s first vs 4-6 s steady) because the session's FIRST
-    # streaming query pays one-time costs that belong to the engine,
-    # not the entry: the Python DataSource worker spin-up, the
-    # StreamExecution/checkpoint machinery, and codegen of the
-    # stateful-agg + memory-sink shapes. Start and fully drain one
-    # trivial offset_log stream (1 partition x 10 offsets) so the
-    # timed streaming entries begin warm — the same role the lake
-    # scan plays for the batch entries.
-    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
-        register_offset_log,
-    )
-    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
-
-    register_offset_log(spark)
-    warm_stream = (
-        spark.readStream.format("offset_log")
-        .option("partitions", 1)
-        .option("n_rows", 10)
-        .option("rows_per_batch", 10)
-        .load()
-        .groupBy("user_id")
-        .count()
-    )
-    run_stream_to_memory(warm_stream, "warm_offset_log").count()
-
-    # r8: warm the Arrow/pandas executor lane the same way — the first
-    # pandas-API entry otherwise pays daemon+worker spawn and the numpy
-    # import once per executor python worker (32 workers on local[32]).
-    # One trivial 32-partition mapInPandas with the import inside fills
-    # the reused-worker pool with numpy-loaded workers (~1 s, outside
-    # the timed loop) — the role a long-lived cluster's warm worker
-    # pool plays.
-    def _warm_pandas(it):
-        import numpy  # noqa: F401 — the import IS the warm-up
-
-        for pdf in it:
-            yield pdf
-
-    n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark.range(0, n_workers, 1, n_workers).mapInPandas(
-        _warm_pandas, "id long"
-    ).count()
+    warm_session(spark, sf_dir)
 
     import gc
 

@@ -3477,7 +3477,13 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches union into one lazy plan, so the audit is one job with
     parallel branches — no driver-side count() loop (r8: the prior
     shape ran 15 sequential actions at build, ~3 s of serial job
-    latency for the same values)."""
+    latency for the same values). Empty-child contract (ADVICE r8,
+    documented rather than guarded): orphan_ppm is SQL `div`, so an
+    EMPTY child table yields n_child=0 rows with orphan_ppm NULL —
+    the audit row still appears, NULL marking "no denominator", which
+    is the behavior the DuckDB oracle (`//`) shares; the r7 Python
+    loop raised ZeroDivisionError instead. NULL-on-empty is the
+    intended cross-engine semantics."""
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
     customer = _t(spark, sf_dir, "customer")

@@ -37,9 +37,70 @@ def _require_pinned_spark(spark) -> None:
         )
 
 
-def _plan(spark, name: str) -> str:
+def _build_plan(spark, name: str) -> str:
     df = REGISTRY[name].spark(spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+# Executed-plan strings memoized per session: the two catalog-wide lint
+# tests below (no-Python, no-cartesian) each used to rebuild every
+# entry's plan — and under AQE a localCheckpoint(eager=False) plan build
+# EXECUTES its exchange stages, so the two parametrized sweeps cost two
+# extra suite passes (r9: 154 s + 151 s of the pytest wall; the driver's
+# verify window truncated at 68% in r8). Plan builders are deterministic,
+# so ONE build per entry serves every needle check. The cache is warmed
+# from a small thread pool (Spark schedules concurrent jobs from one
+# session, guide §2.6); entries that mutate session state (conf.set /
+# .register) build serially, streaming entries only ever build inline
+# (the lint tests skip them; building one drains its stream).
+_PLAN_CACHE: dict[str, object] = {}
+
+
+def _needs_serial_build(name: str) -> bool:
+    import inspect
+
+    try:
+        src = inspect.getsource(REGISTRY[name].spark)
+    except (OSError, TypeError):
+        return True
+    return "conf.set" in src or ".register(" in src
+
+
+def _warm_plan_cache(spark) -> None:
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [
+        n
+        for n in REGISTRY
+        if n not in _PLAN_CACHE
+        and not n.startswith(("streaming_", "stream_stream"))
+    ]
+    pooled = [n for n in todo if not _needs_serial_build(n)]
+    serial = [n for n in todo if _needs_serial_build(n)]
+
+    def one(n):
+        try:
+            return n, _build_plan(spark, n)
+        except Exception as e:  # noqa: BLE001 — re-raised by the owning test
+            return n, e
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for n, p in pool.map(one, pooled):
+            _PLAN_CACHE[n] = p
+    for n in serial:
+        _PLAN_CACHE[n] = one(n)[1]
+
+
+def _plan(spark, name: str) -> str:
+    plan = _PLAN_CACHE.get(name)
+    if plan is None:
+        _warm_plan_cache(spark)
+        plan = _PLAN_CACHE.get(name)
+    if plan is None:  # streaming entries: never pooled, build inline
+        plan = _PLAN_CACHE[name] = _build_plan(spark, name)
+    if isinstance(plan, Exception):
+        raise plan
+    return plan
 
 
 def test_q01_scan_pushdown_and_pruning(spark):
@@ -488,7 +549,24 @@ def test_attribution_join_is_equi_with_residual_window(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_no_single_partition_window_on_data_sized_frames(spark):
+@pytest.fixture(scope="module")
+def combined_audit(spark):
+    """ONE build pass per (entry, scale point) feeding BOTH empirical
+    audits (tools/audit_common.py): run separately each audit rebuilds
+    every entry's checkpoint-spanning lineage — 592 s of the r9 pytest
+    wall and the reason the driver's r8 verify window truncated before
+    the suite finished. Flag rules/whitelists/report shapes are the
+    source modules' own; the standalone CLIs are unchanged."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.audit_common import combined_audit_catalog
+
+    return combined_audit_catalog(spark)
+
+
+def test_no_single_partition_window_on_data_sized_frames(spark, combined_audit):
     """Round-7 lead audit: NO catalog entry may run a Window with an
     empty partitionSpec over a data-sized frame — Spark executes that
     by moving the window's ENTIRE input through one task, the one plan
@@ -502,14 +580,10 @@ def test_no_single_partition_window_on_data_sized_frames(spark):
     else must use tiered_global_rank / orderBy().limit() instead.
     Exceptions go in tools/audit_windows.WHITELIST (hard cap: 3), each
     with a written reason."""
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from tools.audit_windows import WHITELIST, audit_catalog
+    from tools.audit_windows import WHITELIST
 
     assert len(WHITELIST) <= 3, "whitelist grew past the agreed cap"
-    report = audit_catalog(spark)
+    report = combined_audit[0]
     errors = {n: r["error"] for n, r in report.items() if "error" in r}
     assert not errors, f"window audit could not build: {errors}"
     flagged = {
@@ -521,7 +595,7 @@ def test_no_single_partition_window_on_data_sized_frames(spark):
     )
 
 
-def test_no_data_sized_broadcast_or_collect(spark):
+def test_no_data_sized_broadcast_or_collect(spark, combined_audit):
     """Round-8 lead audit (r7 verdict ask #1): NO catalog entry may
     force-broadcast a frame, or collect() one at plan-build time, whose
     size GROWS with the lake — an explicit broadcast() hint bypasses
@@ -540,14 +614,10 @@ def test_no_data_sized_broadcast_or_collect(spark):
     its band width adaptively (plans/_base.adaptive_band_width).
     Exceptions go in tools/audit_broadcasts.WHITELIST (hard cap: 3),
     each with a written reason."""
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from tools.audit_broadcasts import WHITELIST, audit_catalog
+    from tools.audit_broadcasts import WHITELIST
 
     assert len(WHITELIST) <= 3, "whitelist grew past the agreed cap"
-    report = audit_catalog(spark)
+    report = combined_audit[1]
     errors = {n: r["error"] for n, r in report.items() if "error" in r}
     assert not errors, f"broadcast audit could not build: {errors}"
     flagged = {

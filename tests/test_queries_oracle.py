@@ -22,9 +22,64 @@ def test_rows_only_query_runs(spark, query):
     assert df.count() >= 0
 
 
+# The 562 oracle replays are mutually independent Spark+DuckDB runs; run
+# serially they were 530 s of the r9 pytest wall (the driver's verify
+# window truncated at 68% in r8 before the suite finished). Spark happily
+# runs concurrent jobs from one session (guide §2.6) and DuckDB runs one
+# connection per thread, so the reports are precomputed once from a small
+# thread pool and each parametrized test asserts its own entry's report —
+# same comparisons, same per-test attribution, same -x semantics.
+# Serial bucket: streaming entries (run_stream_to_memory pins a session
+# conf for the stream's lifetime — not thread-safe) and builders that
+# mutate session state (conf.set / .register).
+_REPORTS: dict[str, object] = {}
+
+
+def _needs_serial(q) -> bool:
+    import inspect
+
+    if q.name.startswith(("streaming_", "stream_stream")):
+        return True
+    try:
+        src = inspect.getsource(q.spark)
+    except (OSError, TypeError):
+        return True
+    return "conf.set" in src or ".register(" in src
+
+
+def _compute_reports(spark) -> None:
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tests.oracle_harness import duck_connection
+
+    tl = threading.local()
+
+    def one(q):
+        con = getattr(tl, "con", None)
+        if con is None:
+            con = tl.con = duck_connection()
+        try:
+            return q.name, compare_query(spark, con, q)
+        except Exception as e:  # noqa: BLE001 — re-raised by the owning test
+            return q.name, e
+
+    pooled = [q for q in ORACLE_QUERIES if not _needs_serial(q)]
+    serial = [q for q in ORACLE_QUERIES if _needs_serial(q)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, rep in pool.map(one, pooled):
+            _REPORTS[name] = rep
+    for q in serial:
+        _REPORTS[q.name] = one(q)[1]
+
+
 @pytest.mark.parametrize("query", ORACLE_QUERIES, ids=lambda q: q.name)
-def test_query_matches_oracle(spark, duck, query):
-    report = compare_query(spark, duck, query)
+def test_query_matches_oracle(spark, query):
+    if not _REPORTS:
+        _compute_reports(spark)
+    report = _REPORTS[query.name]
+    if isinstance(report, Exception):
+        raise report
     assert report["cols_match"], (
         f"column mismatch: spark={report['spark_cols']} duck={report['duck_cols']}"
     )

@@ -1,24 +1,79 @@
-"""Dump `.explain("formatted")` for named catalog entries to files —
-the r08 optimization-evidence capture (plans/r08/<name>_{before,after}.txt).
+"""Dump executed plans for named catalog entries to files —
+optimization-evidence capture (plans/r09/<name>_{before,after}.txt).
 
 Usage:
     python tools/dump_entry_plan.py SUFFIX OUTDIR name1 name2 ...
         [--sf-dir=/root/testdata/sf0.1]
 
-Writes OUTDIR/<name>_<SUFFIX>.txt per entry. The plan is captured AFTER
-one executed count() so AQE has finalized (isFinalPlan=true) — the plan
-shown is the plan that ran. For entries that drain a streaming query and
-return a memory-sink batch frame, the file records the returned frame's
-plan (the sink scan) plus a header note; the streaming evidence for
-those lives in OPTIMIZATION_r08.md (micro-batch progress metrics).
+Writes OUTDIR/<name>_<SUFFIX>.txt per entry.
+
+Batch entries: the plan is captured AFTER one executed count() so AQE
+has finalized (isFinalPlan=true) — the plan shown is the plan that ran.
+Captured via `df.explain("formatted")` stdout (public API; the r8 tool
+used the private py4j PythonSQLUtils.explainString — ADVICE r8).
+
+Streaming entries (r8 verdict ask #6): the r8 dumps recorded only the
+post-drain memory-sink readback (a vacuous LocalTableScan). This tool
+now intercepts every StreamingQuery the entry starts and captures, per
+query and BEFORE it is stopped: `explainInternal(extended=True)` — the
+stateful-op topology with state partition counts — plus the final
+progress JSON (per-batch rows, state rows, watermark). Both are
+appended to the file after the returned frame's batch plan.
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _capture_batch_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class _StreamCapture:
+    """Patch StreamingQuery.stop so every stream an entry starts records
+    its streaming plan + last progress at stop time (the only moment the
+    plan of the STREAMING query — not the sink readback — is both
+    finalized and reachable)."""
+
+    def __init__(self):
+        self.captures: list[str] = []
+
+    def __enter__(self):
+        from pyspark.sql.streaming.query import StreamingQuery
+
+        self._sq_cls = StreamingQuery
+        self._orig_stop = StreamingQuery.stop
+        cap = self.captures
+        orig_stop = self._orig_stop
+
+        def patched_stop(q):
+            try:
+                plan = q._jsq.explainInternal(True)  # noqa: SLF001
+                prog = q.lastProgress
+                cap.append(
+                    f"=== streaming query name={q.name!r} id={q.id} ===\n"
+                    f"{plan}\n--- lastProgress ---\n{prog}\n"
+                )
+            except Exception as e:  # noqa: BLE001 — capture is best-effort
+                cap.append(f"=== streaming capture failed: {e} ===\n")
+            finally:
+                orig_stop(q)
+
+        StreamingQuery.stop = patched_stop
+        return self
+
+    def __exit__(self, *exc):
+        self._sq_cls.stop = self._orig_stop
+        return False
 
 
 def main() -> int:
@@ -43,15 +98,21 @@ def main() -> int:
         extra["spark.local.dir"] = "/dev/shm/spark-dumpplan"
     spark = get_spark(app_name="dump_entry_plan", extra_conf=extra)
     for name in names:
-        df = REGISTRY[name].spark(spark, sf_dir)
-        df.count()
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        with _StreamCapture() as sc:
+            df = REGISTRY[name].spark(spark, sf_dir)
+            df.count()
+            plan = _capture_batch_plan(df)
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(f"# {name} — explain('formatted') after execution at {sf_dir}\n")
             f.write(plan)
+            if sc.captures:
+                f.write(
+                    "\n# ------- streaming queries started by this entry "
+                    "(plan captured before stop) -------\n"
+                )
+                for c in sc.captures:
+                    f.write(c)
         print(f"wrote {path}", file=sys.stderr)
     spark.stop()
     return 0

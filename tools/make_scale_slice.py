@@ -15,6 +15,15 @@ duplicate clusters — bounded K² pair work per cluster, the realistic
 shape of a corpus crawled K times.
 
 Usage: python tools/make_scale_slice.py K OUT_DIR   (e.g. 5 /tmp/scale/sf0.5)
+
+`--multifile` (r9, verdict ask #7): write each copy as its OWN part file
+inside a `<name>.parquet/` DIRECTORY instead of one concatenated file.
+sf0.1 tables are single-row-group single-file parquet, so scan task count
+is capped at 1/table regardless of config (r8 finding #5) and core-count
+scaling ratios are ≈1 by construction; a K-file table plus a smaller
+maxPartitionBytes (tools/bench_cores.py) gives the scan K-way real
+parallelism. spark.read.parquet and DuckDB read_parquet both accept the
+directory path transparently.
 """
 
 from __future__ import annotations
@@ -52,8 +61,10 @@ def main() -> None:
         args = [a for a in sys.argv[1:] if a != "--perturb"]
         perturb(args[1], int(args[0]))
         return
-    k = int(sys.argv[1])
-    out = sys.argv[2]
+    multifile = "--multifile" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0])
+    out = args[1]
     os.makedirs(out, exist_ok=True)
     for name in FIXED:
         pq.write_table(
@@ -70,9 +81,16 @@ def main() -> None:
                 shifted = pc.add(t.column(col), pa.scalar(c * stride, pa.int64()))
                 t = t.set_column(idx, t.field(idx), shifted)
             copies.append(t)
-        merged = pa.concat_tables(copies)
-        pq.write_table(merged, f"{out}/{name}.parquet")
-        print(f"{name}: {base.num_rows} x {k} = {merged.num_rows}")
+        if multifile:
+            d = f"{out}/{name}.parquet"
+            os.makedirs(d, exist_ok=True)
+            for c, t in enumerate(copies):
+                pq.write_table(t, f"{d}/part-{c:03d}.parquet")
+            print(f"{name}: {base.num_rows} x {k} = {base.num_rows * k} ({k} files)")
+        else:
+            merged = pa.concat_tables(copies)
+            pq.write_table(merged, f"{out}/{name}.parquet")
+            print(f"{name}: {base.num_rows} x {k} = {merged.num_rows}")
 
 
 def perturb(out_dir: str, k: int) -> None:

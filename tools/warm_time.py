@@ -29,11 +29,8 @@ def main() -> int:
         if a.startswith("--sf-dir="):
             sf_dir = a.split("=", 1)[1]
 
-    from pyspark.sql import functions as F
-
     from nyc_taxi_data_pipeline_spark.plans.queries import REGISTRY
     from nyc_taxi_data_pipeline_spark.session import get_spark
-    from nyc_taxi_data_pipeline_spark.sources.catalog import TABLES, load_table
 
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
@@ -44,27 +41,14 @@ def main() -> int:
     if os.path.isdir("/dev/shm"):
         extra["spark.local.dir"] = "/dev/shm/spark-warmtime"
     spark = get_spark(app_name="warm_time", extra_conf=extra)
-    for t in TABLES:
-        df = load_table(spark, sf_dir, t)
-        df.select(F.sum(F.hash(*df.columns)).alias("h")).count()
-    # same streaming warm-up as bench.py so streaming entries measure
-    # steady-state, not one-time StreamExecution/python-source setup
-    from nyc_taxi_data_pipeline_spark.sources.pydatasource import (
-        register_offset_log,
-    )
-    from nyc_taxi_data_pipeline_spark.streaming.sinks import run_stream_to_memory
+    # the FULL bench warm-up ladder (lake scan, codegen shapes, streaming
+    # machinery, pandas worker pool) — shared with bench.py via
+    # tools/warmup so the two cannot drift (ADVICE r8: this tool lacked
+    # the pandas-lane warm-up, so warm timings of pandas-API entries
+    # included first-touch worker spawn)
+    from tools.warmup import warm_session
 
-    register_offset_log(spark)
-    warm_stream = (
-        spark.readStream.format("offset_log")
-        .option("partitions", 1)
-        .option("n_rows", 10)
-        .option("rows_per_batch", 10)
-        .load()
-        .groupBy("user_id")
-        .count()
-    )
-    run_stream_to_memory(warm_stream, "warm_offset_log").count()
+    warm_session(spark, sf_dir)
 
     def _reclaim() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
