@@ -189,6 +189,43 @@ def adaptive_band_width(df: DataFrame, key: str, target_tiers: int = 384) -> int
     return max(1, (int(hi) - int(lo)) // target_tiers + 1)
 
 
+def fan_out(df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
+    """Guide-§2.5 'unsplittable input' remedy, made scale-adaptive: when
+    the upstream input has fewer partitions than the cluster can run
+    concurrently, round-robin repartition `df` to defaultParallelism so
+    the narrow-but-EXPANDING work downstream (trigram/token explode,
+    broadcast-join pair probe, the partial aggregation over the join
+    output) uses every core instead of one task. The r9 finding this
+    kills: every sf0.1 table is a single-row-group parquet file, so scan
+    parallelism is 1 and e.g. charlm's two explode+aggregate passes ran
+    single-threaded while 31 cores idled (4.9 s -> 0.8 s; doc_similarity
+    5.3 -> 1.5 s, values identical).
+
+    Scale-adaptivity: the trigger is the PROBE frame's partition count
+    (pass the scan-rooted frame; default `df` itself — must be a frame
+    whose RDD conversion runs no exchanges, i.e. a scan or an existing
+    checkpoint, or the probe itself would execute stages). At real scale
+    the scan has orders of magnitude more splits than
+    defaultParallelism, the condition is false and this function is the
+    IDENTITY — no shuffle is ever added at 100 TB; locally it shuffles
+    at most (defaultParallelism x one small input), bounded by the very
+    condition that fired it. defaultParallelism derives from the
+    cluster, not a constant, so the driver's lower-core bench runs stay
+    comparable.
+
+    Value-safety contract (why this is NOT applied centrally in
+    load_table): a repartition changes float summation ORDER, and a
+    double sum whose rounded value sits on a tie is then
+    core-count-dependent (verify skill: the round-on-grid hazard class).
+    Callers must have order-independent lanes — integer/decimal sums,
+    counts, min/max, md5 — which every adopting entry documents."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if (probe if probe is not None else df).rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_ntile(rank: str, total: str, k: int):
     """ntile(k)'s size arithmetic over an EXACT global rank (from
     tiered_global_rank): tiles 1..total%k hold total div k + 1 rows,
@@ -352,6 +389,13 @@ def charlm_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring join — no shuffle of the corpus by trigram; the per-doc
     rollup shuffles on doc_id once."""
     d = _t(spark, sf_dir, "documents")
+    # r9: the sf-scale documents scan is ONE parquet row group -> one
+    # task, and both explode+aggregate passes below ran single-threaded
+    # (4.9 s steady; 0.8 s after). fan_out round-robins the scan to
+    # cluster parallelism ONLY when the scan is under-parallel (identity
+    # at 100 TB — see plans/_base.fan_out). Value-safe here: every lane
+    # is an integer count/sum + one bigint floor-div (order-independent).
+    d = fan_out(d)
     docs = d.filter(
         F.col("text").isNotNull() & (F.length("text") >= 3)
     ).select("doc_id", F.lower(F.col("text")).alias("t"))

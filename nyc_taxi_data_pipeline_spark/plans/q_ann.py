@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _t,
+    fan_out,
 )
 
 __all__: list[str] = []
@@ -250,7 +251,11 @@ def ann_lsh_multiprobe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SFs) so the full-radius probe stays |panel| x |corpus| linear."""
     from nyc_taxi_data_pipeline_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # r9: single-row-group scan -> 1-task probe/score pass; fan_out
+    # parallelizes only when under-parallel (identity at 100 TB,
+    # plans/_base.fan_out; 3.3 -> 1.4 s). Value-safe: per-row array
+    # folds (fixed in-row order) + rounded ties + integer ranks.
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
     ).select(
@@ -541,8 +546,18 @@ def doc_similarity_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)  # feeds both join sides + norms
     )
+    # r9: AQE coalesced the 29k-row tf exchange to ONE partition, so the
+    # Σ postings² dot-product probe (14.2M joined rows) + its partial
+    # aggregation ran in one task (5.3 s steady; 1.5 s after). fan_out on
+    # the SCAN probe (cheap, no stage execution) round-robins tf to
+    # cluster parallelism only when the input is under-parallel —
+    # identity at 100 TB (plans/_base.fan_out). Value-safe: tf/dot are
+    # exact integers, norms/cosine are per-row double expressions over
+    # exact ints (no float accumulation).
+    tf = fan_out(tf, probe=d).localCheckpoint(
+        eager=False
+    )  # feeds both join sides + norms
     norms = tf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
     )
@@ -667,7 +682,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # r9 fan_out: see ann_lsh_multiprobe_exact note (3.2 -> 1.2 s)
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
     ).select(
@@ -854,7 +870,8 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows; broadcast query block, JVM zip_with dot products,
     two windows (rank, then vote) on rounded cosine so both engines
     rank identically. Ties in votes break on label id."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # r9 fan_out: see ann_lsh_multiprobe_exact note (3.1 -> 0.7 s)
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     q = emb.filter(
         (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000)
     ).select(

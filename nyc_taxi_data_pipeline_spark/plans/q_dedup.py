@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from nyc_taxi_data_pipeline_spark.plans._base import (
     _register,
     _t,
+    fan_out,
 )
 
 __all__: list[str] = []
@@ -314,7 +315,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte long lanes and stays pytest-covered)."""
     from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_dedup_oph
 
-    d = _t(spark, sf_dir, "documents")
+    # r9: single-row-group scan -> 1-task shingle/signature pass; fan_out
+    # parallelizes it only when the input is under-parallel (identity at
+    # 100 TB). Value-safe: md5 lexicographic minima + integer lanes.
+    d = fan_out(_t(spark, sf_dir, "documents"))
     return (
         minhash_dedup_oph(d, "text", "doc_id", num_bins=24, bands=6)
         .select("doc_id", "lang")
@@ -798,7 +802,8 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from nyc_taxi_data_pipeline_spark.functions import text as textfn
 
-    d = _t(spark, sf_dir, "documents")
+    # r9 fan_out: see dedup_minhash_lsh note (same lanes; 3.5 -> 1.6 s)
+    d = fan_out(_t(spark, sf_dir, "documents"))
     sigs = minhash_signatures_portable(
         d, "text", "doc_id", num_hashes=_MINHASH_LANES
     ).localCheckpoint(eager=False)
@@ -911,7 +916,8 @@ def lsh_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures_portable,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # r9 fan_out: see dedup_minhash_lsh note (same lanes; 2.8 -> 0.7 s)
+    d = fan_out(_t(spark, sf_dir, "documents"))
     sigs = minhash_signatures_portable(
         d, "text", "doc_id", num_hashes=_MINHASH_LANES
     )
@@ -950,7 +956,8 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.minhash_dedup_portable)."""
     from nyc_taxi_data_pipeline_spark.operators.dedup import minhash_dedup_portable
 
-    d = _t(spark, sf_dir, "documents")
+    # r9 fan_out: see dedup_minhash_lsh note (same lanes; 3.2 -> 1.3 s)
+    d = fan_out(_t(spark, sf_dir, "documents"))
     return (
         minhash_dedup_portable(d, "text", "doc_id")
         .select("doc_id", "lang", "source")

@@ -15,6 +15,7 @@ from nyc_taxi_data_pipeline_spark.functions import scalar, text
 from nyc_taxi_data_pipeline_spark.sources.catalog import load_table
 from nyc_taxi_data_pipeline_spark.plans._base import (
     _CHARLM_ORACLE,
+    fan_out,
     _STAGING_CTE,
     _TRIPS_CTE,
     _raw_trips,
@@ -1013,7 +1014,11 @@ def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     for timestamps). At 100 TB: one scan versus one per column; the
     distinct counts are the only wide aggregates, and they share the
     scan."""
-    o = _t(spark, sf_dir, "orders")
+    # r9: single-row-group scan -> the whole 24-aggregate pass ran in one
+    # task; fan_out parallelizes only when under-parallel (identity at
+    # 100 TB, plans/_base.fan_out; 2.8 -> 1.1 s). Value-safe: count /
+    # countDistinct / min / max only — all order-independent.
+    o = fan_out(_t(spark, sf_dir, "orders"))
     n = F.count(F.lit(1))
 
     def prof(col, minmax):

@@ -549,6 +549,25 @@ def test_attribution_join_is_equi_with_residual_window(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_fan_out_is_scale_adaptive(spark):
+    """plans/_base.fan_out (r9): repartitions to defaultParallelism ONLY
+    when the probe frame is under-parallel — at scale (input partitions
+    >= parallelism) it must be the IDENTITY, adding no shuffle; and it
+    must never change values (round-robin repartition of exact lanes)."""
+    from nyc_taxi_data_pipeline_spark.plans._base import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    few = spark.range(0, 1000, 1, 1)
+    fanned = fan_out(few)
+    assert fanned.rdd.getNumPartitions() == target
+    assert fanned.selectExpr("sum(id)").first()[0] == 999 * 1000 // 2
+    many = spark.range(0, 1000, 1, target + 4)
+    assert fan_out(many) is many  # identity: no shuffle added at scale
+    df = spark.range(0, 100, 1, 1)
+    probe_many = spark.range(0, 100, 1, target + 1)
+    assert fan_out(df, probe=probe_many) is df  # decision rides the probe
+
+
 @pytest.fixture(scope="module")
 def combined_audit(spark):
     """ONE build pass per (entry, scale point) feeding BOTH empirical
