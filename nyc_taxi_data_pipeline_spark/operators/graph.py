@@ -119,8 +119,12 @@ def pagerank_fixed_iterations(
         shortcut); only correct when the caller knows the graph has no
         dangling sources, so it is opt-in, not silently the default.
 
-    Same lineage discipline as connected_components: the rank frame is
-    localCheckpointed per iteration or the plan tree doubles every round."""
+    Lineage discipline: on the "redistribute" path the rank frame is
+    localCheckpointed per iteration (it feeds two consumers per round, so
+    an un-truncated tree recomputes per consumer and doubles every
+    round); on the "leak" path the rank chain has a single consumer per
+    round, so the bounded loop builds ONE query over the checkpointed
+    edge/node frames with no per-iteration checkpoint."""
     if dangling not in ("redistribute", "leak"):
         raise ValueError(f"dangling must be 'redistribute' or 'leak': {dangling!r}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
@@ -133,17 +137,26 @@ def pagerank_fixed_iterations(
         .localCheckpoint(eager=False)
     )
     n_frame = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint(
-        eager=False
-    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    if dangling == "redistribute":
+        # the per-iteration dangling-mass anti-join probes deg directly —
+        # checkpoint it so the aggregation is not recomputed every round
+        deg = deg.localCheckpoint(eager=False)
+    # r9 plan-shape restructure (guide §2.4: remove shuffles/stages
+    # outright; values bit-identical — every lane is bigint arithmetic):
+    #   * the per-src degree is folded INTO the edge list ONCE (e2), so
+    #     each iteration runs ONE join against the rank vector instead of
+    #     an edge join followed by a degree join;
+    #   * the node count rides as a constant column on a once-checkpointed
+    #     node frame (nodes2) instead of being re-aggregated and
+    #     re-broadcast inside every iteration's subtree.
+    e2 = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes2 = nodes.crossJoin(F.broadcast(n_frame)).localCheckpoint(eager=False)
     teleport = F.expr(f"({100 - damping_pct} * {scale}L) div (100 * __n)")
-    pr = nodes.crossJoin(F.broadcast(n_frame)).select(
-        "node", F.expr(f"{scale}L div __n").alias("pr")
-    )
+    pr = nodes2.select("node", F.expr(f"{scale}L div __n").alias("pr"))
     for _ in range(iterations):
         summed = (
-            e.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e2.join(pr.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"), F.expr("pr div __deg").alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
@@ -159,15 +172,19 @@ def pagerank_fixed_iterations(
             inflow = F.expr(
                 f"({damping_pct} * (coalesce(__s, 0L) + __d div __n)) div 100"
             )
-            base = (
-                nodes.crossJoin(F.broadcast(n_frame)).crossJoin(F.broadcast(dang))
-            )
+            base = nodes2.crossJoin(F.broadcast(dang))
         else:
             inflow = F.expr(f"({damping_pct} * coalesce(__s, 0L)) div 100")
-            base = nodes.crossJoin(F.broadcast(n_frame))
-        pr = (
-            base.join(summed, "node", "left")
-            .select("node", (teleport + inflow).alias("pr"))
-            .localCheckpoint(eager=False)
+            base = nodes2
+        pr = base.join(summed, "node", "left").select(
+            "node", (teleport + inflow).alias("pr")
         )
+        if dangling == "redistribute":
+            # the rank frame feeds TWO consumers next round (inflow join +
+            # dangling aggregate) — checkpoint or both recompute it. On the
+            # "leak" path pr is a SINGLE-consumer chain: 3 bounded
+            # iterations build one query with no duplicated subtree, so the
+            # per-iteration checkpoint (and its serialized AQE
+            # stage-materialization at build time) is dropped outright.
+            pr = pr.localCheckpoint(eager=False)
     return pr

@@ -3809,10 +3809,18 @@ def personalized_pagerank_restart(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     seed = nodes.agg(F.min("node").alias("s"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=False
-    )
-    pr = nodes.crossJoin(F.broadcast(seed)).select(
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # r9 plan-shape restructure, same as operators/graph.
+    # pagerank_fixed_iterations (guide §2.4): degree folded into the edge
+    # list once; the seed rides as a constant column on a
+    # once-checkpointed node frame instead of re-aggregating +
+    # re-broadcasting per iteration; and the rank chain is
+    # single-consumer, so the per-iteration localCheckpoint (serialized
+    # AQE stage materialization at build) is dropped — 3 bounded
+    # iterations build ONE query. Values bit-identical: bigint lanes.
+    e2 = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes2 = nodes.crossJoin(F.broadcast(seed)).localCheckpoint(eager=False)
+    pr = nodes2.select(
         "node",
         F.when(F.col("node") == F.col("s"), F.lit(10**12).cast("long"))
         .otherwise(F.lit(0).cast("long"))
@@ -3820,8 +3828,7 @@ def personalized_pagerank_restart(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     for _ in range(3):
         summed = (
-            e.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e2.join(pr.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"), F.expr("pr div deg").alias("c")
             )
@@ -3829,8 +3836,7 @@ def personalized_pagerank_restart(spark: SparkSession, sf_dir: str) -> DataFrame
             .agg(F.sum("c").alias("s2"))
         )
         pr = (
-            nodes.crossJoin(F.broadcast(seed))
-            .join(summed, "node", "left")
+            nodes2.join(summed, "node", "left")
             .select(
                 "node",
                 (
@@ -3841,6 +3847,5 @@ def personalized_pagerank_restart(spark: SparkSession, sf_dir: str) -> DataFrame
                     + F.expr("(85 * coalesce(s2, CAST(0 AS BIGINT))) div 100")
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
         )
     return pr.orderBy(F.col("pr").desc(), "node").limit(20)
